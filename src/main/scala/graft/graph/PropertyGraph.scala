@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Property-graph over two DataFrames, the Spark-native re-expression of
+  * ArcadeDB's vertex/edge model (reference graph/Vertex.java:33,
+  * graph/Edge.java:34). Adjacency is NOT a per-vertex linked list
+  * (EdgeLinkedList.java:53 — index-free adjacency is a single-node
+  * design); it's the `edges` DataFrame joined on `src`/`dst`, which
+  * partitions and broadcasts like any other relation at 100 TB.
+  *
+  * Schema contract: vertices(id: Long, label: String, props...),
+  * edges(src: Long, dst: Long, label: String, props...).
+  */
+final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+
+  /** One-hop expansion along OUT edges (reference SQLFunctionOut /
+    * GraphEngine.getEdges GraphEngine.java:1320): frontier ⋈ edges.
+    * Frontier is keyed by `id`. */
+  def expandOut(frontier: DataFrame, edgeLabel: Option[String] = None): DataFrame = {
+    val e = edgeLabel.map(l => edges.filter(col("label") === l)).getOrElse(edges)
+    frontier.select(col("id")).alias("f")
+      .join(e.alias("e"), col("f.id") === col("e.src"))
+      .select(col("e.dst").as("id"))
+  }
+
+  def expandIn(frontier: DataFrame, edgeLabel: Option[String] = None): DataFrame = {
+    val e = edgeLabel.map(l => edges.filter(col("label") === l)).getOrElse(edges)
+    frontier.select(col("id")).alias("f")
+      .join(e.alias("e"), col("f.id") === col("e.dst"))
+      .select(col("e.src").as("id"))
+  }
+
+  /** BFS traversal with per-depth emission, the TRAVERSE … MAXDEPTH n
+    * analog (reference executor/DepthFirstTraverseStep.java:36,
+    * BreadthFirstTraverseStep.java:34; grammar SQLParser.g4:220-229).
+    * Returns (id, depth) with depth = first (minimum) reach depth —
+    * iterative frontier joins; each iteration is one distributed join,
+    * visited set carried as a DataFrame. For deep traversals the caller
+    * should checkpoint every few iterations; depth here is bounded small.
+    */
+  def traverse(seeds: DataFrame, maxDepth: Int, direction: String = "out"): DataFrame = {
+    var visited = seeds.select(col("id")).distinct().withColumn("depth", lit(0))
+    var frontier = visited.select("id")
+    var d = 0
+    while (d < maxDepth) {
+      d += 1
+      val next = (if (direction == "in") expandIn(frontier) else expandOut(frontier))
+        .distinct()
+        .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+      frontier = next.persist(StorageLevel.MEMORY_AND_DISK)
+      if (frontier.isEmpty) return visited
+      visited = visited.union(frontier.withColumn("depth", lit(d)))
+    }
+    visited
+  }
+
+  /** GraphX view for whole-graph analytics (PageRank, components,
+    * triangles — reference graph/olap/GraphAlgorithms.java:164,309,1263).
+    * The reference builds a columnar CSR snapshot (CSRBuilder.java:59)
+    * for this; GraphX's internal edge partitions play that role here. */
+  def toGraphX: GXGraph[String, String] = {
+    val vs: RDD[(VertexId, String)] =
+      vertices.select(col("id"), col("label")).rdd.map(r => (r.getLong(0), r.getString(1)))
+    val es: RDD[GXEdge[String]] =
+      edges.select(col("src"), col("dst"), col("label")).rdd
+        .map(r => GXEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+    GXGraph(vs, es)
+  }
+}
+
+object PropertyGraph {
+  /** Vertex-id encoding for the TPC-H-derived demo graph: the natural keys
+    * of customer/order/part/supplier live in disjoint id spaces via
+    * key * 8 + typeTag — the RID-surrogate policy from SURVEY.md §1.1. */
+  val TCust = 0L; val TOrder = 1L; val TPart = 2L; val TSupp = 3L
+  def vid(tag: Long, key: Column): Column = (key.cast("long") * 8 + lit(tag))
+
+  /** Demo graph over the test tables:
+    * customer -[placed]-> order -[contains]-> part. */
+  def fromTpch(spark: SparkSession, dir: String): PropertyGraph = {
+    import graft.Tables
+    val cust = Tables.customer(spark, dir)
+      .select(vid(TCust, col("c_custkey")).as("id"), lit("customer").as("label"),
+        col("c_custkey").as("key"), col("c_name").as("name"))
+    val ords = Tables.orders(spark, dir)
+      .select(vid(TOrder, col("o_orderkey")).as("id"), lit("order").as("label"),
+        col("o_orderkey").as("key"), col("o_orderstatus").as("name"))
+    val parts = Tables.part(spark, dir)
+      .select(vid(TPart, col("p_partkey")).as("id"), lit("part").as("label"),
+        col("p_partkey").as("key"), col("p_name").as("name"))
+    val placed = Tables.orders(spark, dir)
+      .select(vid(TCust, col("o_custkey")).as("src"), vid(TOrder, col("o_orderkey")).as("dst"),
+        lit("placed").as("label"))
+    val contains = Tables.lineitem(spark, dir)
+      .select(vid(TOrder, col("l_orderkey")).as("src"), vid(TPart, col("l_partkey")).as("dst"),
+        lit("contains").as("label")).distinct()
+    PropertyGraph(cust.union(ords).union(parts), placed.union(contains))
+  }
+
+  /** Undirected co-purchase graph: parts that appear in the same order,
+    * canonical orientation a < b (the reference's GAV projection shape,
+    * graph/olap/GraphAnalyticalView.java:84). */
+  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+    val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
+    a.join(b, col("ok") === col("ok2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph surface: degree queries, pattern (MATCH) chains, optional match,
+  * bounded traversal, shortest-path BFS, and whole-graph analytics
+  * (PageRank / connected components / triangle counting).
+  *
+  * Reference semantics re-expressed (SURVEY.md §2.3/§2.8):
+  *   - out()/in()/degree (function/sql/graph/SQLFunctionOut.java,
+  *     function/node/NodeDegree*.java) → edge-table joins + groupBy.
+  *   - MATCH with optional nodes (executor/MatchExecutionPlanner.java:59,
+  *     OptionalMatchStep.java) → join chains, optional = left_outer.
+  *   - TRAVERSE … MAXDEPTH (executor/BreadthFirstTraverseStep.java:34) →
+  *     PropertyGraph.traverse iterative frontier joins.
+  *   - shortestPath (function/sql/graph/SQLFunctionShortestPath.java,
+  *     GraphAlgorithms.java:411) → BFS first-reach depth.
+  *   - PageRank / CC / triangles (graph/olap/GraphAlgorithms.java:164,
+  *     309, 1263-1403) → GraphX for the iterative ones; triangles as a
+  *     canonical-orientation 3-way join (PartitionedTriangleOp analog),
+  *     which distributes as ordinary hash joins at 100 TB.
+  */
+object GraphOps {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- out-degree incl. zero (NodeDegreeOut analog) ----
+    Q("q_graph_out_degree",
+      """SELECT c_custkey, count(o_orderkey) AS degree
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val g = PropertyGraph.fromTpch(s, d)
+      val cust = g.vertices.filter(col("label") === "customer")
+      val placed = g.edges.filter(col("label") === "placed")
+      cust.join(placed, cust("id") === placed("src"), "left_outer")
+        .groupBy(cust("key").as("c_custkey"))
+        .agg(count(placed("dst")).as("degree"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- in-degree incl. zero ----
+    Q("q_graph_in_degree",
+      """SELECT p_partkey, count(DISTINCT l_orderkey) AS degree
+        |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val g = PropertyGraph.fromTpch(s, d)
+      val parts = g.vertices.filter(col("label") === "part")
+      val contains = g.edges.filter(col("label") === "contains")
+      parts.join(contains, parts("id") === contains("dst"), "left_outer")
+        .groupBy(parts("key").as("p_partkey"))
+        .agg(count(contains("src")).as("degree"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- two-hop expansion (ExpandAll chain: customer→order→part) ----
+    Q("q_graph_2hop",
+      """SELECT c_custkey, count(DISTINCT l_partkey) AS n_parts
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_custkey <= 50 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val g = PropertyGraph.fromTpch(s, d)
+      val placed = g.edges.filter(col("label") === "placed")
+        .filter(expr("src div 8") <= 50).alias("pl")
+      val contains = g.edges.filter(col("label") === "contains").alias("ct")
+      placed.join(contains, col("pl.dst") === col("ct.src"))
+        .select(expr("pl.src div 8").as("c_custkey"), col("ct.dst").as("part_vid"))
+        .groupBy(col("c_custkey"))
+        .agg(countDistinct(col("part_vid")).as("n_parts"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- optional MATCH (left-outer pattern, Cypher OPTIONAL MATCH) ----
+    Q("q_graph_match_optional",
+      """SELECT n_name, count(*) AS n_rows, count(o_orderkey) AS n_orders
+        |FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name")
+    },
+
+    // ---- bounded BFS traversal with depth emission (TRAVERSE MAXDEPTH 2) ----
+    Q("q_graph_traverse",
+      """SELECT * FROM (
+        |  SELECT 'customer' AS label, c_custkey AS key, 0 AS depth
+        |  FROM customer WHERE c_custkey IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT 'order', o_orderkey, 1 FROM orders WHERE o_custkey IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT 'part', k, 2 FROM (
+        |    SELECT DISTINCT l_partkey AS k FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey IN (1, 2, 3)))
+        |ORDER BY depth, label, key""".stripMargin) { (s, d) =>
+      val g = PropertyGraph.fromTpch(s, d)
+      val seeds = g.vertices
+        .filter(col("label") === "customer" && col("key").isin(1, 2, 3))
+        .select("id")
+      g.traverse(seeds, maxDepth = 2)
+        .join(g.vertices.select(col("id").as("vid"), col("label"), col("key")),
+          col("id") === col("vid"))
+        .select(col("label"), col("key"), col("depth"))
+        .orderBy("depth", "label", "key")
+    },
+
+    // ---- single-source BFS shortest path ≤ 3 hops on co-purchase graph ----
+    Q("q_graph_shortest_path",
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey),
+        |bfs(id, depth) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.b, bfs.depth + 1 FROM bfs JOIN e ON e.a = bfs.id
+        |  WHERE bfs.depth < 3)
+        |SELECT id, min(depth) AS depth FROM bfs GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val co = PropertyGraph.coPurchase(s, d)
+      val undirected = co.select(col("a").as("src"), col("b").as("dst"))
+        .union(co.select(col("b").as("src"), col("a").as("dst")))
+        .withColumn("label", lit("co"))
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey").as("id"), lit("part").as("label"))
+      val g = PropertyGraph(parts, undirected)
+      g.traverse(g.vertices.filter(col("id") === 1).select("id"), maxDepth = 3)
+        .orderBy("id")
+    },
+
+    // ---- triangle counting via canonical-orientation 3-way join ----
+    Q("q_graph_triangles",
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, d) =>
+      val e = PropertyGraph.coPurchase(s, d)
+      val e1 = e.select(col("a").as("x"), col("b").as("y"))
+      val e2 = e.select(col("a").as("y2"), col("b").as("z"))
+      val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
+      e1.join(e2, col("y") === col("y2"))
+        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // ---- PageRank (GraphX; reference GraphAlgorithms.java:164) ----
+    Q.noOracle("q_graph_pagerank") { (s, d) =>
+      val g = PropertyGraph.fromTpch(s, d).toGraphX
+      val ranks = org.apache.spark.graphx.lib.PageRank.run(g, numIter = 10, resetProb = 0.15)
+      val df = s.createDataFrame(ranks.vertices.map { case (id, r) => (id, r) })
+        .toDF("id", "rank")
+      df.select(expr("id div 8").as("key"), expr("id % 8").as("vtype"),
+          round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("vtype"), col("key"))
+        .limit(20)
+    },
+
+    // ---- connected components (GraphX; GraphAlgorithms.java:309) ----
+    Q.noOracle("q_graph_cc") { (s, d) =>
+      val co = PropertyGraph.coPurchase(s, d)
+      val parts = Tables.part(s, d).select(col("p_partkey").as("id"), lit("part").as("label"))
+      val undirected = co.select(col("a").as("src"), col("b").as("dst"))
+        .withColumn("label", lit("co"))
+      val g = PropertyGraph(parts, undirected).toGraphX
+      val cc = g.connectedComponents().vertices
+      val df = s.createDataFrame(cc.map { case (id, comp) => (id, comp) }).toDF("id", "comp")
+      df.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"), max(col("sz")).as("largest"))
+    }
+  )
+}

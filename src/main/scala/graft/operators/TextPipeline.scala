@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline: deduplication (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), language ID, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup = hash groupBy (one shuffle on the digest);
+  *   - n-gram Jaccard = inverted shingle index join — never an O(n²)
+  *     cross join; the shingle join only materializes co-shingled pairs;
+  *   - MinHash+LSH = 128 permutations → 64 bands × 2 rows; candidate
+  *     pairs come from band-bucket joins (tiny vs all-pairs) and are
+  *     exact-verified on the shingle sets, so precision is exact and
+  *     recall at j≥0.7 is 1-(1-0.7²)^64 ≈ 1 - 4e-19;
+  *   - SimHash = 64-bit signature; pairs found by 16-bit chunk banding
+  *     (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified by popcount.
+  */
+object TextPipeline {
+
+  /** tokens = lowercase whitespace split (same on both engines). */
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(lower(col("text")), " "))
+
+  /** Distinct word 3-gram shingles per document. */
+  def withShingles(docs: DataFrame): DataFrame =
+    withTokens(docs).withColumn("shingles",
+      expr("""CASE WHEN size(toks) >= 3 THEN
+             |  array_distinct(transform(sequence(0, size(toks)-3),
+             |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+             |ELSE array() END""".stripMargin))
+
+  /** Exploded (doc_id, shingle) pairs. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    withShingles(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** Exact pairwise Jaccard via inverted shingle index; emits pairs with
+    * jac >= minJac. Never materializes non-co-shingled pairs. */
+  def jaccardPairs(docs: DataFrame, minJac: Double): DataFrame = {
+    val sh = shingleIndex(docs)
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(szs.select(col("doc_id"), col("sz").as("sza")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(szs.select(col("doc_id"), col("sz").as("szb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jac", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** DuckDB mirror of the shingle CTEs (kept in one place). */
+  private val shingleCte =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM tok, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+      |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jacs AS (SELECT doc_a, doc_b,
+      |           inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+      |         FROM pairs JOIN szs sa ON doc_a = sa.doc_id
+      |                    JOIN szs sb ON doc_b = sb.doc_id)""".stripMargin
+
+  /** MinHash signature permutation constants: 128 fixed (a, b) pairs from
+    * a small deterministic LCG (no runtime randomness). */
+  val MinhashPerms: Seq[(Long, Long)] = {
+    var x = 0x5deece66dL
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 17) & 0x7fffffffL }
+    Seq.fill(128)((next() | 1L, next()))
+  }
+  val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Add a 128-int minhash signature column from `shingles`. */
+  def withMinhash(docs: DataFrame): DataFrame = {
+    val permArr = MinhashPerms.map { case (a, b) => s"struct(${a}L as a, ${b}L as b)" }
+      .mkString("array(", ", ", ")")
+    docs.withColumn("sig",
+      expr(s"""transform($permArr, pm ->
+              |  array_min(transform(shingles, sh ->
+              |    pmod(pm.a * pmod(hash(sh), ${MersennePrime}L) + pm.b, ${MersennePrime}L))))""".stripMargin))
+  }
+
+  /** LSH candidate pairs (64 bands × 2 rows) exact-verified by Jaccard on
+    * the shingle sets. */
+  def minhashDupPairs(docs: DataFrame, minJac: Double): DataFrame = {
+    val sigs = withMinhash(withShingles(docs).filter(size(col("shingles")) > 0))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+      .persist()
+    val bands = sigs.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 63), j -> hash(sig[2*j], sig[2*j+1], j))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(sigs.select(col("doc_id"), col("shingles").as("sha")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sigs.select(col("doc_id"), col("shingles").as("shb")), col("doc_b") === col("doc_id")).drop("doc_id")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jac", col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** SimHash near-dup pairs: 16-bit chunk banding + hamming verify. */
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    TextFunctions.register(docs.sparkSession)
+    val sigs = withTokens(docs)
+      .withColumn("sig", callUDF("simhash64", col("toks")))
+      .select("doc_id", "sig")
+      .persist()
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+    chunks.alias("x")
+      .join(chunks.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "para", "en"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash groupBy over a dup-injected view ----
+    Q("q_dedup_exact",
+      """WITH all_docs AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 100 = 0)
+        |SELECT md5(text) AS h, count(*) AS n FROM all_docs
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val injected = docs.select("text")
+        .union(docs.filter(col("doc_id") % 100 === 0).select("text"))
+      injected.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).orderBy("h")
+    },
+
+    // ---- n-gram Jaccard near-dup pairs (inverted shingle index) ----
+    Q("q_dedup_ngram",
+      s"""$shingleCte
+         |SELECT doc_a, doc_b, jac FROM jacs WHERE jac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      jaccardPairs(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- MinHash + LSH with exact verification ----
+    Q("q_dedup_minhash",
+      s"""$shingleCte
+         |SELECT doc_a, doc_b, jac FROM jacs WHERE jac >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      minhashDupPairs(Tables.documents(s, d), 0.7).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- SimHash near-dup pairs (signature-specific; no SQL oracle) ----
+    Q.noOracle("q_dedup_simhash") { (s, d) =>
+      simhashDupPairs(Tables.documents(s, d), maxHamming = 6).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- language ID by stopword voting (deterministic tie-break) ----
+    Q("q_text_langid", {
+      val scores = langStopwords.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, x -> list_contains($lst, x))) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang, $scores FROM tok)
+         |SELECT lang, CASE
+         |  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+         |  WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |  WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+         |  count(*) AS n
+         |FROM sc GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    }) { (s, d) =>
+      val toks = withTokens(Tables.documents(s, d))
+      val scored = langStopwords.foldLeft(toks) { case (df, (l, ws)) =>
+        val lst = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+        df.withColumn(s"s_$l", expr(s"size(filter(toks, x -> array_contains($lst, x)))"))
+      }
+      scored.withColumn("pred_lang",
+          when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "unknown")
+            .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // ---- quality scoring (length / uniqueness / stopword density) ----
+    Q("q_text_quality",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, n_chars FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_uniq,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio,
+        |  round(n_chars::DOUBLE / len(toks), 4) AS avg_tok_len,
+        |  round(least(len(toks) / 100.0, 1.0) * 0.5
+        |        + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5, 4) AS quality
+        |FROM t WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withTokens(Tables.documents(s, d)).filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4).as("uniq_ratio"),
+          round(col("n_chars").cast("double") / size(col("toks")), 4).as("avg_tok_len"),
+          round(least(size(col("toks")) / 100.0, lit(1.0)) * 0.5
+            + (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) * 0.5, 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting: whitespace + word-regex counts per source ----
+    Q("q_text_tokens",
+      """SELECT source,
+        |  sum(len(string_split(text, ' '))) AS n_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS n_words,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy("source")
+        .agg(
+          sum(size(split(col("text"), " "))).as("n_tokens"),
+          sum(expr("regexp_count(text, '[a-z0-9]+')")).as("n_words"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
+    // ---- document fingerprint: digest of the sorted distinct token set ----
+    Q("q_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withTokens(Tables.documents(s, d)).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

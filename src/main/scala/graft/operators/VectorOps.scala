@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector / similarity-search surface over `ArrayType(FloatType)`
+  * embedding columns.
+  *
+  * Reference surface re-expressed (SURVEY.md §2.9 vector tail:
+  * function/sql/vector/SQLFunctionVectorNeighbors.java:54 — "K neighbors
+  * from a vector index", norms/distances/arith SQLFunctionVector*.java;
+  * ANN index index/vector/LSMVectorIndex.java:133 is single-node HNSW).
+  *
+  * Scale design (100 TB): brute-force top-k is the exact baseline — a
+  * broadcast of the (small) query set against a partitioned scan of the
+  * corpus, per-partition top-k folded by TakeOrdered (never a global
+  * sort). The scale path is LSH bucketing (random-hyperplane signs):
+  * candidates come from bucket-equality joins, then exact cosine rescores
+  * — same candidate-verify shape as MinHash dedup.
+  */
+object VectorOps {
+
+  /** Brute-force exact top-k cosine neighbors for a query subset:
+    * broadcast queries ⋈ corpus, window top-k per query. */
+  def knnExact(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", vecCosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `bits` sign bits from fixed
+    * deterministic pseudo-planes (plane[j][k] = sin(j*131 + k*7), no
+    * runtime randomness), multi-table to recover recall. */
+  def lshBuckets(emb: DataFrame, bits: Int, table: Int): DataFrame = {
+    val planeExprs = (0 until bits).map { j =>
+      val terms = s"aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), " +
+        s"k -> sin(cast(${table * 7919 + j} * 131 + k * 7 as double))), (x, p) -> x * p), " +
+        s"0D, (acc, x) -> acc + x)"
+      s"CASE WHEN $terms > 0 THEN ${1L << j}L ELSE 0L END"
+    }.mkString(" + ")
+    emb.withColumn("ev", asDouble(col("embedding")))
+      .withColumn("bucket", expr(planeExprs))
+      .drop("ev")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- norms / dimension / hygiene ----
+    Q("q_vec_norms",
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2,
+        |  round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS linf,
+        |  len(embedding) AS dim
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 50)
+        .withColumn("ev", asDouble(col("embedding")))
+        .select(col("vec_id"),
+          round(vecNormL1(col("ev")), 6).as("l1"),
+          round(vecNormL2(col("ev")), 6).as("l2"),
+          round(vecNormLInf(col("ev")), 6).as("linf"),
+          vecDimension(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    },
+
+    // ---- pairwise arithmetic: dot + l2/l1 distance of consecutive ids ----
+    Q("q_vec_arith",
+      """SELECT a.vec_id AS vec_id,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dot,
+        |  round(sqrt(list_sum(list_transform(
+        |    list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS l2d
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 100 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id"), asDouble(col("embedding")).as("va")).filter(col("vec_id") < 100)
+      val b = e.select((col("vec_id") - 1).as("vid"), asDouble(col("embedding")).as("vb"))
+      a.join(b, col("vec_id") === col("vid"))
+        .select(col("vec_id"),
+          round(vecDot(col("va"), col("vb")), 6).as("dot"),
+          round(l2Distance(col("va"), col("vb")), 6).as("l2d"))
+        .orderBy("vec_id")
+    },
+
+    // ---- exact brute-force cosine top-k (the ANN correctness baseline) ----
+    Q("q_vec_knn",
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(qv, e.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(qv, qv))
+        |         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      knnExact(e, e.filter(col("vec_id") < 5), 10).orderBy("query_id", "rn")
+    },
+
+    // ---- embedding-cosine near-dup join, label-blocked ----
+    Q("q_vec_neardup",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("label").as("la"), asDouble(col("embedding")).as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"), asDouble(col("embedding")).as("vb"))
+      a.join(b, col("la") === col("lb") && col("vec_a") < col("vec_b"))
+        .withColumn("cosv", vecCosine(col("va"), col("vb")))
+        .filter(col("cosv") >= 0.45)
+        .select(col("vec_a"), col("vec_b"), round(col("cosv"), 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- LSH-bucketed ANN (scale path; signature-specific → no oracle) ----
+    Q.noOracle("q_vec_ann_lsh") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val b0 = lshBuckets(e, bits = 8, table = 0)
+        .select(col("vec_id"), col("bucket"), asDouble(col("embedding")).as("ev"))
+      val x = b0.select(col("vec_id").as("vec_a"), col("bucket"), col("ev").as("va"))
+      val y = b0.select(col("vec_id").as("vec_b"), col("bucket").as("bucket2"), col("ev").as("vb"))
+      x.join(y, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
+        .withColumn("cosv", vecCosine(col("va"), col("vb")))
+        .filter(col("cosv") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cosv"), 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+}

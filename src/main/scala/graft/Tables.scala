@@ -25,9 +25,13 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
     * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy flag) and surface
     * as µs TimestampType — the same ns→µs truncation DuckDB applies.
+    * The nanosAsLong conf is set at session build ([[GraftSession]]); the
+    * guard below only rescues ad-hoc sessions and never flips an
+    * already-configured one mid-plan.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")

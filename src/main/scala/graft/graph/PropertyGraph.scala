@@ -45,18 +45,30 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     */
   def traverse(seeds: DataFrame, maxDepth: Int, direction: String = "out"): DataFrame = {
     var visited = seeds.select(col("id")).distinct().withColumn("depth", lit(0))
-    var frontier = visited.select("id")
+    var frontier = visited.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    val live = scala.collection.mutable.Buffer[DataFrame](frontier)
     var d = 0
-    while (d < maxDepth) {
+    var exhausted = false
+    while (d < maxDepth && !exhausted) {
       d += 1
+      // localCheckpoint truncates the per-iteration join lineage (the
+      // BFS-loop growth the reference sidesteps with its in-memory visited
+      // set, GraphAlgorithms.java:411); persisted frontiers are released
+      // as soon as the next one is materialized.
       val next = (if (direction == "in") expandIn(frontier) else expandOut(frontier))
         .distinct()
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
-      frontier = next.persist(StorageLevel.MEMORY_AND_DISK)
-      if (frontier.isEmpty) return visited
-      visited = visited.union(frontier.withColumn("depth", lit(d)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live += next
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next.withColumn("depth", lit(d)))
+        frontier = next
+      }
     }
-    visited
+    val out = visited.localCheckpoint() // eager: materialize before unpersist
+    live.foreach(_.unpersist(false))
+    out
   }
 
   /** GraphX view for whole-graph analytics (PageRank, components,

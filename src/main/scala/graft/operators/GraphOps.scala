@@ -61,14 +61,18 @@ object GraphOps {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_custkey <= 50 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // Resolve vertex keys through the vertices table, not the vid()
+      // bit-encoding — the id policy stays private to PropertyGraph.
       val g = PropertyGraph.fromTpch(s, d)
-      val placed = g.edges.filter(col("label") === "placed")
-        .filter(expr("src div 8") <= 50).alias("pl")
+      val custV = g.vertices.filter(col("label") === "customer" && col("key") <= 50)
+        .select(col("id").as("cid"), col("key").as("c_custkey"))
+      val placed = g.edges.filter(col("label") === "placed").alias("pl")
       val contains = g.edges.filter(col("label") === "contains").alias("ct")
-      placed.join(contains, col("pl.dst") === col("ct.src"))
-        .select(expr("pl.src div 8").as("c_custkey"), col("ct.dst").as("part_vid"))
+      broadcast(custV)
+        .join(placed, col("cid") === col("pl.src"))
+        .join(contains, col("pl.dst") === col("ct.src"))
         .groupBy(col("c_custkey"))
-        .agg(countDistinct(col("part_vid")).as("n_parts"))
+        .agg(countDistinct(col("ct.dst")).as("n_parts"))
         .orderBy("c_custkey")
     },
 
@@ -132,7 +136,14 @@ object GraphOps {
         .orderBy("id")
     },
 
-    // ---- triangle counting via canonical-orientation 3-way join ----
+    // ---- triangle counting via degree-ordered orientation ----
+    // The oracle counts triangles on the a<b orientation; the Spark side
+    // re-orients every edge low-degree → high-degree (ties by id), which
+    // leaves the triangle COUNT invariant but bounds each vertex's
+    // out-degree at O(sqrt(m)) — the skew fix the reference's
+    // PartitionedTriangleOp partitions for (graph/olap/GraphAlgorithms
+    // .java:1263-1403). Without it one mega-order's O(k²) co-purchase
+    // pairs dominate the wedge join at scale.
     Q("q_graph_triangles",
       """WITH e AS (
         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -140,13 +151,26 @@ object GraphOps {
         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
         |SELECT count(*) AS n_triangles
         |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, d) =>
-      val e = PropertyGraph.coPurchase(s, d)
-      val e1 = e.select(col("a").as("x"), col("b").as("y"))
-      val e2 = e.select(col("a").as("y2"), col("b").as("z"))
-      val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
-      e1.join(e2, col("y") === col("y2"))
-        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      val e0 = PropertyGraph.coPurchase(s, d)
+      val und = e0.select(col("a").as("u")).union(e0.select(col("b").as("u")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      val aFirst = col("dega") < col("degb") ||
+        (col("dega") === col("degb") && col("a") < col("b"))
+      val e = e0
+        .join(deg.select(col("u").as("a"), col("deg").as("dega")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("deg").as("degb")), Seq("b"))
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"))
+        .persist()
+      val wedges = e.select(col("u").as("x"), col("v").as("y"))
+        .join(e.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+      val out = wedges
+        .join(e.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint()
+      e.unpersist(false)
+      out
     },
 
     // ---- PageRank (GraphX; reference GraphAlgorithms.java:164) ----

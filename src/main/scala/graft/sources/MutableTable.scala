@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DML semantics over a writable parquet table (SURVEY.md §2.11).
+  *
+  * Re-expresses the reference's mutation planners as whole-table
+  * transformations: UPDATE … SET with RETURN BEFORE/AFTER/COUNT
+  * (exec/UpdateExecutionPlanner.java, UpdateSetStep.java:30,
+  * CopyRecordContentBeforeUpdateStep.java — the BEFORE copy is captured
+  * pre-mutation exactly as that step does), UPSERT (exec/UpsertStep.java:37
+  * — update the rows matching the key filter, or create one new record
+  * carrying the key values when none match), DELETE (exec/DeleteStep
+  * .java:28), and MERGE (Delta-style matched-update / not-matched-insert,
+  * the set-oriented form of the reference's per-record upsert loop).
+  *
+  * Spark mapping: each mutation derives the next table state as a
+  * DataFrame, materializes it (localCheckpoint — the lazily-read source dir
+  * is about to be overwritten), and overwrites the backing directory. At
+  * 100 TB the backing store would be Delta/Iceberg where the same
+  * operations are transactional MERGE/UPDATE/DELETE with file-level
+  * pruning — the derivation logic below (predicate → touched subset →
+  * rewrite) is exactly what those table formats execute under the hood;
+  * plain parquet keeps this library dependency-free.
+  */
+final class MutableTable(spark: SparkSession, dir: String) {
+
+  def df: DataFrame = spark.read.parquet(dir)
+
+  private def overwrite(next: DataFrame): Unit =
+    next.localCheckpoint(eager = true).write.mode("overwrite").parquet(dir)
+
+  /** INSERT … VALUES / FROM SELECT. */
+  def insert(rows: DataFrame): Long = {
+    val n = rows.count()
+    overwrite(df.unionByName(rows))
+    n
+  }
+
+  /** UPDATE … SET where `sets` are (column → expression). Returns
+    * (count, before, after) — the affected rows' pre- and post-images,
+    * materialized before the overwrite (RETURN BEFORE | AFTER | COUNT). */
+  def update(where: Column, sets: Seq[(String, Column)]): (Long, DataFrame, DataFrame) = {
+    val before = df.filter(where).localCheckpoint(eager = true)
+    val after = sets.foldLeft(before)((d, s) => d.withColumn(s._1, s._2))
+      .localCheckpoint(eager = true)
+    val untouched = df.filter(!coalesce(where, lit(false)))
+    overwrite(untouched.unionByName(after))
+    (before.count(), before, after)
+  }
+
+  /** UPSERT: update rows matching the equality `key`; when none match,
+    * insert one new record carrying the key values plus `sets` applied to
+    * a null-row (UpsertStep.createNewRecord semantics). */
+  def upsert(key: Map[String, Column], sets: Seq[(String, Column)]): Long = {
+    val where = key.map { case (c, v) => col(c) === v }.reduce(_ && _)
+    val matched = df.filter(where)
+    if (matched.isEmpty) {
+      val cols = df.columns.map { c =>
+        key.get(c).orElse(sets.find(_._1 == c).map(_._2))
+          .getOrElse(lit(null).cast(df.schema(c).dataType)).as(c)
+      }
+      overwrite(df.unionByName(spark.range(1).select(cols.toIndexedSeq: _*)))
+      1L
+    } else {
+      update(where, sets)._1
+    }
+  }
+
+  /** DELETE … WHERE; returns the deleted-row count (RETURN COUNT). */
+  def delete(where: Column): Long = {
+    val n = df.filter(where).count()
+    overwrite(df.filter(!coalesce(where, lit(false))))
+    n
+  }
+
+  /** MERGE INTO this USING source ON keys:
+    * matched → apply `sets` (source columns visible under `src` prefix),
+    * not matched by target → insert the source row (schema-aligned). */
+  def merge(source: DataFrame, keys: Seq[String], sets: Seq[(String, Column)]): Unit = {
+    val src = source.columns.foldLeft(source)((d, c) =>
+      if (keys.contains(c)) d else d.withColumnRenamed(c, s"src_$c"))
+      .withColumn("src_matched", lit(true))
+    val joined = df.join(src, keys, "left_outer")
+    val updated = sets.foldLeft(joined)((d, s) =>
+      d.withColumn(s._1, when(col("src_matched").isNotNull, s._2).otherwise(col(s._1))))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    val inserts = source.join(df, keys, "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    overwrite(updated.unionByName(inserts))
+  }
+}
+
+object MutableTable {
+  /** Fresh writable copy of `source` at `dir` (TRUNCATE+INSERT FROM SELECT). */
+  def copyOf(spark: SparkSession, source: DataFrame, dir: String): MutableTable = {
+    source.write.mode("overwrite").parquet(dir)
+    new MutableTable(spark, dir)
+  }
+}

@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All declared operator queries, in module order. */
   val allQueries: Seq[Q] =
-    Relational.all ++ TimeSeriesOps.all ++ GraphOps.all ++
+    Relational.all ++ TimeSeriesOps.all ++ GraphOps.all ++ GraphAlgoOps.all ++ GeoOps.all ++
       TextPipeline.all ++ VectorOps.all ++ VectorRetrieval.all ++
       Multimodal.all ++ FullText.all ++ StreamingOps.all ++ DmlOps.all
 

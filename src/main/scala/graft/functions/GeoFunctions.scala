@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial scalar functions (SURVEY.md §2.9 geo tail), built from
+  * codegen'd column expressions — no UDFs.
+  *
+  * Reference semantics re-expressed:
+  *   - geoDistance: function/sql/geo/SQLFunctionGeoDistance.java —
+  *     Haversine, EARTH_RADIUS_KM = 6371.0,
+  *     d = 2·atan2(√a, √(1−a))·R with
+  *     a = sin²(Δlat/2) + cos(lat1)·cos(lat2)·sin²(Δlon/2);
+  *     units m (default) / km / mi / nmi.
+  *   - dwithin: SQLFunctionGeoDWithin.java (distance ≤ threshold).
+  *   - bbox contains: SQLFunctionRectangle.java + SQLFunctionGeoContains
+  *     .java fast path (envelope test).
+  *   - point-in-polygon: GeoUtils ray casting (odd crossing count), the
+  *     polygon branch of SQLFunctionGeoContains.java.
+  *
+  * All math is double; the expression trees are mirrored verbatim in the
+  * DuckDB oracles so both engines evaluate identical IEEE operations.
+  */
+object GeoFunctions {
+
+  val EarthRadiusKm = 6371.0 // SQLFunctionGeoDistance.java EARTH_RADIUS_KM
+
+  /** Haversine distance in km between (lon1,lat1) and (lon2,lat2).
+    * sin² is an exact multiply, not pow() — Math.pow and DuckDB's pow
+    * differ in the last ulp (the round-1 q_math_funcs lesson). */
+  def geoDistanceKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val sLat = sin(radians(lat2 - lat1) / 2)
+    val sLon = sin(radians(lon2 - lon1) / 2)
+    val a = sLat * sLat + cos(radians(lat1)) * cos(radians(lat2)) * sLon * sLon
+    lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a)) * EarthRadiusKm
+  }
+
+  /** The same formula as a DuckDB SQL fragment (identical shape). */
+  def geoDistanceKmSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
+    val a = s"""(sin(radians($lat2 - $lat1) / 2) * sin(radians($lat2 - $lat1) / 2)
+       | + cos(radians($lat1)) * cos(radians($lat2))
+       |   * sin(radians($lon2 - $lon1) / 2) * sin(radians($lon2 - $lon1) / 2))"""
+      .stripMargin.replace("\n", " ")
+    s"(2.0 * atan2(sqrt($a), sqrt(1.0 - $a)) * $EarthRadiusKm)"
+  }
+
+  def dwithinKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column, km: Double): Column =
+    round(geoDistanceKm(lon1, lat1, lon2, lat2), 6) <= km
+
+  /** Axis-aligned bounding-box containment. */
+  def bboxContains(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double)(
+      lon: Column, lat: Column): Column =
+    lon >= minLon && lon <= maxLon && lat >= minLat && lat <= maxLat
+
+  /** Ray-casting point-in-polygon (odd number of edge crossings). The
+    * polygon is a compile-time vertex list so the per-edge crossing terms
+    * unroll into plain codegen'd boolean algebra. */
+  def pointInPolygon(poly: Seq[(Double, Double)])(lon: Column, lat: Column): Column = {
+    val crossings = poly.indices.map { i =>
+      val (xi, yi) = poly(i)
+      val (xj, yj) = poly((i + 1) % poly.length)
+      when(
+        (lit(yi) > lat) =!= (lit(yj) > lat) &&
+          lon < (lit(xj - xi) * (lat - yi) / (yj - yi) + xi),
+        1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** The same ray-cast as a DuckDB SQL fragment. */
+  def pointInPolygonSql(poly: Seq[(Double, Double)], lon: String, lat: String): String = {
+    val terms = poly.indices.map { i =>
+      val (xi, yi) = poly(i)
+      val (xj, yj) = poly((i + 1) % poly.length)
+      s"""CASE WHEN (($yi > $lat) <> ($yj > $lat))
+         | AND $lon < (${xj - xi} * ($lat - $yi) / ${yj - yi} + $xi)
+         | THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"(($terms) % 2 = 1)"
+  }
+}

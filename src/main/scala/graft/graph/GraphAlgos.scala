@@ -1,0 +1,134 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph algorithms as iterative DataFrame programs, the
+  * Spark-native re-expression of the reference's OLAP algorithm suite
+  * (graph/olap/GraphAlgorithms.java — PageRank :164, connected components
+  * :309, Dijkstra single-source :981, label propagation :1118, local
+  * clustering coefficient :1252).
+  *
+  * Each iteration is one join + one aggregation — plain shuffles that
+  * partition by vertex id at any scale; lineage is truncated per iteration
+  * with localCheckpoint so a 20-iteration run doesn't build a 20-deep plan.
+  * GraphX remains the scale path for long-running fixpoints (see
+  * PropertyGraph.toGraphX); these explicit loops exist where the reference
+  * pins exact semantics a DuckDB oracle can replay (deterministic
+  * tie-breaks, fixed iteration counts).
+  */
+object GraphAlgos {
+
+  /** Static PageRank, GraphX formulation (rank0 = 1.0; rank' = reset +
+    * (1−reset)·Σ rank/outdeg over in-edges), fixed iteration count.
+    * `edges` = (src, dst) directed. Reference GraphAlgorithms.java:164. */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int, reset: Double): DataFrame = {
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(outDeg, Seq("src"))
+    var rank = vertices.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val msgs = e.join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("msum"))
+      rank = vertices.select(col("id"))
+        .join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(reset) + lit(1.0 - reset) * coalesce(col("msum"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    rank
+  }
+
+  /** Connected components by iterative min-id propagation (HashMin), the
+    * set-oriented form of GraphAlgorithms.java:309. `edges` must contain
+    * both directions for undirected graphs. Converges in O(diameter). */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIters: Int): DataFrame = {
+    var comp = vertices.select(col("id"), col("id").as("comp"))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIters) {
+      i += 1
+      val nbrMin = edges.join(comp.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      val next = comp.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint() // eager: also settles `changed` below
+      changed = next.alias("n")
+        .join(comp.alias("c"), col("n.id") === col("c.id"))
+        .filter(col("n.comp") =!= col("c.comp"))
+        .limit(1).count() > 0
+      comp = next
+    }
+    comp
+  }
+
+  /** Synchronous label propagation with a deterministic tie-break (max
+    * neighbor-label count, ties → smallest label), fixed iteration count —
+    * GraphAlgorithms.java:1118 with the tie order pinned so every engine
+    * replays the same communities. `edges` both directions. */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    var lab = vertices.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to iters) {
+      val byCount = Window.partitionBy(col("id"))
+        .orderBy(col("c").desc, col("lab"))
+      val best = edges.join(lab.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byCount))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lab").as("best"))
+      lab = lab.join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("best"), col("lab")).as("lab"))
+        .localCheckpoint(eager = false)
+    }
+    lab
+  }
+
+  /** Local clustering coefficient cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * over an undirected graph given in canonical a<b orientation —
+    * GraphAlgorithms.java:1252. Triangle listing reuses the degree-ordered
+    * wedge join (skew-bounded out-degree, PartitionedTriangleOp analog). */
+  def clusteringCoefficient(canonEdges: DataFrame): DataFrame = {
+    val und = canonEdges.select(col("a").as("u"), col("b").as("v"))
+      .union(canonEdges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    // wedges x–y–z on the canonical orientation; closing edge check lists
+    // each triangle once, then each corner credits all three vertices
+    val e = canonEdges
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(e.alias("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triPerV = tri.select(col("x").as("u"))
+      .union(tri.select(col("y").as("u")))
+      .union(tri.select(col("z").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("tri"))
+    deg.join(triPerV, Seq("u"), "left_outer")
+      .select(col("u").as("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") > 1,
+          round(lit(2.0) * coalesce(col("tri"), lit(0L)) / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
+  /** Weighted single-source shortest paths by distributed Bellman-Ford
+    * relaxation, `iters` rounds == exact min-cost over paths of ≤ `iters`
+    * edges (reference SQLFunctionDijkstra / GraphAlgorithms.java:981 —
+    * a sequential heap walk is a single-node design; relaxation rounds
+    * are the set-oriented equivalent). `edges` = (src, dst, w). */
+  def weightedSssp(edges: DataFrame, sourceFilter: Column, vertices: DataFrame, iters: Int): DataFrame = {
+    var dist = vertices.filter(sourceFilter)
+      .select(col("id"), lit(0.0).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = dist.join(edges.withColumnRenamed("src", "id"), Seq("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+}

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions.expr
   * and projections into the scan (ScanWithFilterStep.java:43 analog is free).
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Table paths resolve through the [[graft.schema.TypeCatalog]] (the
+    * LocalSchema analog) — no caller hard-codes physical locations. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = graft.schema.TypeCatalog.default(name).path
+      .getOrElse(throw new IllegalArgumentException(s"abstract type $name"))
+    spark.read.parquet(path(dir))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")

@@ -1,0 +1,131 @@
+package graft.schema
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Schema catalog: the Spark-native re-expression of the reference's
+  * runtime schema system (SURVEY.md §1.4 — schema/LocalSchema.java:91,
+  * DocumentType.java:44 with type inheritance and polymorphic scans,
+  * Select.java:57 `polymorphic = true` default; dynamic undeclared
+  * properties as a `_props` map column).
+  *
+  * A [[TypeDef]] maps a logical type to its parquet table, declared
+  * columns (read from parquet metadata — one footer read, no scan), an
+  * optional parent type (inheritance), and an optional JSON property-bag
+  * column surfaced as `_props: map<string,string>`.
+  *
+  * Scans:
+  *   - `scan(type)` — the type's own table, with `@type` discriminator and
+  *     `_props` attached (FetchFromTypeExecutionStep.java:42 analog).
+  *   - `polymorphicScan(type)` — the type plus all transitive subtypes
+  *     unioned by common columns (the reference's subtype-bucket union).
+  *
+  * Introspection (`schema:types` / `schema:properties` — reference
+  * exec/FetchFromSchemaTypesStep.java): DataFrames over the catalog
+  * itself, so `SELECT FROM schema:types` is an ordinary query.
+  *
+  * At 100 TB nothing changes: the catalog is driver-side metadata; scans
+  * stay partition-pruned parquet reads, and a polymorphic scan is a union
+  * of independently-pruned scans.
+  */
+final case class TypeDef(
+    name: String,
+    kind: String, // DOCUMENT | VERTEX | EDGE | TIMESERIES
+    path: Option[String => String], // sfDir → parquet path; None = abstract type
+    parent: Option[String] = None,
+    propsColumn: Option[String] = None,
+    // declared-property name → physical column: the inherited property
+    // surface subtypes share with their supertype (DocumentType declared
+    // Property analog) — what makes a polymorphic scan line up.
+    aliases: Map[String, String] = Map.empty)
+
+final class TypeCatalog(types: Seq[TypeDef]) {
+
+  private val byName = types.map(t => t.name -> t).toMap
+
+  def apply(name: String): TypeDef = byName(name)
+
+  def subtypesOf(name: String): Seq[TypeDef] =
+    types.filter(_.parent.contains(name))
+      .flatMap(t => t +: subtypesOf(t.name))
+
+  /** Raw table read (no decoration). `events` needs its ns→µs rewrite, so
+    * readers route through [[graft.Tables]] conventions. */
+  private def raw(spark: SparkSession, dir: String, t: TypeDef): DataFrame = {
+    val p = t.path.getOrElse(
+      throw new IllegalArgumentException(s"type ${t.name} is abstract (no storage)"))
+    val df = spark.read.parquet(p(dir))
+    if (df.schema.fieldNames.contains("ts") && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Type scan with `@type` discriminator and `_props` dynamic map. */
+  def scan(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val t = byName(name)
+    val aliased = t.aliases.foldLeft(raw(spark, dir, t)) {
+      case (df, (decl, phys)) => df.withColumn(decl, col(phys))
+    }
+    val base = aliased.withColumn("@type", lit(t.name))
+    t.propsColumn match {
+      case Some(c) =>
+        base.withColumn("_props", from_json(col(c), MapType(StringType, StringType))).drop(c)
+      case None => base
+    }
+  }
+
+  /** Polymorphic scan: the type ∪ all subtypes, aligned on the common
+    * column set (reference polymorphic bucket union; `@type` tells rows
+    * apart — INSTANCEOF is a filter on it). */
+  def polymorphicScan(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val scans = (byName(name) +: subtypesOf(name))
+      .filter(_.path.isDefined).map(t => scan(spark, dir, t.name))
+    val common = scans.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
+    scans.map(_.select(common.map(col): _*)).reduce(_ unionByName _)
+  }
+
+  /** `SELECT FROM schema:types` (FetchFromSchemaTypesStep analog). */
+  def schemaTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    types.map { t =>
+      (t.name, t.kind, t.parent.getOrElse(""),
+        t.path.map(p => spark.read.parquet(p(dir)).schema.fields.length).getOrElse(0))
+    }.toDF("name", "kind", "parent", "n_props")
+  }
+
+  /** `SELECT FROM schema:properties`: declared columns per type, read
+    * from parquet footers. */
+  def schemaProperties(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    types.flatMap { t =>
+      t.path.toSeq.flatMap(p => spark.read.parquet(p(dir)).schema.fields.map(f =>
+        (t.name, f.name, f.dataType.simpleString)))
+    }.toDF("type", "prop", "dtype")
+  }
+}
+
+object TypeCatalog {
+  /** The test-corpus catalog: TPC-H-ish star schema + LLM-pipeline tables.
+    * `party` is an abstract supertype demonstrating inheritance
+    * (customer/supplier are its subtypes — both identify a business
+    * partner with a name and a nation). */
+  private def p(n: String): Option[String => String] = Some(d => s"$d/$n.parquet")
+
+  val default: TypeCatalog = new TypeCatalog(Seq(
+    TypeDef("region",   "DOCUMENT",   p("region")),
+    TypeDef("nation",   "DOCUMENT",   p("nation")),
+    TypeDef("party",    "VERTEX",     None), // abstract supertype
+    TypeDef("customer", "VERTEX",     p("customer"), parent = Some("party"),
+      aliases = Map("key" -> "c_custkey", "name" -> "c_name",
+        "nation" -> "c_nationkey", "acctbal" -> "c_acctbal")),
+    TypeDef("supplier", "VERTEX",     p("supplier"), parent = Some("party"),
+      aliases = Map("key" -> "s_suppkey", "name" -> "s_name",
+        "nation" -> "s_nationkey", "acctbal" -> "s_acctbal")),
+    TypeDef("part",     "VERTEX",     p("part")),
+    TypeDef("orders",   "DOCUMENT",   p("orders")),
+    TypeDef("lineitem", "EDGE",       p("lineitem")),
+    TypeDef("events",   "TIMESERIES", p("events"), propsColumn = Some("props")),
+    TypeDef("documents",  "DOCUMENT", p("documents")),
+    TypeDef("embeddings", "DOCUMENT", p("embeddings"))))
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.sources.{Importers, TimeSeriesStore}
+import org.apache.spark.sql.functions._
+
+/** Importer / exporter round-trips and the time-partitioned TS layout
+  * (SURVEY.md §2.1 importers/exporters + FetchFromTimeSeriesStep rows).
+  * Every entry does the REAL I/O — export to the format, re-import, and
+  * verify the round-tripped rows against the oracle reading the pristine
+  * parquet — so a pass proves both directions of the format code.
+  */
+object ImportOps {
+
+  private def slug(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+  private def stateDir(q: String, d: String): String = s"/tmp/graft_state/${q}_${slug(d)}"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- CSV export → LOAD CSV import (CSVImporterFormat / LoadCSVStep) ----
+    Q("q_import_csv",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val src = Tables.nation(s, d)
+      val dir = stateDir("csv", d)
+      Importers.writeCsv(src, dir)
+      Importers.readCsv(s, dir, Some(src.schema))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- JSONL export → import (JsonlExporter/ImporterFormat) ----
+    Q("q_import_jsonl",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val src = Tables.orders(s, d).filter(col("o_orderkey") < 200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val dir = stateDir("jsonl", d)
+      Importers.writeJsonl(src, dir)
+      Importers.readJsonl(s, dir, Some(src.schema))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- RDF N-Triples generate → parse (RDFImporterFormat) ----
+    Q("q_import_ntriples",
+      """SELECT subject, predicate, obj FROM (
+        |  SELECT 'nation/' || n_nationkey AS subject, 'hasName' AS predicate,
+        |    n_name AS obj FROM nation
+        |  UNION ALL
+        |  SELECT 'nation/' || n_nationkey, 'inRegion', 'region/' || n_regionkey
+        |  FROM nation)
+        |ORDER BY subject, predicate, obj""".stripMargin) { (s, d) =>
+      val n = Tables.nation(s, d)
+      val lines = n.select(concat(lit("<nation/"), col("n_nationkey"), lit("> <hasName> \""),
+          col("n_name"), lit("\" .")).as("value"))
+        .union(n.select(concat(lit("<nation/"), col("n_nationkey"), lit("> <inRegion> <region/"),
+          col("n_regionkey"), lit("> .")).as("value")))
+      val dir = stateDir("nt", d)
+      lines.write.mode("overwrite").text(dir)
+      Importers.readNTriples(s, dir)
+        .orderBy("subject", "predicate", "obj")
+    },
+
+    // ---- GloVe text generate → parse (GloVeImporterFormat) ----
+    Q("q_import_glove",
+      """SELECT 'tok' || vec_id AS token,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS v1,
+        |  round(CAST(embedding[2] AS DOUBLE), 6) AS v2,
+        |  round(CAST(embedding[3] AS DOUBLE), 6) AS v3,
+        |  round(CAST(embedding[4] AS DOUBLE), 6) AS v4
+        |FROM embeddings WHERE vec_id < 50 ORDER BY token""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      val lines = e.select(concat_ws(" ",
+        concat(lit("tok"), col("vec_id")),
+        round(element_at(col("embedding"), 1).cast("double"), 6).cast("string"),
+        round(element_at(col("embedding"), 2).cast("double"), 6).cast("string"),
+        round(element_at(col("embedding"), 3).cast("double"), 6).cast("string"),
+        round(element_at(col("embedding"), 4).cast("double"), 6).cast("string")).as("value"))
+      val dir = stateDir("glove", d)
+      lines.write.mode("overwrite").text(dir)
+      Importers.readGlove(s, dir)
+        .select(col("token"),
+          element_at(col("vector"), 1).as("v1"), element_at(col("vector"), 2).as("v2"),
+          element_at(col("vector"), 3).as("v3"), element_at(col("vector"), 4).as("v4"))
+        .orderBy("token")
+    },
+
+    // ---- day-partitioned TS layout: range scan prunes partitions ----
+    Q("q_ts_partition_prune",
+      """SELECT event_type, count(*) AS n,
+        |  sum(value::DECIMAL(28,4))::DOUBLE AS total
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = stateDir("tspart", d)
+      TimeSeriesStore.writePartitioned(Tables.events(s, d), dir)
+      TimeSeriesStore.readPartitioned(s, dir)
+        .filter(col("bucket_date").between("2024-01-10", "2024-01-15"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,4)")).cast("double").as("total"))
+        .orderBy("event_type")
+    },
+
+    // ---- downsample-tier aggregation pushdown: day grain answered
+    //      from the hourly tier, never the raw table ----
+    Q("q_ts_tier_agg",
+      """SELECT date_trunc('day', ts) AS bucket, event_type,
+        |  count(*) AS n, sum(value::DECIMAL(28,4))::DOUBLE AS total,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
+      val tier = stateDir("tstier", d)
+      TimeSeriesStore.buildHourlyTier(Tables.events(s, d), tier)
+      TimeSeriesStore.dailyFromHourlyTier(s, tier)
+        .orderBy("bucket", "event_type")
+    }
+  )
+}

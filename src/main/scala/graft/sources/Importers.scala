@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Import / export formats (SURVEY.md §2.1 importer/exporter rows —
+  * reference integration/.../importer/format/CSVImporterFormat.java,
+  * JSONImporterFormat.java, JsonlImporterFormat.java, RDFImporterFormat
+  * .java, GloVeImporterFormat.java; exporter JsonlExporterFormat.java;
+  * Cypher LOAD CSV cy/steps/LoadCSVStep.java:61).
+  *
+  * Spark-first: CSV/JSON(L) are `spark.read`/`spark.write` — distributed,
+  * schema-on-read, pushdown-capable. The line-oriented research formats
+  * (N-Triples RDF, GloVe) are one `split`/regex projection over
+  * `spark.read.text`, which scales as a plain text scan; no driver-side
+  * parsing anywhere.
+  */
+object Importers {
+
+  // ---- CSV (CSVImporterFormat / LOAD CSV) ----
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  // ---- JSONL (JsonlImporterFormat / JsonlExporterFormat) ----
+  def readJsonl(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** N-Triples RDF: `<subject> <predicate> "literal" .` or
+    * `<s> <p> <o> .` per line (RDFImporterFormat.java). Returns
+    * (subject, predicate, obj); literals keep their unquoted lexical
+    * form, IRIs their bracket-stripped form. */
+  def readNTriples(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        regexp_extract(col("value"), "^<([^>]*)>\\s+<[^>]*>\\s+.*$", 1).as("subject"),
+        regexp_extract(col("value"), "^<[^>]*>\\s+<([^>]*)>\\s+.*$", 1).as("predicate"),
+        // object: IRI or quoted literal
+        when(regexp_extract(col("value"), "^<[^>]*>\\s+<[^>]*>\\s+<([^>]*)>\\s*\\.\\s*$", 1) =!= "",
+          regexp_extract(col("value"), "^<[^>]*>\\s+<[^>]*>\\s+<([^>]*)>\\s*\\.\\s*$", 1))
+          .otherwise(regexp_extract(col("value"), "^<[^>]*>\\s+<[^>]*>\\s+\"([^\"]*)\"\\s*\\.\\s*$", 1))
+          .as("obj"))
+
+  /** GloVe/word2vec text: `token v1 v2 … vD` per line
+    * (GloVeImporterFormat.java). Returns (token, vector). */
+  def readGlove(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(split(col("value"), " ").as("f"))
+      .select(element_at(col("f"), 1).as("token"),
+        expr("transform(slice(f, 2, size(f) - 1), x -> cast(x AS double))").as("vector"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.TimeSeriesStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale properties the operators claim
+  * (partition pruning, filter pushdown, tier routing) must be visible in
+  * the optimized physical plan, not just produce correct rows.
+  */
+class PhysicalPlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("day-partitioned TS scan prunes partitions for a date-range filter") {
+    val dir = "/tmp/graft_state/plan_tspart_test"
+    TimeSeriesStore.writePartitioned(Tables.events(spark, sfDir), dir)
+    val q = TimeSeriesStore.readPartitioned(spark, dir)
+      .filter(col("bucket_date").between("2024-01-10", "2024-01-12"))
+      .groupBy("event_type").count()
+    val plan = Explain.explain(q, "formatted")
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("bucket_date"), plan)
+    // the range must actually reach the partition filter list
+    assert(plan.contains("2024-01-10") || plan.contains("19732"), plan)
+  }
+
+  test("lineitem scan pushes filters and prunes columns") {
+    val q = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_quantity")
+    val plan = Explain.explain(q, "formatted")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThan(l_orderkey,100)"), plan)
+    // ReadSchema carries only the two projected columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("tier-answered daily aggregate never touches the raw events table") {
+    val tier = "/tmp/graft_state/plan_tstier_test"
+    TimeSeriesStore.buildHourlyTier(Tables.events(spark, sfDir), tier)
+    val q = TimeSeriesStore.dailyFromHourlyTier(spark, tier)
+    val plan = Explain.explain(q, "formatted")
+    assert(plan.contains("plan_tstier_test"), plan)
+    assert(!plan.contains("events.parquet"), plan)
+  }
+
+  test("profile exposes per-operator runtime metrics") {
+    val metrics = Explain.profile(
+      Tables.nation(spark, sfDir).groupBy("n_regionkey").count())
+    assert(metrics.nonEmpty)
+    assert(metrics.exists { case (_, m, v) => m == "numOutputRows" && v > 0 })
+  }
+}

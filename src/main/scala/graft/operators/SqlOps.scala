@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Q
+import graft.sql.GraftSql
+
+/** End-to-end front-end queries: every Spark side here goes through
+  * `GraftSql.query(text)` — lexer → parser → AST → Catalyst — and must
+  * match the DuckDB oracle, proving the dialect front-end at the same
+  * gate as the hand-built operators (the round-1 verdict's #1 gap).
+  */
+object SqlOps {
+
+  private def sql(text: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, d) => GraftSql.query(s, d, text)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- the flagship aggregate, but arriving via the parser ----
+    Q("q_sql_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(28,4))::DOUBLE AS sum_qty, count(*) AS n
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
+      sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+            | FROM lineitem WHERE l_shipdate < '1998-01-01'
+            | GROUP BY l_returnflag, l_linestatus
+            | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""))),
+
+    // ---- scan + compound predicate + top-k through the parser ----
+    Q("q_sql_where_order",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)(
+      sql("""SELECT o_orderkey, o_totalprice FROM orders
+            | WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+            | ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin.replace("\n", ""))),
+
+    // ---- method-call surface (SQLMethod chain) ----
+    Q("q_sql_methods",
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  length(c_name) AS ln,
+        |  substring(c_name, 1, 8) AS pre
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin)(
+      sql("""SELECT c_custkey, c_name.toUpperCase() AS uname,
+            | c_name.length() AS ln, c_name.substring(0, 8) AS pre
+            | FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin.replace("\n", ""))),
+
+    // ---- IN / LIKE / SKIP+LIMIT pagination ----
+    Q("q_sql_like_in",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#2') AND p_name LIKE '%el%'
+        |ORDER BY p_partkey LIMIT 10 OFFSET 5""".stripMargin)(
+      sql("""SELECT p_partkey, p_name FROM part
+            | WHERE p_brand IN ('Brand#1', 'Brand#2') AND p_name LIKE '%el%'
+            | ORDER BY p_partkey SKIP 5 LIMIT 10""".stripMargin.replace("\n", ""))),
+
+    // ---- GROUP BY + HAVING on an aggregate alias ----
+    Q("q_sql_having",
+      """SELECT o_custkey, count(*) AS n,
+        |  sum(o_totalprice::DECIMAL(28,4))::DOUBLE AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 8
+        |ORDER BY o_custkey""".stripMargin)(
+      sql("""SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+            | FROM orders GROUP BY o_custkey HAVING n > 8
+            | ORDER BY o_custkey""".stripMargin.replace("\n", ""))),
+
+    // ---- arithmetic projections + BETWEEN + string concat ----
+    // net goes through a decimal cast before the 2-digit round: Spark
+    // rounds doubles on their shortest decimal repr, DuckDB on the binary
+    // value — ties like x.745 diverge unless both round an exact decimal
+    Q("q_sql_exprs",
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice * (1 - l_discount))::DECIMAL(28,4), 2)::DOUBLE AS net,
+        |  l_returnflag || '/' || l_linestatus AS flags
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber, net""".stripMargin)(
+      sql("""SELECT l_orderkey, l_linenumber,
+            | round((l_extendedprice * (1 - l_discount)).asDecimal(), 2).asFloat() AS net,
+            | l_returnflag || '/' || l_linestatus AS flags
+            | FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_orderkey < 200
+            | ORDER BY l_orderkey, l_linenumber, net""".stripMargin.replace("\n", "")))
+  )
+}

@@ -1,0 +1,51 @@
+package graft.sql
+
+/** AST for the ArcadeDB-SQL-dialect front-end (SURVEY.md §3.1).
+  *
+  * Mirrors the reference's statement surface at the granularity our
+  * translator needs (reference query/sql/parser/SelectStatement.java and
+  * the 226-file parser AST package; grammar
+  * engine/src/main/antlr4/.../SQLParser.g4): SELECT projections over one
+  * type target with WHERE / GROUP BY / HAVING / ORDER BY / SKIP / LIMIT /
+  * DISTINCT / UNWIND. There is deliberately NO separate logical algebra —
+  * like the reference (AST → physical directly), we go AST → Catalyst,
+  * and Catalyst provides the optimizing middle the reference lacks.
+  */
+object Ast {
+
+  sealed trait Expr
+  final case class Ident(name: String)                          extends Expr
+  final case class NumLit(v: BigDecimal, isIntegral: Boolean)   extends Expr
+  final case class StrLit(v: String)                            extends Expr
+  final case class BoolLit(v: Boolean)                          extends Expr
+  case object NullLit                                           extends Expr
+  final case class FnCall(name: String, args: Seq[Expr], star: Boolean = false) extends Expr
+  /** value.method(args) — reference SQLMethod surface. */
+  final case class MethodCall(target: Expr, name: String, args: Seq[Expr]) extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr)            extends Expr
+  final case class Neg(e: Expr)                                 extends Expr
+  final case class Not(e: Expr)                                 extends Expr
+  final case class InList(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
+  final case class Between(e: Expr, lo: Expr, hi: Expr)         extends Expr
+  final case class LikeOp(e: Expr, pat: Expr, caseInsensitive: Boolean) extends Expr
+  /** MATCHES = regex (reference QueryOperatorMatches). */
+  final case class Matches(e: Expr, pat: Expr)                  extends Expr
+  final case class IsNull(e: Expr, negated: Boolean)            extends Expr
+  /** CONTAINS on collections (CONTAINSALL/CONTAINSANY variants). */
+  final case class ContainsOp(e: Expr, kind: String, arg: Expr) extends Expr
+
+  final case class Projection(expr: Expr, alias: Option[String])
+  final case class OrderItem(expr: Expr, asc: Boolean)
+
+  final case class Select(
+      projections: Seq[Projection], // empty = SELECT *
+      from: String,
+      where: Option[Expr],
+      groupBy: Seq[Expr],
+      having: Option[Expr],
+      orderBy: Seq[OrderItem],
+      skip: Option[Long],
+      limit: Option[Long],
+      distinct: Boolean,
+      unwind: Option[String])
+}

@@ -1,0 +1,268 @@
+package graft.sql
+
+import Ast._
+
+/** Hand-written lexer + recursive-descent parser for the SELECT subset of
+  * the reference's SQL dialect (grammar
+  * engine/src/main/antlr4/.../SQLParser.g4; the reference parses with
+  * ANTLR + an AST builder, query/sql/antlr/SQLAntlrParser.java — a
+  * recursive-descent parser keeps this library dependency-free and the
+  * subset is LL(1) except the one-token lookaheads handled inline).
+  *
+  * Precedence (low→high): OR, AND, NOT, comparison/predicate,
+  * additive, multiplicative, unary minus, postfix (.method()), primary.
+  */
+object Parser {
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ---------------- lexer ----------------
+  sealed trait Tok
+  final case class TId(s: String)    extends Tok // identifier or keyword (upper-matched)
+  final case class TNum(s: String)   extends Tok
+  final case class TStr(s: String)   extends Tok
+  final case class TOp(s: String)    extends Tok
+  case object TEof                   extends Tok
+
+  private def lex(input: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_' || c == '@' || c == '$' || c == '`') {
+        if (c == '`') { // quoted identifier
+          val j = input.indexOf('`', i + 1)
+          if (j < 0) throw ParseException("unterminated quoted identifier")
+          out += TId(input.substring(i + 1, j)); i = j + 1
+        } else {
+          var j = i + 1
+          while (j < n && (input(j).isLetterOrDigit || input(j) == '_')) j += 1
+          out += TId(input.substring(i, j)); i = j
+        }
+      } else if (c.isDigit) {
+        var j = i + 1
+        while (j < n && (input(j).isDigit || input(j) == '.')) j += 1
+        out += TNum(input.substring(i, j)); i = j
+      } else if (c == '\'') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          if (input(j) == '\'' && j + 1 < n && input(j + 1) == '\'') { sb += '\''; j += 2 }
+          else if (input(j) == '\'') { closed = true; j += 1 }
+          else { sb += input(j); j += 1 }
+        }
+        if (!closed) throw ParseException("unterminated string literal")
+        out += TStr(sb.toString); i = j
+      } else {
+        val two = if (i + 1 < n) input.substring(i, i + 2) else ""
+        if (Seq("<>", "<=", ">=", "!=", "||").contains(two)) { out += TOp(two); i += 2 }
+        else { out += TOp(c.toString); i += 1 }
+      }
+    }
+    out += TEof
+    out.result()
+  }
+
+  // ---------------- parser state ----------------
+  private final class P(toks: Vector[Tok]) {
+    var pos = 0
+    def peek: Tok = toks(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def kw(s: String): Boolean = peek match {
+      case TId(id) if id.equalsIgnoreCase(s) => pos += 1; true
+      case _ => false
+    }
+    def peekKw(s: String): Boolean = peek match {
+      case TId(id) => id.equalsIgnoreCase(s)
+      case _ => false
+    }
+    def expectKw(s: String): Unit =
+      if (!kw(s)) throw ParseException(s"expected $s, found $peek")
+    def op(s: String): Boolean = peek match {
+      case TOp(o) if o == s => pos += 1; true
+      case _ => false
+    }
+    def expectOp(s: String): Unit =
+      if (!op(s)) throw ParseException(s"expected '$s', found $peek")
+  }
+
+  /** Parse one SELECT statement. */
+  def parse(sql: String): Select = {
+    val p = new P(lex(sql))
+    val sel = parseSelect(p)
+    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
+    sel
+  }
+
+  private val Keywords = Set(
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SKIP", "OFFSET", "LIMIT",
+    "BY", "ASC", "DESC", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE",
+    "MATCHES", "IS", "NULL", "TRUE", "FALSE", "DISTINCT", "SELECT", "AS",
+    "UNWIND", "CONTAINS", "CONTAINSALL", "CONTAINSANY")
+
+  private def parseSelect(p: P): Select = {
+    p.expectKw("SELECT")
+    val distinct = p.kw("DISTINCT")
+    val projections =
+      if (p.peekKw("FROM")) Seq.empty
+      else if (p.op("*")) Seq.empty
+      else {
+        val b = Seq.newBuilder[Projection]
+        var more = true
+        while (more) {
+          val e = parseExpr(p)
+          val alias = if (p.kw("AS")) Some(ident(p)) else p.peek match {
+            case TId(id) if !Keywords.contains(id.toUpperCase) => p.pos += 1; Some(id)
+            case _ => None
+          }
+          b += Projection(e, alias)
+          more = p.op(",")
+        }
+        b.result()
+      }
+    p.expectKw("FROM")
+    val from = ident(p)
+    val where = if (p.kw("WHERE")) Some(parseExpr(p)) else None
+    val groupBy = if (p.kw("GROUP")) { p.expectKw("BY"); parseExprList(p) } else Seq.empty
+    val having = if (p.kw("HAVING")) Some(parseExpr(p)) else None
+    val unwind = if (p.kw("UNWIND")) Some(ident(p)) else None
+    val orderBy = if (p.kw("ORDER")) {
+      p.expectKw("BY")
+      val b = Seq.newBuilder[OrderItem]
+      var more = true
+      while (more) {
+        val e = parseExpr(p)
+        val asc = if (p.kw("DESC")) false else { p.kw("ASC"); true }
+        b += OrderItem(e, asc)
+        more = p.op(",")
+      }
+      b.result()
+    } else Seq.empty
+    val skip = if (p.kw("SKIP") || p.kw("OFFSET")) Some(longLit(p)) else None
+    val limit = if (p.kw("LIMIT")) Some(longLit(p)) else None
+    Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind)
+  }
+
+  private def ident(p: P): String = p.next() match {
+    case TId(s) => s
+    case t => throw ParseException(s"expected identifier, found $t")
+  }
+
+  private def longLit(p: P): Long = p.next() match {
+    case TNum(s) => s.toLong
+    case t => throw ParseException(s"expected number, found $t")
+  }
+
+  private def parseExprList(p: P): Seq[Expr] = {
+    val b = Seq.newBuilder[Expr]
+    b += parseExpr(p)
+    while (p.op(",")) b += parseExpr(p)
+    b.result()
+  }
+
+  // precedence climbing
+  private def parseExpr(p: P): Expr = parseOr(p)
+
+  private def parseOr(p: P): Expr = {
+    var l = parseAnd(p)
+    while (p.kw("OR")) l = Bin("OR", l, parseAnd(p))
+    l
+  }
+
+  private def parseAnd(p: P): Expr = {
+    var l = parseNot(p)
+    while (p.kw("AND")) l = Bin("AND", l, parseNot(p))
+    l
+  }
+
+  private def parseNot(p: P): Expr =
+    if (p.kw("NOT")) Not(parseNot(p)) else parsePredicate(p)
+
+  private def parsePredicate(p: P): Expr = {
+    val l = parseAdditive(p)
+    if (p.op("=")) Bin("=", l, parseAdditive(p))
+    else if (p.op("<>") || p.op("!=")) Bin("<>", l, parseAdditive(p))
+    else if (p.op("<=")) Bin("<=", l, parseAdditive(p))
+    else if (p.op(">=")) Bin(">=", l, parseAdditive(p))
+    else if (p.op("<")) Bin("<", l, parseAdditive(p))
+    else if (p.op(">")) Bin(">", l, parseAdditive(p))
+    else if (p.peekKw("NOT")) { // NOT IN / NOT LIKE / NOT BETWEEN
+      p.pos += 1
+      if (p.kw("IN")) { p.expectOp("("); val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = true) }
+      else if (p.kw("LIKE")) Not(LikeOp(l, parseAdditive(p), caseInsensitive = false))
+      else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); Not(Between(l, lo, parseAdditive(p))) }
+      else throw ParseException("expected IN/LIKE/BETWEEN after NOT")
+    }
+    else if (p.kw("IN")) { p.expectOp("("); val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = false) }
+    else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); Between(l, lo, parseAdditive(p)) }
+    else if (p.kw("LIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = false)
+    else if (p.kw("ILIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = true)
+    else if (p.kw("MATCHES")) Matches(l, parseAdditive(p))
+    else if (p.kw("CONTAINSALL")) ContainsOp(l, "ALL", parseAdditive(p))
+    else if (p.kw("CONTAINSANY")) ContainsOp(l, "ANY", parseAdditive(p))
+    else if (p.kw("CONTAINS")) ContainsOp(l, "ONE", parseAdditive(p))
+    else if (p.kw("IS")) {
+      val neg = p.kw("NOT")
+      p.expectKw("NULL")
+      IsNull(l, negated = neg)
+    }
+    else l
+  }
+
+  private def parseAdditive(p: P): Expr = {
+    var l = parseMultiplicative(p)
+    var go = true
+    while (go) {
+      if (p.op("+")) l = Bin("+", l, parseMultiplicative(p))
+      else if (p.op("-")) l = Bin("-", l, parseMultiplicative(p))
+      else if (p.op("||")) l = Bin("||", l, parseMultiplicative(p))
+      else go = false
+    }
+    l
+  }
+
+  private def parseMultiplicative(p: P): Expr = {
+    var l = parseUnary(p)
+    var go = true
+    while (go) {
+      if (p.op("*")) l = Bin("*", l, parseUnary(p))
+      else if (p.op("/")) l = Bin("/", l, parseUnary(p))
+      else if (p.op("%")) l = Bin("%", l, parseUnary(p))
+      else go = false
+    }
+    l
+  }
+
+  private def parseUnary(p: P): Expr =
+    if (p.op("-")) Neg(parseUnary(p)) else parsePostfix(p)
+
+  private def parsePostfix(p: P): Expr = {
+    var e = parsePrimary(p)
+    while (p.op(".")) {
+      val m = ident(p)
+      p.expectOp("(")
+      val args = if (p.op(")")) Seq.empty else { val a = parseExprList(p); p.expectOp(")"); a }
+      e = MethodCall(e, m, args)
+    }
+    e
+  }
+
+  private def parsePrimary(p: P): Expr = p.next() match {
+    case TNum(s) => NumLit(BigDecimal(s), !s.contains('.'))
+    case TStr(s) => StrLit(s)
+    case TOp("(") => val e = parseExpr(p); p.expectOp(")"); e
+    case TId(id) if id.equalsIgnoreCase("NULL")  => NullLit
+    case TId(id) if id.equalsIgnoreCase("TRUE")  => BoolLit(true)
+    case TId(id) if id.equalsIgnoreCase("FALSE") => BoolLit(false)
+    case TId(id) =>
+      if (p.op("(")) { // function call
+        if (p.op("*")) { p.expectOp(")"); FnCall(id, Seq.empty, star = true) }
+        else if (p.op(")")) FnCall(id, Seq.empty)
+        else { val args = parseExprList(p); p.expectOp(")"); FnCall(id, args) }
+      } else Ident(id)
+    case t => throw ParseException(s"unexpected token $t")
+  }
+}

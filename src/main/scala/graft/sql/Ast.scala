@@ -22,6 +22,8 @@ object Ast {
   final case class FnCall(name: String, args: Seq[Expr], star: Boolean = false) extends Expr
   /** value.method(args) — reference SQLMethod surface. */
   final case class MethodCall(target: Expr, name: String, args: Seq[Expr]) extends Expr
+  /** value.field — struct-field / graph-variable property access. */
+  final case class PropAccess(target: Expr, name: String)       extends Expr
   final case class Bin(op: String, l: Expr, r: Expr)            extends Expr
   final case class Neg(e: Expr)                                 extends Expr
   final case class Not(e: Expr)                                 extends Expr

@@ -24,7 +24,7 @@ object Parser {
   final case class TOp(s: String)    extends Tok
   case object TEof                   extends Tok
 
-  private def lex(input: String): Vector[Tok] = {
+  private[graft] def lex(input: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = input.length
@@ -67,7 +67,7 @@ object Parser {
   }
 
   // ---------------- parser state ----------------
-  private final class P(toks: Vector[Tok]) {
+  private[graft] final class P(toks: Vector[Tok]) {
     var pos = 0
     def peek: Tok = toks(pos)
     def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -146,17 +146,17 @@ object Parser {
     Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind)
   }
 
-  private def ident(p: P): String = p.next() match {
+  private[graft] def ident(p: P): String = p.next() match {
     case TId(s) => s
     case t => throw ParseException(s"expected identifier, found $t")
   }
 
-  private def longLit(p: P): Long = p.next() match {
+  private[graft] def longLit(p: P): Long = p.next() match {
     case TNum(s) => s.toLong
     case t => throw ParseException(s"expected number, found $t")
   }
 
-  private def parseExprList(p: P): Seq[Expr] = {
+  private[graft] def parseExprList(p: P): Seq[Expr] = {
     val b = Seq.newBuilder[Expr]
     b += parseExpr(p)
     while (p.op(",")) b += parseExpr(p)
@@ -164,7 +164,7 @@ object Parser {
   }
 
   // precedence climbing
-  private def parseExpr(p: P): Expr = parseOr(p)
+  private[graft] def parseExpr(p: P): Expr = parseOr(p)
 
   private def parseOr(p: P): Expr = {
     var l = parseAnd(p)
@@ -243,9 +243,10 @@ object Parser {
     var e = parsePrimary(p)
     while (p.op(".")) {
       val m = ident(p)
-      p.expectOp("(")
-      val args = if (p.op(")")) Seq.empty else { val a = parseExprList(p); p.expectOp(")"); a }
-      e = MethodCall(e, m, args)
+      if (p.op("(")) {
+        val args = if (p.op(")")) Seq.empty else { val a = parseExprList(p); p.expectOp(")"); a }
+        e = MethodCall(e, m, args)
+      } else e = PropAccess(e, m)
     }
     e
   }
@@ -258,9 +259,12 @@ object Parser {
     case TId(id) if id.equalsIgnoreCase("TRUE")  => BoolLit(true)
     case TId(id) if id.equalsIgnoreCase("FALSE") => BoolLit(false)
     case TId(id) =>
-      if (p.op("(")) { // function call
+      if (p.op("(")) { // function call; DISTINCT folds into the fn name
         if (p.op("*")) { p.expectOp(")"); FnCall(id, Seq.empty, star = true) }
         else if (p.op(")")) FnCall(id, Seq.empty)
+        else if (p.kw("DISTINCT")) {
+          val args = parseExprList(p); p.expectOp(")"); FnCall(id + "_distinct", args)
+        }
         else { val args = parseExprList(p); p.expectOp(")"); FnCall(id, args) }
       } else Ident(id)
     case t => throw ParseException(s"unexpected token $t")

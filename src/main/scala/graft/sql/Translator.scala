@@ -31,8 +31,10 @@ object Translator {
     "median", "percentile", "stddev", "variance", "list", "set")
 
   def containsAgg(e: Expr): Boolean = e match {
-    case FnCall(n, args, _) => AggFns.contains(n.toLowerCase) || args.exists(containsAgg)
+    case FnCall(n, args, _) =>
+      AggFns.contains(n.toLowerCase.stripSuffix("_distinct")) || args.exists(containsAgg)
     case MethodCall(t, _, args) => containsAgg(t) || args.exists(containsAgg)
+    case PropAccess(t, _) => containsAgg(t)
     case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
     case Neg(x) => containsAgg(x)
     case Not(x) => containsAgg(x)
@@ -85,6 +87,7 @@ object Translator {
     case ContainsOp(_, k, _)     => throw TranslateException(s"unknown CONTAINS kind $k")
     case FnCall(n, args, star) => fn(n.toLowerCase, args, star)
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
+    case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access
   }
 
   /** Function registry: the reference's DefaultSQLFunctionFactory surface
@@ -94,6 +97,10 @@ object Translator {
     name match {
       case "count" if star || argEs.isEmpty => count(lit(1))
       case "count"      => count(args.head)
+      case "count_distinct" => countDistinct(args.head, args.tail: _*)
+      case "sum_distinct"   => sum_distinct(args.head.cast(DecimalType(28, 4))).cast(DoubleType)
+      case "collect" | "collect_list" => collect_list(args.head)
+      case "collect_distinct" => sort_array(collect_set(args.head))
       case "sum"        => sum(args.head.cast(DecimalType(28, 4))).cast(DoubleType)
       case "avg"        => (sum(args.head.cast(DecimalType(28, 4))) / count(args.head)).cast(DoubleType)
       case "min"        => min(args.head)

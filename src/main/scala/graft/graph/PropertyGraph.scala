@@ -44,6 +44,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * should checkpoint every few iterations; depth here is bounded small.
     */
   def traverse(seeds: DataFrame, maxDepth: Int, direction: String = "out"): DataFrame = {
+    // The edge relation is scanned once per depth — cache it for the loop
+    // (it is often a derived join, e.g. co-purchase, that would otherwise
+    // recompute from source every iteration).
+    val cachedEdges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val cachedGraph = copy(edges = cachedEdges)
     var visited = seeds.select(col("id")).distinct().withColumn("depth", lit(0))
     var frontier = visited.select("id").persist(StorageLevel.MEMORY_AND_DISK)
     val live = scala.collection.mutable.Buffer[DataFrame](frontier)
@@ -55,7 +60,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // BFS-loop growth the reference sidesteps with its in-memory visited
       // set, GraphAlgorithms.java:411); persisted frontiers are released
       // as soon as the next one is materialized.
-      val next = (if (direction == "in") expandIn(frontier) else expandOut(frontier))
+      val next = (if (direction == "in") cachedGraph.expandIn(frontier)
+        else cachedGraph.expandOut(frontier))
         .distinct()
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -68,6 +74,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     }
     val out = visited.localCheckpoint() // eager: materialize before unpersist
     live.foreach(_.unpersist(false))
+    cachedEdges.unpersist(false)
     out
   }
 

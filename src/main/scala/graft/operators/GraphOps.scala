@@ -151,6 +151,10 @@ object GraphOps {
         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
         |SELECT count(*) AS n_triangles
         |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, d) =>
+      // NOTE: deliberately NOT persisted — caching the co-purchase set
+      // here blocks AQE's join planning through the InMemoryRelation and
+      // measured ~2x slower than recomputing the (cheap, codegen'd)
+      // derivation per scan
       val e0 = PropertyGraph.coPurchase(s, d)
       val und = e0.select(col("a").as("u")).union(e0.select(col("b").as("u")))
       val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))

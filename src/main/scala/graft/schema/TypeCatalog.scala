@@ -40,11 +40,45 @@ final case class TypeDef(
     // Property analog) — what makes a polymorphic scan line up.
     aliases: Map[String, String] = Map.empty)
 
-final class TypeCatalog(types: Seq[TypeDef]) {
+final class TypeCatalog(initial: Seq[TypeDef]) {
 
-  private val byName = types.map(t => t.name -> t).toMap
+  // DDL mutates the registry at runtime, like the reference's persisted,
+  // runtime-mutable LocalSchema (CREATE/ALTER/DROP TYPE, CREATE PROPERTY —
+  // parser files query/sql/parser/Create*TypeStatement.java,
+  // AlterTypeStatement.java). Declared properties beyond the physical
+  // parquet columns live in `declaredProps`.
+  private var types: Seq[TypeDef] = initial
+  private var declaredProps: Map[String, Seq[(String, String)]] =
+    Map.empty.withDefaultValue(Seq.empty)
+
+  private def byName = types.map(t => t.name -> t).toMap
 
   def apply(name: String): TypeDef = byName(name)
+  def typeNames: Seq[String] = types.map(_.name)
+
+  // ---- DDL surface ----
+  def createType(name: String, kind: String, parent: Option[String] = None,
+      path: Option[String => String] = None): Unit = synchronized {
+    require(!byName.contains(name), s"type $name already exists")
+    types = types :+ TypeDef(name, kind, path, parent)
+  }
+
+  def createProperty(typeName: String, prop: String, dtype: String): Unit = synchronized {
+    require(byName.contains(typeName), s"unknown type $typeName")
+    declaredProps += typeName -> (declaredProps(typeName) :+ (prop -> dtype))
+  }
+
+  def alterType(name: String, newParent: Option[String]): Unit = synchronized {
+    require(byName.contains(name), s"unknown type $name")
+    types = types.map(t => if (t.name == name) t.copy(parent = newParent) else t)
+  }
+
+  def dropType(name: String): Unit = synchronized {
+    require(byName.contains(name), s"unknown type $name")
+    require(!types.exists(_.parent.contains(name)), s"type $name has subtypes")
+    types = types.filterNot(_.name == name)
+    declaredProps -= name
+  }
 
   def subtypesOf(name: String): Seq[TypeDef] =
     types.filter(_.parent.contains(name))
@@ -90,7 +124,8 @@ final class TypeCatalog(types: Seq[TypeDef]) {
     import spark.implicits._
     types.map { t =>
       (t.name, t.kind, t.parent.getOrElse(""),
-        t.path.map(p => spark.read.parquet(p(dir)).schema.fields.length).getOrElse(0))
+        t.path.map(p => spark.read.parquet(p(dir)).schema.fields.length).getOrElse(0)
+          + declaredProps(t.name).length)
     }.toDF("name", "kind", "parent", "n_props")
   }
 
@@ -100,7 +135,8 @@ final class TypeCatalog(types: Seq[TypeDef]) {
     import spark.implicits._
     types.flatMap { t =>
       t.path.toSeq.flatMap(p => spark.read.parquet(p(dir)).schema.fields.map(f =>
-        (t.name, f.name, f.dataType.simpleString)))
+        (t.name, f.name, f.dataType.simpleString))) ++
+        declaredProps(t.name).map { case (prop, dt) => (t.name, prop, dt) }
     }.toDF("type", "prop", "dtype")
   }
 }
@@ -112,7 +148,13 @@ object TypeCatalog {
     * partner with a name and a nation). */
   private def p(n: String): Option[String => String] = Some(d => s"$d/$n.parquet")
 
-  val default: TypeCatalog = new TypeCatalog(Seq(
+  /** A fresh catalog instance (DDL-mutable without touching the shared
+    * default). */
+  def fresh(): TypeCatalog = new TypeCatalog(defaultTypes)
+
+  val default: TypeCatalog = new TypeCatalog(defaultTypes)
+
+  private lazy val defaultTypes: Seq[TypeDef] = Seq(
     TypeDef("region",   "DOCUMENT",   p("region")),
     TypeDef("nation",   "DOCUMENT",   p("nation")),
     TypeDef("party",    "VERTEX",     None), // abstract supertype
@@ -127,5 +169,5 @@ object TypeCatalog {
     TypeDef("lineitem", "EDGE",       p("lineitem")),
     TypeDef("events",   "TIMESERIES", p("events"), propsColumn = Some("props")),
     TypeDef("documents",  "DOCUMENT", p("documents")),
-    TypeDef("embeddings", "DOCUMENT", p("embeddings"))))
+    TypeDef("embeddings", "DOCUMENT", p("embeddings")))
 }

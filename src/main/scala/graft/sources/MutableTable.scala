@@ -24,17 +24,36 @@ import org.apache.spark.sql.functions._
   * rewrite) is exactly what those table formats execute under the hood;
   * plain parquet keeps this library dependency-free.
   */
-final class MutableTable(spark: SparkSession, dir: String) {
+final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String] = None) {
 
   def df: DataFrame = spark.read.parquet(dir)
 
   private def overwrite(next: DataFrame): Unit =
     next.localCheckpoint(eager = true).write.mode("overwrite").parquet(dir)
 
+  // ---- change feed (trigger/CDF analog: reference event/ package
+  // before/after create-update-delete listeners + Delta CDF shape).
+  // Each mutation appends (seq, op, key) rows; consumers read the feed
+  // ordered by seq — the hook a downstream trigger would subscribe to.
+  private var cdfSeq = 0
+  private def cdfDir = s"$dir-cdf"
+
+  private def emitChanges(op: String, keys: DataFrame): Unit = keyCol.foreach { k =>
+    cdfSeq += 1
+    keys.select(lit(cdfSeq).as("seq"), lit(op).as("op"), col(k).cast("long").as("key"))
+      .localCheckpoint(eager = true)
+      .write.mode(if (cdfSeq == 1) "overwrite" else "append").parquet(cdfDir)
+  }
+
+  /** The accumulated change feed: (seq, op, key). */
+  def changeFeed: DataFrame = spark.read.parquet(cdfDir)
+
   /** INSERT … VALUES / FROM SELECT. */
   def insert(rows: DataFrame): Long = {
-    val n = rows.count()
-    overwrite(df.unionByName(rows))
+    val staged = rows.localCheckpoint(eager = true)
+    val n = staged.count()
+    emitChanges("insert", staged)
+    overwrite(df.unionByName(staged))
     n
   }
 
@@ -46,6 +65,7 @@ final class MutableTable(spark: SparkSession, dir: String) {
     val after = sets.foldLeft(before)((d, s) => d.withColumn(s._1, s._2))
       .localCheckpoint(eager = true)
     val untouched = df.filter(!coalesce(where, lit(false)))
+    emitChanges("update", before)
     overwrite(untouched.unionByName(after))
     (before.count(), before, after)
   }
@@ -61,7 +81,10 @@ final class MutableTable(spark: SparkSession, dir: String) {
         key.get(c).orElse(sets.find(_._1 == c).map(_._2))
           .getOrElse(lit(null).cast(df.schema(c).dataType)).as(c)
       }
-      overwrite(df.unionByName(spark.range(1).select(cols.toIndexedSeq: _*)))
+      val newRow = spark.range(1).select(cols.toIndexedSeq: _*)
+        .localCheckpoint(eager = true)
+      emitChanges("insert", newRow)
+      overwrite(df.unionByName(newRow))
       1L
     } else {
       update(where, sets)._1
@@ -70,7 +93,9 @@ final class MutableTable(spark: SparkSession, dir: String) {
 
   /** DELETE … WHERE; returns the deleted-row count (RETURN COUNT). */
   def delete(where: Column): Long = {
-    val n = df.filter(where).count()
+    val deleted = df.filter(where).localCheckpoint(eager = true)
+    val n = deleted.count()
+    emitChanges("delete", deleted)
     overwrite(df.filter(!coalesce(where, lit(false))))
     n
   }
@@ -88,14 +113,19 @@ final class MutableTable(spark: SparkSession, dir: String) {
       .select(df.columns.map(col).toIndexedSeq: _*)
     val inserts = source.join(df, keys, "left_anti")
       .select(df.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+    emitChanges("update", source.join(df, keys, "left_semi").localCheckpoint(eager = true))
+    emitChanges("insert", inserts)
     overwrite(updated.unionByName(inserts))
   }
 }
 
 object MutableTable {
-  /** Fresh writable copy of `source` at `dir` (TRUNCATE+INSERT FROM SELECT). */
-  def copyOf(spark: SparkSession, source: DataFrame, dir: String): MutableTable = {
+  /** Fresh writable copy of `source` at `dir` (TRUNCATE+INSERT FROM
+    * SELECT). `keyCol` enables the change feed. */
+  def copyOf(spark: SparkSession, source: DataFrame, dir: String,
+      keyCol: Option[String] = None): MutableTable = {
     source.write.mode("overwrite").parquet(dir)
-    new MutableTable(spark, dir)
+    new MutableTable(spark, dir, keyCol)
   }
 }

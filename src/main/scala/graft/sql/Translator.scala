@@ -226,9 +226,43 @@ object Translator {
   }
 }
 
-/** Session-facing entry: `GraftSql.query(spark, dir, "SELECT …")`. */
+/** Session-facing entry: `GraftSql.query(spark, dir, "SELECT …")` for
+  * reads, `GraftSql.execute(cat, ddl)` for schema DDL (reference
+  * Create*TypeStatement.java / CreatePropertyStatement.java /
+  * AlterTypeStatement.java / DropTypeStatement.java). */
 object GraftSql {
   def query(spark: SparkSession, dir: String, sql: String,
       cat: TypeCatalog = TypeCatalog.default): DataFrame =
     Translator.compile(spark, dir, cat, Parser.parse(sql))
+
+  /** Execute one DDL statement against a (mutable) catalog:
+    * CREATE DOCUMENT|VERTEX|EDGE TYPE n [EXTENDS p] |
+    * CREATE PROPERTY t.p dtype | ALTER TYPE n EXTENDS p | DROP TYPE n. */
+  def execute(cat: TypeCatalog, ddl: String): Unit = {
+    val p = new Parser.P(Parser.lex(ddl))
+    if (p.kw("CREATE")) {
+      if (p.kw("PROPERTY")) {
+        val t = Parser.ident(p)
+        p.expectOp(".")
+        val prop = Parser.ident(p)
+        val dtype = Parser.ident(p)
+        cat.createProperty(t, prop, dtype.toLowerCase)
+      } else {
+        val kind = Parser.ident(p).toUpperCase
+        require(Seq("DOCUMENT", "VERTEX", "EDGE").contains(kind), s"bad kind $kind")
+        p.expectKw("TYPE")
+        val name = Parser.ident(p)
+        val parent = if (p.kw("EXTENDS")) Some(Parser.ident(p)) else None
+        cat.createType(name, kind, parent)
+      }
+    } else if (p.kw("ALTER")) {
+      p.expectKw("TYPE")
+      val name = Parser.ident(p)
+      p.expectKw("EXTENDS")
+      cat.alterType(name, Some(Parser.ident(p)))
+    } else if (p.kw("DROP")) {
+      p.expectKw("TYPE")
+      cat.dropType(Parser.ident(p))
+    } else throw Parser.ParseException(s"unknown DDL statement: $ddl")
+  }
 }

@@ -131,6 +131,45 @@ object MiscOps {
         .orderBy("o_orderkey")
     },
 
+    // ---- collection set ops: unionall / intersect / difference
+    //      (function/sql/coll/SQLFunctionUnionAll/Intersect/Difference) ----
+    Q("q_coll_setops",
+      s"""WITH $OrderPartsSql,
+         |pairs AS (
+         |  SELECT a.l_orderkey AS okey, a.l AS la, b.l AS lb
+         |  FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey + 1)
+         |SELECT okey,
+         |  coalesce(array_to_string(list_sort(list_distinct(la || lb)), ','), '') AS u,
+         |  coalesce(array_to_string(list_sort(list_intersect(la, lb)), ','), '') AS i,
+         |  coalesce(array_to_string(list_sort(list_filter(la, x -> NOT list_contains(lb, x))), ','), '') AS d
+         |FROM pairs ORDER BY okey""".stripMargin) { (s, d) =>
+      val op = orderParts(s, d)
+      val a = op.select(col("l_orderkey").as("okey"), col("l").as("la"))
+      val b = op.select((col("l_orderkey") - 1).as("pk"), col("l").as("lb"))
+      a.join(b, col("okey") === col("pk"))
+        .select(col("okey"),
+          array_join(array_sort(array_union(col("la"), col("lb"))), ",").as("u"),
+          array_join(array_sort(array_intersect(col("la"), col("lb"))), ",").as("i"),
+          array_join(array_sort(array_except(col("la"), col("lb"))), ",").as("d"))
+        .orderBy("okey")
+    },
+
+    // ---- bool_and / bool_or aggregates (SQLFunctionBoolAnd/BoolOr) ----
+    Q("q_agg_bool",
+      """SELECT o_custkey,
+        |  bool_and(o_totalprice > 50000) AS all_big,
+        |  bool_or(o_orderstatus = 'F') AS any_f,
+        |  count(*) AS n
+        |FROM orders WHERE o_custkey < 100
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(expr("bool_and(o_totalprice > 50000)").as("all_big"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    },
+
     // ---- text similarity: jaroWinkler / hamming / sorensenDice ----
     Q("q_text_similarity",
       """SELECT a.c_custkey AS id,

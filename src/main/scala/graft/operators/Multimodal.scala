@@ -5,45 +5,98 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, decoded/feature-extracted in distributed
-  * batches.
+/** Multimodal columns: media as opaque `binary` payloads with typed
+  * metadata, encoded/decoded in distributed partition batches.
   *
-  * The decode step itself is STUBBED (no codec libraries in this
-  * container): `fakeDecode` produces a deterministic feature vector from
-  * the bytes. Everything around it — binary column handling, schema,
-  * partition-parallel batch processing via mapPartitions, feature schema —
-  * is real and is exactly where a JNI/FFI decoder would slot in at scale.
-  * (Python-side the same seam is `mapInPandas`/`mapInArrow`; in this
-  * Scala-first library the seam is a typed mapPartitions.)
+  * The codec seam is REAL: payloads are genuine PNG files produced by
+  * `javax.imageio` inside `mapPartitions` (the JVM's standard image
+  * codec — no external dependency), and the decode step parses those
+  * bytes back through `ImageIO.read`, extracting dimensions and per-
+  * channel means. PNG is lossless, so the decoded features are exactly
+  * derivable from the deterministic generator — which is what the DuckDB
+  * oracle computes analytically, closing the loop on the whole
+  * encode → binary column → decode → feature pipeline.
+  *
+  * Scale shape: one partition = one batch of payloads; encode and decode
+  * are narrow per-row transforms with no shuffle (the Python-side analog
+  * is `mapInArrow`/`mapInPandas`; in this Scala-first library the seam is
+  * a typed mapPartitions). A real corpus would read the binary column
+  * from parquet exactly as this one does.
   */
 object Multimodal {
 
+  val imageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
 
-  /** STUB decoder: a real implementation would parse the codec header and
-    * decode frames; this derives deterministic pseudo-features from the
-    * raw bytes so the distributed plumbing is testable end-to-end. */
-  def fakeDecode(id: Long, bytes: Array[Byte]): Row = {
-    val n = bytes.length
-    var h = 1469598103934665603L
-    var i = 0
-    while (i < n) { h ^= bytes(i) & 0xffL; h *= 1099511628211L; i += 1 }
-    val feat = Array.tabulate(8)(k => ((h >>> (k * 8)) & 0xffL).toDouble / 255.0)
-    Row(id, n, 16 + (math.abs(h) % 16).toInt, 16 + (math.abs(h >> 8) % 16).toInt, feat.toSeq)
+  /** Deterministic test image: size and every pixel derive from the id
+    * (the DuckDB oracle recomputes the same channel sums analytically). */
+  private def renderPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 17).toInt
+    val h = 16 + (id % 13).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 7 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** Batch "decode": one partition = one batch of binary payloads. */
-  def decodeFeatures(binaryDocs: DataFrame): DataFrame = {
+  /** Distributed PNG encode: ids → real PNG binary payloads. */
+  def encodeImages(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageSchema)
+    ids.select(col("doc_id"))
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        Row(id, renderPng(id))
+      })(enc)
+  }
+
+  /** Distributed PNG decode: parse the payload bytes with the JVM codec,
+    * emit dimensions + exact per-channel means (integer sums ÷ pixels). */
+  def decodeImages(binaryDocs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     binaryDocs.select(col("doc_id"), col("payload"))
-      .mapPartitions(_.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))))(enc)
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        Row(id, w, h, sr / n, sg / n, sb / n)
+      })(enc)
   }
 
   /** Documents-as-binary view: text bytes standing in for media payloads. */
@@ -65,12 +118,29 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // ---- distributed batch decode through the stub seam (no oracle:
-    //      the stub features are library-defined) ----
-    Q.noOracle("q_multimodal_decode") { (s, d) =>
-      decodeFeatures(binaryView(s, d).filter(col("doc_id") < 100))
-        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          round(element_at(col("feature"), 1), 6).as("f0"))
+    // ---- REAL codec round-trip: distributed PNG encode → binary column
+    //      → ImageIO decode → features; oracle recomputes the lossless
+    //      channel means analytically from the pixel generator ----
+    Q("q_multimodal_decode",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y
+        |  FROM ids,
+        |    UNNEST(generate_series(0, 16 + doc_id % 17 - 1)) AS x(x),
+        |    UNNEST(generate_series(0, 16 + doc_id % 13 - 1)) AS y(y))
+        |SELECT doc_id,
+        |  CAST(16 + doc_id % 17 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 13 AS INTEGER) AS height,
+        |  round(sum((doc_id * 31 + x * 7 + y * 13) % 256)::DOUBLE / count(*), 6) AS mean_r,
+        |  round(sum((doc_id * 17 + x * 11 + y * 3) % 256)::DOUBLE / count(*), 6) AS mean_g,
+        |  round(sum((doc_id * 7 + x * 5 + y * 19) % 256)::DOUBLE / count(*), 6) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 60).select("doc_id")
+      decodeImages(encodeImages(ids))
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
         .orderBy("doc_id")
     }
   )

@@ -67,6 +67,27 @@ object SqlOps {
             | ORDER BY o_custkey""".stripMargin.replace("\n", ""))),
 
     // ---- arithmetic projections + BETWEEN + string concat ----
+    // ---- scalar subquery in WHERE (evaluated once, global-LET style) ----
+    Q("q_sql_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (
+        |  SELECT (sum(o_totalprice::DECIMAL(28,4)) / count(o_totalprice))::DOUBLE FROM orders)
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin)(
+      sql("""SELECT o_orderkey, o_totalprice FROM orders
+            | WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+            | ORDER BY o_orderkey LIMIT 50""".stripMargin.replace("\n", ""))),
+
+    // ---- LET bindings: subquery binding runs once, expression binding
+    //      inlines per record (SelectExecutionPlanner.splitLet) ----
+    Q("q_sql_let",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer) - 2000
+        |ORDER BY c_custkey""".stripMargin)(
+      sql("""SELECT c_custkey, c_acctbal FROM customer
+            | LET $top = (SELECT max(c_acctbal) FROM customer), $cut = $top - 2000
+            | WHERE c_acctbal > $cut
+            | ORDER BY c_custkey""".stripMargin.replace("\n", ""))),
+
     // net goes through a decimal cast before the 2-digit round: Spark
     // rounds doubles on their shortest decimal repr, DuckDB on the binary
     // value — ties like x.745 diverge unless both round an exact decimal

@@ -36,6 +36,13 @@ object Ast {
   /** CONTAINS on collections (CONTAINSALL/CONTAINSANY variants). */
   final case class ContainsOp(e: Expr, kind: String, arg: Expr) extends Expr
 
+  /** Scalar subquery `(SELECT …)` — resolved to a [[Resolved]] literal at
+    * compile time (the reference evaluates global LET subqueries once,
+    * SelectExecutionPlanner.splitLet :745). */
+  final case class Subquery(sel: Select)                        extends Expr
+  /** Engine-internal: a pre-evaluated scalar (never produced by the parser). */
+  final case class Resolved(value: Any)                         extends Expr
+
   final case class Projection(expr: Expr, alias: Option[String])
   final case class OrderItem(expr: Expr, asc: Boolean)
 
@@ -49,5 +56,6 @@ object Ast {
       skip: Option[Long],
       limit: Option[Long],
       distinct: Boolean,
-      unwind: Option[String])
+      unwind: Option[String],
+      lets: Seq[(String, Expr)] = Seq.empty)
 }

@@ -101,7 +101,7 @@ object Parser {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SKIP", "OFFSET", "LIMIT",
     "BY", "ASC", "DESC", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE",
     "MATCHES", "IS", "NULL", "TRUE", "FALSE", "DISTINCT", "SELECT", "AS",
-    "UNWIND", "CONTAINS", "CONTAINSALL", "CONTAINSANY")
+    "UNWIND", "CONTAINS", "CONTAINSALL", "CONTAINSANY", "LET")
 
   private def parseSelect(p: P): Select = {
     p.expectKw("SELECT")
@@ -125,6 +125,17 @@ object Parser {
       }
     p.expectKw("FROM")
     val from = ident(p)
+    val lets = if (p.kw("LET")) {
+      val b = Seq.newBuilder[(String, Expr)]
+      var more = true
+      while (more) {
+        val n = ident(p)
+        p.expectOp("=")
+        b += n -> parseExpr(p)
+        more = p.op(",")
+      }
+      b.result()
+    } else Seq.empty
     val where = if (p.kw("WHERE")) Some(parseExpr(p)) else None
     val groupBy = if (p.kw("GROUP")) { p.expectKw("BY"); parseExprList(p) } else Seq.empty
     val having = if (p.kw("HAVING")) Some(parseExpr(p)) else None
@@ -143,7 +154,7 @@ object Parser {
     } else Seq.empty
     val skip = if (p.kw("SKIP") || p.kw("OFFSET")) Some(longLit(p)) else None
     val limit = if (p.kw("LIMIT")) Some(longLit(p)) else None
-    Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind)
+    Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind, lets)
   }
 
   private[graft] def ident(p: P): String = p.next() match {
@@ -254,7 +265,9 @@ object Parser {
   private def parsePrimary(p: P): Expr = p.next() match {
     case TNum(s) => NumLit(BigDecimal(s), !s.contains('.'))
     case TStr(s) => StrLit(s)
-    case TOp("(") => val e = parseExpr(p); p.expectOp(")"); e
+    case TOp("(") =>
+      if (p.peekKw("SELECT")) { val s = parseSelect(p); p.expectOp(")"); Subquery(s) }
+      else { val e = parseExpr(p); p.expectOp(")"); e }
     case TId(id) if id.equalsIgnoreCase("NULL")  => NullLit
     case TId(id) if id.equalsIgnoreCase("TRUE")  => BoolLit(true)
     case TId(id) if id.equalsIgnoreCase("FALSE") => BoolLit(false)

@@ -44,7 +44,31 @@ object Translator {
     case Matches(x, p) => containsAgg(x) || containsAgg(p)
     case IsNull(x, _) => containsAgg(x)
     case ContainsOp(x, _, a) => containsAgg(x) || containsAgg(a)
-    case _ => false
+    case _ => false // Subquery/Resolved are scalars by construction
+  }
+
+  /** Substitute LET variables and evaluate scalar subqueries, bottom-up.
+    * Global-LET semantics (splitLet :745): a subquery binding runs ONCE;
+    * expression bindings inline per record. */
+  private def resolve(e: Expr, env: Map[String, Expr], evalSub: Select => Any): Expr = {
+    def r(x: Expr): Expr = resolve(x, env, evalSub)
+    e match {
+      case Ident(n) if env.contains(n) => env(n)
+      case Subquery(sel)          => Resolved(evalSub(sel))
+      case Bin(op, l, rr)         => Bin(op, r(l), r(rr))
+      case Neg(x)                 => Neg(r(x))
+      case Not(x)                 => Not(r(x))
+      case FnCall(n, args, s)     => FnCall(n, args.map(r), s)
+      case MethodCall(t, m, args) => MethodCall(r(t), m, args.map(r))
+      case PropAccess(t, n)       => PropAccess(r(t), n)
+      case InList(x, es, neg)     => InList(r(x), es.map(r), neg)
+      case Between(x, lo, hi)     => Between(r(x), r(lo), r(hi))
+      case LikeOp(x, pat, ci)     => LikeOp(r(x), pat, ci)
+      case Matches(x, pat)        => Matches(r(x), pat)
+      case IsNull(x, n)           => IsNull(r(x), n)
+      case ContainsOp(x, k, a)    => ContainsOp(r(x), k, r(a))
+      case other                  => other
+    }
   }
 
   /** Expression → Column. */
@@ -88,6 +112,8 @@ object Translator {
     case FnCall(n, args, star) => fn(n.toLowerCase, args, star)
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access
+    case Resolved(v)         => lit(v)
+    case Subquery(_)         => throw TranslateException("unresolved scalar subquery (compile() resolves these)")
   }
 
   /** Function registry: the reference's DefaultSQLFunctionFactory surface
@@ -183,7 +209,28 @@ object Translator {
   }
 
   /** Compile one parsed SELECT over the catalog. */
-  def compile(spark: SparkSession, dir: String, cat: TypeCatalog, sel: Select): DataFrame = {
+  def compile(spark: SparkSession, dir: String, cat: TypeCatalog, sel0: Select): DataFrame = {
+    // Resolve LET bindings (in order; later bindings see earlier ones) and
+    // evaluate scalar subqueries once each — then substitute through every
+    // clause before translation.
+    def evalSub(sub: Select): Any = {
+      val rows = compile(spark, dir, cat, sub).collect()
+      if (rows.length != 1 || rows(0).size != 1)
+        throw TranslateException(s"scalar subquery returned ${rows.length} rows")
+      rows(0).get(0)
+    }
+    val env = sel0.lets.foldLeft(Map.empty[String, Expr]) { case (acc, (name, e)) =>
+      acc + (name -> resolve(e, acc, evalSub))
+    }
+    def rs(e: Expr): Expr = resolve(e, env, evalSub)
+    val sel = sel0.copy(
+      projections = sel0.projections.map(pr => pr.copy(expr = rs(pr.expr))),
+      where = sel0.where.map(rs),
+      groupBy = sel0.groupBy.map(rs),
+      having = sel0.having.map(rs),
+      orderBy = sel0.orderBy.map(o => o.copy(expr = rs(o.expr))),
+      lets = Seq.empty)
+
     var df = cat.scan(spark, dir, sel.from)
     sel.where.foreach(w => df = df.filter(toColumn(w)))
     sel.unwind.foreach(u => df = df.withColumn(u, explode(col(u))))

@@ -46,6 +46,25 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(!plan.contains("events.parquet"), plan)
   }
 
+  test("bucketed co-located join plans with no exchange") {
+    import graft.sources.BucketedStore
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    BucketedStore.writeBucketed(orders.select("o_orderkey", "o_totalprice"),
+      "b_orders", buckets = 4, key = "o_orderkey")
+    BucketedStore.writeBucketed(
+      lineitem.select(org.apache.spark.sql.functions.col("l_orderkey").as("o_orderkey"),
+        org.apache.spark.sql.functions.col("l_quantity")),
+      "b_lineitem", buckets = 4, key = "o_orderkey")
+    val joined = BucketedStore.read(spark, "b_orders")
+      .hint("merge") // force SMJ so a broadcast can't hide the shuffle question
+      .join(BucketedStore.read(spark, "b_lineitem"), "o_orderkey")
+    val plan = Explain.explain(joined, "formatted")
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("profile exposes per-operator runtime metrics") {
     val metrics = Explain.profile(
       Tables.nation(spark, sfDir).groupBy("n_regionkey").count())

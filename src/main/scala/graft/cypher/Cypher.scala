@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
 object Cypher {
 
   final case class NodePat(varName: Option[String], label: Option[String])
-  final case class RelPat(relType: Option[String], leftToRight: Boolean)
+  /** `hops = None` → single edge; `Some((lo, hi))` → variable-length
+    * `*lo..hi` (walk semantics: edge composition, matching a recursive-CTE
+    * oracle; openCypher's relationship-uniqueness is not enforced). */
+  final case class RelPat(relType: Option[String], leftToRight: Boolean,
+      hops: Option[(Int, Int)] = None)
   final case class PatternChain(nodes: Seq[NodePat], rels: Seq[RelPat], optional: Boolean)
   final case class ReturnItem(expr: Expr, alias: Option[String])
   final case class CypherQuery(
@@ -96,15 +100,16 @@ object Cypher {
     var go = true
     while (go) {
       if (p.op("-")) {
-        // -[r:type]-> or -[r:type]-
+        // -[r:type*lo..hi]-> or -[r:type]-
         p.expectOp("[")
         val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
         val t = if (p.op(":")) Some(Parser.ident(p)) else None
+        val hops = parseHops(p)
         p.expectOp("]")
         p.expectOp("-")
         val ltr = p.op(">")
         val _ = v // relationship variables accepted, not yet projectable
-        rels += RelPat(t, leftToRight = ltr)
+        rels += RelPat(t, leftToRight = ltr, hops)
         nodes += parseNode(p)
       } else if (p.op("<")) {
         // <-[r:type]-
@@ -112,15 +117,31 @@ object Cypher {
         p.expectOp("[")
         val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
         val t = if (p.op(":")) Some(Parser.ident(p)) else None
+        val hops = parseHops(p)
         p.expectOp("]")
         p.expectOp("-")
         val _ = v
-        rels += RelPat(t, leftToRight = false)
+        rels += RelPat(t, leftToRight = false, hops)
         nodes += parseNode(p)
       } else go = false
     }
     PatternChain(nodes.result(), rels.result(), optional)
   }
+
+  /** `*`, `*n`, `*lo..hi` (bare `*` defaults to 1..3). The lexer emits
+    * "1..3" as a single numeric token (digits+dots), split here. */
+  private def parseHops(p: Parser.P): Option[(Int, Int)] =
+    if (p.op("*")) {
+      p.peek match {
+        case Parser.TNum(s) =>
+          p.next()
+          if (s.contains("..")) {
+            val parts = s.split("\\.\\.")
+            Some((parts(0).toInt, parts(1).toInt))
+          } else Some((s.toInt, s.toInt))
+        case _ => Some((1, 3))
+      }
+    } else None
 
   private def parseNode(p: Parser.P): NodePat = {
     p.expectOp("(")
@@ -174,7 +195,19 @@ object Cypher {
       val (nf, v) = nodeFrame(node)
       val e0 = rel.relType.fold(g.edges)(t => g.edges.filter(col("label") === t))
       val eAlias = freshVar()
-      val e = e0.select(col("src").as(s"${eAlias}_src"), col("dst").as(s"${eAlias}_dst"))
+      // variable-length: union of h-fold edge compositions for h in lo..hi
+      val eBase = rel.hops match {
+        case None => e0.select(col("src"), col("dst"))
+        case Some((lo, hi)) =>
+          require(lo >= 1 && hi >= lo && hi <= 8, s"unsupported hop range $lo..$hi")
+          val one = e0.select(col("src"), col("dst"))
+          def compose(h: Int): DataFrame =
+            (1 until h).foldLeft(one)((acc, _) =>
+              acc.alias("l").join(one.alias("r"), col("l.dst") === col("r.src"))
+                .select(col("l.src").as("src"), col("r.dst").as("dst")))
+          (lo to hi).map(compose).reduce(_ union _).distinct()
+      }
+      val e = eBase.select(col("src").as(s"${eAlias}_src"), col("dst").as(s"${eAlias}_dst"))
       val (fromCol, toCol) =
         if (rel.leftToRight) (s"${eAlias}_src", s"${eAlias}_dst")
         else (s"${eAlias}_dst", s"${eAlias}_src")

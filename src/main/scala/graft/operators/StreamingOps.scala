@@ -98,6 +98,51 @@ object StreamingOps {
       s.table(sinkName).orderBy("bucket", "event_type")
     },
 
+    // ---- gap-based session windows, batch (built-in session_window) ----
+    Q("q_ts_session_window",
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 30),
+        |m AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 6 HOUR AS s_end,
+        |  count(*) AS n, sum(value::DECIMAL(28,4))::DOUBLE AS total
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("user_id") < 30)
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n"), col("total"))
+        .orderBy("user_id", "s_start")
+    },
+
+    // ---- the same sessions via STREAMING flatMapGroupsWithState ----
+    Q("q_stream_sessionize",
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 30),
+        |m AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS s_start,
+        |  epoch_us(max(ts)) + 21600000000 AS s_end,
+        |  count(*) AS n, sum(value::DECIMAL(28,4))::DOUBLE AS total
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin) { (s, d) =>
+      val srcDir = stateDir("stream_src2", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.streaming.Sessionize.streamSessions(
+        s, srcDir, gapMicros = 6L * 3600 * 1000000,
+        sinkName = s"sessions_${streamSeq.incrementAndGet()}", userFilter = 30)
+        .orderBy("user_id", "s_start")
+    },
+
     // ---- materialized view, INCREMENTAL refresh of stale groups only ----
     Q("q_matview_incremental",
       """SELECT o_custkey, count(*) AS n_orders,

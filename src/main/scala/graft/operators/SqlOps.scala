@@ -67,6 +67,24 @@ object SqlOps {
             | ORDER BY o_custkey""".stripMargin.replace("\n", ""))),
 
     // ---- arithmetic projections + BETWEEN + string concat ----
+    // ---- DEFINE FUNCTION: SQL-bodied function inlined at compile time ----
+    Q("q_sql_define_function",
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice * (1 - l_discount))::DECIMAL(28,4), 2)::DOUBLE AS net
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, net""".stripMargin) { (s, d) =>
+      import graft.sql.{FunctionRegistry, GraftSql}
+      val fns = new FunctionRegistry
+      GraftSql.execute(graft.schema.TypeCatalog.default,
+        "DEFINE FUNCTION net(price, disc) AS price * (1 - disc)", fns)
+      GraftSql.query(s, d,
+        """SELECT l_orderkey, l_linenumber,
+          | round(net(l_extendedprice, l_discount).asDecimal(), 2).asFloat() AS net
+          | FROM lineitem WHERE l_orderkey < 100
+          | ORDER BY l_orderkey, l_linenumber, net""".stripMargin.replace("\n", ""),
+        fns = fns)
+    },
+
     // ---- scalar subquery in WHERE (evaluated once, global-LET style) ----
     Q("q_sql_subquery",
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -47,17 +47,26 @@ object Translator {
     case _ => false // Subquery/Resolved are scalars by construction
   }
 
-  /** Substitute LET variables and evaluate scalar subqueries, bottom-up.
-    * Global-LET semantics (splitLet :745): a subquery binding runs ONCE;
-    * expression bindings inline per record. */
-  private def resolve(e: Expr, env: Map[String, Expr], evalSub: Select => Any): Expr = {
-    def r(x: Expr): Expr = resolve(x, env, evalSub)
+  /** Substitute LET variables, user-defined SQL-bodied functions
+    * (DEFINE FUNCTION — reference FunctionRegistry/SQLFunctionDefinition),
+    * and evaluate scalar subqueries, bottom-up. Global-LET semantics
+    * (splitLet :745): a subquery binding runs ONCE; expression bindings
+    * inline per record. */
+  private def resolve(e: Expr, env: Map[String, Expr], evalSub: Select => Any,
+      fns: Map[String, (Seq[String], Expr)] = Map.empty): Expr = {
+    def r(x: Expr): Expr = resolve(x, env, evalSub, fns)
     e match {
       case Ident(n) if env.contains(n) => env(n)
       case Subquery(sel)          => Resolved(evalSub(sel))
       case Bin(op, l, rr)         => Bin(op, r(l), r(rr))
       case Neg(x)                 => Neg(r(x))
       case Not(x)                 => Not(r(x))
+      case FnCall(n, args, _) if fns.contains(n.toLowerCase) =>
+        val (params, body) = fns(n.toLowerCase)
+        if (params.length != args.length)
+          throw TranslateException(s"$n expects ${params.length} args, got ${args.length}")
+        val bound = params.zip(args.map(r)).toMap
+        resolve(body, env ++ bound, evalSub, fns - n.toLowerCase) // no self-recursion
       case FnCall(n, args, s)     => FnCall(n, args.map(r), s)
       case MethodCall(t, m, args) => MethodCall(r(t), m, args.map(r))
       case PropAccess(t, n)       => PropAccess(r(t), n)
@@ -209,20 +218,21 @@ object Translator {
   }
 
   /** Compile one parsed SELECT over the catalog. */
-  def compile(spark: SparkSession, dir: String, cat: TypeCatalog, sel0: Select): DataFrame = {
+  def compile(spark: SparkSession, dir: String, cat: TypeCatalog, sel0: Select,
+      fns: Map[String, (Seq[String], Expr)] = Map.empty): DataFrame = {
     // Resolve LET bindings (in order; later bindings see earlier ones) and
     // evaluate scalar subqueries once each — then substitute through every
     // clause before translation.
     def evalSub(sub: Select): Any = {
-      val rows = compile(spark, dir, cat, sub).collect()
+      val rows = compile(spark, dir, cat, sub, fns).collect()
       if (rows.length != 1 || rows(0).size != 1)
         throw TranslateException(s"scalar subquery returned ${rows.length} rows")
       rows(0).get(0)
     }
     val env = sel0.lets.foldLeft(Map.empty[String, Expr]) { case (acc, (name, e)) =>
-      acc + (name -> resolve(e, acc, evalSub))
+      acc + (name -> resolve(e, acc, evalSub, fns))
     }
-    def rs(e: Expr): Expr = resolve(e, env, evalSub)
+    def rs(e: Expr): Expr = resolve(e, env, evalSub, fns)
     val sel = sel0.copy(
       projections = sel0.projections.map(pr => pr.copy(expr = rs(pr.expr))),
       where = sel0.where.map(rs),
@@ -277,17 +287,44 @@ object Translator {
   * reads, `GraftSql.execute(cat, ddl)` for schema DDL (reference
   * Create*TypeStatement.java / CreatePropertyStatement.java /
   * AlterTypeStatement.java / DropTypeStatement.java). */
+/** SQL-bodied named functions (DEFINE FUNCTION — reference
+  * function/FunctionRegistry.java + SQLFunctionDefinition.java): bodies
+  * are AST expressions inlined at compile time, so they optimize like any
+  * hand-written expression (no UDF boundary). */
+final class FunctionRegistry {
+  private var fns = Map.empty[String, (Seq[String], Expr)]
+  def define(name: String, params: Seq[String], body: Expr): Unit =
+    synchronized { fns += name.toLowerCase -> (params, body) }
+  def snapshot: Map[String, (Seq[String], Expr)] = fns
+}
+
 object GraftSql {
   def query(spark: SparkSession, dir: String, sql: String,
-      cat: TypeCatalog = TypeCatalog.default): DataFrame =
-    Translator.compile(spark, dir, cat, Parser.parse(sql))
+      cat: TypeCatalog = TypeCatalog.default,
+      fns: FunctionRegistry = new FunctionRegistry): DataFrame =
+    Translator.compile(spark, dir, cat, Parser.parse(sql), fns.snapshot)
 
   /** Execute one DDL statement against a (mutable) catalog:
     * CREATE DOCUMENT|VERTEX|EDGE TYPE n [EXTENDS p] |
-    * CREATE PROPERTY t.p dtype | ALTER TYPE n EXTENDS p | DROP TYPE n. */
-  def execute(cat: TypeCatalog, ddl: String): Unit = {
+    * CREATE PROPERTY t.p dtype | ALTER TYPE n EXTENDS p | DROP TYPE n |
+    * DEFINE FUNCTION name(p1, …) AS expr. */
+  def execute(cat: TypeCatalog, ddl: String,
+      fns: FunctionRegistry = new FunctionRegistry): Unit = {
     val p = new Parser.P(Parser.lex(ddl))
-    if (p.kw("CREATE")) {
+    if (p.kw("DEFINE")) {
+      p.expectKw("FUNCTION")
+      val name = Parser.ident(p)
+      p.expectOp("(")
+      val params = if (p.op(")")) Seq.empty else {
+        val b = Seq.newBuilder[String]
+        b += Parser.ident(p)
+        while (p.op(",")) b += Parser.ident(p)
+        p.expectOp(")")
+        b.result()
+      }
+      p.expectKw("AS")
+      fns.define(name, params, Parser.parseExpr(p))
+    } else if (p.kw("CREATE")) {
       if (p.kw("PROPERTY")) {
         val t = Parser.ident(p)
         p.expectOp(".")

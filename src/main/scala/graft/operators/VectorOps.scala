@@ -72,6 +72,68 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
+  /** IVF coarse quantizer: k centroids refined by `iters` Lloyd rounds.
+    * Deterministic: init = the first k vectors by id, fixed iteration
+    * count, no runtime randomness. Assignment is a broadcast of the tiny
+    * centroid table against a partitioned corpus scan; the centroid
+    * update is one partial+final aggregation per (cluster, dim). */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var centroids = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(corpus, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x")).as("cx"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
+        .select(col("cid"), expr("transform(s, p -> p.cx)").as("cv"))
+        .localCheckpoint(eager = true)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (broadcast centroids, row_number argmin,
+    * ties by cid). */
+  private def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** IVF ANN: probe the `nprobe` nearest inverted lists per query, exact
+    * cosine rescore inside them (index/vector/LSMVectorIndex.java plays
+    * this role single-node; inverted centroid lists are the distributed
+    * analog — candidates shrink by ~k/nprobe versus a full scan). */
+  def annIvf(emb: DataFrame, queries: DataFrame, k: Int, nClusters: Int,
+      nprobe: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroids(emb, nClusters, iters)
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val lists = assignClusters(corpus, centroids) // (vec_id, v, cid)
+    val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid"))
+    val probes = qv.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", vecCosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- norms / dimension / hygiene ----
@@ -164,6 +226,24 @@ object VectorOps {
     //      property check the verdict asked for. Note this corpus is
     //      near-random (worst case for LSH); recall here is the floor,
     //      not the typical clustered-embedding figure. ----
+    // ---- IVF ANN, self-scored as recall@10 vs the oracled exact kNN
+    //      (like q_vec_ann_lsh; same near-random-corpus recall caveat) ----
+    Q.noOracle("q_vec_ann_ivf") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = knnExact(e, queries, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = annIvf(e, queries, k = 10, nClusters = 16, nprobe = 6, iters = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("n_exact")), Seq("query_id"), "right_outer")
+        .na.fill(0, Seq("n_hit"))
+        .select(col("query_id"), col("n_hit"), col("n_exact"),
+          round(col("n_hit") / col("n_exact"), 4).as("recall"))
+        .orderBy("query_id")
+    },
+
     Q.noOracle("q_vec_ann_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 5)

@@ -114,6 +114,26 @@ object GraphAlgos {
           .otherwise(lit(0.0)).as("cc"))
   }
 
+  /** Walk counts per destination and depth (the set-oriented form of the
+    * reference's all-paths enumeration, GraphAlgorithms.java:513): w_h =
+    * w_{h-1} × A as repeated join+sum — matrix-power shape, one shuffle
+    * per depth, counts never materialize individual paths. */
+  def walkCounts(edges: DataFrame, sourceFilter: Column, vertices: DataFrame,
+      maxDepth: Int): DataFrame = {
+    var front = vertices.filter(sourceFilter)
+      .select(col("id"), lit(1L).as("walks"))
+    var acc: DataFrame = null
+    for (d <- 1 to maxDepth) {
+      front = front.join(edges.withColumnRenamed("src", "id"), Seq("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("walks")).as("walks"))
+        .localCheckpoint(eager = false)
+      val level = front.withColumn("depth", lit(d))
+      acc = if (acc == null) level else acc.unionByName(level)
+    }
+    acc.select("depth", "id", "walks")
+  }
+
   /** Weighted single-source shortest paths by distributed Bellman-Ford
     * relaxation, `iters` rounds == exact min-cost over paths of ≤ `iters`
     * edges (reference SQLFunctionDijkstra / GraphAlgorithms.java:981 —

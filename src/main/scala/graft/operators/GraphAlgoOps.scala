@@ -120,6 +120,21 @@ object GraphAlgoOps {
         .orderBy("id")
     },
 
+    // ---- walk counts per (depth, node): matrix-power join chain ----
+    Q("q_graph_walk_count",
+      s"""WITH RECURSIVE $ChainEdgesSql,
+         |r(id, d) AS (
+         |  SELECT 0, 0
+         |  UNION ALL
+         |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 4)
+         |SELECT d AS depth, id, count(*) AS walks FROM r WHERE d >= 1
+         |GROUP BY d, id ORDER BY depth, id""".stripMargin) { (s, d) =>
+      val (verts, canon) = nationChain(s, d)
+      GraphAlgos.walkCounts(
+        undirected(canon).select("src", "dst"), col("id") === 0, verts, maxDepth = 4)
+        .orderBy("depth", "id")
+    },
+
     // ---- label propagation, 3 synchronous rounds, pinned tie-break ----
     Q("q_graph_label_prop", {
       val iters = (1 to 3).map { i =>

@@ -83,6 +83,29 @@ object ImportOps {
         .orderBy("token")
     },
 
+    // ---- InfluxDB line protocol: generate → parse (LineProtocolParser) ----
+    Q("q_import_lineprotocol",
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("event_id") < 200)
+      val lines = ev.select(concat(
+        lit("events,event_id="), col("event_id"),
+        lit(",user_id="), col("user_id"),
+        lit(",event_type="), col("event_type"),
+        lit(" value="), col("value").cast("string"),
+        lit(" "), (unix_micros(col("ts")) * 1000).cast("string")).as("value"))
+      val dir = stateDir("lineproto", d)
+      lines.write.mode("overwrite").text(dir)
+      Importers.readLineProtocol(s, dir)
+        .select(
+          element_at(col("tags"), "event_id").cast("long").as("event_id"),
+          element_at(col("tags"), "user_id").cast("long").as("user_id"),
+          element_at(col("tags"), "event_type").as("event_type"),
+          element_at(col("fields"), "value").cast("double").as("value"),
+          col("ts"))
+        .orderBy("event_id")
+    },
+
     // ---- day-partitioned TS layout: range scan prunes partitions ----
     Q("q_ts_partition_prune",
       """SELECT event_type, count(*) AS n,

@@ -50,6 +50,28 @@ object Importers {
           .otherwise(regexp_extract(col("value"), "^<[^>]*>\\s+<[^>]*>\\s+\"([^\"]*)\"\\s*\\.\\s*$", 1))
           .as("obj"))
 
+  /** InfluxDB line protocol: `measurement,tag1=v1,… field1=1.5,… tsNanos`
+    * (engine/timeseries/LineProtocolParser.java — the reference's TS
+    * ingestion wire format). Tags/fields surface as map columns; the
+    * timestamp converts ns → µs TimestampType. One regex projection over
+    * a distributed text scan. */
+  def readLineProtocol(spark: SparkSession, path: String): DataFrame = {
+    def kvMap(c: org.apache.spark.sql.Column) =
+      map_from_entries(transform(split(c, ","),
+        kv => struct(split(kv, "=").getItem(0), split(kv, "=").getItem(1))))
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        regexp_extract(col("value"), "^([^, ]+)", 1).as("measurement"),
+        regexp_extract(col("value"), "^[^, ]+,([^ ]*) ", 1).as("rawTags"),
+        regexp_extract(col("value"), "^[^ ]+ ([^ ]+) ", 1).as("rawFields"),
+        regexp_extract(col("value"), " ([0-9]+)\\s*$", 1).cast("long").as("ts_nanos"))
+      .select(col("measurement"),
+        kvMap(col("rawTags")).as("tags"),
+        kvMap(col("rawFields")).as("fields"),
+        timestamp_micros(expr("ts_nanos div 1000")).as("ts"))
+  }
+
   /** GloVe/word2vec text: `token v1 v2 … vD` per line
     * (GloVeImporterFormat.java). Returns (token, vector). */
   def readGlove(spark: SparkSession, path: String): DataFrame =

@@ -69,13 +69,10 @@ object FullText {
   }
 
   /** Top-k BM25 search: rank on the ROUNDED score (engine-portable), ties
-    * by doc_id. Output: (doc_id, score, rank). */
-  def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    bm25Scores(docs, terms)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+    * by doc_id. Output: (doc_id, score, rank). TakeOrdered-shaped via
+    * [[TopK.ranked]] — the corpus is never sorted in one partition. */
+  def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    TopK.ranked(bm25Scores(docs, terms), k, "rank", col("score").desc, col("doc_id"))
 
   /** More-Like-This: the source document's top `maxQueryTerms` terms by
     * tf*idf (ties by term) become the query; the source doc is excluded

@@ -125,15 +125,30 @@ object TextPipeline {
               |    pmod(pm.a * pmod(hash(sh), ${MersennePrime}L) + pm.b, ${MersennePrime}L))))""".stripMargin))
   }
 
+  /** Max docs sharing one (band, bhash) bucket before the bucket is dropped
+    * — the band-join analog of [[DefaultShingleMaxDf]]. A degenerate bucket
+    * (near-empty docs hashing identically) is O(n²) in the self-join; a cap
+    * of 1000 bounds any bucket to ~500k candidate pairs while leaving real
+    * near-dup buckets (tiny) untouched. Pairs dropped here are still found
+    * through any OTHER band the pair shares — with 64 bands, a true near-dup
+    * pair sits in many buckets, so only corpus-degenerate signatures lose
+    * recall, and those are exactly the ones that would melt the cluster. */
+  val BandBucketCap = 1000
+
   /** LSH candidate pairs (64 bands × 2 rows) exact-verified by Jaccard on
-    * the shingle sets. */
+    * the shingle sets. Band buckets larger than [[BandBucketCap]] are
+    * dropped before the self-join (skew guard at 100 TB). */
   def minhashDupPairs(docs: DataFrame, minJac: Double): DataFrame = {
     val sigs = withMinhash(withShingles(docs).filter(size(col("shingles")) > 0))
       .select(col("doc_id"), col("shingles"), col("sig"))
       .persist()
-    val bands = sigs.select(col("doc_id"),
+    val bands0 = sigs.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 63), j -> hash(sig[2*j], sig[2*j+1], j))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val hot = bands0.groupBy("band", "bhash").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BandBucketCap)
+      .select("band", "bhash")
+    val bands = bands0.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash")

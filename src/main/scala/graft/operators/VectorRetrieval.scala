@@ -61,17 +61,18 @@ object VectorRetrieval {
       .filter(abs(col("w")) > threshold)
 
   /** Sparse top-k: score(corpus doc) = Σ_d q_d · w_d over shared dims.
-    * Postings are pruned to the query's dims before the join. */
+    * Postings are pruned to the query's dims before the join; the final
+    * rank is TakeOrdered-shaped ([[TopK.ranked]]) — no corpus-global
+    * single-partition sort. */
   def sparseTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val p = sparsePostings(emb, SparseThreshold)
     val q = p.filter(col("vec_id") === queryVecId)
       .select(col("dim"), col("w").as("qw"))
-    p.filter(col("vec_id") =!= queryVecId)
+    val scored = p.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(q), Seq("dim"))
       .groupBy("vec_id")
       .agg(round(sum(col("w") * col("qw")), 6).as("score"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("rn") <= k)
+    TopK.ranked(scored, k, "rn", col("score").desc, col("vec_id"))
   }
 
   /** Greedy MMR over one query's candidate group. Scores and pairwise
@@ -366,12 +367,11 @@ object VectorRetrieval {
       val joined = cand.join(kw, Seq("doc_id"), "left_outer")
         .withColumn("kscore", coalesce(col("kscore").cast("double"), lit(0.0)))
       val w = Window.partitionBy(lit(1))
-      joined
+      val fused = joined
         .withColumn("vn", minMaxNorm(col("vscore"), w))
         .withColumn("kn", minMaxNorm(col("kscore"), w))
         .withColumn("hybrid", round(lit(0.7) * col("vn") + lit(0.3) * col("kn"), 6))
-        .withColumn("rn", row_number().over(Window.orderBy(col("hybrid").desc, col("doc_id"))))
-        .filter(col("rn") <= 10)
+      TopK.ranked(fused, 10, "rn", col("hybrid").desc, col("doc_id"))
         .select("doc_id", "hybrid", "rn")
         .orderBy("rn")
     },
@@ -453,8 +453,7 @@ object VectorRetrieval {
         .crossJoin(broadcast(tgt))
         .withColumn("cos", round(vecCosine(col("t"), asDouble(col("embedding"))), 6))
         .select(col("vec_id").as("neighbor_id"), col("cos"))
-      scored.withColumn("rn", row_number().over(Window.orderBy(col("cos").desc, col("neighbor_id"))))
-        .filter(col("rn") <= 10).orderBy("rn")
+      TopK.ranked(scored, 10, "rn", col("cos").desc, col("neighbor_id")).orderBy("rn")
     },
 
     // ---- score transforms (ScoreTransform: sigmoid/tanh/exp) ----

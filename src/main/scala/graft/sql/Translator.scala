@@ -224,9 +224,11 @@ object Translator {
     // evaluate scalar subqueries once each — then substitute through every
     // clause before translation.
     def evalSub(sub: Select): Any = {
-      val rows = compile(spark, dir, cat, sub, fns).collect()
+      // limit(2) bounds the driver fetch: a mistaken non-scalar subquery
+      // fails fast instead of collecting an unbounded result set.
+      val rows = compile(spark, dir, cat, sub, fns).limit(2).collect()
       if (rows.length != 1 || rows(0).size != 1)
-        throw TranslateException(s"scalar subquery returned ${rows.length} rows")
+        throw TranslateException(s"scalar subquery returned ${rows.length} rows (expected 1x1)")
       rows(0).get(0)
     }
     val env = sel0.lets.foldLeft(Map.empty[String, Expr]) { case (acc, (name, e)) =>

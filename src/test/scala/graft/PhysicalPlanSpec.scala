@@ -65,6 +65,22 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("corpus-global top-k is TakeOrdered-shaped, never a single-partition sort") {
+    import graft.operators.{FullText, VectorRetrieval}
+    val searches = Seq(
+      "fulltext" -> FullText.search(Tables.documents(spark, sfDir), Seq("vector", "join"), 20),
+      "sparse"   -> VectorRetrieval.sparseTopK(Tables.embeddings(spark, sfDir), 0L, 20))
+    for ((name, q) <- searches) {
+      val plan = Explain.explain(q, "formatted")
+      assert(plan.contains("TakeOrderedAndProject"), s"$name: expected two-phase top-k:\n$plan")
+      // the rank window must NOT force the whole scored corpus into one
+      // partition: TakeOrderedAndProject already outputs SinglePartition in
+      // sort order, so no Exchange SinglePartition may appear anywhere
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name: global single-partition sort crept back in:\n$plan")
+    }
+  }
+
   test("profile exposes per-operator runtime metrics") {
     val metrics = Explain.profile(
       Tables.nation(spark, sfDir).groupBy("n_regionkey").count())

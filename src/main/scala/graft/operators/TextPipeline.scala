@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *     pairs come from band-bucket joins (tiny vs all-pairs) and are
   *     exact-verified on the shingle sets, so precision is exact and
   *     recall at j≥0.7 is 1-(1-0.7²)^64 ≈ 1 - 4e-19;
-  *   - SimHash = 64-bit signature; pairs found by 16-bit chunk banding
-  *     (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified by popcount.
+  *   - SimHash = 64-bit signature (md5-derived bits, engine-portable);
+  *     pairs found by 8-bit chunk banding (pigeonhole: hamming ≤ 7 ⇒ some
+  *     chunk equal), verified by popcount.
   */
 object TextPipeline {
 
@@ -168,19 +169,34 @@ object TextPipeline {
     out
   }
 
-  /** SimHash near-dup pairs: 8-bit chunk banding + hamming verify.
+  /** Engine-portable SimHash signature: 8 chunk values (0..255), one per
+    * 8-bit band of the 64-bit simhash. Per-token bits come from the md5 hex
+    * digest (bit b = bit b%4 of hex digit b/4), so DuckDB can replay the
+    * identical signature — md5 is the only hash both engines share.
+    * Bit b of the signature = 1 iff Σ_tokens (2·bit_b(md5(tok)) − 1) > 0
+    * (token multiplicity counts). Pure Column expressions — whole-stage
+    * codegen, no UDF boundary (the fnv1a `simhash64` UDF remains as the
+    * registered-UDF surface). */
+  private val simhashChunks: Column = expr(
+    """transform(sequence(0, 7), c ->
+      |  cast(aggregate(sequence(0, 7), 0, (acc, k) ->
+      |    acc + (CASE WHEN aggregate(md5s, 0, (s, h) ->
+      |      s + 2 * ((cast(conv(substring(h, (c*8+k) div 4 + 1, 1), 16, 10) as int)
+      |                >> ((c*8+k) % 4)) & 1) - 1) > 0
+      |    THEN shiftleft(1, k) ELSE 0 END)) as int))""".stripMargin)
+
+  /** SimHash near-dup pairs: 8-chunk banding + hamming verify.
     * Pigeonhole: 8 chunks guarantee a shared chunk for hamming <= 7, so
     * every pair with hamming <= maxHamming (<= 7) is found — banding
     * recall is exact, not probabilistic. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8-chunk banding only guarantees recall for hamming <= 7")
-    TextFunctions.register(docs.sparkSession)
     val sigs = withTokens(docs)
-      .withColumn("sig", callUDF("simhash64", col("toks")))
+      .withColumn("md5s", expr("transform(toks, t -> md5(t))"))
+      .withColumn("sig", simhashChunks)
       .select("doc_id", "sig")
       .persist()
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr("transform(sequence(0, 7), c -> (sig >> (c * 8)) & 255)")))
+    val chunks = sigs.select(col("doc_id"), col("sig"), posexplode(col("sig")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
     val out = chunks.alias("x")
       .join(chunks.alias("y"),
@@ -189,7 +205,8 @@ object TextPipeline {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sig").as("siga"), col("y.sig").as("sigb"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .withColumn("hamming",
+        expr("cast(aggregate(zip_with(siga, sigb, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x) as bigint)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .localCheckpoint()
@@ -236,7 +253,32 @@ object TextPipeline {
     },
 
     // ---- SimHash near-dup pairs (signature-specific; no SQL oracle) ----
-    Q.noOracle("q_dedup_simhash") { (s, d) =>
+    // ---- simhash near-dup: DuckDB replays the identical md5-derived
+    //      signature, banding, and hamming verify ----
+    Q("q_dedup_simhash",
+      """WITH tok AS (SELECT doc_id,
+        |    list_transform(string_split(lower(text), ' '), t -> md5(t)) AS md5s
+        |  FROM documents),
+        |sigs AS (SELECT doc_id,
+        |  list_transform(range(0, 8), c ->
+        |    CAST(list_sum(list_transform(range(0, 8), k ->
+        |      CASE WHEN COALESCE(list_sum(list_transform(md5s, h ->
+        |        2 * (((strpos('0123456789abcdef', h[(c*8+k) // 4 + 1]) - 1)
+        |              >> ((c*8+k) % 4)) & 1) - 1)), 0) > 0
+        |      THEN (1 << k) ELSE 0 END)) AS INT)) AS sig
+        |  FROM tok),
+        |chunks AS (SELECT doc_id, sig, t.c AS chunk, sig[t.c+1] AS cval
+        |           FROM sigs, UNNEST(range(0,8)) AS t(c)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.sig AS siga, y.sig AS sigb
+        |         FROM chunks x JOIN chunks y
+        |           ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(range(0,8),
+        |      c -> bit_count(xor(siga[c+1], sigb[c+1])))) AS BIGINT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       simhashDupPairs(Tables.documents(s, d), maxHamming = 6).orderBy("doc_a", "doc_b")
     },
 

@@ -7,39 +7,60 @@ import graft.sql.Parser.{ParseException, TEof, TId, TOp}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** openCypher front-end for the MATCH/RETURN core (the reference's second
-  * primary query surface — query/opencypher/planner/CypherExecutionPlanner
-  * .java:44, grammar Cypher25Parser.g4; SURVEY.md §3.2).
+/** openCypher front-end (the reference's second primary query surface —
+  * query/opencypher/planner/CypherExecutionPlanner.java:44, grammar
+  * Cypher25Parser.g4; SURVEY.md §3.2).
   *
-  * Supported: `MATCH` pattern chains `(a:label)-[r:type]->(b)` (both
-  * directions, multi-hop), additional `MATCH` / `OPTIONAL MATCH` clauses
-  * joined on shared variables (ExpandInto / OptionalMatchStep analogs),
-  * `WHERE`, `RETURN [DISTINCT]` with aggregates and Cypher's implicit
-  * grouping (non-aggregate items are the group key), `ORDER BY`, `SKIP`,
-  * `LIMIT`. Expressions reuse the dialect expression parser (`a.key`,
-  * functions, count(DISTINCT …)).
+  * Supported clause pipeline: any sequence of
+  *   - `MATCH` / `OPTIONAL MATCH` pattern chains
+  *     `(a:label {k: v})-[r:type]->(b)` (both directions, multi-hop,
+  *     variable-length `*lo..hi`, inline property predicates, named
+  *     relationship variables whose properties project as `r.prop`),
+  *     with an optional trailing `WHERE`;
+  *   - `WITH [DISTINCT] item, ... [WHERE ...]` — horizon projection with
+  *     Cypher's implicit grouping (reference cy/steps — aggregates in the
+  *     WITH list group by the non-aggregates; a bare pattern variable
+  *     carries ALL its columns through so later clauses can keep
+  *     expanding from it); the trailing WHERE filters the projected rows
+  *     (openCypher's HAVING analog);
+  *   - `UNWIND expr AS x` (reference cy/steps/UnwindStep.java:54) —
+  *     explodes a list expression into one row per element;
+  * terminated by `RETURN [DISTINCT]` with implicit grouping, `ORDER BY`,
+  * `SKIP`, `LIMIT`. Expressions reuse the dialect expression parser
+  * (`a.key`, functions, count(DISTINCT …), list literals `[...]`).
   *
   * Translation: each pattern chain becomes vertices⋈edges⋈vertices joins
   * over the [[PropertyGraph]] DataFrames with per-variable column
-  * prefixes; a later clause joins its chain to the accumulated frame on
-  * the shared variables' id columns (left_outer when OPTIONAL). Catalyst
-  * then owns join strategy — broadcast for small anchors, shuffle-hash
-  * otherwise — which is the distributed replacement for the reference's
-  * cost-based expansion-order rule (optimizer/rules/JoinOrderRule.java:58).
+  * prefixes (`v_id`, `v_key`, …; relationship variables contribute
+  * `r_<prop>` columns); a later clause joins its chain to the accumulated
+  * frame on the shared variables' id columns (left_outer when OPTIONAL).
+  * WITH is a groupBy/select on the accumulated frame — a pure horizon cut,
+  * no materialization. Catalyst then owns join strategy — broadcast for
+  * small anchors, shuffle-hash otherwise — the distributed replacement for
+  * the reference's cost-based expansion-order rule
+  * (optimizer/rules/JoinOrderRule.java:58).
   */
 object Cypher {
 
-  final case class NodePat(varName: Option[String], label: Option[String])
+  final case class NodePat(varName: Option[String], label: Option[String],
+      props: Seq[(String, Expr)] = Seq.empty)
   /** `hops = None` → single edge; `Some((lo, hi))` → variable-length
     * `*lo..hi` (walk semantics: edge composition, matching a recursive-CTE
-    * oracle; openCypher's relationship-uniqueness is not enforced). */
-  final case class RelPat(relType: Option[String], leftToRight: Boolean,
-      hops: Option[(Int, Int)] = None)
+    * oracle; openCypher's relationship-uniqueness is not enforced).
+    * `varName` (single-hop only) exposes edge properties as `r_<prop>`. */
+  final case class RelPat(varName: Option[String], relType: Option[String],
+      leftToRight: Boolean, hops: Option[(Int, Int)] = None)
   final case class PatternChain(nodes: Seq[NodePat], rels: Seq[RelPat], optional: Boolean)
   final case class ReturnItem(expr: Expr, alias: Option[String])
+
+  sealed trait Clause
+  final case class MatchC(chains: Seq[PatternChain], where: Option[Expr]) extends Clause
+  final case class WithC(items: Seq[ReturnItem], distinct: Boolean,
+      where: Option[Expr]) extends Clause
+  final case class UnwindC(expr: Expr, alias: String) extends Clause
+
   final case class CypherQuery(
-      patterns: Seq[PatternChain],
-      where: Option[Expr],
+      clauses: Seq[Clause],
       items: Seq[ReturnItem],
       distinct: Boolean,
       orderBy: Seq[OrderItem],
@@ -50,21 +71,31 @@ object Cypher {
 
   def parse(text: String): CypherQuery = {
     val p = new Parser.P(Parser.lex(text))
-    val patterns = Seq.newBuilder[PatternChain]
-    var where: Option[Expr] = None
-    var go = true
-    while (go) {
-      val optional = p.kw("OPTIONAL")
-      p.expectKw("MATCH")
-      patterns += parseChain(p, optional)
-      while (p.op(",")) patterns += parseChain(p, optional)
-      if (p.kw("WHERE")) {
-        val w = Parser.parseExpr(p)
-        where = Some(where.fold(w)(prev => Bin("AND", prev, w)))
-      }
-      go = p.peekKw("MATCH") || p.peekKw("OPTIONAL")
+    val clauses = Seq.newBuilder[Clause]
+    var done = false
+    while (!done) {
+      if (p.kw("RETURN")) done = true
+      else if (p.peekKw("MATCH") || p.peekKw("OPTIONAL")) {
+        val optional = p.kw("OPTIONAL")
+        p.expectKw("MATCH")
+        val chains = Seq.newBuilder[PatternChain]
+        chains += parseChain(p, optional)
+        while (p.op(",")) chains += parseChain(p, optional)
+        val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
+        clauses += MatchC(chains.result(), where)
+      } else if (p.kw("WITH")) {
+        val distinct = p.kw("DISTINCT")
+        val items = Seq.newBuilder[ReturnItem]
+        items += parseItem(p)
+        while (p.op(",")) items += parseItem(p)
+        val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
+        clauses += WithC(items.result(), distinct, where)
+      } else if (p.kw("UNWIND")) {
+        val e = Parser.parseExpr(p)
+        p.expectKw("AS")
+        clauses += UnwindC(e, Parser.ident(p))
+      } else throw ParseException(s"expected MATCH/WITH/UNWIND/RETURN, found ${p.peek}")
     }
-    p.expectKw("RETURN")
     val distinct = p.kw("DISTINCT")
     val items = Seq.newBuilder[ReturnItem]
     items += parseItem(p)
@@ -84,7 +115,7 @@ object Cypher {
     val skip = if (p.kw("SKIP")) Some(Parser.longLit(p)) else None
     val limit = if (p.kw("LIMIT")) Some(Parser.longLit(p)) else None
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
-    CypherQuery(patterns.result(), where, items.result(), distinct, orderBy, skip, limit)
+    CypherQuery(clauses.result(), items.result(), distinct, orderBy, skip, limit)
   }
 
   private def parseItem(p: Parser.P): ReturnItem = {
@@ -108,8 +139,7 @@ object Cypher {
         p.expectOp("]")
         p.expectOp("-")
         val ltr = p.op(">")
-        val _ = v // relationship variables accepted, not yet projectable
-        rels += RelPat(t, leftToRight = ltr, hops)
+        rels += RelPat(v, t, leftToRight = ltr, hops)
         nodes += parseNode(p)
       } else if (p.op("<")) {
         // <-[r:type]-
@@ -120,8 +150,7 @@ object Cypher {
         val hops = parseHops(p)
         p.expectOp("]")
         p.expectOp("-")
-        val _ = v
-        rels += RelPat(t, leftToRight = false, hops)
+        rels += RelPat(v, t, leftToRight = false, hops)
         nodes += parseNode(p)
       } else go = false
     }
@@ -150,46 +179,72 @@ object Cypher {
       case _ => None
     }
     val label = if (p.op(":")) Some(Parser.ident(p)) else None
+    // inline property predicate {k: lit, ...}
+    val props = if (p.op("{")) {
+      val b = Seq.newBuilder[(String, Expr)]
+      var more = true
+      while (more) {
+        val k = Parser.ident(p)
+        p.expectOp(":")
+        b += k -> Parser.parseExpr(p)
+        more = p.op(",")
+      }
+      p.expectOp("}")
+      b.result()
+    } else Seq.empty
     p.expectOp(")")
-    NodePat(v, label)
+    NodePat(v, label, props)
   }
 
   // ---------------- translator ----------------
 
   /** Rewrite `v.prop` property accesses into the flat `v_prop` columns
-    * the pattern join produces. */
-  private def flatten(e: Expr): Expr = e match {
-    case PropAccess(Ident(v), prop) => Ident(s"${v}_$prop")
-    case PropAccess(t, prop)        => PropAccess(flatten(t), prop)
-    case Ident(v)                   => Ident(s"${v}_id") // bare node var = its identity
-    case Bin(op, l, r)              => Bin(op, flatten(l), flatten(r))
-    case Neg(x)                     => Neg(flatten(x))
-    case Not(x)                     => Not(flatten(x))
-    case FnCall(n, args, s)         => FnCall(n, args.map(flatten), s)
-    case MethodCall(t, m, args)     => MethodCall(flatten(t), m, args.map(flatten))
-    case InList(x, es, n)           => InList(flatten(x), es.map(flatten), n)
-    case Between(x, lo, hi)         => Between(flatten(x), flatten(lo), flatten(hi))
-    case LikeOp(x, pat, ci)         => LikeOp(flatten(x), pat, ci)
-    case Matches(x, pat)            => Matches(flatten(x), pat)
-    case IsNull(x, n)               => IsNull(flatten(x), n)
-    case ContainsOp(x, k, a)        => ContainsOp(flatten(x), k, flatten(a))
-    case other                      => other
+    * the pattern join produces. `passThrough` names (WITH aliases, UNWIND
+    * variables) stay as-is — they are already scalar columns. */
+  private def flatten(e: Expr, passThrough: Set[String]): Expr = {
+    def f(x: Expr): Expr = flatten(x, passThrough)
+    e match {
+      case PropAccess(Ident(v), prop) if !passThrough(v) => Ident(s"${v}_$prop")
+      case PropAccess(t, prop)        => PropAccess(f(t), prop)
+      case Ident(v) if passThrough(v) => Ident(v)
+      case Ident(v)                   => Ident(s"${v}_id") // bare node var = its identity
+      case Bin(op, l, r)              => Bin(op, f(l), f(r))
+      case Neg(x)                     => Neg(f(x))
+      case Not(x)                     => Not(f(x))
+      case FnCall(n, args, s)         => FnCall(n, args.map(f), s)
+      case MethodCall(t, m, args)     => MethodCall(f(t), m, args.map(f))
+      case InList(x, es, n)           => InList(f(x), es.map(f), n)
+      case Between(x, lo, hi)         => Between(f(x), f(lo), f(hi))
+      case LikeOp(x, pat, ci)         => LikeOp(f(x), pat, ci)
+      case Matches(x, pat)            => Matches(f(x), pat)
+      case IsNull(x, n)               => IsNull(f(x), n)
+      case ContainsOp(x, k, a)        => ContainsOp(f(x), k, f(a))
+      case ArrayLit(es)               => ArrayLit(es.map(f))
+      case other                      => other
+    }
   }
 
   private var anon = 0
   private def freshVar(): String = synchronized { anon += 1; s"_anon$anon" }
 
-  /** One chain → joined DataFrame with v_* columns per node variable. */
-  private def chainFrame(g: PropertyGraph, chain: PatternChain): (DataFrame, Set[String]) = {
+  /** One chain → joined DataFrame with v_* columns per node variable and
+    * r_* columns per named single-hop relationship variable. */
+  private def chainFrame(g: PropertyGraph, chain: PatternChain)
+      : (DataFrame, Set[String], Set[String]) = {
     def nodeFrame(n: NodePat): (DataFrame, String) = {
       val v = n.varName.getOrElse(freshVar())
-      val base = n.label.fold(g.vertices)(l => g.vertices.filter(col("label") === l))
+      val labeled = n.label.fold(g.vertices)(l => g.vertices.filter(col("label") === l))
+      // inline props filter BEFORE the rename so it can push to the scan
+      val base = n.props.foldLeft(labeled) { case (d, (k, lv)) =>
+        d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+      }
       val renamed = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"${v}_$c"))
       (renamed, v)
     }
     val (first, v0) = nodeFrame(chain.nodes.head)
     var df = first
     var vars = Set(v0)
+    var relVars = Set.empty[String]
     var prevVar = v0
     chain.rels.zip(chain.nodes.tail).foreach { case (rel, node) =>
       val (nf, v) = nodeFrame(node)
@@ -197,7 +252,15 @@ object Cypher {
       val eAlias = freshVar()
       // variable-length: union of h-fold edge compositions for h in lo..hi
       val eBase = rel.hops match {
-        case None => e0.select(col("src"), col("dst"))
+        case None =>
+          rel.varName match {
+            case Some(rv) => // carry edge props as rv_* columns
+              relVars += rv
+              val propCols = e0.columns.filterNot(c => c == "src" || c == "dst")
+                .map(c => col(c).as(s"${rv}_$c"))
+              e0.select(col("src") +: col("dst") +: propCols.toIndexedSeq: _*)
+            case None => e0.select(col("src"), col("dst"))
+          }
         case Some((lo, hi)) =>
           require(lo >= 1 && hi >= lo && hi <= 8, s"unsupported hop range $lo..$hi")
           val one = e0.select(col("src"), col("dst"))
@@ -207,7 +270,9 @@ object Cypher {
                 .select(col("l.src").as("src"), col("r.dst").as("dst")))
           (lo to hi).map(compose).reduce(_ union _).distinct()
       }
-      val e = eBase.select(col("src").as(s"${eAlias}_src"), col("dst").as(s"${eAlias}_dst"))
+      val e = eBase
+        .withColumnRenamed("src", s"${eAlias}_src")
+        .withColumnRenamed("dst", s"${eAlias}_dst")
       val (fromCol, toCol) =
         if (rel.leftToRight) (s"${eAlias}_src", s"${eAlias}_dst")
         else (s"${eAlias}_dst", s"${eAlias}_src")
@@ -217,36 +282,77 @@ object Cypher {
       vars += v
       prevVar = v
     }
-    (df, vars)
+    (df, vars, relVars)
   }
 
   def compile(g: PropertyGraph, q: CypherQuery): DataFrame = {
-    // join chains on shared variables' id columns
     var acc: DataFrame = null
-    var bound = Set.empty[String]
-    q.patterns.foreach { chain =>
-      val (cf, vars) = chainFrame(g, chain)
-      if (acc == null) { acc = cf; bound = vars }
-      else {
-        val shared = (bound intersect vars).toSeq.sorted
-        val joinType = if (chain.optional) "left_outer" else "inner"
-        if (shared.isEmpty) acc = acc.crossJoin(cf)
-        else {
-          // join on the shared vars' identity; the chain frame carries its
-          // own copies of the shared columns — rename them away first so
-          // the join condition binds unambiguously, then drop them
-          val dup = cf.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_")))
-          val renamed = cf.withColumnsRenamed(dup.map(c => c -> s"__dup_$c").toMap)
-          val cond = shared.map(v => acc(s"${v}_id") === renamed(s"__dup_${v}_id")).reduce(_ && _)
-          acc = acc.join(renamed, cond, joinType)
-            .drop(dup.map(c => s"__dup_$c").toIndexedSeq: _*)
-        }
-        bound ++= vars
-      }
-    }
-    q.where.foreach(w => acc = acc.filter(graft.sql.Translator.toColumn(flatten(w))))
+    var nodeVars = Set.empty[String]  // vars with v_* columns (incl. v_id)
+    var relVars = Set.empty[String]   // rel vars with r_* prop columns
+    var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
+    def toCol(e: Expr): Column = graft.sql.Translator.toColumn(flatten(e, scalars))
 
-    val items = q.items.map(it => it.copy(expr = flatten(it.expr)))
+    q.clauses.foreach {
+      case MatchC(chains, where) =>
+        chains.foreach { chain =>
+          val (cf, vars, rvars) = chainFrame(g, chain)
+          if (acc == null) { acc = cf; nodeVars = vars }
+          else {
+            val shared = (nodeVars intersect vars).toSeq.sorted
+            val joinType = if (chain.optional) "left_outer" else "inner"
+            if (shared.isEmpty) acc = acc.crossJoin(cf)
+            else {
+              // join on the shared vars' identity; the chain frame carries
+              // its own copies of the shared columns — rename them away so
+              // the join condition binds unambiguously, then drop them
+              val dup = cf.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_")))
+              val renamed = cf.withColumnsRenamed(dup.map(c => c -> s"__dup_$c").toMap)
+              val cond = shared.map(v => acc(s"${v}_id") === renamed(s"__dup_${v}_id")).reduce(_ && _)
+              acc = acc.join(renamed, cond, joinType)
+                .drop(dup.map(c => s"__dup_$c").toIndexedSeq: _*)
+            }
+            nodeVars ++= vars
+          }
+          relVars ++= rvars
+        }
+        where.foreach(w => acc = acc.filter(toCol(w)))
+
+      case UnwindC(e, a) =>
+        acc =
+          if (acc == null) g.vertices.sparkSession.range(1).select(explode(toCol(e)).as(a))
+          else acc.withColumn(a, explode(toCol(e)))
+        scalars += a
+
+      case WithC(items, distinct, where) =>
+        // bare pattern variables carry all their columns; everything else
+        // projects to a scalar column named by its alias
+        val carried = items.collect {
+          case ReturnItem(Ident(v), None) if nodeVars(v) || relVars(v) => v }
+        val scalarItems = items.filterNot {
+          case ReturnItem(Ident(v), None) => nodeVars(v) || relVars(v)
+          case _ => false
+        }
+        def name(it: ReturnItem): String = it.alias.getOrElse(exprLabel(it.expr))
+        val carriedCols = carried.flatMap(v =>
+          acc.columns.filter(_.startsWith(s"${v}_")).map(col))
+        val hasAgg = scalarItems.exists(it => graft.sql.Translator.containsAgg(it.expr))
+        acc =
+          if (hasAgg) { // implicit grouping: non-aggregates are the keys
+            val keys = carriedCols ++ scalarItems.collect {
+              case it if !graft.sql.Translator.containsAgg(it.expr) => toCol(it.expr).as(name(it)) }
+            val aggs = scalarItems.collect {
+              case it if graft.sql.Translator.containsAgg(it.expr) => toCol(it.expr).as(name(it)) }
+            if (keys.isEmpty) acc.agg(aggs.head, aggs.tail: _*)
+            else acc.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          } else acc.select(carriedCols ++ scalarItems.map(it => toCol(it.expr).as(name(it))): _*)
+        nodeVars = carried.filter(nodeVars).toSet
+        relVars = carried.filter(relVars).toSet
+        scalars = scalarItems.map(name).toSet
+        if (distinct) acc = acc.distinct()
+        where.foreach(w => acc = acc.filter(toCol(w)))
+    }
+
+    val items = q.items.map(it => it.copy(expr = flatten(it.expr, scalars)))
     val hasAgg = items.exists(it => graft.sql.Translator.containsAgg(it.expr))
     def name(it: ReturnItem, i: Int): String = it.alias.getOrElse(exprLabel(q.items(i).expr))
     var out =
@@ -267,7 +373,7 @@ object Cypher {
       out = out.orderBy(q.orderBy.map { o =>
         val c = o.expr match {
           case Ident(n) if out.columns.contains(n) => col(n)
-          case other => graft.sql.Translator.toColumn(flatten(other))
+          case other => graft.sql.Translator.toColumn(flatten(other, scalars))
         }
         if (o.asc) c.asc else c.desc
       }: _*)

@@ -112,12 +112,18 @@ object PropertyGraph {
     val parts = Tables.part(spark, dir)
       .select(vid(TPart, col("p_partkey")).as("id"), lit("part").as("label"),
         col("p_partkey").as("key"), col("p_name").as("name"))
+    // edge property `qty`: total quantity for a contains edge (decimal-exact
+    // sum, the library-wide parity rule), order total for a placed edge —
+    // gives relationship variables something to project (`r.qty`)
     val placed = Tables.orders(spark, dir)
       .select(vid(TCust, col("o_custkey")).as("src"), vid(TOrder, col("o_orderkey")).as("dst"),
-        lit("placed").as("label"))
+        lit("placed").as("label"),
+        col("o_totalprice").cast("double").as("qty"))
     val contains = Tables.lineitem(spark, dir)
-      .select(vid(TOrder, col("l_orderkey")).as("src"), vid(TPart, col("l_partkey")).as("dst"),
-        lit("contains").as("label")).distinct()
+      .groupBy(vid(TOrder, col("l_orderkey")).as("src"), vid(TPart, col("l_partkey")).as("dst"))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+        .cast("double").as("qty"))
+      .select(col("src"), col("dst"), lit("contains").as("label"), col("qty"))
     PropertyGraph(cust.union(ords).union(parts), placed.union(contains))
   }
 

@@ -81,6 +81,59 @@ object CypherOps {
           "RETURN DISTINCT b.key AS p_partkey ORDER BY p_partkey")
     },
 
+    // ---- WITH pipeline: aggregate a horizon, then keep expanding from the
+    //      carried node variable (UnwindStep/WITH-chaining analog) ----
+    Q("q_cypher_with",
+      """WITH f AS (
+        |  SELECT c_custkey, count(*) AS nf
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE o_orderstatus = 'F' AND c_custkey < 200
+        |  GROUP BY 1)
+        |SELECT f.c_custkey, nf, count(*) AS total
+        |FROM f JOIN orders ON o_custkey = f.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)(
+      cy("""MATCH (c:customer)-[:placed]->(o:order)
+           | WHERE o.name = 'F' AND c.key < 200
+           | WITH c, count(*) AS nf
+           | MATCH (c)-[:placed]->(o2:order)
+           | RETURN c.key AS c_custkey, nf, count(*) AS total
+           | ORDER BY c_custkey""".stripMargin.replace("\n", ""))),
+
+    // ---- WITH ... WHERE (the HAVING analog on the projected horizon) ----
+    Q("q_cypher_with_where",
+      """SELECT c_custkey AS ck, count(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 HAVING count(*) >= 15 ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer)-[:placed]->(o:order)
+           | WITH c.key AS ck, count(*) AS n WHERE n >= 15
+           | RETURN ck, n ORDER BY ck""".stripMargin.replace("\n", ""))),
+
+    // ---- UNWIND a collected list back into rows (UnwindStep.java:54) ----
+    Q("q_cypher_unwind",
+      """SELECT c_custkey AS k, c_custkey * 2 AS dbl
+        |FROM customer WHERE c_custkey <= 10 ORDER BY k""".stripMargin)(
+      cy("""MATCH (c:customer) WHERE c.key <= 10
+           | WITH collect(c.key) AS ks
+           | UNWIND ks AS k
+           | RETURN k, k * 2 AS dbl ORDER BY k""".stripMargin.replace("\n", ""))),
+
+    // ---- relationship variable: project an edge property ----
+    Q("q_cypher_rel_var",
+      """SELECT l_orderkey AS o_orderkey, l_partkey AS p_partkey,
+        |  sum(l_quantity::DECIMAL(28,4))::DOUBLE AS qty
+        |FROM lineitem WHERE l_orderkey < 50
+        |GROUP BY 1, 2 ORDER BY o_orderkey, p_partkey""".stripMargin)(
+      cy("""MATCH (o:order)-[r:contains]->(p:part)
+           | WHERE o.key < 50
+           | RETURN o.key AS o_orderkey, p.key AS p_partkey, r.qty AS qty
+           | ORDER BY o_orderkey, p_partkey""".stripMargin.replace("\n", ""))),
+
+    // ---- inline property predicate {k: v} on a pattern node ----
+    Q("q_cypher_inline_props",
+      "SELECT o_orderkey FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey")(
+      cy("""MATCH (c:customer {key: 42})-[:placed]->(o:order)
+           | RETURN o.key AS o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
+
     // ---- predicate on both pattern endpoints + top-k on the aggregate ----
     Q("q_cypher_filter_order",
       """SELECT c_custkey, count(*) AS n

@@ -35,6 +35,8 @@ object Ast {
   final case class IsNull(e: Expr, negated: Boolean)            extends Expr
   /** CONTAINS on collections (CONTAINSALL/CONTAINSANY variants). */
   final case class ContainsOp(e: Expr, kind: String, arg: Expr) extends Expr
+  /** List literal `[e1, e2, ...]`. */
+  final case class ArrayLit(items: Seq[Expr])                   extends Expr
 
   /** Scalar subquery `(SELECT …)` — resolved to a [[Resolved]] literal at
     * compile time (the reference evaluates global LET subqueries once,

@@ -268,6 +268,9 @@ object Parser {
     case TOp("(") =>
       if (p.peekKw("SELECT")) { val s = parseSelect(p); p.expectOp(")"); Subquery(s) }
       else { val e = parseExpr(p); p.expectOp(")"); e }
+    case TOp("[") => // list literal
+      if (p.op("]")) ArrayLit(Seq.empty)
+      else { val es = parseExprList(p); p.expectOp("]"); ArrayLit(es) }
     case TId(id) if id.equalsIgnoreCase("NULL")  => NullLit
     case TId(id) if id.equalsIgnoreCase("TRUE")  => BoolLit(true)
     case TId(id) if id.equalsIgnoreCase("FALSE") => BoolLit(false)

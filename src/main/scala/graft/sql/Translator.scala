@@ -28,7 +28,7 @@ object Translator {
   final case class TranslateException(msg: String) extends RuntimeException(msg)
 
   private val AggFns = Set("count", "sum", "avg", "min", "max", "first", "last",
-    "median", "percentile", "stddev", "variance", "list", "set")
+    "median", "percentile", "stddev", "variance", "list", "set", "collect")
 
   def containsAgg(e: Expr): Boolean = e match {
     case FnCall(n, args, _) =>
@@ -44,6 +44,7 @@ object Translator {
     case Matches(x, p) => containsAgg(x) || containsAgg(p)
     case IsNull(x, _) => containsAgg(x)
     case ContainsOp(x, _, a) => containsAgg(x) || containsAgg(a)
+    case ArrayLit(es) => es.exists(containsAgg)
     case _ => false // Subquery/Resolved are scalars by construction
   }
 
@@ -76,6 +77,7 @@ object Translator {
       case Matches(x, pat)        => Matches(r(x), pat)
       case IsNull(x, n)           => IsNull(r(x), n)
       case ContainsOp(x, k, a)    => ContainsOp(r(x), k, r(a))
+      case ArrayLit(es)           => ArrayLit(es.map(r))
       case other                  => other
     }
   }
@@ -118,6 +120,7 @@ object Translator {
     case ContainsOp(x, "ALL", a) => forall(toColumn(a), v => array_contains(toColumn(x), v))
     case ContainsOp(x, "ANY", a) => exists(toColumn(a), v => array_contains(toColumn(x), v))
     case ContainsOp(_, k, _)     => throw TranslateException(s"unknown CONTAINS kind $k")
+    case ArrayLit(es)        => array(es.map(toColumn): _*)
     case FnCall(n, args, star) => fn(n.toLowerCase, args, star)
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access

@@ -12,11 +12,24 @@ class CypherSpec extends AnyFunSuite {
     val q = Cypher.parse(
       "MATCH (a:customer)-[:placed]->(b:order) OPTIONAL MATCH (b)-[:contains]->(p:part) " +
         "WHERE a.key < 10 RETURN a.key AS k, count(DISTINCT p.key) AS n ORDER BY k SKIP 1 LIMIT 5")
-    assert(q.patterns.length == 2)
-    assert(q.patterns(1).optional)
-    assert(q.where.isDefined)
+    val matches = q.clauses.collect { case m: Cypher.MatchC => m }
+    assert(matches.length == 2)
+    assert(matches(1).chains.head.optional)
+    assert(matches(1).where.isDefined)
     assert(q.items.map(_.alias) == Seq(Some("k"), Some("n")))
     assert(q.skip.contains(1L) && q.limit.contains(5L))
+  }
+
+  test("WITH carries variables, UNWIND explodes literals, inline props filter") {
+    val g = PropertyGraph.fromTpch(spark, sfDir)
+    val lits = Cypher.query(g, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+    assert(lits.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val carried = Cypher.query(g,
+      "MATCH (c:customer)-[:placed]->(o:order) WITH c, o WHERE c.key = 1 " +
+        "RETURN c.key AS ck, count(*) AS n")
+    val direct = Cypher.query(g,
+      "MATCH (c:customer {key: 1})-[:placed]->(o:order) RETURN c.key AS ck, count(*) AS n")
+    assert(carried.collect().toSeq == direct.collect().toSeq)
   }
 
   test("reverse direction parses to the same join as forward") {

@@ -120,6 +120,98 @@ object SqlOps {
             | round((l_extendedprice * (1 - l_discount)).asDecimal(), 2).asFloat() AS net,
             | l_returnflag || '/' || l_linestatus AS flags
             | FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_orderkey < 200
-            | ORDER BY l_orderkey, l_linenumber, net""".stripMargin.replace("\n", "")))
+            | ORDER BY l_orderkey, l_linenumber, net""".stripMargin.replace("\n", ""))),
+
+    // ---- the SQL dialect's own MATCH statement (MatchExecutionPlanner),
+    //      compiled onto the shared Cypher pattern backend ----
+    Q("q_sql_match",
+      """SELECT c_custkey, count(DISTINCT l_partkey) AS n_parts
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_custkey <= 50 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpch(s, d),
+        """MATCH {type: customer, as: c, where: (key <= 50)}
+          | -placed->{type: order, as: o}
+          | .out('contains'){type: part, as: p}
+          | RETURN c.key AS c_custkey, count(DISTINCT p.key) AS n_parts
+          | ORDER BY c_custkey""".stripMargin.replace("\n", ""))
+    },
+
+    // ---- INSERT INTO … VALUES through the parser (InsertExecutionPlanner)
+    //      — result is the post-insert table state re-read via the dialect ----
+    Q("q_sql_insert",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL SELECT 90, 'GRAFTLAND', 1
+        |  UNION ALL SELECT 91, 'DUCKLAND', 2)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val cat = writable(s, d, graft.Tables.nation(s, d), "nation_w", "sql_ins")
+      GraftSql.statement(s, d,
+        "INSERT INTO nation_w (n_nationkey, n_name, n_regionkey) " +
+          "VALUES (90, 'GRAFTLAND', 1), (91, 'DUCKLAND', 2)", cat)
+      GraftSql.query(s, d,
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_w ORDER BY n_nationkey", cat)
+    },
+
+    // ---- UPDATE … SET … UPSERT WHERE (UpsertStep: hit → update,
+    //      miss → insert the key-carrying record) ----
+    Q("q_sql_update_upsert",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey <> 7
+        |  UNION ALL
+        |  SELECT 7, 'KINGDOM OF GRAFT', n_regionkey FROM nation WHERE n_nationkey = 7
+        |  UNION ALL
+        |  SELECT 98, 'DUCKLANDIA', NULL)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val cat = writable(s, d, graft.Tables.nation(s, d), "nation_u", "sql_ups")
+      GraftSql.statement(s, d,
+        "UPDATE nation_u SET n_name = 'KINGDOM OF GRAFT' UPSERT WHERE n_nationkey = 7", cat)
+      GraftSql.statement(s, d,
+        "UPDATE nation_u SET n_name = 'DUCKLANDIA' UPSERT WHERE n_nationkey = 98", cat)
+      GraftSql.query(s, d,
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_u ORDER BY n_nationkey", cat)
+    },
+
+    // ---- UPDATE … RETURN AFTER WHERE (post-images, not the state) ----
+    Q("q_sql_update_returning",
+      """SELECT o_orderkey, round(o_totalprice * 0.95, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey < 300 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val src = graft.Tables.orders(s, d).filter(col("o_orderkey") < 300)
+      val cat = writable(s, d, src, "orders_r", "sql_upd_ret")
+      GraftSql.statement(s, d,
+        "UPDATE orders_r SET o_totalprice = round(o_totalprice * 0.95, 2) " +
+          "RETURN AFTER WHERE o_orderkey < 300 AND o_orderstatus = 'O'", cat)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- DELETE FROM … WHERE through the parser (DeleteExecutionPlanner) ----
+    Q("q_sql_delete",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 600 AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val src = graft.Tables.orders(s, d).filter(col("o_orderkey") < 600)
+      val cat = writable(s, d, src, "orders_w", "sql_del")
+      GraftSql.statement(s, d,
+        "DELETE FROM orders_w WHERE o_orderstatus = 'F' AND o_totalprice < 100000", cat)
+      GraftSql.query(s, d,
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_w ORDER BY o_orderkey", cat)
+    }
   )
+
+  /** Register a writable state-dir copy of `source` as catalog type
+    * `typeName` (the DML statements' mutation target — the sf tables
+    * themselves are read-only). */
+  private def writable(s: org.apache.spark.sql.SparkSession, d: String,
+      source: org.apache.spark.sql.DataFrame, typeName: String, q: String): graft.schema.TypeCatalog = {
+    val state = s"/tmp/graft_state/${q}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.MutableTable.copyOf(s, source, state)
+    val cat = graft.schema.TypeCatalog.fresh()
+    cat.createType(typeName, "DOCUMENT", path = Some(_ => state))
+    cat
+  }
 }

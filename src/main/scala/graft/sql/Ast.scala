@@ -48,6 +48,19 @@ object Ast {
   final case class Projection(expr: Expr, alias: Option[String])
   final case class OrderItem(expr: Expr, asc: Boolean)
 
+  /** DML statements (reference InsertExecutionPlanner.java,
+    * UpdateExecutionPlanner.java, DeleteExecutionPlanner.java; grammar
+    * SQLParser.g4 insertStatement/updateStatement/deleteStatement). */
+  sealed trait Stmt
+  /** INSERT INTO t [(cols)] VALUES (…),(…) | INSERT INTO t [(cols)] [FROM] SELECT …. */
+  final case class InsertStmt(target: String, cols: Seq[String],
+      values: Seq[Seq[Expr]], from: Option[Select]) extends Stmt
+  /** UPDATE t SET c = e, … [UPSERT] [RETURN BEFORE|AFTER|COUNT] [WHERE …]. */
+  final case class UpdateStmt(target: String, sets: Seq[(String, Expr)],
+      upsert: Boolean, ret: String, where: Option[Expr]) extends Stmt
+  /** DELETE FROM t [WHERE …]. */
+  final case class DeleteStmt(target: String, where: Option[Expr]) extends Stmt
+
   final case class Select(
       projections: Seq[Projection], // empty = SELECT *
       from: String,

@@ -97,6 +97,75 @@ object Parser {
     sel
   }
 
+  /** Parse one statement: SELECT or a DML statement (INSERT/UPDATE/DELETE
+    * — reference grammar SQLParser.g4 insertStatement:312,
+    * updateStatement:284, deleteStatement:334). */
+  def parseStatement(sql: String): Either[Select, Stmt] = {
+    val p = new P(lex(sql))
+    val r: Either[Select, Stmt] =
+      if (p.peekKw("SELECT")) Left(parseSelect(p))
+      else if (p.kw("INSERT")) {
+        p.expectKw("INTO")
+        val t = ident(p)
+        val cols = if (p.op("(")) {
+          val b = Seq.newBuilder[String]
+          b += ident(p)
+          while (p.op(",")) b += ident(p)
+          p.expectOp(")")
+          b.result()
+        } else Seq.empty
+        if (p.kw("VALUES")) {
+          val rows = Seq.newBuilder[Seq[Expr]]
+          var more = true
+          while (more) {
+            p.expectOp("(")
+            rows += parseExprList(p)
+            p.expectOp(")")
+            more = p.op(",")
+          }
+          Right(InsertStmt(t, cols, rows.result(), None))
+        } else {
+          p.kw("FROM") // the dialect's optional `INSERT INTO t FROM SELECT …`
+          Right(InsertStmt(t, cols, Seq.empty, Some(parseSelect(p))))
+        }
+      } else if (p.kw("UPDATE")) {
+        val t = ident(p)
+        p.expectKw("SET")
+        val sets = Seq.newBuilder[(String, Expr)]
+        var more = true
+        while (more) {
+          val c = ident(p)
+          p.expectOp("=")
+          sets += c -> parseExpr(p)
+          more = p.op(",")
+        }
+        // trailing modifiers in any order (the reference grammar fixes an
+        // order; accepting any is a superset)
+        var upsert = false
+        var ret = "COUNT"
+        var where: Option[Expr] = None
+        var go = true
+        while (go) {
+          if (p.kw("UPSERT")) upsert = true
+          else if (p.kw("RETURN")) {
+            ret =
+              if (p.kw("BEFORE")) "BEFORE"
+              else if (p.kw("AFTER")) "AFTER"
+              else { p.expectKw("COUNT"); "COUNT" }
+          } else if (p.kw("WHERE")) where = Some(parseExpr(p))
+          else go = false
+        }
+        Right(UpdateStmt(t, sets.result(), upsert, ret, where))
+      } else if (p.kw("DELETE")) {
+        p.expectKw("FROM")
+        val t = ident(p)
+        val where = if (p.kw("WHERE")) Some(parseExpr(p)) else None
+        Right(DeleteStmt(t, where))
+      } else throw ParseException(s"expected SELECT/INSERT/UPDATE/DELETE, found ${p.peek}")
+    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
+    r
+  }
+
   private val Keywords = Set(
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SKIP", "OFFSET", "LIMIT",
     "BY", "ASC", "DESC", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE",

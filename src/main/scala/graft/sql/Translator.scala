@@ -286,6 +286,74 @@ object Translator {
     case Ident(n) if df.columns.contains(n) => col(n)
     case other => toColumn(other)
   }
+
+  /** Execute one DML statement against the catalog type's backing storage
+    * via [[graft.sources.MutableTable]] (reference
+    * InsertExecutionPlanner.java:60, UpdateExecutionPlanner.java:50 with
+    * UpsertStep.java:37, DeleteExecutionPlanner.java). Returns what the
+    * reference returns: INSERT → the inserted records, UPDATE → the
+    * BEFORE/AFTER images or a count row, DELETE → a count row. */
+  def executeDml(spark: SparkSession, dir: String, cat: TypeCatalog,
+      st: Stmt): DataFrame = {
+    def table(name: String) = {
+      val path = cat(name).path.getOrElse(
+        throw TranslateException(s"type $name has no storage")) (dir)
+      new graft.sources.MutableTable(spark, path)
+    }
+    def countRow(n: Long): DataFrame = spark.range(1).select(lit(n).as("count"))
+    st match {
+      case InsertStmt(t, cols, rows, fromSel) =>
+        val tab = table(t)
+        val schema = tab.df.schema
+        val staged = fromSel match {
+          case Some(sel) =>
+            val src = compile(spark, dir, cat, sel)
+            src.select(schema.map(f =>
+              (if (src.columns.contains(f.name)) col(f.name).cast(f.dataType)
+               else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+          case None =>
+            if (cols.isEmpty) throw TranslateException("INSERT VALUES needs a column list")
+            rows.map { vs =>
+              if (vs.length != cols.length)
+                throw TranslateException(s"INSERT row has ${vs.length} values for ${cols.length} columns")
+              val m = cols.zip(vs).toMap
+              spark.range(1).select(schema.map(f =>
+                m.get(f.name).map(e => toColumn(e).cast(f.dataType))
+                  .getOrElse(lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+            }.reduce(_ unionByName _)
+        }
+        val out = staged.localCheckpoint(true)
+        tab.insert(out)
+        out
+      case UpdateStmt(t, sets, upsert, ret, where) =>
+        val tab = table(t)
+        val setCols = sets.map { case (c, e) => c -> toColumn(e) }
+        if (upsert) {
+          val w = where.getOrElse(throw TranslateException("UPSERT requires WHERE"))
+          countRow(tab.upsert(equalityKeys(w).map { case (c, e) => c -> toColumn(e) }.toMap, setCols))
+        } else {
+          val w = where.map(toColumn).getOrElse(lit(true))
+          val (n, before, after) = tab.update(w, setCols)
+          ret match {
+            case "BEFORE" => before
+            case "AFTER"  => after
+            case _        => countRow(n)
+          }
+        }
+      case DeleteStmt(t, where) =>
+        countRow(table(t).delete(where.map(toColumn).getOrElse(lit(true))))
+    }
+  }
+
+  /** UPSERT key = the WHERE clause's conjunctive equality predicates
+    * (UpsertStep.createNewRecord derives the new record from exactly
+    * these). */
+  private def equalityKeys(e: Expr): Seq[(String, Expr)] = e match {
+    case Bin("AND", l, r)      => equalityKeys(l) ++ equalityKeys(r)
+    case Bin("=", Ident(c), v) => Seq(c -> v)
+    case Bin("=", v, Ident(c)) => Seq(c -> v)
+    case other => throw TranslateException(s"UPSERT WHERE must be conjunctive equalities, got $other")
+  }
 }
 
 /** Session-facing entry: `GraftSql.query(spark, dir, "SELECT …")` for
@@ -308,6 +376,16 @@ object GraftSql {
       cat: TypeCatalog = TypeCatalog.default,
       fns: FunctionRegistry = new FunctionRegistry): DataFrame =
     Translator.compile(spark, dir, cat, Parser.parse(sql), fns.snapshot)
+
+  /** Execute one SELECT or DML statement (INSERT/UPDATE/DELETE route to
+    * the type's writable storage via MutableTable). */
+  def statement(spark: SparkSession, dir: String, sql: String,
+      cat: TypeCatalog = TypeCatalog.default,
+      fns: FunctionRegistry = new FunctionRegistry): DataFrame =
+    Parser.parseStatement(sql) match {
+      case Left(sel) => Translator.compile(spark, dir, cat, sel, fns.snapshot)
+      case Right(st) => Translator.executeDml(spark, dir, cat, st)
+    }
 
   /** Execute one DDL statement against a (mutable) catalog:
     * CREATE DOCUMENT|VERTEX|EDGE TYPE n [EXTENDS p] |

@@ -62,4 +62,51 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"), plan)
     assert(plan.contains("LessThan(o_orderkey,100)"), plan)
   }
+
+  test("DML statements parse: INSERT VALUES / FROM SELECT, UPDATE modifiers, DELETE") {
+    import graft.sql.Ast._
+    val ins = Parser.parseStatement(
+      "INSERT INTO t (a, b) VALUES (1, 'x'), (2, 'y')")
+    assert(ins == Right(InsertStmt("t", Seq("a", "b"),
+      Seq(Seq(NumLit(1, true), StrLit("x")), Seq(NumLit(2, true), StrLit("y"))), None)))
+    val Right(fromSel: InsertStmt) = Parser.parseStatement(
+      "INSERT INTO t FROM SELECT a, b FROM u WHERE a > 1"): @unchecked
+    assert(fromSel.from.isDefined && fromSel.values.isEmpty)
+    val Right(upd: UpdateStmt) = Parser.parseStatement(
+      "UPDATE t SET a = a + 1, b = 'z' UPSERT RETURN AFTER WHERE a = 5"): @unchecked
+    assert(upd.upsert && upd.ret == "AFTER" && upd.sets.length == 2 && upd.where.isDefined)
+    val Right(del: DeleteStmt) = Parser.parseStatement(
+      "DELETE FROM t WHERE a < 0"): @unchecked
+    assert(del.where.isDefined)
+  }
+
+  test("INSERT FROM SELECT and RETURN BEFORE execute against writable state") {
+    import graft.schema.TypeCatalog
+    import graft.sources.MutableTable
+    val state = "/tmp/graft_state/spec_dml_ins"
+    MutableTable.copyOf(spark, Tables.nation(spark, sfDir), state)
+    val cat = TypeCatalog.fresh()
+    cat.createType("nation_spec", "DOCUMENT", path = Some(_ => state))
+    val inserted = GraftSql.statement(spark, sfDir,
+      "INSERT INTO nation_spec FROM SELECT n_nationkey + 100 AS n_nationkey, n_name FROM nation WHERE n_nationkey < 2", cat)
+    assert(inserted.count() == 2)
+    assert(GraftSql.query(spark, sfDir, "SELECT n_nationkey FROM nation_spec", cat).count() == 27)
+    val before = GraftSql.statement(spark, sfDir,
+      "UPDATE nation_spec SET n_name = 'X' RETURN BEFORE WHERE n_nationkey = 0", cat)
+    assert(before.collect().head.getAs[String]("n_name") != "X")
+    assert(GraftSql.statement(spark, sfDir,
+      "DELETE FROM nation_spec WHERE n_nationkey >= 100", cat)
+      .collect().head.getAs[Long]("count") == 2L)
+  }
+
+  test("SQL MATCH .out/.in method form matches the arrow form") {
+    val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
+    val arrow = graft.sql.Match.query(g,
+      "MATCH {type: order, as: o}-contains->{type: part, as: p, where: (key < 20)} " +
+        "RETURN p.key AS k, count(*) AS n ORDER BY k")
+    val method = graft.sql.Match.query(g,
+      "MATCH {type: part, as: p, where: (key < 20)}.in('contains'){type: order, as: o} " +
+        "RETURN p.key AS k, count(*) AS n ORDER BY k")
+    assert(arrow.collect().toSeq == method.collect().toSeq)
+  }
 }

@@ -122,6 +122,79 @@ object SqlOps {
             | FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_orderkey < 200
             | ORDER BY l_orderkey, l_linenumber, net""".stripMargin.replace("\n", ""))),
 
+    // ---- breadth of the function registry through the parser: math,
+    //      string, crypto, date, collection families in one projection
+    //      (DefaultSQLFunctionFactory.java:187 registers ~200 names; these
+    //      are the most-used tail mapped to Spark built-ins) ----
+    Q("q_sql_funcs_wide",
+      """SELECT o_orderkey,
+        |  sign(o_totalprice - 150000)::DOUBLE AS sgn,
+        |  round(ln(o_orderkey + 1), 6) AS lnv,
+        |  round(log10(o_orderkey + 1), 6) AS l10,
+        |  round(exp(o_orderkey % 3), 6) AS ex,
+        |  round(sin(o_orderkey), 6) AS sn,
+        |  round(cos(o_orderkey), 6) AS cs,
+        |  round(atan2(o_orderkey, 7), 6) AS at2,
+        |  round(degrees(1), 6) AS dg,
+        |  round(radians(90), 6) AS rd,
+        |  greatest(o_orderkey % 7, 3) AS gr,
+        |  least(o_orderkey % 7, 3) AS ls,
+        |  upper(o_orderpriority) AS up,
+        |  lower(o_orderpriority) AS lo,
+        |  reverse(o_orderstatus) AS rv,
+        |  lpad(o_orderstatus, 5, '*') AS lp,
+        |  rpad(o_orderstatus, 5, '#') AS rp,
+        |  repeat(o_orderstatus, 3) AS rep,
+        |  instr(o_orderpriority, '-') AS ins,
+        |  levenshtein(o_orderpriority, o_orderstatus) AS lev,
+        |  starts_with(o_orderpriority, '1') AS sw,
+        |  md5(o_orderstatus) AS m5,
+        |  sha256(o_orderstatus) AS sh,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  quarter(o_orderdate) AS qt,
+        |  isodow(o_orderdate) - 1 AS wd,
+        |  week(o_orderdate) AS wk,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS dd,
+        |  array_to_string(['a', o_orderstatus], '/') AS aj,
+        |  list_contains([1, 2, 3], o_orderkey % 5) AS ac,
+        |  list_max([o_orderkey % 10, 5]) AS amx
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin)(
+      sql("""SELECT o_orderkey,
+            | sign(o_totalprice - 150000) AS sgn,
+            | round(ln(o_orderkey + 1), 6) AS lnv,
+            | round(log10(o_orderkey + 1), 6) AS l10,
+            | round(exp(o_orderkey % 3), 6) AS ex,
+            | round(sin(o_orderkey), 6) AS sn,
+            | round(cos(o_orderkey), 6) AS cs,
+            | round(atan2(o_orderkey, 7), 6) AS at2,
+            | round(degrees(1), 6) AS dg,
+            | round(radians(90), 6) AS rd,
+            | greatest(o_orderkey % 7, 3) AS gr,
+            | least(o_orderkey % 7, 3) AS ls,
+            | upper(o_orderpriority) AS up,
+            | lower(o_orderpriority) AS lo,
+            | reverse(o_orderstatus) AS rv,
+            | lpad(o_orderstatus, 5, '*') AS lp,
+            | rpad(o_orderstatus, 5, '#') AS rp,
+            | repeat(o_orderstatus, 3) AS rep,
+            | instr(o_orderpriority, '-') AS ins,
+            | levenshtein(o_orderpriority, o_orderstatus) AS lev,
+            | starts_with(o_orderpriority, '1') AS sw,
+            | md5(o_orderstatus) AS m5,
+            | sha256(o_orderstatus) AS sh,
+            | year(o_orderdate) AS yr,
+            | month(o_orderdate) AS mo,
+            | quarter(o_orderdate) AS qt,
+            | weekday(o_orderdate) AS wd,
+            | weekofyear(o_orderdate) AS wk,
+            | datediff(o_orderdate, '1995-01-01') AS dd,
+            | array_join(['a', o_orderstatus], '/') AS aj,
+            | array_contains([1, 2, 3], o_orderkey % 5) AS ac,
+            | array_max([o_orderkey % 10, 5]) AS amx
+            | FROM orders WHERE o_orderkey < 100
+            | ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
+
     // ---- the SQL dialect's own MATCH statement (MatchExecutionPlanner),
     //      compiled onto the shared Cypher pattern backend ----
     Q("q_sql_match",

@@ -164,9 +164,129 @@ object Translator {
       case "date_format"=> date_format(args(0), litToStr(argEs(1)))
       case "date_trunc" => date_trunc(litToStr(argEs(0)), args(1))
       case "uuid"       => expr("uuid()")
+
+      // ---- math (reference function/math/SQLFunctionMath*.java family) ----
+      case "sign"       => signum(args.head).cast(DoubleType)
+      case "ln" | "log" => log(args.head)
+      case "log10"      => log10(args.head)
+      case "log2"       => log2(args.head)
+      case "exp"        => exp(args.head)
+      case "power" | "pow" => pow(args(0), args(1))
+      case "cbrt"       => cbrt(args.head)
+      case "sin"        => sin(args.head)
+      case "cos"        => cos(args.head)
+      case "tan"        => tan(args.head)
+      case "asin"       => asin(args.head)
+      case "acos"       => acos(args.head)
+      case "atan"       => atan(args.head)
+      case "atan2"      => atan2(args(0), args(1))
+      case "degrees"    => degrees(args.head)
+      case "radians"    => radians(args.head)
+      case "pi"         => lit(math.Pi)
+      case "greatest"   => greatest(args: _*)
+      case "least"      => least(args: _*)
+
+      // ---- strings (DefaultSQLFunctionFactory string tail + methods-as-functions) ----
+      case "upper" | "ucase" => upper(args.head)
+      case "lower" | "lcase" => lower(args.head)
+      case "initcap"    => initcap(args.head)
+      case "reverse"    => reverse(args.head)
+      case "trim_str"   => trim(args.head)
+      case "ltrim"      => ltrim(args.head)
+      case "rtrim"      => rtrim(args.head)
+      case "length"     => length(args.head)
+      case "lpad"       => lpad(args.head, litToInt(argEs(1)), litToStr(argEs(2)))
+      case "rpad"       => rpad(args.head, litToInt(argEs(1)), litToStr(argEs(2)))
+      case "repeat"     => repeat(args.head, litToInt(argEs(1)))
+      case "instr"      => instr(args(0), litToStr(argEs(1))) // 1-based, SQL convention
+      case "ascii"      => ascii(args.head)
+      case "levenshtein"   => levenshtein(args(0), args(1))
+      case "starts_with" | "startswith" => args(0).startsWith(args(1))
+      case "ends_with" | "endswith"     => args(0).endsWith(args(1))
+      case "substr"     => substring(args.head, litToInt(argEs(1)), litToInt(argEs(2)))
+      case "regexp_replace" => regexp_replace(args.head, litToStr(argEs(1)), litToStr(argEs(2)))
+      case "regexp_extract" => regexp_extract(args.head, litToStr(argEs(1)), litToInt(argEs(2)))
+      case "split_str"  => split(args.head, java.util.regex.Pattern.quote(litToStr(argEs(1))))
+
+      // ---- crypto/encoding (function/misc/SQLFunctionMD5.java etc.) ----
+      case "md5"        => md5(args.head)
+      case "sha1"       => sha1(args.head)
+      case "sha256"     => sha2(args.head, 256)
+      case "hex"        => hex(args.head)
+      case "base64"     => base64(args.head.cast("binary"))
+
+      // ---- date/time (function/time family; date()/sysdate() analogs) ----
+      case "year"       => year(args.head)
+      case "month"      => month(args.head)
+      case "day"        => dayofmonth(args.head)
+      case "hour"       => hour(args.head)
+      case "minute"     => minute(args.head)
+      case "second"     => second(args.head)
+      case "quarter"    => quarter(args.head)
+      case "weekday"    => weekday(args.head) // Monday = 0
+      case "week" | "weekofyear" => weekofyear(args.head)
+      case "dayofyear"  => dayofyear(args.head)
+      case "datediff"   => datediff(args(0), args(1)) // whole days, end - start
+      case "date_add"   => date_add(args.head, litToInt(argEs(1)))
+      case "date_sub"   => date_sub(args.head, litToInt(argEs(1)))
+      case "sysdate" | "now" => current_timestamp()
+
+      // ---- collections (function/coll family; CollectionUtils methods) ----
+      case "array_join"     => array_join(args.head, litToStr(argEs(1)))
+      case "array_contains" => array_contains(args.head, args(1))
+      case "array_min"      => array_min(args.head)
+      case "array_max"      => array_max(args.head)
+      case "array_distinct" => array_distinct(args.head)
+      case "array_sort"     => array_sort(args.head)
+      case "array_slice"    => slice(args.head, litToInt(argEs(1)), litToInt(argEs(2)))
+      case "array_position" => array_position(args(0), args(1))
+      case "array_union"    => array_union(args(0), args(1))
+      case "array_intersect"=> array_intersect(args(0), args(1))
+      case "array_except"   => array_except(args(0), args(1))
+      case "element_at"     => element_at(args(0), args(1))
+      case "flatten"        => flatten(args.head)
+      case "sequence"       => sequence(args(0), args(1))
+
+      // ---- maps ----
+      case "map_keys"   => map_keys(args.head)
+      case "map_values" => map_values(args.head)
+
+      // ---- json ----
+      case "json_extract" => get_json_object(args.head, litToStr(argEs(1)))
+
+      // ---- vectors (graft.functions.VectorFunctions — the Column-level
+      //      implementations the q_vec_* oracles already pin down) ----
+      case "vec_dot"       => graft.functions.VectorFunctions.vecDot(vec(args(0)), vec(args(1)))
+      case "vec_cosine"    => graft.functions.VectorFunctions.vecCosine(vec(args(0)), vec(args(1)))
+      case "vec_norm_l1"   => graft.functions.VectorFunctions.vecNormL1(vec(args.head))
+      case "vec_norm_l2"   => graft.functions.VectorFunctions.vecNormL2(vec(args.head))
+      case "vec_norm_linf" => graft.functions.VectorFunctions.vecNormLInf(vec(args.head))
+      case "vec_add"       => graft.functions.VectorFunctions.vecAdd(vec(args(0)), vec(args(1)))
+      case "vec_subtract"  => graft.functions.VectorFunctions.vecSubtract(vec(args(0)), vec(args(1)))
+      case "vec_scale"     => graft.functions.VectorFunctions.vecScale(vec(args(0)), args(1))
+      case "vec_normalize" => graft.functions.VectorFunctions.vecNormalize(vec(args.head))
+      case "vec_dim"       => graft.functions.VectorFunctions.vecDimension(args.head)
+      case "l2_distance"   => graft.functions.VectorFunctions.l2Distance(vec(args(0)), vec(args(1)))
+      case "l1_distance"   => graft.functions.VectorFunctions.l1Distance(vec(args(0)), vec(args(1)))
+
+      // ---- text utilities (graft.functions.TextFunctions) ----
+      case "slug"        => graft.functions.TextFunctions.slug(args.head)
+      case "snake_case"  => graft.functions.TextFunctions.snakeCase(args.head)
+      case "collapse_ws" => graft.functions.TextFunctions.collapseWhitespace(args.head)
+
+      // ---- geo (graft.functions.GeoFunctions — haversine family) ----
+      case "geo_distance" =>
+        graft.functions.GeoFunctions.geoDistanceKm(args(0), args(1), args(2), args(3))
+      case "geo_dwithin" =>
+        graft.functions.GeoFunctions.dwithinKm(args(0), args(1), args(2), args(3),
+          litToDouble(argEs(4)))
+
       case other        => throw TranslateException(s"unknown function $other")
     }
   }
+
+  /** Vector args arrive as float or double arrays — normalize to double. */
+  private def vec(c: Column): Column = graft.functions.VectorFunctions.asDouble(c)
 
   /** Method registry: the reference's SQLMethod surface
     * (method/string/SQLMethod*.java, method/conversion/SQLMethodAs*). */
@@ -209,6 +329,11 @@ object Translator {
   private def litToStr(e: Expr): String = e match {
     case StrLit(s) => s
     case other => throw TranslateException(s"expected literal string arg, got $other")
+  }
+  private def litToDouble(e: Expr): Double = e match {
+    case NumLit(v, _) => v.toDouble
+    case Neg(NumLit(v, _)) => -v.toDouble
+    case other => throw TranslateException(s"expected literal numeric arg, got $other")
   }
 
   private def exprName(e: Expr): String = e match {

@@ -99,6 +99,20 @@ class SqlFrontendSpec extends AnyFunSuite {
       .collect().head.getAs[Long]("count") == 2L)
   }
 
+  test("vector and geo functions are callable from SQL text") {
+    val v = GraftSql.query(spark, sfDir,
+      "SELECT vec_id, round(vec_cosine(embedding, embedding), 6) AS self_cos, " +
+        "vec_dim(embedding) AS dim FROM embeddings WHERE vec_id < 3 ORDER BY vec_id")
+      .collect()
+    assert(v.length == 3)
+    assert(v.forall(r => math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-9))
+    assert(v.forall(_.getAs[Int]("dim") > 0))
+    val g = GraftSql.query(spark, sfDir,
+      "SELECT round(geo_distance(0, 0, 0, 1), 2) AS km FROM region LIMIT 1").collect()
+    // one degree of latitude ≈ 111.2 km on the haversine sphere
+    assert(math.abs(g.head.getAs[Double]("km") - 111.2) < 1.0)
+  }
+
   test("SQL MATCH .out/.in method form matches the arrow form") {
     val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
     val arrow = graft.sql.Match.query(g,

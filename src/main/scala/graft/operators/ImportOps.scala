@@ -134,6 +134,25 @@ object ImportOps {
       TimeSeriesStore.buildHourlyTier(Tables.events(s, d), tier)
       TimeSeriesStore.dailyFromHourlyTier(s, tier)
         .orderBy("bucket", "event_type")
+    },
+
+    // ---- file-stats range scan: the key-clustered layout + min/max
+    //      manifest skips files, not just partitions (FetchFromIndexStep /
+    //      LSMTreeIndex range-scan analog) ----
+    Q("q_index_range_scan",
+      """SELECT user_id, count(*) AS n,
+        |  sum(value::DECIMAL(28,4))::DOUBLE AS total
+        |FROM events WHERE user_id BETWEEN 40 AND 49
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val dir = stateDir("statsstore", d)
+      graft.sources.StatsStore.write(
+        Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value"),
+        dir, "user_id", numFiles = 16)
+      val (pruned, _, _) = graft.sources.StatsStore.rangeScan(s, dir, "user_id", 40, 49)
+      pruned.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,4)")).cast("double").as("total"))
+        .orderBy("user_id")
     }
   )
 }

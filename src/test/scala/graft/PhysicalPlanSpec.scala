@@ -65,6 +65,22 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("file-stats manifest skips files under a selective range predicate") {
+    import graft.sources.StatsStore
+    val dir = "/tmp/graft_state/plan_statsstore_test"
+    StatsStore.write(
+      Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "event_type", "value"),
+      dir, "user_id", numFiles = 16)
+    val (pruned, filesRead, filesTotal) = StatsStore.rangeScan(spark, dir, "user_id", 5, 6)
+    // the range sampler may merge near-empty ranges — just require a
+    // many-file layout and strong skipping on the ~13%-selective range
+    assert(filesTotal >= 8, s"expected a multi-file layout, got $filesTotal")
+    assert(filesRead <= filesTotal / 3, s"read $filesRead of $filesTotal — no skipping")
+    // the pruned scan loses no rows vs the full-scan filter
+    val full = spark.read.parquet(dir).filter(col("user_id").between(5, 6)).count()
+    assert(pruned.count() == full && full > 0)
+  }
+
   test("corpus-global top-k is TakeOrdered-shaped, never a single-partition sort") {
     import graft.operators.{FullText, VectorRetrieval}
     val searches = Seq(

@@ -106,6 +106,56 @@ object ImportOps {
         .orderBy("event_id")
     },
 
+    // ---- XML export → import (XMLImporterFormat; Spark-native XML source) ----
+    Q("q_import_xml",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val src = Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val dir = stateDir("xml", d)
+      Importers.writeXml(src, dir, rowTag = "customer")
+      Importers.readXml(s, dir, rowTag = "customer", Some(src.schema))
+        .orderBy("c_custkey")
+    },
+
+    // ---- Neo4j JSONL dump generate → import (Neo4jImporter.java:222):
+    //      nodes + relationships re-joined into a per-region census ----
+    Q("q_import_neo4j",
+      """SELECT r_name AS region, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin) { (s, d) =>
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      // generate the dump: one JSON object per line, Neo4j export shape
+      val nodeLines = nat.select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("n"), col("n_nationkey")).as("id"),
+          array(lit("nation")).as("labels"),
+          struct(col("n_nationkey").as("key"), col("n_name").as("name")).as("properties")))
+          .as("value"))
+        .union(reg.select(to_json(struct(
+          lit("node").as("type"),
+          concat(lit("r"), col("r_regionkey")).as("id"),
+          array(lit("region")).as("labels"),
+          struct(col("r_regionkey").as("key"), col("r_name").as("name")).as("properties")))
+          .as("value")))
+      val relLines = nat.select(to_json(struct(
+          lit("relationship").as("type"),
+          lit("IN_REGION").as("label"),
+          struct(concat(lit("n"), col("n_nationkey")).as("id")).as("start"),
+          struct(concat(lit("r"), col("n_regionkey")).as("id")).as("end")))
+          .as("value"))
+      val dir = stateDir("neo4j", d)
+      nodeLines.union(relLines).write.mode("overwrite").text(dir)
+      val (nodes, rels) = Importers.readNeo4j(s, dir)
+      val regions = nodes.filter(array_contains(col("labels"), "region"))
+        .select(col("id").as("dst"), col("properties.name").as("region"))
+      rels.filter(col("label") === "IN_REGION")
+        .join(regions, Seq("dst"))
+        .groupBy("region").agg(count(lit(1)).as("n_nations"))
+        .orderBy("region")
+    },
+
     // ---- day-partitioned TS layout: range scan prunes partitions ----
     Q("q_ts_partition_prune",
       """SELECT event_type, count(*) AS n,

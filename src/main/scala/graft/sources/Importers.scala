@@ -80,4 +80,34 @@ object Importers {
       .select(split(col("value"), " ").as("f"))
       .select(element_at(col("f"), 1).as("token"),
         expr("transform(slice(f, 2, size(f) - 1), x -> cast(x AS double))").as("vector"))
+
+  // ---- XML (XMLImporterFormat.java) — Spark 4's native XML source:
+  // distributed row-tag splitting, schema-on-read, pushdown-capable ----
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").format("xml").option("rowTag", rowTag).save(path)
+
+  /** Neo4j JSONL dump (the `neo4j-admin`/apoc JSON export the reference
+    * imports — Neo4jImporter.java:222): one object per line with
+    * type=node|relationship, `labels`/`label`, `properties`, and
+    * relationship `start`/`end` endpoint objects. Returns (nodes, rels):
+    * nodes(id, labels, properties…), rels(label, src, dst, properties…).
+    * One schema-on-read JSON scan, split by the discriminator — the same
+    * two-pass shape as the reference (schema sync, then records). */
+  def readNeo4j(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.json(path)
+    val nodes = raw.filter(col("type") === "node")
+      .select(col("id").cast("string").as("id"), col("labels"), col("properties"))
+    val rels = raw.filter(col("type") === "relationship")
+      .select(col("label"),
+        col("start.id").cast("string").as("src"),
+        col("end.id").cast("string").as("dst"),
+        col("properties"))
+    (nodes, rels)
+  }
 }

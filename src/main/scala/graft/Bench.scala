@@ -10,7 +10,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().collect()
     spark.range(1000000).agg(sum(col("id"))).collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Each query runs TWICE back-to-back: single runs at this scale swing
+    // ±2× on sub-second entries (r2 verdict noise-watch), so the report
+    // carries both runs — `queries` (run 1, comparable with prior rounds)
+    // and `queries_run2` — and the per-query minimum in `queries_min`.
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // Full-row checksum, not count(): a count lets Catalyst prune every
       // projection column, so pure-projection queries would benchmark
@@ -20,12 +24,15 @@ object Bench {
         val df = fn(spark, sfDir)
         df.agg(count(lit(1)), sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
       } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, once(name, fn), once(name, fn))
+    }
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_run2":${jmap(_._3)},"queries_min":${jmap(r => math.min(r._2, r._3))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

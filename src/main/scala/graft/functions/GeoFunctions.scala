@@ -67,6 +67,55 @@ object GeoFunctions {
     crossings % 2 === 1
   }
 
+  // ---- WKT constructors + measures (reference function/sql/geo/
+  // SQLFunctionGeoPolygon.java / GeoUtils WKT parsing, SQLFunctionGeo
+  // area/envelope measures — 28-file geo package tail). All pure column
+  // expressions: a WKT string column parses distributed, no UDF. ----
+
+  /** Parse `POINT (x y)` → struct(x, y). */
+  def wktPoint(c: Column): Column = struct(
+    regexp_extract(c, "POINT\\s*\\(\\s*([-+0-9.eE]+)", 1).cast("double").as("x"),
+    regexp_extract(c, "POINT\\s*\\(\\s*[-+0-9.eE]+\\s+([-+0-9.eE]+)", 1).cast("double").as("y"))
+
+  /** Parse a `POLYGON ((x y, x y, …))` outer ring → array<struct<x,y>>
+    * (the closing vertex is kept, ring convention as written). */
+  def wktPolygon(c: Column): Column =
+    transform(split(regexp_extract(c, "POLYGON\\s*\\(\\((.*)\\)\\)", 1), ","), p => {
+      val parts = split(trim(p), "\\s+")
+      struct(element_at(parts, 1).cast("double").as("x"),
+        element_at(parts, 2).cast("double").as("y"))
+    })
+
+  /** `POINT (x y)` text of a point struct (GeoUtils WKT emit). */
+  def asText(pt: Column): Column =
+    concat(lit("POINT ("), pt.getField("x"), lit(" "), pt.getField("y"), lit(")"))
+
+  /** Shoelace area of a closed ring (planar, coordinate units²) —
+    * left-to-right accumulation so the oracle can mirror the exact IEEE
+    * operation order. */
+  def polyArea(poly: Column): Column =
+    abs(aggregate(sequence(lit(0), size(poly) - 2), lit(0.0), (acc, i) =>
+      acc + (element_at(poly, i + 1).getField("x") * element_at(poly, i + 2).getField("y")
+           - element_at(poly, i + 2).getField("x") * element_at(poly, i + 1).getField("y")))) / 2
+
+  /** Axis-aligned envelope: struct(minx, miny, maxx, maxy). */
+  def envelope(poly: Column): Column = struct(
+    array_min(transform(poly, _.getField("x"))).as("minx"),
+    array_min(transform(poly, _.getField("y"))).as("miny"),
+    array_max(transform(poly, _.getField("x"))).as("maxx"),
+    array_max(transform(poly, _.getField("y"))).as("maxy"))
+
+  /** Vertex centroid over the ring's distinct vertices (closing vertex
+    * dropped) — the lightweight centroid the reference's point-set path
+    * computes; area-weighted centroid would follow the same fold shape. */
+  def centroid(poly: Column): Column = {
+    val n = size(poly) - 1
+    val ring = slice(poly, lit(1), n)
+    struct(
+      (aggregate(ring, lit(0.0), (a, p) => a + p.getField("x")) / n).as("x"),
+      (aggregate(ring, lit(0.0), (a, p) => a + p.getField("y")) / n).as("y"))
+  }
+
   /** The same ray-cast as a DuckDB SQL fragment. */
   def pointInPolygonSql(poly: Seq[(Double, Double)], lon: String, lat: String): String = {
     val terms = poly.indices.map { i =>

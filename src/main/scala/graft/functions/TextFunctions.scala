@@ -103,11 +103,37 @@ object TextFunctions {
     sig
   }
 
+  /** SimHash chunk signature over the md5 digests of the tokens — the
+    * ENGINE-PORTABLE definition (bit b of a token = bit b%4 of hex digit
+    * b/4 of md5(token); signature bit = sign of the ±1 bit sum; chunk c =
+    * bits [8c, 8c+8) packed little-endian). Exactly the definition the
+    * q_dedup_simhash DuckDB oracle replays from the hex string — computed
+    * here as a tight JVM loop because a higher-order-function column
+    * expression evaluates ~20× slower (measured at sf0.1: 36 s vs the
+    * sub-second UDF; the reference computes simhash in-JVM too). */
+  def simhashMd5Chunks(tokens: Seq[String]): Seq[Int] = {
+    val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (tokens != null) tokens.foreach { t =>
+      val dig = md.digest(t.getBytes("UTF-8")) // digest() resets the instance
+      var b = 0
+      while (b < 64) {
+        val d = b >> 2 // hex digit index (0-based, left-to-right)
+        val nib = if ((d & 1) == 0) (dig(d >> 1) >> 4) & 15 else dig(d >> 1) & 15
+        if (((nib >> (b & 3)) & 1) == 1) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    (0 until 8).map(c => (0 until 8).map(k => if (acc(c * 8 + k) > 0) 1 << k else 0).sum)
+  }
+
   /** Register the UDF-backed names on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("jaro_winkler", (a: String, b: String) => jaroWinklerImpl(a, b))
     spark.udf.register("hamming_distance", (a: String, b: String) => hammingImpl(a, b))
     spark.udf.register("sorensen_dice", (a: String, b: String) => sorensenDiceImpl(a, b))
     spark.udf.register("simhash64", (t: scala.collection.Seq[String]) => simhash64(t.toSeq))
+    spark.udf.register("simhash_md5_chunks",
+      (t: scala.collection.Seq[String]) => simhashMd5Chunks(if (t == null) null else t.toSeq))
   }
 }

@@ -134,6 +134,32 @@ object GraphAlgos {
     acc.select("depth", "id", "walks")
   }
 
+  /** A* single-pair shortest path (reference function/sql/graph/
+    * SQLFunctionAstar.java) as distributed branch-and-bound: Bellman-Ford
+    * relaxation rounds with heuristic pruning — once a goal cost B is
+    * known, states with g + h(v) > B are dropped (h admissible ⇒ no
+    * optimal path is lost). A sequential priority-queue A* is a
+    * single-node design; set-oriented relaxation + pruning keeps every
+    * step a distributed join, and the only driver fetch is the scalar
+    * goal cost per round. `edges` = (src, dst, w). */
+  def aStarPair(edges: DataFrame, source: Long, target: Long,
+      h: Column => Column, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    var dist = spark.range(1).select(lit(source).as("id"), lit(0.0).as("g"))
+    var best = Double.PositiveInfinity
+    for (_ <- 1 to iters) {
+      val relaxed = dist.join(edges.withColumnRenamed("src", "id"), Seq("id"))
+        .select(col("dst").as("id"), (col("g") + col("w")).as("g"))
+      dist = dist.union(relaxed).groupBy("id").agg(min(col("g")).as("g"))
+      val hit = dist.filter(col("id") === target).select("g").limit(2).collect()
+      if (hit.nonEmpty) best = math.min(best, hit(0).getDouble(0))
+      if (!best.isInfinite) dist = dist.filter(col("g") + h(col("id")) <= best + 1e-9)
+      dist = dist.localCheckpoint(eager = false)
+    }
+    dist.filter(col("id") === target)
+      .select(col("id"), round(col("g"), 6).as("dist"))
+  }
+
   /** Weighted single-source shortest paths by distributed Bellman-Ford
     * relaxation, `iters` rounds == exact min-cost over paths of ≤ `iters`
     * edges (reference SQLFunctionDijkstra / GraphAlgorithms.java:981 —

@@ -107,6 +107,44 @@ object GeoOps {
         .filter(pointInPolygon(Pentagon)(col("lon"), col("lat")))
         .select(col("id"), round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
         .orderBy("id")
+    },
+
+    // ---- WKT round-trip + measures (geomFromText / area / envelope /
+    //      centroid): each row BUILDS a POLYGON WKT string, parses it back
+    //      with wktPolygon, and measures the parsed ring — the oracle
+    //      computes the same measures directly from the coordinates with
+    //      the identical IEEE operation order ----
+    Q("q_geo_wkt",
+      s"""WITH $locatedSql,
+         |t AS (SELECT id, lon, lat,
+         |        CAST(id % 5 + 1 AS DOUBLE) AS dx, CAST(id % 3 + 1 AS DOUBLE) AS dy
+         |      FROM loc WHERE id < 50),
+         |v AS (SELECT id, lon AS x1, lat AS y1, lon + dx AS x2, lat AS y2,
+         |        lon + 1.0 AS x3, lat + dy AS y3 FROM t)
+         |SELECT id,
+         |  round(abs(((0.0 + (x1*y2 - x2*y1)) + (x2*y3 - x3*y2)) + (x3*y1 - x1*y3)) / 2, 6) AS area,
+         |  round(least(x1, x2, x3), 6) AS minx, round(least(y1, y2, y3), 6) AS miny,
+         |  round(greatest(x1, x2, x3), 6) AS maxx, round(greatest(y1, y2, y3), 6) AS maxy,
+         |  round((((0.0 + x1) + x2) + x3) / 3, 6) AS cx,
+         |  round((((0.0 + y1) + y2) + y3) / 3, 6) AS cy
+         |FROM v ORDER BY id""".stripMargin) { (s, d) =>
+      val withWkt = located(s, d).filter(col("id") < 50)
+        .withColumn("dx", (col("id") % 5 + 1).cast("double"))
+        .withColumn("dy", (col("id") % 3 + 1).cast("double"))
+        .withColumn("wkt", concat(lit("POLYGON (("),
+          col("lon"), lit(" "), col("lat"), lit(", "),
+          col("lon") + col("dx"), lit(" "), col("lat"), lit(", "),
+          col("lon") + 1.0, lit(" "), col("lat") + col("dy"), lit(", "),
+          col("lon"), lit(" "), col("lat"), lit("))")))
+        .withColumn("poly", wktPolygon(col("wkt")))
+        .withColumn("env", envelope(col("poly")))
+        .withColumn("cen", centroid(col("poly")))
+      withWkt.select(col("id"),
+        round(polyArea(col("poly")), 6).as("area"),
+        round(col("env.minx"), 6).as("minx"), round(col("env.miny"), 6).as("miny"),
+        round(col("env.maxx"), 6).as("maxx"), round(col("env.maxy"), 6).as("maxy"),
+        round(col("cen.x"), 6).as("cx"), round(col("cen.y"), 6).as("cy"))
+        .orderBy("id")
     }
   )
 }

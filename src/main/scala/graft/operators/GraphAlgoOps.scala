@@ -120,6 +120,26 @@ object GraphAlgoOps {
         .orderBy("id")
     },
 
+    // ---- A* single-pair: branch-and-bound relaxation, admissible
+    //      heuristic h(v) = |v − target|/10 (every edge costs ≥ |a−b|/10) ----
+    Q("q_graph_astar",
+      s"""WITH RECURSIVE $ChainEdgesSql,
+         |we AS (
+         |  SELECT src, dst, CAST(1.0 + abs(src - dst) / 10.0 AS DOUBLE) AS w FROM e),
+         |paths(id, dist, depth) AS (
+         |  SELECT 0, CAST(0.0 AS DOUBLE), 0
+         |  UNION ALL
+         |  SELECT we.dst, paths.dist + we.w, paths.depth + 1
+         |  FROM paths JOIN we ON we.src = paths.id
+         |  WHERE paths.depth < 6)
+         |SELECT id, round(min(dist), 6) AS dist FROM paths WHERE id = 20
+         |GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val (_, canon) = nationChain(s, d)
+      GraphAlgos.aStarPair(undirected(canon), source = 0L, target = 20L,
+        h = v => abs(v - 20) / 10.0, iters = 6)
+        .orderBy("id")
+    },
+
     // ---- walk counts per (depth, node): matrix-power join chain ----
     Q("q_graph_walk_count",
       s"""WITH RECURSIVE $ChainEdgesSql,

@@ -260,6 +260,33 @@ object SqlOps {
         .orderBy("o_orderkey")
     },
 
+    // ---- script control flow: LET / FOREACH / IF / RETURN orchestrating
+    //      DML batches (ScriptExecutionPlan; grammar SQLParser.g4:1004) ----
+    Q("q_sql_script",
+      """WITH cut AS (SELECT max(o_totalprice) AS c FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_totalprice > c * 0.9 THEN o_orderstatus
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  o_totalprice
+        |FROM orders, cut
+        |WHERE o_orderkey < 500 AND NOT (o_totalprice < c * 0.05)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val src = graft.Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      val cat = writable(s, d, src, "orders_s", "sql_script")
+      graft.sql.Script.run(s, d,
+        """LET $cut = (SELECT max(o_totalprice) FROM orders);
+          |FOREACH ($st IN ['F', 'O', 'P']) {
+          |  UPDATE orders_s SET o_orderpriority = $st
+          |    WHERE o_orderstatus = $st AND o_totalprice > $cut * 0.9;
+          |}
+          |IF ($cut > 0) {
+          |  DELETE FROM orders_s WHERE o_totalprice < $cut * 0.05;
+          |}
+          |RETURN SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+          |  FROM orders_s ORDER BY o_orderkey""".stripMargin, cat)
+    },
+
     // ---- DELETE FROM … WHERE through the parser (DeleteExecutionPlanner) ----
     Q("q_sql_delete",
       """SELECT o_orderkey, o_orderstatus, o_totalprice

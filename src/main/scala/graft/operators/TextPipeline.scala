@@ -174,16 +174,11 @@ object TextPipeline {
     * digest (bit b = bit b%4 of hex digit b/4), so DuckDB can replay the
     * identical signature — md5 is the only hash both engines share.
     * Bit b of the signature = 1 iff Σ_tokens (2·bit_b(md5(tok)) − 1) > 0
-    * (token multiplicity counts). Pure Column expressions — whole-stage
-    * codegen, no UDF boundary (the fnv1a `simhash64` UDF remains as the
-    * registered-UDF surface). */
-  private val simhashChunks: Column = expr(
-    """transform(sequence(0, 7), c ->
-      |  cast(aggregate(sequence(0, 7), 0, (acc, k) ->
-      |    acc + (CASE WHEN aggregate(md5s, 0, (s, h) ->
-      |      s + 2 * ((cast(conv(substring(h, (c*8+k) div 4 + 1, 1), 16, 10) as int)
-      |                >> ((c*8+k) % 4)) & 1) - 1) > 0
-      |    THEN shiftleft(1, k) ELSE 0 END)) as int))""".stripMargin)
+    * (token multiplicity counts). Computed by the
+    * [[graft.functions.TextFunctions.simhashMd5Chunks]] JVM loop — the
+    * identical definition as a column-expression tree evaluates ~20×
+    * slower (HOF lambdas interpret per element); the hamming verify and
+    * banding below stay pure column expressions. */
 
   /** SimHash near-dup pairs: 8-chunk banding + hamming verify.
     * Pigeonhole: 8 chunks guarantee a shared chunk for hamming <= 7, so
@@ -191,9 +186,9 @@ object TextPipeline {
     * recall is exact, not probabilistic. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8-chunk banding only guarantees recall for hamming <= 7")
+    TextFunctions.register(docs.sparkSession)
     val sigs = withTokens(docs)
-      .withColumn("md5s", expr("transform(toks, t -> md5(t))"))
-      .withColumn("sig", simhashChunks)
+      .withColumn("sig", callUDF("simhash_md5_chunks", col("toks")))
       .select("doc_id", "sig")
       .persist()
     val chunks = sigs.select(col("doc_id"), col("sig"), posexplode(col("sig")))

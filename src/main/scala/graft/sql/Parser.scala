@@ -102,6 +102,14 @@ object Parser {
     * updateStatement:284, deleteStatement:334). */
   def parseStatement(sql: String): Either[Select, Stmt] = {
     val p = new P(lex(sql))
+    val r = parseOneStatement(p)
+    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
+    r
+  }
+
+  /** One SELECT/INSERT/UPDATE/DELETE from the current position (shared by
+    * [[parseStatement]] and the script executor). */
+  private[graft] def parseOneStatement(p: P): Either[Select, Stmt] = {
     val r: Either[Select, Stmt] =
       if (p.peekKw("SELECT")) Left(parseSelect(p))
       else if (p.kw("INSERT")) {
@@ -162,7 +170,6 @@ object Parser {
         val where = if (p.kw("WHERE")) Some(parseExpr(p)) else None
         Right(DeleteStmt(t, where))
       } else throw ParseException(s"expected SELECT/INSERT/UPDATE/DELETE, found ${p.peek}")
-    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     r
   }
 
@@ -172,7 +179,7 @@ object Parser {
     "MATCHES", "IS", "NULL", "TRUE", "FALSE", "DISTINCT", "SELECT", "AS",
     "UNWIND", "CONTAINS", "CONTAINSALL", "CONTAINSANY", "LET")
 
-  private def parseSelect(p: P): Select = {
+  private[graft] def parseSelect(p: P): Select = {
     p.expectKw("SELECT")
     val distinct = p.kw("DISTINCT")
     val projections =

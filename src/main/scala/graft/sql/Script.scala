@@ -1,0 +1,129 @@
+package graft.sql
+
+import graft.schema.TypeCatalog
+import graft.sql.Ast._
+import graft.sql.Parser.{ParseException, TEof}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Script control flow for the SQL dialect (reference
+  * exec/ScriptExecutionPlan.java, grammar SQLParser.g4:1004-1035
+  * ifStatement/foreachStatement/returnStatement; SQL batches separated by
+  * `;`):
+  *
+  *   LET $x = <expr | (SELECT …)>;
+  *   IF ($cond) { statements }
+  *   FOREACH ($i IN [a, b, c]) { statements }
+  *   RETURN <expr | SELECT …>;
+  *   <any SELECT / INSERT / UPDATE / DELETE>;
+  *
+  * Execution model mirrors the reference: statements run sequentially on
+  * the driver as a control program, each body statement compiling to a
+  * full distributed Spark job — the script is orchestration, never data
+  * processing. LET binds script-scope variables (scalar subqueries
+  * evaluate once, bounded by limit(2)); IF evaluates its condition to a
+  * driver-side boolean; FOREACH substitutes each list element and runs
+  * its block. The script's value is the last RETURN (or the last
+  * statement's result).
+  */
+object Script {
+
+  private sealed trait SStmt
+  private final case class LetS(name: String, e: Expr) extends SStmt
+  private final case class IfS(cond: Expr, body: Seq[SStmt]) extends SStmt
+  private final case class ForeachS(v: String, list: Expr, body: Seq[SStmt]) extends SStmt
+  private final case class ReturnS(stmt: Either[Select, Expr]) extends SStmt
+  private final case class ExecS(stmt: Either[Select, Stmt]) extends SStmt
+
+  // ---------------- parser ----------------
+
+  def run(spark: SparkSession, dir: String, text: String,
+      cat: TypeCatalog = TypeCatalog.default,
+      fns: FunctionRegistry = new FunctionRegistry): DataFrame = {
+    val p = new Parser.P(Parser.lex(text))
+    val prog = block(p, topLevel = true)
+    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
+    exec(spark, dir, cat, fns, prog)
+  }
+
+  private def block(p: Parser.P, topLevel: Boolean): Seq[SStmt] = {
+    val out = Seq.newBuilder[SStmt]
+    var go = true
+    while (go) {
+      while (p.op(";")) ()
+      if (p.peek == TEof || (!topLevel && p.op("}"))) go = false
+      else out += stmt(p)
+    }
+    out.result()
+  }
+
+  private def stmt(p: Parser.P): SStmt =
+    if (p.kw("LET")) {
+      val n = Parser.ident(p)
+      p.expectOp("=")
+      LetS(n, Parser.parseExpr(p))
+    } else if (p.kw("IF")) {
+      p.expectOp("(")
+      val c = Parser.parseExpr(p)
+      p.expectOp(")")
+      p.expectOp("{")
+      IfS(c, block(p, topLevel = false))
+    } else if (p.kw("FOREACH")) {
+      p.expectOp("(")
+      val v = Parser.ident(p)
+      p.expectKw("IN")
+      val list = Parser.parseExpr(p)
+      p.expectOp(")")
+      p.expectOp("{")
+      ForeachS(v, list, block(p, topLevel = false))
+    } else if (p.kw("RETURN")) {
+      if (p.peekKw("SELECT")) ReturnS(Left(Parser.parseSelect(p)))
+      else ReturnS(Right(Parser.parseExpr(p)))
+    } else ExecS(Parser.parseOneStatement(p))
+
+  // ---------------- executor ----------------
+
+  private def exec(spark: SparkSession, dir: String, cat: TypeCatalog,
+      fns: FunctionRegistry, prog: Seq[SStmt]): DataFrame = {
+    var env = Map.empty[String, Expr]
+    var last: DataFrame = spark.range(0).select(lit(null).as("value"))
+    var returned: Option[DataFrame] = None
+
+    def rs(e: Expr): Expr =
+      Translator.resolveExpr(spark, dir, cat, e, env, fns.snapshot)
+
+    // driver-side scalar evaluation of a resolved (literal-only) expression
+    def evalScalar(e: Expr): Any =
+      spark.range(1).select(Translator.toColumn(rs(e)).as("v")).collect()(0).get(0)
+
+    def runBlock(stmts: Seq[SStmt]): Unit = stmts.foreach {
+      case _ if returned.isDefined => ()
+      case LetS(n, e) => env += n -> Resolved(evalScalar(e))
+      case IfS(cond, body) =>
+        if (evalScalar(cond) == true) runBlock(body)
+      case ForeachS(v, list, body) =>
+        val items: Seq[Expr] = rs(list) match {
+          case ArrayLit(es) => es
+          case other => evalScalar(other) match {
+            case s: scala.collection.Seq[_] => s.toSeq.map(x => Resolved(x))
+            case x => throw Translator.TranslateException(s"FOREACH needs a list, got $x")
+          }
+        }
+        items.foreach { it =>
+          env += v -> (it match { case r: Resolved => r; case e => Resolved(evalScalar(e)) })
+          runBlock(body)
+          env -= v // loop var scope ends; LETs made inside the body persist
+        }
+      case ReturnS(Left(sel)) =>
+        returned = Some(Translator.compile(spark, dir, cat, sel, fns.snapshot, env))
+      case ReturnS(Right(e)) =>
+        returned = Some(spark.range(1).select(Translator.toColumn(rs(e)).as("value")))
+      case ExecS(Left(sel)) =>
+        last = Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
+      case ExecS(Right(st)) =>
+        last = Translator.executeDml(spark, dir, cat, st, env)
+    }
+    runBlock(prog)
+    returned.getOrElse(last)
+  }
+}

@@ -280,6 +280,12 @@ object Translator {
       case "geo_dwithin" =>
         graft.functions.GeoFunctions.dwithinKm(args(0), args(1), args(2), args(3),
           litToDouble(argEs(4)))
+      case "st_pointfromtext"   => graft.functions.GeoFunctions.wktPoint(args.head)
+      case "st_polygonfromtext" => graft.functions.GeoFunctions.wktPolygon(args.head)
+      case "st_astext"          => graft.functions.GeoFunctions.asText(args.head)
+      case "st_area"            => graft.functions.GeoFunctions.polyArea(args.head)
+      case "st_envelope"        => graft.functions.GeoFunctions.envelope(args.head)
+      case "st_centroid"        => graft.functions.GeoFunctions.centroid(args.head)
 
       case other        => throw TranslateException(s"unknown function $other")
     }
@@ -345,9 +351,23 @@ object Translator {
     case _ => "expr"
   }
 
-  /** Compile one parsed SELECT over the catalog. */
+  /** Public env-substitution + scalar-subquery evaluation (the script
+    * executor's LET/IF/FOREACH binding hook). */
+  def resolveExpr(spark: SparkSession, dir: String, cat: TypeCatalog,
+      e: Expr, env: Map[String, Expr],
+      fns: Map[String, (Seq[String], Expr)] = Map.empty): Expr =
+    resolve(e, env, sub => {
+      val rows = compile(spark, dir, cat, sub, fns).limit(2).collect()
+      if (rows.length != 1 || rows(0).size != 1)
+        throw TranslateException(s"scalar subquery returned ${rows.length} rows (expected 1x1)")
+      rows(0).get(0)
+    }, fns)
+
+  /** Compile one parsed SELECT over the catalog. `env0` seeds the LET
+    * environment (script-scope variables). */
   def compile(spark: SparkSession, dir: String, cat: TypeCatalog, sel0: Select,
-      fns: Map[String, (Seq[String], Expr)] = Map.empty): DataFrame = {
+      fns: Map[String, (Seq[String], Expr)] = Map.empty,
+      env0: Map[String, Expr] = Map.empty): DataFrame = {
     // Resolve LET bindings (in order; later bindings see earlier ones) and
     // evaluate scalar subqueries once each — then substitute through every
     // clause before translation.
@@ -359,7 +379,7 @@ object Translator {
         throw TranslateException(s"scalar subquery returned ${rows.length} rows (expected 1x1)")
       rows(0).get(0)
     }
-    val env = sel0.lets.foldLeft(Map.empty[String, Expr]) { case (acc, (name, e)) =>
+    val env = sel0.lets.foldLeft(env0) { case (acc, (name, e)) =>
       acc + (name -> resolve(e, acc, evalSub, fns))
     }
     def rs(e: Expr): Expr = resolve(e, env, evalSub, fns)
@@ -419,20 +439,22 @@ object Translator {
     * reference returns: INSERT → the inserted records, UPDATE → the
     * BEFORE/AFTER images or a count row, DELETE → a count row. */
   def executeDml(spark: SparkSession, dir: String, cat: TypeCatalog,
-      st: Stmt): DataFrame = {
+      st: Stmt, env: Map[String, Expr] = Map.empty): DataFrame = {
     def table(name: String) = {
       val path = cat(name).path.getOrElse(
         throw TranslateException(s"type $name has no storage")) (dir)
       new graft.sources.MutableTable(spark, path)
     }
     def countRow(n: Long): DataFrame = spark.range(1).select(lit(n).as("count"))
+    def rs(e: Expr): Expr = resolveExpr(spark, dir, cat, e, env)
     st match {
-      case InsertStmt(t, cols, rows, fromSel) =>
+      case InsertStmt(t, cols, rows0, fromSel) =>
+        val rows = rows0.map(_.map(rs))
         val tab = table(t)
         val schema = tab.df.schema
         val staged = fromSel match {
           case Some(sel) =>
-            val src = compile(spark, dir, cat, sel)
+            val src = compile(spark, dir, cat, sel, Map.empty, env)
             src.select(schema.map(f =>
               (if (src.columns.contains(f.name)) col(f.name).cast(f.dataType)
                else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
@@ -450,9 +472,10 @@ object Translator {
         val out = staged.localCheckpoint(true)
         tab.insert(out)
         out
-      case UpdateStmt(t, sets, upsert, ret, where) =>
+      case UpdateStmt(t, sets, upsert, ret, where0) =>
         val tab = table(t)
-        val setCols = sets.map { case (c, e) => c -> toColumn(e) }
+        val where = where0.map(rs)
+        val setCols = sets.map { case (c, e) => c -> toColumn(rs(e)) }
         if (upsert) {
           val w = where.getOrElse(throw TranslateException("UPSERT requires WHERE"))
           countRow(tab.upsert(equalityKeys(w).map { case (c, e) => c -> toColumn(e) }.toMap, setCols))
@@ -466,7 +489,7 @@ object Translator {
           }
         }
       case DeleteStmt(t, where) =>
-        countRow(table(t).delete(where.map(toColumn).getOrElse(lit(true))))
+        countRow(table(t).delete(where.map(w => toColumn(rs(w))).getOrElse(lit(true))))
     }
   }
 

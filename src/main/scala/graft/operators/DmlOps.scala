@@ -105,6 +105,45 @@ object DmlOps {
       t.changeFeed.orderBy("seq", "key")
     },
 
+    // ---- AFTER-triggers (TriggerImpl / event listeners): registered
+    //      actions fire per mutation with the affected rows and maintain
+    //      an audit table the oracle reproduces declaratively ----
+    Q("q_trigger_audit",
+      """SELECT * FROM (
+        |  SELECT n_nationkey AS key, 'updated' AS evt FROM nation WHERE n_nationkey < 5
+        |  UNION ALL
+        |  SELECT n_nationkey, 'deleted' FROM nation WHERE n_nationkey = 10)
+        |ORDER BY evt, key""".stripMargin) { (s, d) =>
+      val t = MutableTable.copyOf(s, Tables.nation(s, d), stateDir("trigger", d))
+      val auditDir = stateDir("trigger_audit", d)
+      // reset the audit sink, then register AFTER UPDATE / AFTER DELETE
+      var first = true
+      def audit(evt: String)(rows: org.apache.spark.sql.DataFrame): Unit = {
+        rows.select(col("n_nationkey").as("key"), lit(evt).as("evt"))
+          .write.mode(if (first) "overwrite" else "append").parquet(auditDir)
+        first = false
+      }
+      t.addTrigger("update", audit("updated"))
+      t.addTrigger("delete", audit("deleted"))
+      t.update(col("n_nationkey") < 5, Seq("n_name" -> upper(col("n_name"))))
+      t.delete(col("n_nationkey") === 10)
+      s.read.parquet(auditDir).orderBy("evt", "key")
+    },
+
+    // ---- backup → mutate → restore: the restored state must equal the
+    //      pristine source (integration/backup + restore) ----
+    Q("q_backup_restore",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val dir = stateDir("backup_tbl", d)
+      val bdir = stateDir("backup_snap", d)
+      val t = MutableTable.copyOf(s, Tables.nation(s, d), dir)
+      graft.sources.Backup.backup(s, Map("nation" -> dir), bdir)
+      t.delete(col("n_nationkey") % 2 === 0)         // damage the table …
+      t.update(col("n_nationkey") > 20, Seq("n_name" -> lit("X")))
+      graft.sources.Backup.restore(s, bdir, Map("nation" -> dir))
+      t.df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    },
+
     // ---- MERGE INTO: matched → update, not matched → insert ----
     Q("q_dml_merge",
       """SELECT c_custkey, c_name, c_mktsegment FROM (

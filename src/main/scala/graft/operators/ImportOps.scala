@@ -106,6 +106,43 @@ object ImportOps {
         .orderBy("event_id")
     },
 
+    // ---- Word2Vec text (header line + token vectors) → import ----
+    Q("q_import_word2vec",
+      """SELECT 'tok' || vec_id AS token,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS v1,
+        |  round(CAST(embedding[2] AS DOUBLE), 6) AS v2
+        |FROM embeddings WHERE vec_id < 50 ORDER BY token""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      val header = e.sparkSession.range(1).select(lit("50 2").as("value"))
+      val lines = e.select(concat_ws(" ",
+        concat(lit("tok"), col("vec_id")),
+        round(element_at(col("embedding"), 1).cast("double"), 6).cast("string"),
+        round(element_at(col("embedding"), 2).cast("double"), 6).cast("string")).as("value"))
+      val dir = stateDir("w2v", d)
+      header.union(lines).coalesce(1).write.mode("overwrite").text(dir)
+      Importers.readWord2Vec(s, dir)
+        .select(col("token"),
+          element_at(col("vector"), 1).as("v1"), element_at(col("vector"), 2).as("v2"))
+        .orderBy("token")
+    },
+
+    // ---- OrientDB export JSON → import (OrientDBImporterFormat) ----
+    Q("q_import_orientdb",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val n = Tables.nation(s, d)
+      // generate the export document: {"records":[{"@type":"d","@class":"Nation",…},…]}
+      val doc = n.agg(concat(lit("""{"records":["""),
+        array_join(collect_list(to_json(struct(
+          lit("d").as("@type"), lit("Nation").as("@class"),
+          col("n_nationkey"), col("n_name"), col("n_regionkey")))), ","),
+        lit("]}")).as("value"))
+      val dir = stateDir("orientdb", d)
+      doc.coalesce(1).write.mode("overwrite").text(dir)
+      Importers.readOrientDbExport(s, dir, "Nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     // ---- XML export → import (XMLImporterFormat; Spark-native XML source) ----
     Q("q_import_xml",
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -81,6 +81,28 @@ object Importers {
       .select(element_at(col("f"), 1).as("token"),
         expr("transform(slice(f, 2, size(f) - 1), x -> cast(x AS double))").as("vector"))
 
+  /** Word2Vec text (Word2VecImporterFormat.java): like GloVe but with a
+    * `vocab_size dim` header line — dropped by shape (2 tokens), so the
+    * scan stays a distributed text read with no "first line" coupling. */
+  def readWord2Vec(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(split(col("value"), " ").as("f"))
+      .filter(size(col("f")) > 2) // header = exactly (count, dim)
+      .select(element_at(col("f"), 1).as("token"),
+        expr("transform(slice(f, 2, size(f) - 1), x -> cast(x AS double))").as("vector"))
+
+  /** OrientDB database export (OrientDBImporterFormat.java): one JSON
+    * document with a `records` array of `{"@type":"d","@class":…,…}`
+    * objects. `multiLine` JSON read → explode records → filter by class.
+    * Returns the records of `className` with their property columns. */
+  def readOrientDbExport(spark: SparkSession, path: String, className: String): DataFrame = {
+    val recs = spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("records")).as("r"))
+      .filter(col("r.@class") === className)
+    recs.select(col("r.*")).drop("@type", "@class")
+  }
+
   // ---- XML (XMLImporterFormat.java) — Spark 4's native XML source:
   // distributed row-tag splitting, schema-on-read, pushdown-capable ----
   def readXml(spark: SparkSession, path: String, rowTag: String,

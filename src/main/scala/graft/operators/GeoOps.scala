@@ -109,6 +109,28 @@ object GeoOps {
         .orderBy("id")
     },
 
+    // ---- covering-cell-pruned dwithin: the cell-partitioned layout +
+    //      driver-side covering-cell walk answers the same radius query as
+    //      q_geo_dwithin while scanning only intersecting cells ----
+    Q("q_geo_cell_dwithin",
+      s"""WITH $locatedSql
+         |SELECT id, round(${geoDistanceKmSql("lon", "lat", "0.0", "0.0")}, 6) AS dist_km
+         |FROM loc
+         |WHERE round(${geoDistanceKmSql("lon", "lat", "0.0", "0.0")}, 6) <= 3000.0
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      val dir = s"/tmp/graft_state/geocells_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      located(s, d).withColumn("cell", cellOf(col("lon"), col("lat")))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val cells = coveringCells(0.0, 0.0, 3000.0)
+      s.read.parquet(dir)
+        .filter(col("cell").isin(cells: _*)) // partition pruning
+        .withColumn("dist_km",
+          round(geoDistanceKm(col("lon"), col("lat"), lit(0.0), lit(0.0)), 6))
+        .filter(col("dist_km") <= 3000.0)    // exact residual predicate
+        .select("id", "dist_km")
+        .orderBy("id")
+    },
+
     // ---- WKT round-trip + measures (geomFromText / area / envelope /
     //      centroid): each row BUILDS a POLYGON WKT string, parses it back
     //      with wktPolygon, and measures the parsed ring — the oracle

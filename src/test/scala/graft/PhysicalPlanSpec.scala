@@ -81,6 +81,29 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(pruned.count() == full && full > 0)
   }
 
+  test("covering-cell dwithin prunes cell partitions") {
+    import graft.functions.GeoFunctions
+    val dir = "/tmp/graft_state/plan_geocells_test"
+    val pts = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("id"),
+      ((col("c_custkey") * 104729 % 34000) / 100.0 - 170.0).as("lon"),
+      ((col("c_custkey") * 7919 % 12000) / 100.0 - 60.0).as("lat"))
+    pts.withColumn("cell", GeoFunctions.cellOf(col("lon"), col("lat")))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val cells = GeoFunctions.coveringCells(0.0, 0.0, 1500.0)
+    // a 1500 km radius covers a small fraction of the 34x12-cell world
+    assert(cells.length <= 16, s"walk returned ${cells.length} cells")
+    val q = spark.read.parquet(dir).filter(col("cell").isin(cells: _*))
+    val plan = Explain.explain(q, "formatted")
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // pruned scan + residual ≡ full-scan exact filter
+    val exact = pts.filter(
+      GeoFunctions.geoDistanceKm(col("lon"), col("lat"), lit(0.0), lit(0.0)) <= 1500.0).count()
+    val viaCells = q.filter(
+      GeoFunctions.geoDistanceKm(col("lon"), col("lat"), lit(0.0), lit(0.0)) <= 1500.0).count()
+    assert(viaCells == exact)
+  }
+
   test("corpus-global top-k is TakeOrdered-shaped, never a single-partition sort") {
     import graft.operators.{FullText, VectorRetrieval}
     val searches = Seq(

@@ -19,10 +19,14 @@ object Bench {
       // Full-row checksum, not count(): a count lets Catalyst prune every
       // projection column, so pure-projection queries would benchmark
       // scan+filter only. xxhash64(struct(*)) forces every output column
-      // to be computed while still aggregating to one row.
+      // to be computed while still aggregating to one row. The hashes
+      // combine with bit_xor, NOT sum — summing full-range longs overflows
+      // under ANSI mode and aborts the job mid-query, so the recorded time
+      // measured partial work (the pre-round-3 bench had this bug).
       try {
         val df = fn(spark, sfDir)
-        df.agg(count(lit(1)), sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        df.withColumn("__h", xxhash64(struct(df.columns.map(col): _*)))
+          .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }

@@ -47,16 +47,19 @@ object Cypher {
   /** `hops = None` → single edge; `Some((lo, hi))` → variable-length
     * `*lo..hi` (walk semantics: edge composition, matching a recursive-CTE
     * oracle; openCypher's relationship-uniqueness is not enforced).
-    * `varName` (single-hop only) exposes edge properties as `r_<prop>`. */
+    * `varName` (single-hop only) exposes edge properties as `r_<prop>`.
+    * `direction`: "out" (`->`), "in" (`<-`), or "both" (undirected `-`,
+    * matching the edge in either orientation). */
   final case class RelPat(varName: Option[String], relType: Option[String],
-      leftToRight: Boolean, hops: Option[(Int, Int)] = None)
+      direction: String, hops: Option[(Int, Int)] = None)
   final case class PatternChain(nodes: Seq[NodePat], rels: Seq[RelPat], optional: Boolean)
   final case class ReturnItem(expr: Expr, alias: Option[String])
 
   sealed trait Clause
   final case class MatchC(chains: Seq[PatternChain], where: Option[Expr]) extends Clause
   final case class WithC(items: Seq[ReturnItem], distinct: Boolean,
-      where: Option[Expr]) extends Clause
+      where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
+      skip: Option[Long] = None, limit: Option[Long] = None) extends Clause
   final case class UnwindC(expr: Expr, alias: String) extends Clause
 
   final case class CypherQuery(
@@ -88,8 +91,23 @@ object Cypher {
         val items = Seq.newBuilder[ReturnItem]
         items += parseItem(p)
         while (p.op(",")) items += parseItem(p)
+        // openCypher clause order: WITH … [ORDER BY] [SKIP] [LIMIT] [WHERE]
+        val orderBy = if (p.kw("ORDER")) {
+          p.expectKw("BY")
+          val b = Seq.newBuilder[OrderItem]
+          var more = true
+          while (more) {
+            val e = Parser.parseExpr(p)
+            val asc = if (p.kw("DESC")) false else { p.kw("ASC"); true }
+            b += OrderItem(e, asc)
+            more = p.op(",")
+          }
+          b.result()
+        } else Seq.empty
+        val skip = if (p.kw("SKIP")) Some(Parser.longLit(p)) else None
+        val limit = if (p.kw("LIMIT")) Some(Parser.longLit(p)) else None
         val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
-        clauses += WithC(items.result(), distinct, where)
+        clauses += WithC(items.result(), distinct, where, orderBy, skip, limit)
       } else if (p.kw("UNWIND")) {
         val e = Parser.parseExpr(p)
         p.expectKw("AS")
@@ -131,27 +149,39 @@ object Cypher {
     var go = true
     while (go) {
       if (p.op("-")) {
-        // -[r:type*lo..hi]-> or -[r:type]-
-        p.expectOp("[")
-        val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
-        val t = if (p.op(":")) Some(Parser.ident(p)) else None
-        val hops = parseHops(p)
-        p.expectOp("]")
-        p.expectOp("-")
-        val ltr = p.op(">")
-        rels += RelPat(v, t, leftToRight = ltr, hops)
-        nodes += parseNode(p)
+        if (p.op("-")) {
+          // anonymous edge: --> or -- (undirected)
+          val dir = if (p.op(">")) "out" else "both"
+          rels += RelPat(None, None, dir)
+          nodes += parseNode(p)
+        } else {
+          // -[r:type*lo..hi]-> / -[r:type]- (no '>' → undirected)
+          p.expectOp("[")
+          val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
+          val t = if (p.op(":")) Some(Parser.ident(p)) else None
+          val hops = parseHops(p)
+          p.expectOp("]")
+          p.expectOp("-")
+          val dir = if (p.op(">")) "out" else "both"
+          rels += RelPat(v, t, dir, hops)
+          nodes += parseNode(p)
+        }
       } else if (p.op("<")) {
-        // <-[r:type]-
+        // <-[r:type]- or anonymous <--
         p.expectOp("-")
-        p.expectOp("[")
-        val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
-        val t = if (p.op(":")) Some(Parser.ident(p)) else None
-        val hops = parseHops(p)
-        p.expectOp("]")
-        p.expectOp("-")
-        rels += RelPat(v, t, leftToRight = false, hops)
-        nodes += parseNode(p)
+        if (p.op("-")) {
+          rels += RelPat(None, None, "in")
+          nodes += parseNode(p)
+        } else {
+          p.expectOp("[")
+          val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
+          val t = if (p.op(":")) Some(Parser.ident(p)) else None
+          val hops = parseHops(p)
+          p.expectOp("]")
+          p.expectOp("-")
+          rels += RelPat(v, t, "in", hops)
+          nodes += parseNode(p)
+        }
       } else go = false
     }
     PatternChain(nodes.result(), rels.result(), optional)
@@ -250,10 +280,16 @@ object Cypher {
       val (nf, v) = nodeFrame(node)
       val e0 = rel.relType.fold(g.edges)(t => g.edges.filter(col("label") === t))
       val eAlias = freshVar()
+      // undirected `-`: the edge matches in either orientation
+      def bothOriented(e: DataFrame): DataFrame = {
+        val swapped = e.withColumnRenamed("src", "__swap")
+          .withColumnRenamed("dst", "src").withColumnRenamed("__swap", "dst")
+        e.unionByName(swapped)
+      }
       // variable-length: union of h-fold edge compositions for h in lo..hi
       val eBase = rel.hops match {
         case None =>
-          rel.varName match {
+          val base = rel.varName match {
             case Some(rv) => // carry edge props as rv_* columns
               relVars += rv
               val propCols = e0.columns.filterNot(c => c == "src" || c == "dst")
@@ -261,9 +297,11 @@ object Cypher {
               e0.select(col("src") +: col("dst") +: propCols.toIndexedSeq: _*)
             case None => e0.select(col("src"), col("dst"))
           }
+          if (rel.direction == "both") bothOriented(base) else base
         case Some((lo, hi)) =>
           require(lo >= 1 && hi >= lo && hi <= 8, s"unsupported hop range $lo..$hi")
-          val one = e0.select(col("src"), col("dst"))
+          val one0 = e0.select(col("src"), col("dst"))
+          val one = if (rel.direction == "both") bothOriented(one0).distinct() else one0
           def compose(h: Int): DataFrame =
             (1 until h).foldLeft(one)((acc, _) =>
               acc.alias("l").join(one.alias("r"), col("l.dst") === col("r.src"))
@@ -274,8 +312,8 @@ object Cypher {
         .withColumnRenamed("src", s"${eAlias}_src")
         .withColumnRenamed("dst", s"${eAlias}_dst")
       val (fromCol, toCol) =
-        if (rel.leftToRight) (s"${eAlias}_src", s"${eAlias}_dst")
-        else (s"${eAlias}_dst", s"${eAlias}_src")
+        if (rel.direction == "in") (s"${eAlias}_dst", s"${eAlias}_src")
+        else (s"${eAlias}_src", s"${eAlias}_dst") // out + both
       df = df.join(e, col(s"${prevVar}_id") === col(fromCol))
         .join(nf, col(toCol) === col(s"${v}_id"))
         .drop(s"${eAlias}_src", s"${eAlias}_dst")
@@ -323,7 +361,7 @@ object Cypher {
           else acc.withColumn(a, explode(toCol(e)))
         scalars += a
 
-      case WithC(items, distinct, where) =>
+      case WithC(items, distinct, where, orderBy, skip, limit) =>
         // bare pattern variables carry all their columns; everything else
         // projects to a scalar column named by its alias
         val carried = items.collect {
@@ -349,6 +387,16 @@ object Cypher {
         relVars = carried.filter(relVars).toSet
         scalars = scalarItems.map(name).toSet
         if (distinct) acc = acc.distinct()
+        if (orderBy.nonEmpty)
+          acc = acc.orderBy(orderBy.map { o =>
+            val c = o.expr match {
+              case Ident(n) if acc.columns.contains(n) => col(n)
+              case other => toCol(other)
+            }
+            if (o.asc) c.asc else c.desc
+          }: _*)
+        skip.foreach(n => acc = acc.offset(n.toInt))
+        limit.foreach(n => acc = acc.limit(n.toInt))
         where.foreach(w => acc = acc.filter(toCol(w)))
     }
 

@@ -108,6 +108,27 @@ object CypherOps {
            | WITH c.key AS ck, count(*) AS n WHERE n >= 15
            | RETURN ck, n ORDER BY ck""".stripMargin.replace("\n", ""))),
 
+    // ---- WITH … ORDER BY … LIMIT (sorted/paginated horizon) ----
+    Q("q_cypher_with_topk",
+      """SELECT ck, n FROM (
+        |  SELECT c_custkey AS ck, count(*) AS n
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1 ORDER BY n DESC, ck LIMIT 5)
+        |ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer)-[:placed]->(o:order)
+           | WITH c.key AS ck, count(*) AS n ORDER BY n DESC, ck LIMIT 5
+           | RETURN ck, n ORDER BY ck""".stripMargin.replace("\n", ""))),
+
+    // ---- undirected relationship -[:t]- (either orientation matches) ----
+    Q("q_cypher_undirected",
+      """SELECT l_partkey AS p_partkey, count(*) AS n_orders FROM (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |WHERE l_partkey < 100 GROUP BY l_partkey ORDER BY p_partkey""".stripMargin)(
+      cy("""MATCH (p:part)-[:contains]-(o:order)
+           | WHERE p.key < 100
+           | RETURN p.key AS p_partkey, count(*) AS n_orders
+           | ORDER BY p_partkey""".stripMargin.replace("\n", ""))),
+
     // ---- UNWIND a collected list back into rows (UnwindStep.java:54) ----
     Q("q_cypher_unwind",
       """SELECT c_custkey AS k, c_custkey * 2 AS dbl

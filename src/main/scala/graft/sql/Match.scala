@@ -48,13 +48,13 @@ object Match {
           val e = Parser.ident(p)
           p.expectOp("-")
           p.expectOp(">")
-          rels += RelPat(None, Some(e), leftToRight = true)
+          rels += RelPat(None, Some(e), direction = "out")
           nodes += filter(p, wheres)
         } else if (p.op("<")) { // <-Edge-
           p.expectOp("-")
           val e = Parser.ident(p)
           p.expectOp("-")
-          rels += RelPat(None, Some(e), leftToRight = false)
+          rels += RelPat(None, Some(e), direction = "in")
           nodes += filter(p, wheres)
         } else if (p.op(".")) { // .out('Edge') / .in('Edge')
           val m = Parser.ident(p).toLowerCase
@@ -69,7 +69,7 @@ object Match {
             case t => throw ParseException(s"expected edge-type string, found $t")
           }
           p.expectOp(")")
-          rels += RelPat(None, Some(e), leftToRight = ltr)
+          rels += RelPat(None, Some(e), direction = if (ltr) "out" else "in")
           nodes += filter(p, wheres)
         } else go = false
       }

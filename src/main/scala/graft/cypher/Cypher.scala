@@ -49,9 +49,11 @@ object Cypher {
     * oracle; openCypher's relationship-uniqueness is not enforced).
     * `varName` (single-hop only) exposes edge properties as `r_<prop>`.
     * `direction`: "out" (`->`), "in" (`<-`), or "both" (undirected `-`,
-    * matching the edge in either orientation). */
+    * matching the edge in either orientation). `props`: inline `{k: v}`
+    * predicate in a read pattern, property values in a CREATE pattern. */
   final case class RelPat(varName: Option[String], relType: Option[String],
-      direction: String, hops: Option[(Int, Int)] = None)
+      direction: String, hops: Option[(Int, Int)] = None,
+      props: Seq[(String, Expr)] = Seq.empty)
   final case class PatternChain(nodes: Seq[NodePat], rels: Seq[RelPat], optional: Boolean)
   final case class ReturnItem(expr: Expr, alias: Option[String])
 
@@ -61,6 +63,16 @@ object Cypher {
       where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
       skip: Option[Long] = None, limit: Option[Long] = None) extends Clause
   final case class UnwindC(expr: Expr, alias: String) extends Clause
+
+  /** Write clauses (reference Cypher CREATE/MERGE/SET/DELETE — the
+    * opencypher planner's write steps over MutableVertex/GraphEngine).
+    * Only [[Cypher.execute]] accepts these; [[Cypher.query]] rejects them. */
+  sealed trait WriteClause extends Clause
+  final case class CreateC(chains: Seq[PatternChain]) extends WriteClause
+  final case class MergeC(chain: PatternChain) extends WriteClause
+  final case class SetItem(varName: String, prop: String, value: Expr)
+  final case class SetC(items: Seq[SetItem]) extends WriteClause
+  final case class DeleteC(vars: Seq[String], detach: Boolean) extends WriteClause
 
   final case class CypherQuery(
       clauses: Seq[Clause],
@@ -76,8 +88,41 @@ object Cypher {
     val p = new Parser.P(Parser.lex(text))
     val clauses = Seq.newBuilder[Clause]
     var done = false
+    var hasReturn = false
     while (!done) {
-      if (p.kw("RETURN")) done = true
+      if (p.peek == TEof) done = true // write-only query: no RETURN
+      else if (p.kw("RETURN")) { done = true; hasReturn = true }
+      else if (p.kw("CREATE")) {
+        val chains = Seq.newBuilder[PatternChain]
+        chains += parseChain(p, optional = false)
+        while (p.op(",")) chains += parseChain(p, optional = false)
+        clauses += CreateC(chains.result())
+      } else if (p.kw("MERGE")) {
+        clauses += MergeC(parseChain(p, optional = false))
+      } else if (p.kw("SET")) {
+        val items = Seq.newBuilder[SetItem]
+        var more = true
+        while (more) {
+          val v = Parser.ident(p)
+          p.expectOp(".")
+          val prop = Parser.ident(p)
+          p.expectOp("=")
+          items += SetItem(v, prop, Parser.parseExpr(p))
+          more = p.op(",")
+        }
+        clauses += SetC(items.result())
+      } else if (p.kw("DETACH")) {
+        p.expectKw("DELETE")
+        val vars = Seq.newBuilder[String]
+        vars += Parser.ident(p)
+        while (p.op(",")) vars += Parser.ident(p)
+        clauses += DeleteC(vars.result(), detach = true)
+      } else if (p.kw("DELETE")) {
+        val vars = Seq.newBuilder[String]
+        vars += Parser.ident(p)
+        while (p.op(",")) vars += Parser.ident(p)
+        clauses += DeleteC(vars.result(), detach = false)
+      }
       else if (p.peekKw("MATCH") || p.peekKw("OPTIONAL")) {
         val optional = p.kw("OPTIONAL")
         p.expectKw("MATCH")
@@ -112,8 +157,10 @@ object Cypher {
         val e = Parser.parseExpr(p)
         p.expectKw("AS")
         clauses += UnwindC(e, Parser.ident(p))
-      } else throw ParseException(s"expected MATCH/WITH/UNWIND/RETURN, found ${p.peek}")
+      } else throw ParseException(s"expected MATCH/WITH/UNWIND/CREATE/MERGE/SET/DELETE/RETURN, found ${p.peek}")
     }
+    if (!hasReturn)
+      return CypherQuery(clauses.result(), Seq.empty, distinct = false, Seq.empty, None, None)
     val distinct = p.kw("DISTINCT")
     val items = Seq.newBuilder[ReturnItem]
     items += parseItem(p)
@@ -155,15 +202,16 @@ object Cypher {
           rels += RelPat(None, None, dir)
           nodes += parseNode(p)
         } else {
-          // -[r:type*lo..hi]-> / -[r:type]- (no '>' → undirected)
+          // -[r:type*lo..hi {k: v}]-> / -[r:type]- (no '>' → undirected)
           p.expectOp("[")
           val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
           val t = if (p.op(":")) Some(Parser.ident(p)) else None
           val hops = parseHops(p)
+          val props = parseProps(p)
           p.expectOp("]")
           p.expectOp("-")
           val dir = if (p.op(">")) "out" else "both"
-          rels += RelPat(v, t, dir, hops)
+          rels += RelPat(v, t, dir, hops, props)
           nodes += parseNode(p)
         }
       } else if (p.op("<")) {
@@ -177,9 +225,10 @@ object Cypher {
           val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
           val t = if (p.op(":")) Some(Parser.ident(p)) else None
           val hops = parseHops(p)
+          val props = parseProps(p)
           p.expectOp("]")
           p.expectOp("-")
-          rels += RelPat(v, t, "in", hops)
+          rels += RelPat(v, t, "in", hops, props)
           nodes += parseNode(p)
         }
       } else go = false
@@ -202,15 +251,9 @@ object Cypher {
       }
     } else None
 
-  private def parseNode(p: Parser.P): NodePat = {
-    p.expectOp("(")
-    val v = p.peek match {
-      case TId(s) => p.next(); Some(s)
-      case _ => None
-    }
-    val label = if (p.op(":")) Some(Parser.ident(p)) else None
-    // inline property predicate {k: lit, ...}
-    val props = if (p.op("{")) {
+  /** Inline property map `{k: expr, ...}` (empty when absent). */
+  private def parseProps(p: Parser.P): Seq[(String, Expr)] =
+    if (p.op("{")) {
       val b = Seq.newBuilder[(String, Expr)]
       var more = true
       while (more) {
@@ -222,6 +265,15 @@ object Cypher {
       p.expectOp("}")
       b.result()
     } else Seq.empty
+
+  private def parseNode(p: Parser.P): NodePat = {
+    p.expectOp("(")
+    val v = p.peek match {
+      case TId(s) => p.next(); Some(s)
+      case _ => None
+    }
+    val label = if (p.op(":")) Some(Parser.ident(p)) else None
+    val props = parseProps(p)
     p.expectOp(")")
     NodePat(v, label, props)
   }
@@ -278,7 +330,11 @@ object Cypher {
     var prevVar = v0
     chain.rels.zip(chain.nodes.tail).foreach { case (rel, node) =>
       val (nf, v) = nodeFrame(node)
-      val e0 = rel.relType.fold(g.edges)(t => g.edges.filter(col("label") === t))
+      val typed = rel.relType.fold(g.edges)(t => g.edges.filter(col("label") === t))
+      // inline rel props `{k: v}` filter the edge before the join
+      val e0 = rel.props.foldLeft(typed) { case (d, (k, lv)) =>
+        d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+      }
       val eAlias = freshVar()
       // undirected `-`: the edge matches in either orientation
       def bothOriented(e: DataFrame): DataFrame = {
@@ -323,14 +379,17 @@ object Cypher {
     (df, vars, relVars)
   }
 
-  def compile(g: PropertyGraph, q: CypherQuery): DataFrame = {
+  /** Mutable clause-pipeline state shared by [[compile]] (read-only) and
+    * [[execute]] (reads + writes). `g` is by-name so a MATCH issued after
+    * a write clause reads the post-mutation graph. */
+  private final class Pipeline(g: => PropertyGraph) {
     var acc: DataFrame = null
     var nodeVars = Set.empty[String]  // vars with v_* columns (incl. v_id)
     var relVars = Set.empty[String]   // rel vars with r_* prop columns
     var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
     def toCol(e: Expr): Column = graft.sql.Translator.toColumn(flatten(e, scalars))
 
-    q.clauses.foreach {
+    def step(clause: Clause): Unit = clause match {
       case MatchC(chains, where) =>
         chains.foreach { chain =>
           val (cf, vars, rvars) = chainFrame(g, chain)
@@ -398,8 +457,24 @@ object Cypher {
         skip.foreach(n => acc = acc.offset(n.toInt))
         limit.foreach(n => acc = acc.limit(n.toInt))
         where.foreach(w => acc = acc.filter(toCol(w)))
-    }
 
+      case _: WriteClause =>
+        throw ParseException("write clause in a read query — use Cypher.execute")
+    }
+  }
+
+  def compile(g: PropertyGraph, q: CypherQuery): DataFrame = {
+    val pl = new Pipeline(g)
+    q.clauses.foreach(pl.step)
+    if (q.items.isEmpty)
+      throw ParseException("read query requires a RETURN clause")
+    finishReturn(pl, q)
+  }
+
+  /** Final RETURN projection over the accumulated pipeline frame. */
+  private def finishReturn(pl: Pipeline, q: CypherQuery): DataFrame = {
+    val acc = pl.acc
+    val scalars = pl.scalars
     val items = q.items.map(it => it.copy(expr = flatten(it.expr, scalars)))
     val hasAgg = items.exists(it => graft.sql.Translator.containsAgg(it.expr))
     def name(it: ReturnItem, i: Int): String = it.alias.getOrElse(exprLabel(q.items(i).expr))
@@ -437,6 +512,116 @@ object Cypher {
     case _ => "expr"
   }
 
+  // ---------------- write execution ----------------
+
+  /** Rewrite `v.prop` → the vertex table's own `prop` column for SET
+    * expressions applied to variable `v`; any other variable reference is
+    * an error (a SET value may depend only on the target row — per-row
+    * cross-variable values would need the full binding table carried into
+    * the rewrite join; restriction documented in the operator contract). */
+  private def flattenTarget(e: Expr, v: String): Expr = {
+    def f(x: Expr): Expr = flattenTarget(x, v)
+    e match {
+      case PropAccess(Ident(`v`), prop) => Ident(prop)
+      case PropAccess(Ident(other), _) =>
+        throw ParseException(s"SET value may reference only $v's own properties, found $other")
+      case Ident(`v`)                 => Ident("id")
+      case PropAccess(t, prop)        => PropAccess(f(t), prop)
+      case Bin(op, l, r)              => Bin(op, f(l), f(r))
+      case Neg(x)                     => Neg(f(x))
+      case Not(x)                     => Not(f(x))
+      case FnCall(n, args, s)         => FnCall(n, args.map(f), s)
+      case MethodCall(t, m, args)     => MethodCall(f(t), m, args.map(f))
+      case InList(x, es, n)           => InList(f(x), es.map(f), n)
+      case Between(x, lo, hi)         => Between(f(x), f(lo), f(hi))
+      case LikeOp(x, pat, ci)         => LikeOp(f(x), pat, ci)
+      case IsNull(x, n)               => IsNull(f(x), n)
+      case other                      => other
+    }
+  }
+
+  private def applyWrite(mg: graft.graph.MutableGraph, pl: Pipeline, w: WriteClause): Unit = {
+    def litCols(props: Seq[(String, Expr)]): Seq[Column] =
+      props.map { case (k, e) => graft.sql.Translator.toColumn(e).as(k) }
+    w match {
+      case CreateC(chains) => chains.foreach { ch =>
+        if (ch.rels.isEmpty) {
+          // CREATE (n:label {...}) — one new vertex from literal props
+          val n = ch.nodes.head
+          val cols = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
+          require(cols.nonEmpty, "CREATE node needs a label or properties")
+          mg.createVertices(mg.spark.range(1).select(cols: _*))
+        } else {
+          // CREATE (a)-[:T {...}]->(b) — edges between bound variables,
+          // one row per binding in the accumulated frame
+          var prev = ch.nodes.head
+          ch.rels.zip(ch.nodes.tail).foreach { case (r, n) =>
+            val a = prev.varName.getOrElse(
+              throw ParseException("CREATE edge endpoints must be named variables"))
+            val b = n.varName.getOrElse(
+              throw ParseException("CREATE edge endpoints must be named variables"))
+            if (!pl.nodeVars(a) || !pl.nodeVars(b))
+              throw ParseException(s"CREATE edge endpoints $a/$b must be bound by a preceding MATCH")
+            val t = r.relType.getOrElse(throw ParseException("CREATE edge needs a :type"))
+            val (srcV, dstV) = if (r.direction == "in") (b, a) else (a, b)
+            val rows = pl.acc.select(
+              (col(s"${srcV}_id").as("src") +: col(s"${dstV}_id").as("dst") +:
+                lit(t).as("label") +: litCols(r.props)).toIndexedSeq: _*).distinct()
+            mg.createEdges(rows)
+            prev = n
+          }
+        }
+      }
+
+      case MergeC(ch) =>
+        if (ch.rels.nonEmpty)
+          throw ParseException("MERGE supports a single node pattern")
+        val n = ch.nodes.head
+        val pred = (n.label.map(l => col("label") === l).toSeq ++
+          n.props.map { case (k, e) => col(k) === graft.sql.Translator.toColumn(e) })
+          .reduceOption(_ && _)
+          .getOrElse(throw ParseException("MERGE node needs a label or properties"))
+        val cols = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
+        mg.mergeVertex(pred, mg.spark.range(1).select(cols: _*))
+
+      case SetC(items) =>
+        items.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
+          if (!pl.nodeVars(v))
+            throw ParseException(s"SET target $v is not a bound node variable")
+          val ids = pl.acc.select(col(s"${v}_id").as("id"))
+          val sets = its.map(it =>
+            it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v)))
+          mg.setVertexProps(ids, sets)
+        }
+
+      case DeleteC(vars, detach) =>
+        val ids = vars.map { v =>
+          if (!pl.nodeVars(v))
+            throw ParseException(s"DELETE target $v is not a bound node variable")
+          pl.acc.select(col(s"${v}_id").as("id"))
+        }.reduce(_ union _)
+        mg.deleteVertices(ids, detach)
+    }
+  }
+
   /** Entry point: run a Cypher query against a property graph. */
   def query(g: PropertyGraph, text: String): DataFrame = compile(g, parse(text))
+
+  /** Entry point for write statements (CREATE / MERGE / SET / DELETE,
+    * optionally preceded by MATCH/WITH/UNWIND read clauses and followed by
+    * RETURN). Bindings established before a write are pinned
+    * (localCheckpoint) so the mutation's overwrite cannot invalidate them;
+    * a MATCH issued after a write reads the post-mutation graph. */
+  def execute(mg: graft.graph.MutableGraph, text: String): DataFrame = {
+    val q = parse(text)
+    val pl = new Pipeline(mg.graph) // by-name: re-read after each write
+    q.clauses.foreach {
+      case wc: WriteClause =>
+        if (pl.acc != null) pl.acc = pl.acc.localCheckpoint(true)
+        applyWrite(mg, pl, wc)
+      case c => pl.step(c)
+    }
+    if (q.items.nonEmpty) finishReturn(pl, q)
+    else mg.spark.range(1).select(lit(1).as("ok"))
+  }
 }

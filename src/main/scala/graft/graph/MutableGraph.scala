@@ -1,0 +1,91 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Writable property graph backing the Cypher write clauses (reference
+  * cypher CREATE/SET/DELETE/MERGE — query/opencypher planner write steps
+  * and the underlying MutableVertex.java:42 / GraphEngine edge creation,
+  * GraphEngine.java:66).
+  *
+  * Same storage model as [[graft.sources.MutableTable]]: each mutation
+  * derives the next vertices/edges state declaratively, materializes it
+  * (localCheckpoint — the lazily-read source dir is about to be
+  * overwritten), and overwrites the backing parquet. At 100 TB the backing
+  * would be Delta/Iceberg MERGE; the derivation (affected-id set → join →
+  * rewrite) is what those formats execute underneath. Affected-id sets are
+  * broadcast — a write touches few vertices while the table is huge, so
+  * the rewrite is one broadcast-hash pass over the big side, no shuffle.
+  */
+final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
+
+  def vertices: DataFrame = spark.read.parquet(vDir)
+  def edges: DataFrame = spark.read.parquet(eDir)
+  def graph: PropertyGraph = PropertyGraph(vertices, edges)
+
+  private def overwriteV(next: DataFrame): Unit =
+    next.localCheckpoint(eager = true).write.mode("overwrite").parquet(vDir)
+  private def overwriteE(next: DataFrame): Unit =
+    next.localCheckpoint(eager = true).write.mode("overwrite").parquet(eDir)
+
+  /** Align `rows` to `to`'s schema: missing columns null, extras dropped. */
+  private def aligned(rows: DataFrame, to: DataFrame): DataFrame =
+    rows.select(to.schema.map(f =>
+      (if (rows.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+
+  /** CREATE (n:label {...}) — append schema-aligned vertex rows. */
+  def createVertices(rows: DataFrame): Unit = {
+    val v = vertices
+    overwriteV(v.unionByName(aligned(rows, v).localCheckpoint(eager = true)))
+  }
+
+  /** CREATE (a)-[:T {...}]->(b) — append schema-aligned edge rows. */
+  def createEdges(rows: DataFrame): Unit = {
+    val e = edges
+    overwriteE(e.unionByName(aligned(rows, e).localCheckpoint(eager = true)))
+  }
+
+  /** SET v.prop = expr on vertices whose id ∈ `ids`. Set expressions are
+    * Columns over the vertex row's own properties. */
+  def setVertexProps(ids: DataFrame, sets: Seq[(String, Column)]): Unit = {
+    val keys = ids.select(col("id").as("__set_id")).distinct()
+      .localCheckpoint(eager = true)
+    val marked = vertices.join(broadcast(keys), col("id") === col("__set_id"), "left_outer")
+    val next = sets.foldLeft(marked) { case (d, (p, c)) =>
+      d.withColumn(p, when(col("__set_id").isNotNull, c).otherwise(col(p)))
+    }.drop("__set_id")
+    overwriteV(next)
+  }
+
+  /** DELETE / DETACH DELETE: remove the vertices; with `detach`, incident
+    * edges go first (the reference refuses a non-detach delete of a
+    * connected vertex — we mirror only the detach path's semantics and
+    * leave plain DELETE as vertex-only removal). */
+  def deleteVertices(ids: DataFrame, detach: Boolean): Unit = {
+    val keys = ids.select(col("id").as("__del_id")).distinct()
+      .localCheckpoint(eager = true)
+    if (detach) {
+      val kept = edges
+        .join(broadcast(keys), col("src") === col("__del_id"), "left_anti")
+        .join(broadcast(keys), col("dst") === col("__del_id"), "left_anti")
+      overwriteE(kept)
+    }
+    overwriteV(vertices.join(broadcast(keys), col("id") === col("__del_id"), "left_anti"))
+  }
+
+  /** MERGE (n:label {k: v, ...}): bind if a vertex matches `pred`, else
+    * create `row` (match-or-create; reference MergeStep semantics for a
+    * single node pattern). */
+  def mergeVertex(pred: Column, row: DataFrame): Unit =
+    if (vertices.filter(pred).isEmpty) createVertices(row)
+}
+
+object MutableGraph {
+  /** Fresh writable copy of `g` under `dir` (vertices/, edges/). */
+  def copyOf(spark: SparkSession, g: PropertyGraph, dir: String): MutableGraph = {
+    g.vertices.write.mode("overwrite").parquet(s"$dir/vertices")
+    g.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    new MutableGraph(spark, s"$dir/vertices", s"$dir/edges")
+  }
+}

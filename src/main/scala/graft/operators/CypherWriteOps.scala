@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.cypher.Cypher
+import graft.graph.{MutableGraph, PropertyGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cypher write statements (CREATE / MERGE / SET / DETACH DELETE —
+  * reference opencypher planner write steps over MutableVertex.java:42 /
+  * GraphEngine edge creation): each query parses REAL Cypher write text,
+  * mutates a writable graph copy, and returns the resulting state; the
+  * DuckDB oracle derives the same post-mutation state declaratively from
+  * the immutable source tables — a pass proves the write semantics.
+  *
+  * State lives under /tmp/graft_state keyed by scale factor; every run
+  * re-copies the source graph first, so the queries are idempotent.
+  */
+object CypherWriteOps {
+
+  private def slug(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+  private def stateDir(q: String, d: String): String = s"/tmp/graft_state/${q}_${slug(d)}"
+
+  /** nation/region demo graph: nation vertices (id = nationkey), region
+    * vertices (id = 100 + regionkey), one in_region edge per nation. */
+  private def natGraph(s: SparkSession, d: String): PropertyGraph = {
+    val nv = Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("id"), lit("nation").as("label"),
+      col("n_nationkey").cast("long").as("key"), col("n_name").as("name"))
+    val rv = Tables.region(s, d).select(
+      (col("r_regionkey") + 100).cast("long").as("id"), lit("region").as("label"),
+      col("r_regionkey").cast("long").as("key"), col("r_name").as("name"))
+    val e = Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("src"),
+      (col("n_regionkey") + 100).cast("long").as("dst"),
+      lit("in_region").as("label"))
+    PropertyGraph(nv.unionByName(rv), e)
+  }
+
+  private def copied(s: SparkSession, d: String, q: String): MutableGraph =
+    MutableGraph.copyOf(s, natGraph(s, d), stateDir(q, d))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- CREATE: a new vertex, then an edge between matched nodes ----
+    Q("q_cypher_create",
+      """SELECT nkey, name, rkey FROM (
+        |  SELECT n_nationkey AS nkey, n_name AS name, n_regionkey AS rkey FROM nation
+        |  UNION ALL SELECT 999, 'GRAFTLAND', 1)
+        |ORDER BY nkey""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "cy_create")
+      Cypher.execute(mg, "CREATE (n:nation {id: 999, key: 999, name: 'GRAFTLAND'})")
+      Cypher.execute(mg,
+        "MATCH (a:nation {key: 999}), (b:region {key: 1}) CREATE (a)-[:in_region]->(b)")
+      Cypher.query(mg.graph,
+        """MATCH (n:nation)-[:in_region]->(r:region)
+          | RETURN n.key AS nkey, n.name AS name, r.key AS rkey
+          | ORDER BY nkey""".stripMargin.replace("\n", ""))
+    },
+
+    // ---- SET with an expression over the matched row's own props ----
+    Q("q_cypher_set",
+      """SELECT n_nationkey AS key,
+        |  CASE WHEN n_regionkey = 2 THEN lower(n_name) ELSE n_name END AS name
+        |FROM nation ORDER BY key""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "cy_set")
+      Cypher.execute(mg,
+        "MATCH (n:nation)-[:in_region]->(r:region {key: 2}) SET n.name = lower(n.name)")
+      Cypher.query(mg.graph,
+        "MATCH (n:nation) RETURN n.key AS key, n.name AS name ORDER BY key")
+    },
+
+    // ---- DETACH DELETE: vertices and incident edges both go ----
+    Q("q_cypher_delete",
+      """SELECT count(*) AS n_vertices, count(*) AS n_edges
+        |FROM nation WHERE n_nationkey < 20""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "cy_delete")
+      Cypher.execute(mg, "MATCH (n:nation) WHERE n.key >= 20 DETACH DELETE n")
+      mg.vertices.filter(col("label") === "nation")
+        .agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(mg.edges.agg(count(lit(1)).as("n_edges")))
+    },
+
+    // ---- MERGE: existing key binds (no-op), missing key creates ----
+    Q("q_cypher_merge",
+      """SELECT key, name FROM (
+        |  SELECT n_nationkey AS key, n_name AS name FROM nation
+        |  UNION ALL SELECT 500, 'NEWLAND')
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "cy_merge")
+      Cypher.execute(mg, "MERGE (n:nation {id: 3, key: 3})")              // exists → no-op
+      Cypher.execute(mg, "MERGE (n:nation {id: 500, key: 500, name: 'NEWLAND'})") // → create
+      Cypher.query(mg.graph,
+        "MATCH (n:nation) RETURN n.key AS key, n.name AS name ORDER BY key")
+    },
+
+    // ---- read pattern with inline relationship props {k: v} ----
+    Q("q_cypher_rel_props",
+      """SELECT l_orderkey AS okey, l_partkey AS pkey
+        |FROM lineitem WHERE l_orderkey < 500
+        |GROUP BY 1, 2 HAVING sum(l_quantity) = 5
+        |ORDER BY okey, pkey""".stripMargin) { (s, d) =>
+      Cypher.query(PropertyGraph.fromTpch(s, d),
+        """MATCH (o:order)-[r:contains {qty: 5.0}]->(p:part)
+          | WHERE o.key < 500
+          | RETURN o.key AS okey, p.key AS pkey ORDER BY okey, pkey"""
+          .stripMargin.replace("\n", ""))
+    }
+  )
+}

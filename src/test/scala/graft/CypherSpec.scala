@@ -52,6 +52,38 @@ class CypherSpec extends AnyFunSuite {
     assert(two.collect()(0).getLong(0) == one.collect()(0).getLong(0))
   }
 
+  test("write clauses: CREATE / MERGE / SET / DETACH DELETE mutate state") {
+    import org.apache.spark.sql.functions._
+    import graft.graph.MutableGraph
+    val src = PropertyGraph(
+      spark.range(3).select(col("id"), lit("n").as("label"), col("id").as("key"),
+        concat(lit("v"), col("id")).as("name")),
+      spark.range(2).select(col("id").as("src"), (col("id") + 1).as("dst"),
+        lit("next").as("label")))
+    val mg = MutableGraph.copyOf(spark, src, "/tmp/graft_state/cyspec_write")
+    // CREATE node + edge
+    Cypher.execute(mg, "CREATE (x:n {id: 10, key: 10, name: 'v10'})")
+    Cypher.execute(mg, "MATCH (a:n {key: 2}), (b:n {key: 10}) CREATE (a)-[:next]->(b)")
+    assert(mg.vertices.count() == 4 && mg.edges.count() == 3)
+    // MERGE: existing no-op, new creates
+    Cypher.execute(mg, "MERGE (x:n {id: 10, key: 10})")
+    assert(mg.vertices.count() == 4)
+    Cypher.execute(mg, "MERGE (x:n {id: 11, key: 11, name: 'v11'})")
+    assert(mg.vertices.count() == 5)
+    // SET with self-referencing expression
+    Cypher.execute(mg, "MATCH (x:n) WHERE x.key <= 1 SET x.name = upper(x.name)")
+    val names = mg.vertices.orderBy("key").collect().map(_.getAs[String]("name")).toSeq
+    assert(names == Seq("V0", "V1", "v2", "v10", "v11"))
+    // DETACH DELETE removes the vertex and its incident edges
+    Cypher.execute(mg, "MATCH (x:n {key: 2}) DETACH DELETE x")
+    assert(mg.vertices.count() == 4)
+    assert(mg.edges.count() == 1) // 1->2 and 2->10 both gone
+    // write clause rejected in read entry point
+    intercept[graft.sql.Parser.ParseException] {
+      Cypher.query(mg.graph, "MATCH (x:n) DELETE x")
+    }
+  }
+
   test("RETURN DISTINCT deduplicates") {
     val g = PropertyGraph.fromTpch(spark, sfDir)
     val df = Cypher.query(g,

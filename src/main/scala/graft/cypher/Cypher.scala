@@ -63,6 +63,11 @@ object Cypher {
       where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
       skip: Option[Long] = None, limit: Option[Long] = None) extends Clause
   final case class UnwindC(expr: Expr, alias: String) extends Clause
+  /** `MATCH p = shortestPath((a)-[:T*lo..hi]-(b))` — min-depth BFS from
+    * the `a` anchor set; binds `b`'s columns plus `p.length` (the
+    * reference supports openCypher's `length(p)`; this dialect projects
+    * the path length as a property of the path variable). */
+  final case class ShortestPathC(pathVar: String, chain: PatternChain) extends Clause
 
   /** Write clauses (reference Cypher CREATE/MERGE/SET/DELETE — the
     * opencypher planner's write steps over MutableVertex/GraphEngine).
@@ -126,11 +131,27 @@ object Cypher {
       else if (p.peekKw("MATCH") || p.peekKw("OPTIONAL")) {
         val optional = p.kw("OPTIONAL")
         p.expectKw("MATCH")
-        val chains = Seq.newBuilder[PatternChain]
-        chains += parseChain(p, optional)
-        while (p.op(",")) chains += parseChain(p, optional)
-        val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
-        clauses += MatchC(chains.result(), where)
+        // `p = shortestPath(...)` — one-token lookahead for `ident =`
+        val mark = p.pos
+        val spVar = p.peek match {
+          case TId(s) if !s.equalsIgnoreCase("shortestPath") =>
+            p.next()
+            if (p.op("=")) Some(s) else { p.pos = mark; None }
+          case _ => None
+        }
+        if (spVar.isDefined) {
+          p.expectKw("SHORTESTPATH")
+          p.expectOp("(")
+          val chain = parseChain(p, optional = false)
+          p.expectOp(")")
+          clauses += ShortestPathC(spVar.get, chain)
+        } else {
+          val chains = Seq.newBuilder[PatternChain]
+          chains += parseChain(p, optional)
+          while (p.op(",")) chains += parseChain(p, optional)
+          val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
+          clauses += MatchC(chains.result(), where)
+        }
       } else if (p.kw("WITH")) {
         val distinct = p.kw("DISTINCT")
         val items = Seq.newBuilder[ReturnItem]
@@ -457,6 +478,29 @@ object Cypher {
         skip.foreach(n => acc = acc.offset(n.toInt))
         limit.foreach(n => acc = acc.limit(n.toInt))
         where.foreach(w => acc = acc.filter(toCol(w)))
+
+      case ShortestPathC(pv, chain) =>
+        if (chain.nodes.length != 2 || chain.rels.length != 1)
+          throw ParseException("shortestPath needs exactly (a)-[*lo..hi]-(b)")
+        val rel = chain.rels.head
+        val (lo, hi) = rel.hops.getOrElse((1, 3))
+        def filtered(n: NodePat): DataFrame = {
+          val labeled = n.label.fold(g.vertices)(l => g.vertices.filter(col("label") === l))
+          n.props.foldLeft(labeled) { case (d, (k, lv)) =>
+            d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+          }
+        }
+        // min reach depth IS the shortest path length (BFS invariant)
+        val reach = g.traverse(filtered(chain.nodes.head).select(col("id")),
+            hi, rel.direction, rel.relType)
+          .filter(col("depth") >= lo)
+        val bv = chain.nodes(1).varName.getOrElse(freshVar())
+        val bf = filtered(chain.nodes(1))
+        val bRenamed = bf.columns.foldLeft(bf)((d, c) => d.withColumnRenamed(c, s"${bv}_$c"))
+        val sp = reach.join(bRenamed, col("id") === col(s"${bv}_id"))
+          .drop("id").withColumnRenamed("depth", s"${pv}_length")
+        acc = if (acc == null) sp else acc.crossJoin(sp)
+        nodeVars += bv
 
       case _: WriteClause =>
         throw ParseException("write clause in a read query — use Cypher.execute")

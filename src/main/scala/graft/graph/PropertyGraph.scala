@@ -43,11 +43,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * visited set carried as a DataFrame. For deep traversals the caller
     * should checkpoint every few iterations; depth here is bounded small.
     */
-  def traverse(seeds: DataFrame, maxDepth: Int, direction: String = "out"): DataFrame = {
+  def traverse(seeds: DataFrame, maxDepth: Int, direction: String = "out",
+      edgeLabel: Option[String] = None): DataFrame = {
     // The edge relation is scanned once per depth — cache it for the loop
     // (it is often a derived join, e.g. co-purchase, that would otherwise
     // recompute from source every iteration).
-    val cachedEdges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val cachedEdges = edgeLabel.fold(edges)(l => edges.filter(col("label") === l))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cachedGraph = copy(edges = cachedEdges)
     var visited = seeds.select(col("id")).distinct().withColumn("depth", lit(0))
     var frontier = visited.select("id").persist(StorageLevel.MEMORY_AND_DISK)
@@ -60,8 +62,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // BFS-loop growth the reference sidesteps with its in-memory visited
       // set, GraphAlgorithms.java:411); persisted frontiers are released
       // as soon as the next one is materialized.
-      val next = (if (direction == "in") cachedGraph.expandIn(frontier)
-        else cachedGraph.expandOut(frontier))
+      val next = (direction match {
+          case "in"   => cachedGraph.expandIn(frontier)
+          case "both" => cachedGraph.expandOut(frontier).union(cachedGraph.expandIn(frontier))
+          case _      => cachedGraph.expandOut(frontier)
+        })
         .distinct()
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -155,6 +155,36 @@ object CypherOps {
       cy("""MATCH (c:customer {key: 42})-[:placed]->(o:order)
            | RETURN o.key AS o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
 
+    // ---- shortestPath: min-depth BFS bound to a path variable ----
+    Q("q_cypher_shortest_path",
+      """WITH RECURSIVE ce AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_partkey < 300 AND l2.l_partkey < 300),
+        |e AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+        |r(id, d) AS (
+        |  SELECT CAST(17 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 3)
+        |SELECT id AS pkey, min(d) AS len FROM r
+        |GROUP BY id HAVING min(d) >= 1 ORDER BY pkey""".stripMargin) { (s, d) =>
+      Cypher.query(coGraph(s, d),
+        "MATCH p = shortestPath((a:part {key: 17})-[:co*1..3]->(b:part)) " +
+          "RETURN b.key AS pkey, p.length AS len ORDER BY pkey")
+    },
+
+    // ---- string predicates STARTS WITH / ENDS WITH + exists() ----
+    Q("q_cypher_string_preds",
+      """SELECT c_custkey AS key, c_name AS name FROM customer
+        |WHERE c_name LIKE '%7' AND c_name LIKE 'Customer%' AND c_custkey < 200
+        |ORDER BY key""".stripMargin)(
+      cy("""MATCH (c:customer)
+           | WHERE c.name ENDS WITH '7' AND c.name STARTS WITH 'Customer'
+           |   AND exists(c.name) AND c.key < 200
+           | RETURN c.key AS key, c.name AS name ORDER BY key"""
+        .stripMargin.replace("\n", ""))),
+
     // ---- predicate on both pattern endpoints + top-k on the aggregate ----
     Q("q_cypher_filter_order",
       """SELECT c_custkey, count(*) AS n

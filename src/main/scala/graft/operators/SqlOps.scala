@@ -210,6 +210,25 @@ object SqlOps {
           | ORDER BY c_custkey""".stripMargin.replace("\n", ""))
     },
 
+    // ---- TRAVERSE statement (grammar SQLParser.g4:220-229, executor
+    //      BreadthFirstTraverseStep.java:34): BFS frontier loop from the
+    //      seed set, min reach depth per vertex; out() with no edge type
+    //      follows every edge label ----
+    Q("q_sql_traverse",
+      """SELECT key, label, depth FROM (
+        |  SELECT c_custkey AS key, 'customer' AS label, 0 AS depth
+        |  FROM customer WHERE c_custkey <= 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'order', 1 FROM orders WHERE o_custkey <= 3
+        |  UNION ALL
+        |  SELECT DISTINCT l_partkey, 'part', 2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey <= 3)
+        |ORDER BY depth, label, key""".stripMargin) { (s, d) =>
+      graft.sql.Traverse.query(graft.graph.PropertyGraph.fromTpch(s, d),
+        "TRAVERSE out() FROM customer WHERE key <= 3 MAXDEPTH 2")
+    },
+
     // ---- INSERT INTO … VALUES through the parser (InsertExecutionPlanner)
     //      — result is the post-insert table state re-read via the dialect ----
     Q("q_sql_insert",

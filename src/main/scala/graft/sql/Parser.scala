@@ -288,6 +288,10 @@ object Parser {
     else if (p.kw("LIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = false)
     else if (p.kw("ILIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = true)
     else if (p.kw("MATCHES")) Matches(l, parseAdditive(p))
+    // openCypher string predicates (Cypher25Parser.g4 stringPredicate) —
+    // desugared to the registered starts_with/ends_with/str_contains fns
+    else if (p.kw("STARTS")) { p.expectKw("WITH"); FnCall("starts_with", Seq(l, parseAdditive(p))) }
+    else if (p.kw("ENDS")) { p.expectKw("WITH"); FnCall("ends_with", Seq(l, parseAdditive(p))) }
     else if (p.kw("CONTAINSALL")) ContainsOp(l, "ALL", parseAdditive(p))
     else if (p.kw("CONTAINSANY")) ContainsOp(l, "ANY", parseAdditive(p))
     else if (p.kw("CONTAINS")) ContainsOp(l, "ONE", parseAdditive(p))

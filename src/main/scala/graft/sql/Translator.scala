@@ -203,6 +203,8 @@ object Translator {
       case "levenshtein"   => levenshtein(args(0), args(1))
       case "starts_with" | "startswith" => args(0).startsWith(args(1))
       case "ends_with" | "endswith"     => args(0).endsWith(args(1))
+      case "str_contains" => args(0).contains(args(1)) // Cypher string CONTAINS
+      case "exists"       => args.head.isNotNull       // Cypher exists(n.prop)
       case "substr"     => substring(args.head, litToInt(argEs(1)), litToInt(argEs(2)))
       case "regexp_replace" => regexp_replace(args.head, litToStr(argEs(1)), litToStr(argEs(2)))
       case "regexp_extract" => regexp_extract(args.head, litToStr(argEs(1)), litToInt(argEs(2)))

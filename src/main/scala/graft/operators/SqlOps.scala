@@ -210,6 +210,103 @@ object SqlOps {
           | ORDER BY c_custkey""".stripMargin.replace("\n", ""))
     },
 
+    // ---- CUBE: multi-dimensional aggregate in one Expand pass (free
+    //      Spark capability; the reference grammar has only plain
+    //      GROUP BY — SQLParser.g4:1262, SURVEY.md §2.4) ----
+    Q("q_sql_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(28,4))::DOUBLE AS sum_qty, count(*) AS n
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
+      sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+            | FROM lineitem WHERE l_orderkey < 1000
+            | GROUP BY CUBE (l_returnflag, l_linestatus)
+            | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""))),
+
+    // ---- GROUPING SETS: explicit set list, including the grand total ----
+    Q("q_sql_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders WHERE o_orderkey < 2000
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)(
+      sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            | FROM orders WHERE o_orderkey < 2000
+            | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            | ORDER BY o_orderstatus, o_orderpriority""".stripMargin.replace("\n", ""))),
+
+    // ---- second function-registry batch: hyperbolics, string/date tail,
+    //      conditional nvl/nvl2, two-arg log ----
+    Q("q_sql_funcs_more",
+      """SELECT o_orderkey,
+        |  round((exp(o_orderkey % 5) - exp(-(o_orderkey % 5))) / 2, 6) AS sh,
+        |  round((exp(o_orderkey % 5) + exp(-(o_orderkey % 5))) / 2, 6) AS ch,
+        |  round((exp(o_orderkey % 5) - exp(-(o_orderkey % 5)))
+        |      / (exp(o_orderkey % 5) + exp(-(o_orderkey % 5))), 6) AS th,
+        |  round(cos(o_orderkey + 1) / sin(o_orderkey + 1), 6) AS ct,
+        |  round(log(2, o_orderkey + 1), 6) AS lg2,
+        |  factorial((o_orderkey % 6)::INTEGER)::BIGINT AS fct,
+        |  bit_count(o_orderkey) AS bc,
+        |  mod(o_orderkey, 7) AS md,
+        |  chr((65 + o_orderkey % 26)::INTEGER) AS ch1,
+        |  left(o_orderpriority, 3) AS lf,
+        |  right(o_orderpriority, 4) AS rt,
+        |  replace(o_orderpriority, '-', '_') AS rp,
+        |  strpos(o_orderpriority, '-') AS sp,
+        |  last_day(o_orderdate::DATE)::VARCHAR AS ld,
+        |  make_date(2020, 1 + o_orderkey % 12, 1)::VARCHAR AS mkd,
+        |  date_part('year', o_orderdate) AS dp,
+        |  coalesce(NULL, o_orderkey) AS nv,
+        |  CASE WHEN o_orderstatus IS NOT NULL THEN 'has' ELSE 'none' END AS nv2
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin)(
+      sql("""SELECT o_orderkey,
+            | round(sinh(o_orderkey % 5), 6) AS sh,
+            | round(cosh(o_orderkey % 5), 6) AS ch,
+            | round(tanh(o_orderkey % 5), 6) AS th,
+            | round(cot(o_orderkey + 1), 6) AS ct,
+            | round(log(2, o_orderkey + 1), 6) AS lg2,
+            | factorial(o_orderkey % 6) AS fct,
+            | bit_count(o_orderkey) AS bc,
+            | mod(o_orderkey, 7) AS md,
+            | chr(65 + o_orderkey % 26) AS ch1,
+            | left(o_orderpriority, 3) AS lf,
+            | right(o_orderpriority, 4) AS rt,
+            | replace(o_orderpriority, '-', '_') AS rp,
+            | strpos(o_orderpriority, '-') AS sp,
+            | last_day(o_orderdate.asDate()).asString() AS ld,
+            | make_date(2020, 1 + o_orderkey % 12, 1).asString() AS mkd,
+            | date_part('year', o_orderdate) AS dp,
+            | nvl(NULL, o_orderkey) AS nv,
+            | nvl2(o_orderstatus, 'has', 'none') AS nv2
+            | FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
+
+    // ---- new aggregate registry batch over a grouped scan ----
+    Q("q_sql_agg_more",
+      """SELECT o_orderstatus,
+        |  count_if(o_totalprice > 150000) AS nbig,
+        |  round(corr(o_totalprice, o_orderkey), 6) AS cr,
+        |  round(covar_pop(o_totalprice, o_custkey), 6) AS cvp,
+        |  bit_and(o_orderkey % 16) AS ba,
+        |  bit_or(o_orderkey % 16) AS bo,
+        |  bit_xor(o_orderkey % 16) AS bx,
+        |  bool_and(o_totalprice > 0) AS ball,
+        |  bool_or(o_totalprice > 400000) AS bany,
+        |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS sa
+        |FROM orders WHERE o_orderkey < 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
+      sql("""SELECT o_orderstatus,
+            | count_if(o_totalprice > 150000) AS nbig,
+            | round(corr(o_totalprice, o_orderkey), 6) AS cr,
+            | round(covar_pop(o_totalprice, o_custkey), 6) AS cvp,
+            | bit_and(o_orderkey % 16) AS ba,
+            | bit_or(o_orderkey % 16) AS bo,
+            | bit_xor(o_orderkey % 16) AS bx,
+            | bool_and(o_totalprice > 0) AS ball,
+            | bool_or(o_totalprice > 400000) AS bany,
+            | string_agg_distinct(o_orderpriority, '|') AS sa
+            | FROM orders WHERE o_orderkey < 1000
+            | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", ""))),
+
     // ---- TRAVERSE statement (grammar SQLParser.g4:220-229, executor
     //      BreadthFirstTraverseStep.java:34): BFS frontier loop from the
     //      seed set, min reach depth per vertex; out() with no edge type

@@ -72,5 +72,11 @@ object Ast {
       limit: Option[Long],
       distinct: Boolean,
       unwind: Option[String],
-      lets: Seq[(String, Expr)] = Seq.empty)
+      lets: Seq[(String, Expr)] = Seq.empty,
+      /** "plain" | "rollup" | "cube" | "sets" — multi-dimensional GROUP BY
+        * (free Spark capability; the reference grammar has only plain
+        * GROUP BY, SQLParser.g4:1262 — SURVEY.md §2.4). */
+      groupKind: String = "plain",
+      /** For groupKind = "sets": the explicit grouping sets. */
+      groupSets: Seq[Seq[Expr]] = Seq.empty)
 }

@@ -213,7 +213,33 @@ object Parser {
       b.result()
     } else Seq.empty
     val where = if (p.kw("WHERE")) Some(parseExpr(p)) else None
-    val groupBy = if (p.kw("GROUP")) { p.expectKw("BY"); parseExprList(p) } else Seq.empty
+    // GROUP BY [ROLLUP(...) | CUBE(...) | GROUPING SETS ((...), ...)] | exprs
+    var groupKind = "plain"
+    var groupSets: Seq[Seq[Expr]] = Seq.empty
+    val groupBy = if (p.kw("GROUP")) {
+      p.expectKw("BY")
+      if (p.kw("ROLLUP")) {
+        groupKind = "rollup"
+        p.expectOp("("); val es = parseExprList(p); p.expectOp(")"); es
+      } else if (p.kw("CUBE")) {
+        groupKind = "cube"
+        p.expectOp("("); val es = parseExprList(p); p.expectOp(")"); es
+      } else if (p.kw("GROUPING")) {
+        p.expectKw("SETS")
+        groupKind = "sets"
+        p.expectOp("(")
+        val sets = Seq.newBuilder[Seq[Expr]]
+        var more = true
+        while (more) {
+          p.expectOp("(")
+          sets += (if (p.op(")")) Seq.empty else { val es = parseExprList(p); p.expectOp(")"); es })
+          more = p.op(",")
+        }
+        p.expectOp(")")
+        groupSets = sets.result()
+        groupSets.flatten.distinct
+      } else parseExprList(p)
+    } else Seq.empty
     val having = if (p.kw("HAVING")) Some(parseExpr(p)) else None
     val unwind = if (p.kw("UNWIND")) Some(ident(p)) else None
     val orderBy = if (p.kw("ORDER")) {
@@ -230,7 +256,8 @@ object Parser {
     } else Seq.empty
     val skip = if (p.kw("SKIP") || p.kw("OFFSET")) Some(longLit(p)) else None
     val limit = if (p.kw("LIMIT")) Some(longLit(p)) else None
-    Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind, lets)
+    Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind, lets,
+      groupKind, groupSets)
   }
 
   private[graft] def ident(p: P): String = p.next() match {

@@ -28,7 +28,9 @@ object Translator {
   final case class TranslateException(msg: String) extends RuntimeException(msg)
 
   private val AggFns = Set("count", "sum", "avg", "min", "max", "first", "last",
-    "median", "percentile", "stddev", "variance", "list", "set", "collect")
+    "median", "percentile", "stddev", "variance", "list", "set", "collect",
+    "any_value", "count_if", "mode", "corr", "covar_pop", "covar_samp",
+    "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor", "string_agg")
 
   def containsAgg(e: Expr): Boolean = e match {
     case FnCall(n, args, _) =>
@@ -148,6 +150,19 @@ object Translator {
       case "median"     => percentile_approx(args.head, lit(0.5), lit(10000))
       case "stddev"     => stddev_samp(args.head)
       case "variance"   => var_samp(args.head)
+      case "any_value"  => any_value(args.head)
+      case "count_if"   => count_if(args.head)
+      case "mode"       => mode(args.head)
+      case "corr"       => corr(args(0), args(1))
+      case "covar_pop"  => covar_pop(args(0), args(1))
+      case "covar_samp" => covar_samp(args(0), args(1))
+      case "bool_and"   => bool_and(args.head)
+      case "bool_or"    => bool_or(args.head)
+      case "bit_and"    => bit_and(args.head)
+      case "bit_or"     => bit_or(args.head)
+      case "bit_xor"    => bit_xor(args.head)
+      case "string_agg" => array_join(array_sort(collect_list(args.head)), litToStr(argEs(1)))
+      case "string_agg_distinct" => array_join(array_sort(collect_set(args.head)), litToStr(argEs(1)))
       case "list"       => collect_list(args.head)
       case "set"        => sort_array(collect_set(args.head))
       case "abs"        => abs(args.head)
@@ -158,7 +173,8 @@ object Translator {
       case "coalesce"   => coalesce(args: _*)
       case "nullif"     => nullif(args(0), args(1))
       case "if"         => when(args(0), args(1)).otherwise(args(2))
-      case "ifnull"     => coalesce(args(0), args(1))
+      case "ifnull" | "nvl" => coalesce(args(0), args(1))
+      case "nvl2"       => when(args(0).isNotNull, args(1)).otherwise(args(2))
       case "concat"     => concat(args: _*)
       case "format"     => format_string("%s", args.head)
       case "date_format"=> date_format(args(0), litToStr(argEs(1)))
@@ -167,7 +183,8 @@ object Translator {
 
       // ---- math (reference function/math/SQLFunctionMath*.java family) ----
       case "sign"       => signum(args.head).cast(DoubleType)
-      case "ln" | "log" => log(args.head)
+      case "ln"         => log(args.head)
+      case "log"        => if (argEs.size > 1) log(litToDouble(argEs(0)), args(1)) else log(args.head)
       case "log10"      => log10(args.head)
       case "log2"       => log2(args.head)
       case "exp"        => exp(args.head)
@@ -183,8 +200,16 @@ object Translator {
       case "degrees"    => degrees(args.head)
       case "radians"    => radians(args.head)
       case "pi"         => lit(math.Pi)
+      case "e"          => lit(math.E)
       case "greatest"   => greatest(args: _*)
       case "least"      => least(args: _*)
+      case "sinh"       => sinh(args.head)
+      case "cosh"       => cosh(args.head)
+      case "tanh"       => tanh(args.head)
+      case "cot"        => cot(args.head)
+      case "factorial"  => factorial(args.head)
+      case "bit_count"  => bit_count(args.head)
+      case "mod"        => args(0) % args(1)
 
       // ---- strings (DefaultSQLFunctionFactory string tail + methods-as-functions) ----
       case "upper" | "ucase" => upper(args.head)
@@ -198,7 +223,14 @@ object Translator {
       case "lpad"       => lpad(args.head, litToInt(argEs(1)), litToStr(argEs(2)))
       case "rpad"       => rpad(args.head, litToInt(argEs(1)), litToStr(argEs(2)))
       case "repeat"     => repeat(args.head, litToInt(argEs(1)))
-      case "instr"      => instr(args(0), litToStr(argEs(1))) // 1-based, SQL convention
+      case "instr" | "strpos" => instr(args(0), litToStr(argEs(1))) // 1-based, SQL convention
+      case "chr"        => call_function("char", args.head)
+      case "left"       => substring(args.head, 1, litToInt(argEs(1)))
+      case "right"      =>
+        val n = litToInt(argEs(1))
+        args.head.substr(length(args.head) - n + 1, lit(n))
+      case "replace"    => regexp_replace(args.head,
+        java.util.regex.Pattern.quote(litToStr(argEs(1))), litToStr(argEs(2)))
       case "ascii"      => ascii(args.head)
       case "levenshtein"   => levenshtein(args(0), args(1))
       case "starts_with" | "startswith" => args(0).startsWith(args(1))
@@ -232,6 +264,9 @@ object Translator {
       case "date_add"   => date_add(args.head, litToInt(argEs(1)))
       case "date_sub"   => date_sub(args.head, litToInt(argEs(1)))
       case "sysdate" | "now" => current_timestamp()
+      case "last_day"   => last_day(args.head)
+      case "make_date"  => make_date(args(0).cast("int"), args(1).cast("int"), args(2).cast("int"))
+      case "date_part"  => date_part(lit(litToStr(argEs(0))), args(1))
 
       // ---- collections (function/coll family; CollectionUtils methods) ----
       case "array_join"     => array_join(args.head, litToStr(argEs(1)))
@@ -405,7 +440,22 @@ object Translator {
         if (aggProjs.isEmpty) throw TranslateException("GROUP BY without aggregates")
         val aggCols = aggProjs.map(pr =>
           toColumn(pr.expr).as(pr.alias.getOrElse(exprName(pr.expr))))
-        val grouped = df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        // multi-dimensional grouping (rollup/cube/grouping-sets) maps to
+        // Spark's native Expand-based operators — one pass, no re-scan per set
+        val grouped = sel.groupKind match {
+          case "rollup" => df.rollup(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          case "cube"   => df.cube(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          case "sets" =>
+            // set members must be semantically identical to the grouping
+            // columns for Spark to match them — pass both unaliased, then
+            // re-alias the key columns on the aggregated result
+            val setCols = sel.groupSets.map(_.map(toColumn))
+            val g = df.groupingSets(setCols, sel.groupBy.map(toColumn): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+            sel.groupBy.zipWithIndex.foldLeft(g) { case (d, (e, i)) =>
+              d.withColumnRenamed(d.columns(i), exprName(e)) }
+          case _ => df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        }
         // re-alias group keys that carry explicit projection aliases
         val renames = sel.projections.collect {
           case Projection(e, Some(a)) if !containsAgg(e) && sel.groupBy.contains(e) =>

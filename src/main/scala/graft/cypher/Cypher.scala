@@ -74,7 +74,8 @@ object Cypher {
     * Only [[Cypher.execute]] accepts these; [[Cypher.query]] rejects them. */
   sealed trait WriteClause extends Clause
   final case class CreateC(chains: Seq[PatternChain]) extends WriteClause
-  final case class MergeC(chain: PatternChain) extends WriteClause
+  final case class MergeC(chain: PatternChain,
+      onCreate: Seq[SetItem] = Seq.empty, onMatch: Seq[SetItem] = Seq.empty) extends WriteClause
   final case class SetItem(varName: String, prop: String, value: Expr)
   final case class SetC(items: Seq[SetItem]) extends WriteClause
   final case class DeleteC(vars: Seq[String], detach: Boolean) extends WriteClause
@@ -103,7 +104,26 @@ object Cypher {
         while (p.op(",")) chains += parseChain(p, optional = false)
         clauses += CreateC(chains.result())
       } else if (p.kw("MERGE")) {
-        clauses += MergeC(parseChain(p, optional = false))
+        val chain = parseChain(p, optional = false)
+        var onCreate = Seq.empty[SetItem]
+        var onMatch = Seq.empty[SetItem]
+        while (p.kw("ON")) {
+          val isCreate = p.kw("CREATE")
+          if (!isCreate) p.expectKw("MATCH")
+          p.expectKw("SET")
+          val items = Seq.newBuilder[SetItem]
+          var more = true
+          while (more) {
+            val v = Parser.ident(p)
+            p.expectOp(".")
+            val prop = Parser.ident(p)
+            p.expectOp("=")
+            items += SetItem(v, prop, Parser.parseExpr(p))
+            more = p.op(",")
+          }
+          if (isCreate) onCreate = items.result() else onMatch = items.result()
+        }
+        clauses += MergeC(chain, onCreate, onMatch)
       } else if (p.kw("SET")) {
         val items = Seq.newBuilder[SetItem]
         var more = true
@@ -323,6 +343,7 @@ object Cypher {
       case IsNull(x, n)               => IsNull(f(x), n)
       case ContainsOp(x, k, a)        => ContainsOp(f(x), k, f(a))
       case ArrayLit(es)               => ArrayLit(es.map(f))
+      case CaseExpr(op, bs, els)      => CaseExpr(op.map(f), bs.map(b => (f(b._1), f(b._2))), els.map(f))
       case other                      => other
     }
   }
@@ -580,6 +601,7 @@ object Cypher {
       case Between(x, lo, hi)         => Between(f(x), f(lo), f(hi))
       case LikeOp(x, pat, ci)         => LikeOp(f(x), pat, ci)
       case IsNull(x, n)               => IsNull(f(x), n)
+      case CaseExpr(op, bs, els)      => CaseExpr(op.map(f), bs.map(b => (f(b._1), f(b._2))), els.map(f))
       case other                      => other
     }
   }
@@ -617,16 +639,30 @@ object Cypher {
         }
       }
 
-      case MergeC(ch) =>
+      case MergeC(ch, onCreate, onMatch) =>
         if (ch.rels.nonEmpty)
           throw ParseException("MERGE supports a single node pattern")
         val n = ch.nodes.head
+        val v = n.varName.getOrElse("n")
         val pred = (n.label.map(l => col("label") === l).toSeq ++
           n.props.map { case (k, e) => col(k) === graft.sql.Translator.toColumn(e) })
           .reduceOption(_ && _)
           .getOrElse(throw ParseException("MERGE node needs a label or properties"))
-        val cols = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
-        mg.mergeVertex(pred, mg.spark.range(1).select(cols: _*))
+        def sets(items: Seq[SetItem]): Seq[(String, Column)] = items.map { it =>
+          if (it.varName != v)
+            throw ParseException(s"ON CREATE/MATCH SET target ${it.varName} is not the MERGE variable $v")
+          it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v))
+        }
+        val matched = mg.vertices.filter(pred)
+        if (matched.isEmpty) {
+          // fold ON CREATE SET into the created row (reference MergeStep's
+          // create path applies them before insert)
+          val base = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
+          val row0 = mg.spark.range(1).select(base: _*)
+          val row = sets(onCreate).foldLeft(row0) { case (d, (p2, c)) => d.withColumn(p2, c) }
+          mg.createVertices(row)
+        } else if (onMatch.nonEmpty)
+          mg.setVertexProps(matched.select(col("id")), sets(onMatch))
 
       case SetC(items) =>
         items.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>

@@ -155,6 +155,18 @@ object CypherOps {
       cy("""MATCH (c:customer {key: 42})-[:placed]->(o:order)
            | RETURN o.key AS o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
 
+    // ---- CASE inside an aggregate (conditional counting) ----
+    Q("q_cypher_case",
+      """SELECT c_custkey AS key,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS nf
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey < 100 GROUP BY 1 ORDER BY key""".stripMargin)(
+      cy("""MATCH (c:customer)-[:placed]->(o:order)
+           | WHERE c.key < 100
+           | RETURN c.key AS key,
+           |   sum(CASE WHEN o.name = 'F' THEN 1 ELSE 0 END) AS nf
+           | ORDER BY key""".stripMargin.replace("\n", ""))),
+
     // ---- shortestPath: min-depth BFS bound to a path variable ----
     Q("q_cypher_shortest_path",
       """WITH RECURSIVE ce AS (

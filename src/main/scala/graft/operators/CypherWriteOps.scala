@@ -94,6 +94,25 @@ object CypherWriteOps {
         "MATCH (n:nation) RETURN n.key AS key, n.name AS name ORDER BY key")
     },
 
+    // ---- MERGE with ON MATCH SET / ON CREATE SET ----
+    Q("q_cypher_merge_on",
+      """SELECT key, name FROM (
+        |  SELECT n_nationkey AS key,
+        |    CASE WHEN n_nationkey = 3 THEN 'SEEN' ELSE n_name END AS name
+        |  FROM nation
+        |  UNION ALL SELECT 600, 'MADE')
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "cy_merge_on")
+      Cypher.execute(mg,
+        "MERGE (n:nation {id: 3, key: 3}) ON MATCH SET n.name = 'SEEN' " +
+          "ON CREATE SET n.name = 'NEVER'")
+      Cypher.execute(mg,
+        "MERGE (n:nation {id: 600, key: 600}) ON CREATE SET n.name = 'MADE' " +
+          "ON MATCH SET n.name = 'NEVER'")
+      Cypher.query(mg.graph,
+        "MATCH (n:nation) RETURN n.key AS key, n.name AS name ORDER BY key")
+    },
+
     // ---- read pattern with inline relationship props {k: v} ----
     Q("q_cypher_rel_props",
       """SELECT l_orderkey AS okey, l_partkey AS pkey

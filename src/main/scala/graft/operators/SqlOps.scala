@@ -210,6 +210,22 @@ object SqlOps {
           | ORDER BY c_custkey""".stripMargin.replace("\n", ""))
     },
 
+    // ---- CASE expressions: searched and simple forms (openCypher
+    //      caseExpression; superset on the SQL side) ----
+    Q("q_sql_case",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS band,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+        |       ELSE 'other' END AS st
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)(
+      sql("""SELECT o_orderkey,
+            | CASE WHEN o_totalprice > 300000 THEN 'high'
+            |      WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS band,
+            | CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+            |      ELSE 'other' END AS st
+            | FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
+
     // ---- CUBE: multi-dimensional aggregate in one Expand pass (free
     //      Spark capability; the reference grammar has only plain
     //      GROUP BY — SQLParser.g4:1262, SURVEY.md §2.4) ----

@@ -37,6 +37,11 @@ object Ast {
   final case class ContainsOp(e: Expr, kind: String, arg: Expr) extends Expr
   /** List literal `[e1, e2, ...]`. */
   final case class ArrayLit(items: Seq[Expr])                   extends Expr
+  /** `CASE [operand] WHEN w THEN t ... [ELSE e] END` — searched form when
+    * `operand` is None (openCypher caseExpression; a dialect superset on
+    * the SQL side, whose grammar lacks CASE). */
+  final case class CaseExpr(operand: Option[Expr],
+      branches: Seq[(Expr, Expr)], els: Option[Expr])           extends Expr
 
   /** Scalar subquery `(SELECT …)` — resolved to a [[Resolved]] literal at
     * compile time (the reference evaluates global LET subqueries once,

@@ -162,6 +162,7 @@ object Match {
       case IsNull(x, n)           => IsNull(q(x), n)
       case ContainsOp(x, k, a)    => ContainsOp(q(x), k, q(a))
       case ArrayLit(es)           => ArrayLit(es.map(q))
+      case CaseExpr(op, bs, els)  => CaseExpr(op.map(q), bs.map(b => (q(b._1), q(b._2))), els.map(q))
       case other                  => other
     }
   }

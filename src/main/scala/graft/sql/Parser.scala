@@ -378,6 +378,20 @@ object Parser {
     case TOp("[") => // list literal
       if (p.op("]")) ArrayLit(Seq.empty)
       else { val es = parseExprList(p); p.expectOp("]"); ArrayLit(es) }
+    case TId(id) if id.equalsIgnoreCase("CASE") =>
+      // searched: CASE WHEN c THEN v ... | simple: CASE x WHEN w THEN v ...
+      val operand = if (p.peekKw("WHEN")) None else Some(parseExpr(p))
+      val branches = Seq.newBuilder[(Expr, Expr)]
+      while (p.kw("WHEN")) {
+        val w = parseExpr(p)
+        p.expectKw("THEN")
+        branches += w -> parseExpr(p)
+      }
+      val els = if (p.kw("ELSE")) Some(parseExpr(p)) else None
+      p.expectKw("END")
+      val bs = branches.result()
+      if (bs.isEmpty) throw ParseException("CASE needs at least one WHEN branch")
+      CaseExpr(operand, bs, els)
     case TId(id) if id.equalsIgnoreCase("NULL")  => NullLit
     case TId(id) if id.equalsIgnoreCase("TRUE")  => BoolLit(true)
     case TId(id) if id.equalsIgnoreCase("FALSE") => BoolLit(false)

@@ -47,6 +47,9 @@ object Translator {
     case IsNull(x, _) => containsAgg(x)
     case ContainsOp(x, _, a) => containsAgg(x) || containsAgg(a)
     case ArrayLit(es) => es.exists(containsAgg)
+    case CaseExpr(op, bs, els) =>
+      op.exists(containsAgg) || bs.exists(b => containsAgg(b._1) || containsAgg(b._2)) ||
+        els.exists(containsAgg)
     case _ => false // Subquery/Resolved are scalars by construction
   }
 
@@ -80,6 +83,7 @@ object Translator {
       case IsNull(x, n)           => IsNull(r(x), n)
       case ContainsOp(x, k, a)    => ContainsOp(r(x), k, r(a))
       case ArrayLit(es)           => ArrayLit(es.map(r))
+      case CaseExpr(op, bs, els)  => CaseExpr(op.map(r), bs.map(b => (r(b._1), r(b._2))), els.map(r))
       case other                  => other
     }
   }
@@ -123,6 +127,14 @@ object Translator {
     case ContainsOp(x, "ANY", a) => exists(toColumn(a), v => array_contains(toColumn(x), v))
     case ContainsOp(_, k, _)     => throw TranslateException(s"unknown CONTAINS kind $k")
     case ArrayLit(es)        => array(es.map(toColumn): _*)
+    case CaseExpr(operand, branches, els) =>
+      val conds = operand match {
+        case Some(op) => branches.map { case (w, t) => (toColumn(op) === toColumn(w)) -> toColumn(t) }
+        case None     => branches.map { case (w, t) => toColumn(w) -> toColumn(t) }
+      }
+      val chained = conds.tail.foldLeft(when(conds.head._1, conds.head._2)) {
+        case (c, (w, t)) => c.when(w, t) }
+      els.fold(chained)(e => chained.otherwise(toColumn(e)))
     case FnCall(n, args, star) => fn(n.toLowerCase, args, star)
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access

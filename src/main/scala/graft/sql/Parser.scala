@@ -45,20 +45,22 @@ object Parser {
         var j = i + 1
         while (j < n && (input(j).isDigit || input(j) == '.')) j += 1
         out += TNum(input.substring(i, j)); i = j
-      } else if (c == '\'') {
+      } else if (c == '\'' || c == '"') {
+        // single- or double-quoted string (PromQL uses double quotes; the
+        // reference SQL accepts both); '' / "" escape the quote char
         val sb = new StringBuilder
         var j = i + 1
         var closed = false
         while (j < n && !closed) {
-          if (input(j) == '\'' && j + 1 < n && input(j + 1) == '\'') { sb += '\''; j += 2 }
-          else if (input(j) == '\'') { closed = true; j += 1 }
+          if (input(j) == c && j + 1 < n && input(j + 1) == c) { sb += c; j += 2 }
+          else if (input(j) == c) { closed = true; j += 1 }
           else { sb += input(j); j += 1 }
         }
         if (!closed) throw ParseException("unterminated string literal")
         out += TStr(sb.toString); i = j
       } else {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
-        if (Seq("<>", "<=", ">=", "!=", "||").contains(two)) { out += TOp(two); i += 2 }
+        if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
         else { out += TOp(c.toString); i += 1 }
       }
     }

@@ -136,6 +136,18 @@ object Cypher {
           more = p.op(",")
         }
         clauses += SetC(items.result())
+      } else if (p.kw("REMOVE")) {
+        // REMOVE n.prop — property removal = SET to null (columnar
+        // storage has no "absent" distinct from null)
+        val items = Seq.newBuilder[SetItem]
+        var more = true
+        while (more) {
+          val v = Parser.ident(p)
+          p.expectOp(".")
+          items += SetItem(v, Parser.ident(p), Ast.NullLit)
+          more = p.op(",")
+        }
+        clauses += SetC(items.result())
       } else if (p.kw("DETACH")) {
         p.expectKw("DELETE")
         val vars = Seq.newBuilder[String]

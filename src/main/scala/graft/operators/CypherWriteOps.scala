@@ -113,6 +113,17 @@ object CypherWriteOps {
         "MATCH (n:nation) RETURN n.key AS key, n.name AS name ORDER BY key")
     },
 
+    // ---- REMOVE: property removal (null-out on the matched set) ----
+    Q("q_cypher_remove",
+      """SELECT n_nationkey AS key,
+        |  CASE WHEN n_nationkey < 10 THEN NULL ELSE n_name END AS name
+        |FROM nation ORDER BY key""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "cy_remove")
+      Cypher.execute(mg, "MATCH (n:nation) WHERE n.key < 10 REMOVE n.name")
+      Cypher.query(mg.graph,
+        "MATCH (n:nation) RETURN n.key AS key, n.name AS name ORDER BY key")
+    },
+
     // ---- read pattern with inline relationship props {k: v} ----
     Q("q_cypher_rel_props",
       """SELECT l_orderkey AS okey, l_partkey AS pkey

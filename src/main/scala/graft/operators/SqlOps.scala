@@ -210,6 +210,15 @@ object SqlOps {
           | ORDER BY c_custkey""".stripMargin.replace("\n", ""))
     },
 
+    // ---- derived-table FROM (SELECT …) (FetchFromResultsetStep) ----
+    Q("q_sql_from_subquery",
+      """SELECT o_orderstatus, count(*) AS n FROM (
+        |  SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
+      sql("""SELECT o_orderstatus, count(*) AS n FROM (
+            |  SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000)
+            | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", ""))),
+
     // ---- CASE expressions: searched and simple forms (openCypher
     //      caseExpression; superset on the SQL side) ----
     Q("q_sql_case",

@@ -83,5 +83,8 @@ object Ast {
         * GROUP BY, SQLParser.g4:1262 — SURVEY.md §2.4). */
       groupKind: String = "plain",
       /** For groupKind = "sets": the explicit grouping sets. */
-      groupSets: Seq[Seq[Expr]] = Seq.empty)
+      groupSets: Seq[Seq[Expr]] = Seq.empty,
+      /** Derived-table target `FROM (SELECT …)` (reference
+        * FetchFromResultsetStep); when set, `from` is empty. */
+      fromSub: Option[Select] = None)
 }

@@ -202,7 +202,13 @@ object Parser {
         b.result()
       }
     p.expectKw("FROM")
-    val from = ident(p)
+    // type name, or a derived table `FROM (SELECT …)`
+    val (from, fromSub) =
+      if (p.op("(")) {
+        val sub = parseSelect(p)
+        p.expectOp(")")
+        ("", Some(sub))
+      } else (ident(p), None)
     val lets = if (p.kw("LET")) {
       val b = Seq.newBuilder[(String, Expr)]
       var more = true
@@ -259,7 +265,7 @@ object Parser {
     val skip = if (p.kw("SKIP") || p.kw("OFFSET")) Some(longLit(p)) else None
     val limit = if (p.kw("LIMIT")) Some(longLit(p)) else None
     Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind, lets,
-      groupKind, groupSets)
+      groupKind, groupSets, fromSub)
   }
 
   private[graft] def ident(p: P): String = p.next() match {

@@ -440,7 +440,10 @@ object Translator {
       orderBy = sel0.orderBy.map(o => o.copy(expr = rs(o.expr))),
       lets = Seq.empty)
 
-    var df = cat.scan(spark, dir, sel.from)
+    var df = sel.fromSub match {
+      case Some(sub) => compile(spark, dir, cat, sub, fns, env) // derived table
+      case None      => cat.scan(spark, dir, sel.from)
+    }
     sel.where.foreach(w => df = df.filter(toColumn(w)))
     sel.unwind.foreach(u => df = df.withColumn(u, explode(col(u))))
 

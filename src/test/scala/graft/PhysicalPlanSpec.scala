@@ -120,6 +120,30 @@ class PhysicalPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("CUBE compiles to one Expand pass over a single scan") {
+    val q = graft.sql.GraftSql.query(spark, sfDir,
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus)")
+    val plan = Explain.explain(q, "formatted")
+    assert(plan.contains("Expand"), plan)
+    // one Expand-fed aggregate over ONE scan — not a re-scan per grouping
+    // set (formatted explain prints each node twice: tree + details)
+    assert(plan.linesIterator.count(_.matches("""^\(\d+\) Scan parquet.*""")) == 1, plan)
+  }
+
+  test("PromQL range query is explode + one grouping shuffle, no driver loop") {
+    val q = graft.promql.PromQL.rangeQuery(spark, sfDir,
+      """sum_over_time(events{event_type!="signup"}[12h])""",
+      "2024-01-02 00:00:00", "2024-01-08 00:00:00", 6 * 3600)
+    val plan = Explain.explain(q, "formatted")
+    assert(plan.contains("Generate") && plan.contains("explode"), plan) // covering-steps expansion
+    assert(plan.contains("HashAggregate"), plan)
+    // per-series grouping needs exactly one exchange; per-step re-scans
+    // would show as many scans — require a single scan of the source
+    assert(plan.linesIterator.count(_.matches("""^\(\d+\) Scan parquet.*""")) == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("profile exposes per-operator runtime metrics") {
     val metrics = Explain.profile(
       Tables.nation(spark, sfDir).groupBy("n_regionkey").count())

@@ -144,6 +144,29 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("GraphX connected components agrees with the oracled DataFrame CC") {
+    // pins the GraphX scale path (q_graph_cc, no external oracle) to the
+    // DuckDB-oracled small-twin algorithm: identical component structure
+    // on the same graph
+    import graft.graph.{GraphAlgos, PropertyGraph}
+    val co = PropertyGraph.coPurchase(spark, sfDir).filter(col("a") < 200 && col("b") < 200)
+    val verts = Tables.part(spark, sfDir).filter(col("p_partkey") < 200)
+      .select(col("p_partkey").as("id"))
+    val undirected = co.select(col("a").as("src"), col("b").as("dst"))
+      .union(co.select(col("b").as("src"), col("a").as("dst")))
+    val ours = GraphAlgos.connectedComponents(verts, undirected, maxIters = 20)
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").count().orderBy("sz").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val g = PropertyGraph(verts.withColumn("label", lit("part")),
+      undirected.withColumn("label", lit("co"))).toGraphX
+    val gx = spark.createDataFrame(
+        g.connectedComponents().vertices.map { case (id, c) => (id, c) })
+      .toDF("id", "comp")
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").count().orderBy("sz").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ours.sameElements(gx), s"ours=${ours.toSeq} graphx=${gx.toSeq}")
+  }
+
   test("profile exposes per-operator runtime metrics") {
     val metrics = Explain.profile(
       Tables.nation(spark, sfDir).groupBy("n_regionkey").count())

@@ -113,6 +113,36 @@ object CypherWriteOps {
         "MATCH (n:nation) RETURN n.key AS key, n.name AS name ORDER BY key")
     },
 
+    // ---- SQL-dialect graph DML: CREATE VERTEX / CREATE EDGE (one edge
+    //      per from×to pair) through the parser, shared write backend ----
+    Q("q_sql_create_vertex_edge",
+      """SELECT nkey, rkey FROM (
+        |  SELECT n_nationkey AS nkey, n_regionkey AS rkey FROM nation
+        |  UNION ALL SELECT 999, 1)
+        |ORDER BY nkey""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "sql_cve")
+      graft.sql.GraphDml.execute(mg,
+        "CREATE VERTEX nation SET id = 999, key = 999, name = 'GRAFTLAND'")
+      graft.sql.GraphDml.execute(mg,
+        "CREATE EDGE in_region FROM (SELECT FROM nation WHERE key = 999) " +
+          "TO (SELECT FROM region WHERE key = 1)")
+      Cypher.query(mg.graph,
+        """MATCH (n:nation)-[:in_region]->(r:region)
+          | RETURN n.key AS nkey, r.key AS rkey ORDER BY nkey"""
+          .stripMargin.replace("\n", ""))
+    },
+
+    // ---- SQL-dialect DELETE VERTEX (detaches incident edges) ----
+    Q("q_sql_delete_vertex",
+      """SELECT count(*) AS n_vertices, count(*) AS n_edges
+        |FROM nation WHERE n_nationkey >= 10""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "sql_delv")
+      graft.sql.GraphDml.execute(mg, "DELETE VERTEX nation WHERE key < 10")
+      mg.vertices.filter(col("label") === "nation")
+        .agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(mg.edges.agg(count(lit(1)).as("n_edges")))
+    },
+
     // ---- REMOVE: property removal (null-out on the matched set) ----
     Q("q_cypher_remove",
       """SELECT n_nationkey AS key,

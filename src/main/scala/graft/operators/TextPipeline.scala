@@ -331,6 +331,32 @@ object TextPipeline {
     },
 
     // ---- token counting: whitespace + word-regex counts per source ----
+    // ---- document chunking: overlapping token windows, the context-
+    //      window prep step of a training pipeline (beyond the reference —
+    //      §"LLM-data-pipeline operators"). One narrow projection + one
+    //      posexplode per doc: fully distributed, chunk count bounded by
+    //      n_tokens/stride, no shuffle at all until a downstream groupBy. ----
+    Q("q_text_chunk",
+      """SELECT doc_id, start - 1 AS chunk_start,
+        |  array_to_string(toks[start:least(start + 39, n)], ' ') AS chunk
+        |FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE doc_id < 40),
+        |  (SELECT UNNEST(generate_series(1, 4000, 32)) AS start)
+        |WHERE start <= n
+        |ORDER BY doc_id, chunk_start""".stripMargin) { (s, d) =>
+      // 40-token windows, stride 32 (8-token overlap)
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+      toks
+        .withColumn("chunk_start", explode(sequence(lit(0), col("n") - 1, lit(32))))
+        .select(col("doc_id"), col("chunk_start"),
+          array_join(slice(col("toks"), col("chunk_start") + 1, lit(40)), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_start")
+    },
+
     // (r1 hash-fail fix: DuckDB sum(INT) yields HUGEINT while Spark yields
     // BIGINT — the driver hashes the representation, so cast the oracle.)
     Q("q_text_tokens",

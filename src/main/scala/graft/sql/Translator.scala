@@ -160,6 +160,7 @@ object Translator {
       case "first"      => first(args.head)
       case "last"       => last(args.head)
       case "median"     => percentile_approx(args.head, lit(0.5), lit(10000))
+      case "percentile" => percentile(args.head, lit(litToDouble(argEs(1))))
       case "stddev"     => stddev_samp(args.head)
       case "variance"   => var_samp(args.head)
       case "any_value"  => any_value(args.head)

@@ -403,6 +403,27 @@ object SqlOps {
 
     // ---- script control flow: LET / FOREACH / IF / RETURN orchestrating
     //      DML batches (ScriptExecutionPlan; grammar SQLParser.g4:1004) ----
+    // ---- transactions: BEGIN / COMMIT / ROLLBACK in a script (reference
+    //      BeginStatement / CommitStatement / RollbackStatement +
+    //      TransactionContext): the rolled-back mutations leave no trace,
+    //      the committed one persists ----
+    Q("q_sql_transaction",
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey = 0 THEN 'COMMITTED' ELSE n_name END AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val cat = writable(s, d, graft.Tables.nation(s, d), "nation_t", "sql_tx")
+      graft.sql.Script.run(s, d,
+        """BEGIN;
+          |DELETE FROM nation_t WHERE n_nationkey >= 10;
+          |UPDATE nation_t SET n_name = 'DOOMED' WHERE n_nationkey < 10;
+          |ROLLBACK;
+          |BEGIN;
+          |UPDATE nation_t SET n_name = 'COMMITTED' WHERE n_nationkey = 0;
+          |COMMIT;
+          |RETURN SELECT n_nationkey, n_name FROM nation_t ORDER BY n_nationkey
+          |""".stripMargin, cat)
+    },
+
     Q("q_sql_script",
       """WITH cut AS (SELECT max(o_totalprice) AS c FROM orders)
         |SELECT o_orderkey, o_orderstatus,

@@ -34,6 +34,12 @@ object Script {
   private final case class ForeachS(v: String, list: Expr, body: Seq[SStmt]) extends SStmt
   private final case class ReturnS(stmt: Either[Select, Expr]) extends SStmt
   private final case class ExecS(stmt: Either[Select, Stmt]) extends SStmt
+  /** BEGIN / COMMIT / ROLLBACK (reference BeginStatement.java,
+    * CommitStatement.java, RollbackStatement.java + TransactionContext):
+    * BEGIN snapshots every writable catalog table (paths under the state
+    * dir — the source sf tables are read-only and never copied), ROLLBACK
+    * restores the snapshots, COMMIT discards them. */
+  private final case class TxS(op: String) extends SStmt
 
   // ---------------- parser ----------------
 
@@ -79,7 +85,10 @@ object Script {
     } else if (p.kw("RETURN")) {
       if (p.peekKw("SELECT")) ReturnS(Left(Parser.parseSelect(p)))
       else ReturnS(Right(Parser.parseExpr(p)))
-    } else ExecS(Parser.parseOneStatement(p))
+    } else if (p.kw("BEGIN")) TxS("begin")
+    else if (p.kw("COMMIT")) TxS("commit")
+    else if (p.kw("ROLLBACK")) TxS("rollback")
+    else ExecS(Parser.parseOneStatement(p))
 
   // ---------------- executor ----------------
 
@@ -88,6 +97,15 @@ object Script {
     var env = Map.empty[String, Expr]
     var last: DataFrame = spark.range(0).select(lit(null).as("value"))
     var returned: Option[DataFrame] = None
+    var txTables: Option[Map[String, String]] = None // name → writable dir
+
+    /** Writable catalog tables: resolved path outside the read-only sf
+      * dir (MutableTable copies under the state dir). */
+    def writableTables(): Map[String, String] =
+      cat.typeNames.flatMap { n =>
+        cat(n).path.map(_(dir)).filterNot(_.startsWith(dir)).map(n -> _)
+      }.toMap
+    def txDir = s"/tmp/graft_state/tx_${Integer.toHexString(System.identityHashCode(this))}"
 
     def rs(e: Expr): Expr =
       Translator.resolveExpr(spark, dir, cat, e, env, fns.snapshot)
@@ -122,6 +140,19 @@ object Script {
         last = Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
       case ExecS(Right(st)) =>
         last = Translator.executeDml(spark, dir, cat, st, env)
+      case TxS("begin") =>
+        val tabs = writableTables()
+        graft.sources.Backup.backup(spark, tabs, txDir)
+        txTables = Some(tabs)
+      case TxS("commit") =>
+        txTables = None // snapshot simply discarded
+      case TxS("rollback") =>
+        val tabs = txTables.getOrElse(
+          throw Translator.TranslateException("ROLLBACK without BEGIN"))
+        graft.sources.Backup.restore(spark, txDir, tabs)
+        txTables = None
+      case TxS(other) =>
+        throw Translator.TranslateException(s"unknown tx op $other")
     }
     runBlock(prog)
     returned.getOrElse(last)

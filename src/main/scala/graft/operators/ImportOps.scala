@@ -240,6 +240,26 @@ object ImportOps {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(28,4)")).cast("double").as("total"))
         .orderBy("user_id")
+    },
+
+    // ---- Z-ordered composite layout: one clustering serves range
+    //      predicates on EITHER column (Delta OPTIMIZE ZORDER analog;
+    //      SURVEY §4.1 composite-key FetchFromIndex) — both dimensions
+    //      exercised, each through the pruned scan ----
+    Q("q_index_zorder_scan",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 3 AND 5 OR event_id BETWEEN 100 AND 140
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val dir = stateDir("zorder", d)
+      graft.sources.StatsStore.writeZOrdered(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        dir, "user_id", "event_id", numFiles = 16)
+      val (byUser, _, _) = graft.sources.StatsStore.zRangeScan(s, dir, "a", "user_id", 3, 5)
+      val (byEvent, _, _) = graft.sources.StatsStore.zRangeScan(s, dir, "b", "event_id", 100, 140)
+      byUser.select("event_id", "user_id", "value")
+        .unionByName(byEvent.filter(!col("user_id").between(3, 5))
+          .select("event_id", "user_id", "value"))
+        .orderBy("event_id")
     }
   )
 }

@@ -60,4 +60,72 @@ object StatsStore {
       else spark.read.parquet(hit.toIndexedSeq: _*)
     (pruned.filter(col(key).between(lo, hi)), hit.length, files.length)
   }
+
+  // ---------------- Z-order (2-D) clustering ----------------
+
+  private val ZBits = 16
+
+  /** Bit-interleaved Morton code of two dimensions, each linearly scaled
+    * to [0, 2^16): locality in EITHER dimension becomes locality in the
+    * Z-value, so range-clustering files by Z gives min/max file skipping
+    * on BOTH columns — the multi-column case the 1-D layout above can't
+    * serve (Delta OPTIMIZE ZORDER BY analog; completes SURVEY §4.1's
+    * FetchFromIndex replacement for composite keys). */
+  private def zValue(a: Column, b: Column): Column = {
+    val mask = (1L << ZBits) - 1
+    val ia = a.cast("long").bitwiseAND(mask)
+    val ib = b.cast("long").bitwiseAND(mask)
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(ia, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ib, i).bitwiseAND(1), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` Z-order-clustered on (keyA, keyB): scale both to the
+    * 16-bit grid from their global min/max, range-partition by the Morton
+    * code, and record per-file min/max for BOTH keys in the manifest. */
+  def writeZOrdered(df: DataFrame, dir: String, keyA: String, keyB: String,
+      numFiles: Int): Unit = {
+    val stats = df.agg(
+      min(col(keyA)).cast("double").as("amin"), max(col(keyA)).cast("double").as("amax"),
+      min(col(keyB)).cast("double").as("bmin"), max(col(keyB)).cast("double").as("bmax"))
+      .collect()(0)
+    val (amin, amax) = (stats.getDouble(0), stats.getDouble(1))
+    val (bmin, bmax) = (stats.getDouble(2), stats.getDouble(3))
+    val hi = (1L << ZBits) - 1
+    def scaled(c: Column, lo: Double, up: Double): Column =
+      if (up <= lo) lit(0L)
+      else ((c.cast("double") - lo) / (up - lo) * hi).cast("long")
+    val z = zValue(scaled(col(keyA), amin, amax), scaled(col(keyB), bmin, bmax))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(keyA)).as("amin"), max(col(keyA)).as("amax"),
+        min(col(keyB)).as("bmin"), max(col(keyB)).as("bmax"),
+        count(lit(1)).as("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir(dir))
+  }
+
+  /** Range scan over a Z-ordered layout on either clustered dimension
+    * ("a" = keyA, "b" = keyB). Same manifest-consult-then-read-hits shape
+    * as [[rangeScan]]. */
+  def zRangeScan(spark: SparkSession, dir: String, dim: String,
+      key: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val (mn, mx) = if (dim == "a") ("amin", "amax") else ("bmin", "bmax")
+    val files = manifest(spark, dir).select(col("file"), col(mn), col(mx)).collect()
+    val hit = files.filter(r =>
+      r.getAs[Long](mx) >= lo && r.getAs[Long](mn) <= hi)
+      .map(_.getAs[String]("file"))
+    val pruned =
+      if (hit.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    (pruned.filter(col(key).between(lo, hi)), hit.length, files.length)
+  }
 }

@@ -144,6 +144,24 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("Z-ordered layout skips files for range predicates on BOTH dimensions") {
+    import graft.sources.StatsStore
+    val dir = "/tmp/graft_state/plan_zorder_test"
+    StatsStore.writeZOrdered(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "value"),
+      dir, "user_id", "event_id", numFiles = 16)
+    val (byUser, fA, tA) = StatsStore.zRangeScan(spark, dir, "a", "user_id", 3, 5)
+    val (byEvent, fB, tB) = StatsStore.zRangeScan(spark, dir, "b", "event_id", 100, 140)
+    assert(tA >= 8 && tB >= 8, s"expected a multi-file layout, got $tA/$tB")
+    // a single 1-D clustering can only skip for its own column; Z-order
+    // must skip meaningfully for BOTH selective ranges
+    assert(fA < tA && fB < tB, s"no skipping: a=$fA/$tA b=$fB/$tB")
+    // pruning loses no rows vs the full-scan filters
+    val full = spark.read.parquet(dir)
+    assert(byUser.count() == full.filter(col("user_id").between(3, 5)).count())
+    assert(byEvent.count() == full.filter(col("event_id").between(100, 140)).count())
+  }
+
   test("GraphX connected components agrees with the oracled DataFrame CC") {
     // pins the GraphX scale path (q_graph_cc, no external oracle) to the
     // DuckDB-oracled small-twin algorithm: identical component structure

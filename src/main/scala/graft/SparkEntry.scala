@@ -17,7 +17,8 @@ object SparkEntry {
       TextPipeline.all ++ VectorOps.all ++ VectorRetrieval.all ++
       Multimodal.all ++ FullText.all ++ StreamingOps.all ++ DmlOps.all ++
       SchemaOps.all ++ MiscOps.all ++ ImportOps.all ++ SqlOps.all ++ CypherOps.all ++
-      CypherWriteOps.all ++ PromQLOps.all ++ SkewJoin.all ++ AsOfJoin.all
+      CypherWriteOps.all ++ PromQLOps.all ++ SkewJoin.all ++ SamplingOps.all ++
+      AsOfJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -178,6 +178,36 @@ object TimeSeriesOps {
         .orderBy("event_id")
     },
 
+    // ---- time-weighted average over irregular samples (TimescaleDB-class
+    //      op the reference's downsampling tiers approximate): each sample
+    //      weighted by its hold time until the next sample in the same
+    //      (series, day) bucket; exact integer arithmetic — cents × µs —
+    //      so the one IEEE divide at the end is engine-identical ----
+    Q("q_ts_twa",
+      """SELECT user_id, day,
+        |  round(sum(CAST(round(value * 100) AS BIGINT) * dt_us)
+        |        / (100.0 * sum(dt_us)), 6) AS twa
+        |FROM (
+        |  SELECT user_id, date_trunc('day', ts) AS day, value,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+        |  FROM events WHERE user_id < 10)
+        |WHERE dt_us IS NOT NULL
+        |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val day = date_trunc("day", col("ts"))
+      ev(s, d).filter(col("user_id") < 10)
+        .withColumn("day", day)
+        .withColumn("dt_us", lead(unix_micros(col("ts")), 1).over(
+          Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"), col("event_id")))
+          - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        .groupBy("user_id", "day")
+        .agg(round(
+          sum(round(col("value") * 100).cast("long") * col("dt_us"))
+            / (lit(100.0) * sum(col("dt_us"))), 6).as("twa"))
+        .orderBy("user_id", "day")
+    },
+
     // ---- ts.correlate: Pearson correlation between two series
     //      (SQLFunctionCorrelate.java:32) ----
     Q("q_ts_correlate",

@@ -594,14 +594,33 @@ object GraftSql {
     Translator.compile(spark, dir, cat, Parser.parse(sql), fns.snapshot)
 
   /** Execute one SELECT or DML statement (INSERT/UPDATE/DELETE route to
-    * the type's writable storage via MutableTable). */
+    * the type's writable storage via MutableTable). `EXPLAIN <select>`
+    * returns the formatted physical plan as rows; `PROFILE <select>` runs
+    * the query and returns per-operator runtime metrics (reference
+    * explainStatement/profileStatement — SQLParser.g4, ExplainStatement
+    * .java, ProfileStatement.java with InfoExecutionStep row output). */
   def statement(spark: SparkSession, dir: String, sql: String,
       cat: TypeCatalog = TypeCatalog.default,
-      fns: FunctionRegistry = new FunctionRegistry): DataFrame =
-    Parser.parseStatement(sql) match {
+      fns: FunctionRegistry = new FunctionRegistry): DataFrame = {
+    val p = new Parser.P(Parser.lex(sql))
+    if (p.kw("EXPLAIN")) {
+      val sel = Parser.parseSelect(p)
+      val plan = graft.Explain.explain(
+        Translator.compile(spark, dir, cat, sel, fns.snapshot), "formatted")
+      import scala.jdk.CollectionConverters._
+      spark.createDataset(plan.linesIterator.toSeq.asJava)(
+        org.apache.spark.sql.Encoders.STRING).toDF("plan")
+    } else if (p.kw("PROFILE")) {
+      val sel = Parser.parseSelect(p)
+      val metrics = graft.Explain.profile(
+        Translator.compile(spark, dir, cat, sel, fns.snapshot))
+      import spark.implicits._
+      metrics.toDF("operator", "metric", "value")
+    } else Parser.parseStatement(sql) match {
       case Left(sel) => Translator.compile(spark, dir, cat, sel, fns.snapshot)
       case Right(st) => Translator.executeDml(spark, dir, cat, st)
     }
+  }
 
   /** Execute one DDL statement against a (mutable) catalog:
     * CREATE DOCUMENT|VERTEX|EDGE TYPE n [EXTENDS p] |

@@ -113,6 +113,18 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(math.abs(g.head.getAs[Double]("km") - 111.2) < 1.0)
   }
 
+  test("EXPLAIN and PROFILE statements return plan rows and runtime metrics") {
+    import org.apache.spark.sql.functions.col
+    val plan = GraftSql.statement(spark, sfDir,
+      "EXPLAIN SELECT o_orderkey FROM orders WHERE o_orderkey < 10")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Scan parquet") && plan.contains("PushedFilters"), plan)
+    val prof = GraftSql.statement(spark, sfDir,
+      "PROFILE SELECT count(*) AS n FROM orders")
+    assert(prof.columns.toSeq == Seq("operator", "metric", "value"))
+    assert(prof.filter(col("metric") === "numOutputRows" && col("value") > 0).count() > 0)
+  }
+
   test("SQL MATCH .out/.in method form matches the arrow form") {
     val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
     val arrow = graft.sql.Match.query(g,

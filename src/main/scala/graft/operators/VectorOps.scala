@@ -210,11 +210,20 @@ object VectorOps {
         |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
         |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      // norms are per-VECTOR, not per-pair: compute each side's |v| once
+      // before the pair join (4k rows) instead of twice per candidate pair
+      // (2M HOF evaluations) — same math, same rounding, 1/3 the
+      // higher-order-function work in the hot loop
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 4000)
-      val a = e.select(col("vec_id").as("vec_a"), col("label").as("la"), asDouble(col("embedding")).as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"), asDouble(col("embedding")).as("vb"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("n", sqrt(graft.functions.VectorFunctions.vecDot(col("v"), col("v"))))
+      val a = e.select(col("vec_id").as("vec_a"), col("label").as("la"),
+        col("v").as("va"), col("n").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+        col("v").as("vb"), col("n").as("nb"))
       a.join(b, col("la") === col("lb") && col("vec_a") < col("vec_b"))
-        .withColumn("cosv", vecCosine(col("va"), col("vb")))
+        .withColumn("cosv",
+          graft.functions.VectorFunctions.vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cosv") >= 0.45)
         .select(col("vec_a"), col("vec_b"), round(col("cosv"), 6).as("cos"))
         .orderBy("vec_a", "vec_b")

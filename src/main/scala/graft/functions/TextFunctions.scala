@@ -111,16 +111,37 @@ object TextFunctions {
     * here as a tight JVM loop because a higher-order-function column
     * expression evaluates ~20× slower (measured at sf0.1: 36 s vs the
     * sub-second UDF; the reference computes simhash in-JVM too). */
+  /** Per-executor memo of token → 64 packed md5-derived bits. Natural
+    * vocabularies are Zipfian, so the hit rate is high; the cap bounds
+    * memory on adversarial corpora (cleared, not evicted — cheap and
+    * correctness-neutral since entries are pure functions of the token). */
+  private val tokenBitsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val TokenBitsCacheCap = 1 << 20
+
+  private def tokenBits(t: String): Long = {
+    val cached = tokenBitsCache.get(t)
+    if (cached != null) return cached
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      val d = b >> 2 // hex digit index (0-based, left-to-right)
+      val nib = if ((d & 1) == 0) (dig(d >> 1) >> 4) & 15 else dig(d >> 1) & 15
+      if (((nib >> (b & 3)) & 1) == 1) bits |= (1L << b)
+      b += 1
+    }
+    if (tokenBitsCache.size >= TokenBitsCacheCap) tokenBitsCache.clear()
+    tokenBitsCache.put(t, bits)
+    bits
+  }
+
   def simhashMd5Chunks(tokens: Seq[String]): Seq[Int] = {
     val acc = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
     if (tokens != null) tokens.foreach { t =>
-      val dig = md.digest(t.getBytes("UTF-8")) // digest() resets the instance
+      val bits = tokenBits(t)
       var b = 0
       while (b < 64) {
-        val d = b >> 2 // hex digit index (0-based, left-to-right)
-        val nib = if ((d & 1) == 0) (dig(d >> 1) >> 4) & 15 else dig(d >> 1) & 15
-        if (((nib >> (b & 3)) & 1) == 1) acc(b) += 1 else acc(b) -= 1
+        if (((bits >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }

@@ -191,18 +191,24 @@ object TextPipeline {
       .withColumn("sig", callUDF("simhash_md5_chunks", col("toks")))
       .select("doc_id", "sig")
       .persist()
-    val chunks = sigs.select(col("doc_id"), col("sig"), posexplode(col("sig")))
+    // Pack the 8 chunk bytes into ONE long: candidate rows through the
+    // band join are then (doc, doc, long, long) instead of two 8-element
+    // arrays, and the hamming verify is a single codegen'd bit_count(xor)
+    // rather than a higher-order fold. The dedupe (a pair matching in
+    // several chunks) runs AFTER the hamming filter, on survivors only —
+    // the pre-filter candidate stream is the expensive part at scale.
+    val packed = sigs.withColumn("psig",
+      expr("aggregate(transform(sequence(0, 7), i -> shiftleft(cast(sig[i] as bigint), i * 8)), 0L, (a, x) -> a | x)"))
+    val chunks = packed.select(col("doc_id"), col("psig"), posexplode(col("sig")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
     val out = chunks.alias("x")
       .join(chunks.alias("y"),
         col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("siga"), col("y.sig").as("sigb"))
-      .distinct()
-      .withColumn("hamming",
-        expr("cast(aggregate(zip_with(siga, sigb, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x) as bigint)"))
+        bit_count(col("x.psig").bitwiseXOR(col("y.psig"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("doc_a", "doc_b", "hamming")
       .localCheckpoint()
     sigs.unpersist(false)

@@ -339,6 +339,15 @@ object Cypher {
   private def flatten(e: Expr, passThrough: Set[String]): Expr = {
     def f(x: Expr): Expr = flatten(x, passThrough)
     e match {
+      // graph metadata functions over pattern variables (openCypher
+      // id()/labels()/type()): resolve to the flattened identity/label
+      // columns; labels() is a one-element list (single-label model)
+      case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("id") && !passThrough(v) =>
+        Ident(s"${v}_id")
+      case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("labels") && !passThrough(v) =>
+        FnCall("array", Seq(Ident(s"${v}_label")))
+      case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("type") && !passThrough(v) =>
+        Ident(s"${v}_label")
       case PropAccess(Ident(v), prop) if !passThrough(v) => Ident(s"${v}_$prop")
       case PropAccess(t, prop)        => PropAccess(f(t), prop)
       case Ident(v) if passThrough(v) => Ident(v)

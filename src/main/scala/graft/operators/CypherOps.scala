@@ -155,6 +155,18 @@ object CypherOps {
       cy("""MATCH (c:customer {key: 42})-[:placed]->(o:order)
            | RETURN o.key AS o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
 
+    // ---- graph metadata functions: id() / labels() / type() ----
+    Q("q_cypher_meta_fns",
+      """SELECT c_custkey * 8 AS cid, 'customer' AS lbls, 'placed' AS rt,
+        |  o_orderkey AS okey, c_custkey + 0 AS ck
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey <= 5 ORDER BY cid, okey""".stripMargin)(
+      cy("""MATCH (c:customer)-[r:placed]->(o:order)
+           | WHERE c.key <= 5
+           | RETURN id(c) AS cid, array_join(labels(c), ',') AS lbls, type(r) AS rt,
+           |   o.key AS okey, toInteger(c.key) AS ck
+           | ORDER BY cid, okey""".stripMargin.replace("\n", ""))),
+
     // ---- CASE inside an aggregate (conditional counting) ----
     Q("q_cypher_case",
       """SELECT c_custkey AS key,

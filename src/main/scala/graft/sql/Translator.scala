@@ -250,6 +250,12 @@ object Translator {
       case "ends_with" | "endswith"     => args(0).endsWith(args(1))
       case "str_contains" => args(0).contains(args(1)) // Cypher string CONTAINS
       case "exists"       => args.head.isNotNull       // Cypher exists(n.prop)
+      case "array"        => array(args: _*)
+      // Cypher conversion functions (toInteger/toFloat/toString/toBoolean)
+      case "tointeger"    => args.head.cast("long")
+      case "tofloat"      => args.head.cast("double")
+      case "tostring"     => args.head.cast("string")
+      case "toboolean"    => args.head.cast("boolean")
       case "substr"     => substring(args.head, litToInt(argEs(1)), litToInt(argEs(2)))
       case "regexp_replace" => regexp_replace(args.head, litToStr(argEs(1)), litToStr(argEs(2)))
       case "regexp_extract" => regexp_extract(args.head, litToStr(argEs(1)), litToInt(argEs(2)))

@@ -25,16 +25,20 @@ object DmlOps {
     Q("q_dml_update_returning",
       """SELECT o_orderkey,
         |  o_totalprice AS before_price,
-        |  round(o_totalprice * 0.95, 2) AS after_price
+        |  round((o_totalprice * 0.95)::DECIMAL(28,4), 2)::DOUBLE AS after_price
         |FROM orders
         |WHERE o_orderkey < 400 AND o_orderstatus = 'O'
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val t = MutableTable.copyOf(
         s, Tables.orders(s, d).filter(col("o_orderkey") < 400),
         stateDir("dml_upd", d))
+      // round() on a raw double diverges from DuckDB in the last ulp on
+      // ties; a 4-decimal cast before the 2-digit round pins both engines
+      // to the same exact decimal (same pattern as q_sql_exprs).
       val (_, before, after) = t.update(
         col("o_orderstatus") === "O",
-        Seq("o_totalprice" -> round(col("o_totalprice") * 0.95, 2)))
+        Seq("o_totalprice" ->
+          round((col("o_totalprice") * 0.95).cast("decimal(28,4)"), 2).cast("double")))
       before.select(col("o_orderkey"), col("o_totalprice").as("before_price"))
         .join(after.select(col("o_orderkey"), col("o_totalprice").as("after_price")),
           Seq("o_orderkey"))
@@ -45,7 +49,8 @@ object DmlOps {
     Q("q_dml_update_state",
       """SELECT o_orderkey, o_orderstatus, o_orderpriority,
         |  CASE WHEN o_orderstatus = 'O' AND o_totalprice > 150000
-        |    THEN round(o_totalprice * 0.9, 2) ELSE o_totalprice END AS o_totalprice
+        |    THEN round((o_totalprice * 0.9)::DECIMAL(28,4), 2)::DOUBLE
+        |    ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val t = MutableTable.copyOf(
@@ -53,7 +58,8 @@ object DmlOps {
         stateDir("dml_upd_state", d))
       t.update(
         col("o_orderstatus") === "O" && col("o_totalprice") > 150000,
-        Seq("o_totalprice" -> round(col("o_totalprice") * 0.9, 2)))
+        Seq("o_totalprice" ->
+          round((col("o_totalprice") * 0.9).cast("decimal(28,4)"), 2).cast("double")))
       t.df.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
         .orderBy("o_orderkey")
     },

@@ -388,14 +388,14 @@ object SqlOps {
 
     // ---- UPDATE … RETURN AFTER WHERE (post-images, not the state) ----
     Q("q_sql_update_returning",
-      """SELECT o_orderkey, round(o_totalprice * 0.95, 2) AS o_totalprice
+      """SELECT o_orderkey, round((o_totalprice * 0.95)::DECIMAL(28,4), 2)::DOUBLE AS o_totalprice
         |FROM orders WHERE o_orderkey < 300 AND o_orderstatus = 'O'
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions.col
       val src = graft.Tables.orders(s, d).filter(col("o_orderkey") < 300)
       val cat = writable(s, d, src, "orders_r", "sql_upd_ret")
       GraftSql.statement(s, d,
-        "UPDATE orders_r SET o_totalprice = round(o_totalprice * 0.95, 2) " +
+        "UPDATE orders_r SET o_totalprice = round((o_totalprice * 0.95).asDecimal(), 2).asFloat() " +
           "RETURN AFTER WHERE o_orderkey < 300 AND o_orderstatus = 'O'", cat)
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")

@@ -40,7 +40,7 @@ object Mongo {
   private def fieldCond(field: String, spec: JsonNode): Column = {
     if (!spec.isObject || !spec.fieldNames.asScala.exists(_.startsWith("$")))
       return col(field) === literal(spec)
-    spec.properties.asScala.map { e =>
+    spec.properties.asScala.toSeq.map { e =>
       val c = col(field)
       e.getKey match {
         case "$eq"  => c === literal(e.getValue)
@@ -64,7 +64,7 @@ object Mongo {
 
   /** Whole filter document → Column (top-level keys AND-ed, Mongo rule). */
   def filter(doc: JsonNode): Column = {
-    val conds = doc.properties.asScala.map { e =>
+    val conds = doc.properties.asScala.toSeq.map { e =>
       e.getKey match {
         case "$and" => e.getValue.elements.asScala.map(filter).reduce(_ && _)
         case "$or"  => e.getValue.elements.asScala.map(filter).reduce(_ || _)
@@ -109,7 +109,7 @@ object Mongo {
     var out = df.where(filter(M.readTree(filterJson)))
     if (projectionJson != null) {
       val p = M.readTree(projectionJson)
-      val keep = p.properties.asScala.filter(_.getValue.asInt == 1).map(_.getKey).toSeq
+      val keep = p.properties.asScala.toSeq.filter(_.getValue.asInt == 1).map(_.getKey).toSeq
       out = out.select(keep.map(col): _*)
     }
     if (sortJson != null) out = out.orderBy(sortCols(M.readTree(sortJson)): _*)
@@ -119,7 +119,7 @@ object Mongo {
   }
 
   private def sortCols(doc: JsonNode): Seq[Column] =
-    doc.properties.asScala.map(e =>
+    doc.properties.asScala.toSeq.map(e =>
       if (e.getValue.asInt < 0) col(e.getKey).desc else col(e.getKey).asc).toSeq
 
   // ---------- aggregate ----------
@@ -138,7 +138,7 @@ object Mongo {
       e.getKey match {
         case "$match" => cur = cur.where(filter(e.getValue))
         case "$project" =>
-          val cols = e.getValue.properties.asScala.flatMap { p =>
+          val cols = e.getValue.properties.asScala.toSeq.flatMap { p =>
             if (p.getValue.isInt && p.getValue.asInt == 1) Some(col(p.getKey))
             else if (p.getValue.isInt && p.getValue.asInt == 0) None
             else Some(expr(p.getValue).as(p.getKey))
@@ -150,8 +150,8 @@ object Mongo {
           val keys: Seq[Column] =
             if (idNode == null || idNode.isNull) Nil
             else if (idNode.isTextual) Seq(expr(idNode).as("_id"))
-            else idNode.properties.asScala.map(p => expr(p.getValue).as(p.getKey)).toSeq
-          val accs = spec.properties.asScala.filter(_.getKey != "_id").map { a =>
+            else idNode.properties.asScala.toSeq.map(p => expr(p.getValue).as(p.getKey)).toSeq
+          val accs = spec.properties.asScala.toSeq.filter(_.getKey != "_id").map { a =>
             val acc = a.getValue.properties.asScala.head
             val c = acc.getKey match {
               case "$sum" if acc.getValue.isNumber && acc.getValue.asDouble == 1.0 =>

@@ -195,6 +195,40 @@ object SqlOps {
             | FROM orders WHERE o_orderkey < 100
             | ORDER BY o_orderkey""".stripMargin.replace("\n", ""))),
 
+    // ---- registry batch 3: similarity, math/string/date long tail,
+    //      the remaining DefaultSQLFunctionFactory names with clean
+    //      DuckDB equivalents ----
+    Q("q_sql_funcs_tail",
+      """SELECT o_orderkey AS k,
+        |  round(exp(o_orderkey % 5) - 1, 6) AS e1,
+        |  round(ln(1 + o_orderkey), 6) AS l1,
+        |  round(sqrt(pow(o_orderkey % 10, 2) + 9), 6) AS hy,
+        |  CASE WHEN o_orderstatus < 'O' THEN -1 WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS sc,
+        |  translate(o_orderpriority, '-', '_') AS tr,
+        |  split_part(o_orderpriority, '-', 1) AS si,
+        |  bin(o_orderkey % 16) AS bn,
+        |  CAST(octet_length(o_orderstatus::BLOB) AS BIGINT) AS ol,
+        |  CAST(bit_length(o_orderstatus) AS BIGINT) AS bl,
+        |  CAST(hamming(o_orderstatus, 'O') AS BIGINT) AS hm,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE)::VARCHAR AS am,
+        |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ut
+        |FROM orders WHERE o_orderkey < 200 ORDER BY k""".stripMargin)(
+      sql("""SELECT o_orderkey AS k,
+            | round(expm1(o_orderkey % 5), 6) AS e1,
+            | round(log1p(o_orderkey), 6) AS l1,
+            | round(hypot(o_orderkey % 10, 3), 6) AS hy,
+            | strcmp(o_orderstatus, 'O') AS sc,
+            | translate(o_orderpriority, '-', '_') AS tr,
+            | substring_index(o_orderpriority, '-', 1) AS si,
+            | bin(o_orderkey % 16) AS bn,
+            | octet_length(o_orderstatus).asInteger() AS ol,
+            | bit_length(o_orderstatus).asInteger() AS bl,
+            | hamming(o_orderstatus, 'O').asInteger() AS hm,
+            | add_months(o_orderdate, 2).asString() AS am,
+            | unix_timestamp(o_orderdate) AS ut
+            | FROM orders WHERE o_orderkey < 200
+            | ORDER BY k""".stripMargin.replace("\n", ""))),
+
     // ---- the SQL dialect's own MATCH statement (MatchExecutionPlanner),
     //      compiled onto the shared Cypher pattern backend ----
     Q("q_sql_match",

@@ -160,7 +160,8 @@ object Translator {
       case "first"      => first(args.head)
       case "last"       => last(args.head)
       case "median"     => percentile_approx(args.head, lit(0.5), lit(10000))
-      case "percentile" => percentile(args.head, lit(litToDouble(argEs(1))))
+      case "percentile" | "percentile_cont" | "percentilecont" =>
+        percentile(args.head, lit(litToDouble(argEs(1))))
       case "stddev"     => stddev_samp(args.head)
       case "variance"   => var_samp(args.head)
       case "any_value"  => any_value(args.head)
@@ -343,12 +344,73 @@ object Translator {
       case "st_envelope"        => graft.functions.GeoFunctions.envelope(args.head)
       case "st_centroid"        => graft.functions.GeoFunctions.centroid(args.head)
 
+      // ---- text similarity (function/text/SQLFunctionJaroWinkler.java,
+      //      SQLFunctionHamming.java, SQLFunctionSorensenDice.java — the
+      //      Column/UDF implementations the q_text_similarity oracle pins) ----
+      case "jaro_winkler" | "jarowinkler" => jaroUdf(args(0), args(1))
+      case "hamming" | "hamming_distance" => hammingUdf(args(0), args(1))
+      case "sorensen_dice" | "sorensendice" => diceUdf(args(0), args(1))
+      case "soundex"    => soundex(args.head)
+
+      // ---- math long tail (function/math family) ----
+      case "expm1"      => expm1(args.head)
+      case "log1p"      => log1p(args.head)
+      case "hypot"      => hypot(args(0), args(1))
+      case "rint"       => rint(args.head)
+      case "isnan"      => isnan(args.head)
+      case "nanvl"      => nanvl(args(0), args(1))
+      case "strcmp"     => when(args(0) < args(1), -1).when(args(0) === args(1), 0).otherwise(1)
+
+      // ---- string long tail ----
+      case "translate"  => translate(args.head, litToStr(argEs(1)), litToStr(argEs(2)))
+      case "overlay"    => overlay(args(0), args(1), args(2))
+      case "substring_index" => substring_index(args.head, litToStr(argEs(1)), litToInt(argEs(2)))
+      case "format_number"   => format_number(args.head, litToInt(argEs(1)))
+      case "bin"        => bin(args.head)
+      case "conv"       => conv(args.head, litToInt(argEs(1)), litToInt(argEs(2)))
+      case "octet_length" => octet_length(args.head)
+      case "bit_length"   => bit_length(args.head)
+      case "space"      => repeat(lit(" "), litToInt(argEs.head))
+      case "ucase"      => upper(args.head)
+      case "lcase"      => lower(args.head)
+
+      // ---- date/time long tail ----
+      case "add_months"     => add_months(args.head, litToInt(argEs(1)))
+      case "months_between" => months_between(args(0), args(1))
+      case "next_day"       => next_day(args.head, litToStr(argEs(1)))
+      case "from_unixtime"  => from_unixtime(args.head)
+      case "unix_timestamp" | "to_unixtime" => unix_timestamp(args.head)
+      case "unix_millis"    => unix_millis(args.head.cast("timestamp"))
+
+      // ---- hashes (function/misc; Spark-native hash family) ----
+      case "crc32"      => crc32(args.head.cast("binary"))
+      case "xxhash64"   => xxhash64(args: _*)
+      case "murmur3" | "hash_code" => hash(args: _*)
+
+      // ---- collection long tail ----
+      case "array_append"  => array_append(args(0), args(1))
+      case "array_prepend" => array_prepend(args(0), args(1))
+      case "array_remove"  => array_remove(args(0), args(1))
+      case "array_repeat"  => array_repeat(args.head, litToInt(argEs(1)))
+      case "array_compact" => array_compact(args.head)
+      // Cypher list functions (size/head/tail/range — openCypher list surface)
+      case "size"       => size(args.head)
+      case "head"       => element_at(args.head, 1)
+      case "tail"       => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))
+      case "range"      => // inclusive, like Cypher's range()
+        if (argEs.size > 2) sequence(args(0), args(1), args(2)) else sequence(args(0), args(1))
+
       case other        => throw TranslateException(s"unknown function $other")
     }
   }
 
   /** Vector args arrive as float or double arrays — normalize to double. */
   private def vec(c: Column): Column = graft.functions.VectorFunctions.asDouble(c)
+
+  // similarity UDFs bound directly (no session registration dependency)
+  private lazy val jaroUdf = udf(graft.functions.TextFunctions.jaroWinklerImpl _)
+  private lazy val hammingUdf = udf(graft.functions.TextFunctions.hammingImpl _)
+  private lazy val diceUdf = udf(graft.functions.TextFunctions.sorensenDiceImpl _)
 
   /** Method registry: the reference's SQLMethod surface
     * (method/string/SQLMethod*.java, method/conversion/SQLMethodAs*). */

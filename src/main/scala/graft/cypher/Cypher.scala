@@ -58,7 +58,11 @@ object Cypher {
   final case class ReturnItem(expr: Expr, alias: Option[String])
 
   sealed trait Clause
-  final case class MatchC(chains: Seq[PatternChain], where: Option[Expr]) extends Clause
+  /** `patternPreds`: WHERE pattern predicates `(n)-[:T]->(...)` (negated
+    * flag for `NOT (...)`) — compiled to semi/anti joins on the bound
+    * variables' identities. */
+  final case class MatchC(chains: Seq[PatternChain], where: Option[Expr],
+      patternPreds: Seq[(PatternChain, Boolean)] = Seq.empty) extends Clause
   final case class WithC(items: Seq[ReturnItem], distinct: Boolean,
       where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
       skip: Option[Long] = None, limit: Option[Long] = None) extends Clause
@@ -181,8 +185,9 @@ object Cypher {
           val chains = Seq.newBuilder[PatternChain]
           chains += parseChain(p, optional)
           while (p.op(",")) chains += parseChain(p, optional)
-          val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
-          clauses += MatchC(chains.result(), where)
+          val (where, pats) =
+            if (p.kw("WHERE")) parseMatchWhere(p) else (None, Seq.empty)
+          clauses += MatchC(chains.result(), where, pats)
         }
       } else if (p.kw("WITH")) {
         val distinct = p.kw("DISTINCT")
@@ -240,6 +245,73 @@ object Cypher {
     val e = Parser.parseExpr(p)
     val alias = if (p.kw("AS")) Some(Parser.ident(p)) else None
     ReturnItem(e, alias)
+  }
+
+  /** MATCH-WHERE with openCypher pattern predicates: the clause is split
+    * into top-level AND conjuncts (BETWEEN…AND and CASE…END tracked so
+    * their keywords don't split or terminate the scan); each conjunct is
+    * either `[NOT] (n)-[…]->(…)` — a pattern predicate — or an ordinary
+    * boolean expression. Pattern predicates under OR are not supported
+    * (the reference's planner also rewrites only the conjunctive form
+    * into semi-joins). */
+  private def parseMatchWhere(p: Parser.P)
+      : (Option[Expr], Seq[(PatternChain, Boolean)]) = {
+    import Parser.{TId, TOp, TEof, Tok}
+    val stop = Set("RETURN", "WITH", "MATCH", "OPTIONAL", "UNWIND", "CREATE",
+      "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "ON")
+    // 1. slice the WHERE token stream on top-level ANDs
+    val slices = scala.collection.mutable.Buffer[Vector[Tok]]()
+    var cur = Vector.newBuilder[Tok]
+    var depth = 0; var caseDepth = 0; var betweenPending = 0
+    var done = false
+    // `STARTS WITH` / `ENDS WITH`: the WITH belongs to the predicate, not
+    // to a following WITH clause — track the previous significant token
+    var prevId = ""
+    while (!done) p.peek match {
+      case TEof => done = true
+      case TId(id) if depth == 0 && caseDepth == 0 && stop(id.toUpperCase) &&
+          !(id.equalsIgnoreCase("WITH") &&
+            (prevId.equalsIgnoreCase("STARTS") || prevId.equalsIgnoreCase("ENDS"))) =>
+        done = true
+      case t =>
+        p.next()
+        t match {
+          case TOp("(") | TOp("[") => depth += 1; cur += t
+          case TOp(")") | TOp("]") => depth -= 1; cur += t
+          case TId(id) if id.equalsIgnoreCase("CASE") => caseDepth += 1; cur += t
+          case TId(id) if id.equalsIgnoreCase("END")  => caseDepth -= 1; cur += t
+          case TId(id) if id.equalsIgnoreCase("BETWEEN") => betweenPending += 1; cur += t
+          case TId(id) if id.equalsIgnoreCase("AND") && depth == 0 && caseDepth == 0 =>
+            if (betweenPending > 0) { betweenPending -= 1; cur += t }
+            else { slices += cur.result(); cur = Vector.newBuilder[Tok] }
+          case _ => cur += t
+        }
+        prevId = t match { case TId(id) => id; case _ => "" }
+    }
+    slices += cur.result()
+    // 2. classify each conjunct
+    val exprs = scala.collection.mutable.Buffer[Expr]()
+    val pats = scala.collection.mutable.Buffer[(PatternChain, Boolean)]()
+    for (slice <- slices) {
+      val sp = new Parser.P(slice :+ TEof)
+      val neg = sp.kw("NOT")
+      val asPattern =
+        if (sp.peek == TOp("(")) {
+          val mark = sp.pos
+          try {
+            val ch = parseChain(sp, optional = false)
+            if (ch.rels.nonEmpty && sp.peek == TEof) { pats += ((ch, neg)); true }
+            else { sp.pos = mark; false }
+          } catch { case _: Parser.ParseException => sp.pos = mark; false }
+        } else false
+      if (!asPattern) {
+        val ep = new Parser.P(slice :+ TEof) // reparse incl. any NOT
+        exprs += Parser.parseExpr(ep)
+        if (ep.peek != TEof)
+          throw ParseException(s"trailing input in WHERE conjunct at ${ep.peek}")
+      }
+    }
+    (exprs.reduceOption(Bin("AND", _, _)), pats.toSeq)
   }
 
   private def parseChain(p: Parser.P, optional: Boolean): PatternChain = {
@@ -453,7 +525,7 @@ object Cypher {
     def toCol(e: Expr): Column = graft.sql.Translator.toColumn(flatten(e, scalars))
 
     def step(clause: Clause): Unit = clause match {
-      case MatchC(chains, where) =>
+      case MatchC(chains, where, patternPreds) =>
         chains.foreach { chain =>
           val (cf, vars, rvars) = chainFrame(g, chain)
           if (acc == null) { acc = cf; nodeVars = vars }
@@ -476,6 +548,17 @@ object Cypher {
           relVars ++= rvars
         }
         where.foreach(w => acc = acc.filter(toCol(w)))
+        // pattern predicates → semi/anti join on the bound vars' identity
+        // (the reference's ExpandInto/anti-join rewrite of WHERE patterns)
+        patternPreds.foreach { case (chain, neg) =>
+          val (pf, pvars, _) = chainFrame(g, chain)
+          val shared = (nodeVars intersect pvars).toSeq.sorted
+          if (shared.isEmpty)
+            throw ParseException("pattern predicate must reference a bound variable")
+          val proj = pf.select(shared.map(v => col(s"${v}_id").as(s"__pp_${v}_id")): _*)
+          val cond = shared.map(v => acc(s"${v}_id") === proj(s"__pp_${v}_id")).reduce(_ && _)
+          acc = acc.join(proj, cond, if (neg) "left_anti" else "left_semi")
+        }
 
       case UnwindC(e, a) =>
         acc =

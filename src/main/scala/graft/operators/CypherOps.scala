@@ -219,6 +219,60 @@ object CypherOps {
       cy("""MATCH (c:customer)-[:placed]->(o:order)
            | WHERE o.name = 'F' AND c.key < 200
            | RETURN c.key AS c_custkey, count(*) AS n
-           | ORDER BY n DESC, c_custkey LIMIT 15""".stripMargin.replace("\n", "")))
+           | ORDER BY n DESC, c_custkey LIMIT 15""".stripMargin.replace("\n", ""))),
+
+    // ---- WHERE pattern predicate → semi join (the reference planner's
+    //      ExpandInto rewrite of a bare pattern in WHERE) ----
+    Q("q_cypher_pattern_pred",
+      """SELECT c_custkey AS ck FROM customer
+        |WHERE c_custkey < 300 AND EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer)
+           | WHERE c.key < 300 AND (c)-[:placed]->(:order {name: 'F'})
+           | RETURN c.key AS ck ORDER BY ck""".stripMargin.replace("\n", ""))),
+
+    // ---- NOT pattern predicate → anti join ----
+    Q("q_cypher_pattern_pred_not",
+      """SELECT c_custkey AS ck FROM customer
+        |WHERE c_custkey < 300 AND NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer)
+           | WHERE c.key < 300 AND NOT (c)-[:placed]->(:order {name: 'F'})
+           | RETURN c.key AS ck ORDER BY ck""".stripMargin.replace("\n", ""))),
+
+    // ---- SKIP pagination on a sorted WITH horizon ----
+    Q("q_cypher_skip",
+      """SELECT ck, n FROM (
+        |  SELECT c_custkey AS ck, count(*) AS n
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1 ORDER BY n DESC, ck LIMIT 5 OFFSET 3)
+        |ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer)-[:placed]->(o:order)
+           | WITH c.key AS ck, count(*) AS n ORDER BY n DESC, ck SKIP 3 LIMIT 5
+           | RETURN ck, n ORDER BY ck""".stripMargin.replace("\n", ""))),
+
+    // ---- openCypher list surface: range/head/tail/size over UNWIND ----
+    Q("q_cypher_list_funcs",
+      """SELECT x, len(generate_series(1, x)) AS sz,
+        |  generate_series(x, 20)[1] AS hd,
+        |  len(generate_series(1, x)[2:]) AS tl
+        |FROM (SELECT UNNEST(generate_series(1, 12)) AS x)
+        |ORDER BY x""".stripMargin)(
+      cy("""UNWIND range(1, 12) AS x
+           | RETURN x, size(range(1, x)) AS sz, head(range(x, 20)) AS hd,
+           |   size(tail(range(1, x))) AS tl
+           | ORDER BY x""".stripMargin.replace("\n", ""))),
+
+    // ---- percentileCont aggregate over a relationship property ----
+    Q("q_cypher_percentile",
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50
+        |FROM orders""".stripMargin)(
+      cy("""MATCH (c:customer)-[r:placed]->(o:order)
+           | RETURN round(percentileCont(r.qty, 0.5), 4) AS p50"""
+        .stripMargin.replace("\n", "")))
   )
 }

@@ -20,6 +20,25 @@ class CypherSpec extends AnyFunSuite {
     assert(q.skip.contains(1L) && q.limit.contains(5L))
   }
 
+  test("pattern predicates split from the WHERE conjunction; semi ≡ exists") {
+    val q = Cypher.parse(
+      "MATCH (c:customer) WHERE c.key BETWEEN 10 AND 40 AND (c)-[:placed]->(:order) " +
+        "AND NOT (c)-[:placed]->(:order {name: 'X'}) RETURN c.key AS ck ORDER BY ck")
+    val m = q.clauses.collect { case mc: Cypher.MatchC => mc }.head
+    assert(m.patternPreds.map(_._2) == Seq(false, true)) // pos + negated
+    assert(m.where.isDefined) // the BETWEEN survived (its AND not split)
+    val g = PropertyGraph.fromTpch(spark, sfDir)
+    val got = Cypher.query(g,
+      "MATCH (c:customer) WHERE c.key < 100 AND (c)-[:placed]->(:order {name: 'F'}) " +
+        "RETURN c.key AS ck ORDER BY ck").collect().map(_.getLong(0))
+    import org.apache.spark.sql.functions._
+    val exp = Tables.customer(spark, sfDir).filter(col("c_custkey") < 100).alias("c")
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F").alias("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+      .select(col("c_custkey")).orderBy("c_custkey").collect().map(_.getLong(0))
+    assert(got.sameElements(exp))
+  }
+
   test("WITH carries variables, UNWIND explodes literals, inline props filter") {
     val g = PropertyGraph.fromTpch(spark, sfDir)
     val lits = Cypher.query(g, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")

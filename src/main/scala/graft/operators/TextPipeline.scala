@@ -379,6 +379,67 @@ object TextPipeline {
         .orderBy("source")
     },
 
+    // ---- repetition quality signals (Gopher §A.1.1-style filters over a
+    //      single-line token corpus): top-token fraction, top-bigram
+    //      fraction, duplicate-trigram fraction, and the keep/reject flag a
+    //      training pipeline would gate on. Scale shape: every signal is a
+    //      per-row column expression — max token multiplicity is the longest
+    //      run in the SORTED token array (one O(n log n) aggregate fold per
+    //      row), never an explode+groupBy — so the whole pass is a narrow
+    //      projection with zero shuffles. ----
+    Q("q_text_repetition",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |             FROM documents WHERE doc_id < 100),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens FROM tok),
+        |tu AS (SELECT doc_id, u.tok AS tok FROM tok, UNNEST(toks) AS u(tok)),
+        |toptok AS (SELECT doc_id, max(c) AS top_tok FROM
+        |  (SELECT doc_id, tok, count(*) AS c FROM tu GROUP BY 1, 2) GROUP BY 1),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |       FROM tok, UNNEST(generate_series(1, greatest(len(toks)-1, 0))) AS t(i)),
+        |topbg AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |       FROM tok, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+        |tgs AS (SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS n_uniq FROM tg GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |  round(top_tok::DOUBLE / b.n_tokens, 4) AS top_tok_frac,
+        |  round(COALESCE(top_bg::DOUBLE / n_bg, 0), 4) AS top_bigram_frac,
+        |  round(COALESCE(1 - n_uniq::DOUBLE / n_tg, 0), 4) AS dup_trigram_frac,
+        |  (round(top_tok::DOUBLE / b.n_tokens, 4) <= 0.2
+        |   AND round(COALESCE(top_bg::DOUBLE / n_bg, 0), 4) <= 0.2
+        |   AND round(COALESCE(1 - n_uniq::DOUBLE / n_tg, 0), 4) <= 0.3) AS keep
+        |FROM base b
+        |LEFT JOIN toptok USING (doc_id) LEFT JOIN topbg USING (doc_id)
+        |LEFT JOIN tgs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // longest run in the sorted array = max element multiplicity;
+      // a per-row fold, not an explode+groupBy (no shuffle at 100 TB)
+      def maxRun(arr: String): String =
+        s"""aggregate(array_sort($arr),
+           |  struct(cast(null as string) as prev, 0 as run, 0 as best),
+           |  (s, x) -> struct(x as prev,
+           |    if(s.prev <=> x, s.run + 1, 1) as run,
+           |    greatest(s.best, if(s.prev <=> x, s.run + 1, 1)) as best),
+           |  s -> s.best)""".stripMargin
+      def grams(n: Int): String = // token n-grams as strings, [] when too short
+        s"""CASE WHEN size(toks) >= $n THEN
+           |  transform(sequence(0, size(toks) - $n),
+           |    i -> array_join(slice(toks, i + 1, $n), ' '))
+           |ELSE array() END""".stripMargin
+      withTokens(Tables.documents(s, d)).filter(col("doc_id") < 100)
+        .withColumn("bgs", expr(grams(2)))
+        .withColumn("tgs", expr(grams(3)))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          round(expr(maxRun("toks")).cast("double") / size(col("toks")), 4).as("top_tok_frac"),
+          round(coalesce(expr(maxRun("bgs")).cast("double") / nullif(size(col("bgs")).cast("double"), lit(0.0)), lit(0.0)), 4).as("top_bigram_frac"),
+          round(coalesce(lit(1.0) - size(array_distinct(col("tgs"))).cast("double") / nullif(size(col("tgs")).cast("double"), lit(0.0)), lit(0.0)), 4).as("dup_trigram_frac"))
+        .withColumn("keep",
+          col("top_tok_frac") <= 0.2 && col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3)
+        .orderBy("doc_id")
+    },
+
     // ---- document fingerprint: digest of the sorted distinct token set ----
     Q("q_text_fingerprint",
       """SELECT doc_id,

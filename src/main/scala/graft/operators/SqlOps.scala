@@ -342,7 +342,7 @@ object SqlOps {
     // ---- new aggregate registry batch over a grouped scan ----
     Q("q_sql_agg_more",
       """SELECT o_orderstatus,
-        |  count_if(o_totalprice > 150000) AS nbig,
+        |  count_if(o_totalprice > 150000)::BIGINT AS nbig,
         |  round(corr(o_totalprice, o_orderkey), 6) AS cr,
         |  round(covar_pop(o_totalprice, o_custkey), 6) AS cvp,
         |  bit_and(o_orderkey % 16) AS ba,

@@ -386,7 +386,9 @@ object TextPipeline {
     //      per-row column expression — max token multiplicity is the longest
     //      run in the SORTED token array (one O(n log n) aggregate fold per
     //      row), never an explode+groupBy — so the whole pass is a narrow
-    //      projection with zero shuffles. ----
+    //      projection with zero shuffles up to the determinism-required
+    //      final ORDER BY. The keep gate tests the UNROUNDED ratios (both
+    //      engines); rounding is display-only on the emitted fractions. ----
     Q("q_text_repetition",
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |             FROM documents WHERE doc_id < 100),
@@ -405,9 +407,9 @@ object TextPipeline {
         |  round(top_tok::DOUBLE / b.n_tokens, 4) AS top_tok_frac,
         |  round(COALESCE(top_bg::DOUBLE / n_bg, 0), 4) AS top_bigram_frac,
         |  round(COALESCE(1 - n_uniq::DOUBLE / n_tg, 0), 4) AS dup_trigram_frac,
-        |  (round(top_tok::DOUBLE / b.n_tokens, 4) <= 0.2
-        |   AND round(COALESCE(top_bg::DOUBLE / n_bg, 0), 4) <= 0.2
-        |   AND round(COALESCE(1 - n_uniq::DOUBLE / n_tg, 0), 4) <= 0.3) AS keep
+        |  (top_tok::DOUBLE / b.n_tokens <= 0.2
+        |   AND COALESCE(top_bg::DOUBLE / n_bg, 0) <= 0.2
+        |   AND COALESCE(1 - n_uniq::DOUBLE / n_tg, 0) <= 0.3) AS keep
         |FROM base b
         |LEFT JOIN toptok USING (doc_id) LEFT JOIN topbg USING (doc_id)
         |LEFT JOIN tgs USING (doc_id)
@@ -432,11 +434,15 @@ object TextPipeline {
         .select(
           col("doc_id"),
           size(col("toks")).as("n_tokens"),
-          round(expr(maxRun("toks")).cast("double") / size(col("toks")), 4).as("top_tok_frac"),
-          round(coalesce(expr(maxRun("bgs")).cast("double") / nullif(size(col("bgs")).cast("double"), lit(0.0)), lit(0.0)), 4).as("top_bigram_frac"),
-          round(coalesce(lit(1.0) - size(array_distinct(col("tgs"))).cast("double") / nullif(size(col("tgs")).cast("double"), lit(0.0)), lit(0.0)), 4).as("dup_trigram_frac"))
-        .withColumn("keep",
-          col("top_tok_frac") <= 0.2 && col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3)
+          (expr(maxRun("toks")).cast("double") / size(col("toks"))).as("_tt"),
+          coalesce(expr(maxRun("bgs")).cast("double") / nullif(size(col("bgs")).cast("double"), lit(0.0)), lit(0.0)).as("_tb"),
+          coalesce(lit(1.0) - size(array_distinct(col("tgs"))).cast("double") / nullif(size(col("tgs")).cast("double"), lit(0.0)), lit(0.0)).as("_dt"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("_tt"), 4).as("top_tok_frac"),
+          round(col("_tb"), 4).as("top_bigram_frac"),
+          round(col("_dt"), 4).as("dup_trigram_frac"),
+          (col("_tt") <= 0.2 && col("_tb") <= 0.2 && col("_dt") <= 0.3).as("keep"))
         .orderBy("doc_id")
     },
 

@@ -72,40 +72,50 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
-  /** IVF coarse quantizer: k centroids refined by `iters` Lloyd rounds.
+  /** IVF coarse quantizer + inverted lists: k centroids refined by Lloyd
+    * rounds, plus the final nearest-centroid assignment (the inverted
+    * lists), computed once and shared with the probe phase.
     * Deterministic: init = the first k vectors by id, fixed iteration
     * count, no runtime randomness. Assignment is a broadcast of the tiny
     * centroid table against a partitioned corpus scan; the centroid
-    * update is one partial+final aggregation per (cluster, dim). */
-  def ivfCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
+    * update is one partial+final aggregation per (cluster, dim). The
+    * returned lists are assigned against the RETURNED centroids, so probe
+    * routing and list membership agree. `iters` counts assignment passes:
+    * iters-1 refinement rounds, then the final (reused) assignment —
+    * one cross-product pass fewer than assign-then-reassign, with no
+    * probe/list mismatch. No per-iteration checkpoint barriers: the
+    * lineage is only `iters` levels deep and each level collapses to a
+    * broadcast of a k-row table. */
+  def ivfIndex(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     var centroids = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-      .localCheckpoint(eager = true)
-    for (_ <- 1 to iters) {
-      val assigned = assignClusters(corpus, centroids)
-      centroids = assigned
+    for (_ <- 1 until iters) {
+      centroids = assignClusters(corpus, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg(col("x")).as("cx"))
         .groupBy("cid")
         .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
         .select(col("cid"), expr("transform(s, p -> p.cx)").as("cv"))
-        .localCheckpoint(eager = true)
     }
-    centroids
+    val lists = assignClusters(corpus, centroids)
+    (centroids, lists)
   }
 
-  /** Nearest-centroid assignment (broadcast centroids, row_number argmin,
-    * ties by cid). */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    ivfIndex(emb, k, iters)._1
+
+  /** Nearest-centroid assignment: broadcast centroids, argmin folded as a
+    * single partial+final hash aggregate (`min_by` over a (d2, cid)
+    * ordering struct — ties break to the lowest cid, same as the previous
+    * window form, but with no shuffle-and-sort per Lloyd iteration). */
   private def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid"))
     corpus.crossJoin(broadcast(centroids))
       .withColumn("d2", aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("v")), struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
   }
 
   /** IVF ANN: probe the `nprobe` nearest inverted lists per query, exact
@@ -115,9 +125,7 @@ object VectorOps {
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int, nClusters: Int,
       nprobe: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = ivfCentroids(emb, nClusters, iters)
-    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val lists = assignClusters(corpus, centroids) // (vec_id, v, cid)
+    val (centroids, lists) = ivfIndex(emb, nClusters, iters)
     val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid"))
     val probes = qv.crossJoin(broadcast(centroids))

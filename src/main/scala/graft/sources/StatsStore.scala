@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * (file, min, max, rows) row per file into a tiny manifest table.
   *
   * Read path: a range predicate consults the manifest first and reads
-  * ONLY the files whose [min, max] intersects the range. At 100 TB the
-  * manifest is a few thousand rows per million files — a driver-side
-  * broadcast, exactly how Delta's log or an LSM's fence pointers work —
-  * and a selective predicate skips >99% of files instead of scanning
-  * every file that shares a partition. Partition pruning (bucket_date in
+  * ONLY the files whose [min, max] intersects the range. The intersection
+  * test runs DISTRIBUTED over the manifest DataFrame; only the surviving
+  * file paths (bounded by predicate selectivity, not by table size) cross
+  * to the driver to parameterize the scan — at 100 TB / ~10⁶ files the
+  * driver never materializes the full manifest, it receives the pruned
+  * list the way Delta's log replay emits matching AddFiles. A selective
+  * predicate skips >99% of files instead of scanning every file that
+  * shares a partition. Partition pruning (bucket_date in
   * [[TimeSeriesStore]]) handles time; this handles any OTHER clustered
   * key.
   */
@@ -46,19 +49,26 @@ object StatsStore {
 
   /** Range scan with file skipping: returns the pruned DataFrame (with
     * the residual filter applied) plus (filesRead, filesTotal) so callers
-    * and tests can observe the pruning. The manifest collect is the same
-    * driver-side boundary an LSM crosses reading its fence pointers. */
+    * and tests can observe the pruning. */
   def rangeScan(spark: SparkSession, dir: String, key: String,
-      lo: Long, hi: Long): (DataFrame, Int, Int) = {
-    val files = manifest(spark, dir)
-      .select("file", "kmin", "kmax").collect()
-    val hit = files.filter(r =>
-      r.getAs[Long]("kmax") >= lo && r.getAs[Long]("kmin") <= hi)
-      .map(_.getAs[String]("file"))
+      lo: Long, hi: Long): (DataFrame, Int, Int) =
+    prunedRead(spark, dir, key,
+      manifest(spark, dir), col("kmax") >= lo && col("kmin") <= hi, lo, hi)
+
+  /** One aggregate job over the manifest: the intersection predicate is
+    * evaluated executor-side and ONLY the hit file paths (plus the total
+    * file count) return to the driver — O(selectivity), never O(files). */
+  private def prunedRead(spark: SparkSession, dir: String, key: String,
+      m: DataFrame, intersects: Column, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val row = m.agg(
+      sort_array(collect_list(when(intersects, col("file")))).as("hits"),
+      count(lit(1)).as("total")).collect()(0)
+    val hit = row.getAs[scala.collection.Seq[String]]("hits")
+    val total = row.getAs[Long]("total").toInt
     val pruned =
       if (hit.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(hit.toIndexedSeq: _*)
-    (pruned.filter(col(key).between(lo, hi)), hit.length, files.length)
+    (pruned.filter(col(key).between(lo, hi)), hit.length, total)
   }
 
   // ---------------- Z-order (2-D) clustering ----------------
@@ -119,13 +129,7 @@ object StatsStore {
   def zRangeScan(spark: SparkSession, dir: String, dim: String,
       key: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     val (mn, mx) = if (dim == "a") ("amin", "amax") else ("bmin", "bmax")
-    val files = manifest(spark, dir).select(col("file"), col(mn), col(mx)).collect()
-    val hit = files.filter(r =>
-      r.getAs[Long](mx) >= lo && r.getAs[Long](mn) <= hi)
-      .map(_.getAs[String]("file"))
-    val pruned =
-      if (hit.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(hit.toIndexedSeq: _*)
-    (pruned.filter(col(key).between(lo, hi)), hit.length, files.length)
+    prunedRead(spark, dir, key,
+      manifest(spark, dir), col(mx) >= lo && col(mn) <= hi, lo, hi)
   }
 }

@@ -60,9 +60,18 @@ object Cypher {
   sealed trait Clause
   /** `patternPreds`: WHERE pattern predicates `(n)-[:T]->(...)` (negated
     * flag for `NOT (...)`) — compiled to semi/anti joins on the bound
-    * variables' identities. */
+    * variables' identities. `pathBinds`: named plain paths
+    * `p = (a)-[:T]->(b)` — the chain is recorded so path functions
+    * `nodes(p)/relationships(p)/length(p)` can resolve statically. */
   final case class MatchC(chains: Seq[PatternChain], where: Option[Expr],
-      patternPreds: Seq[(PatternChain, Boolean)] = Seq.empty) extends Clause
+      patternPreds: Seq[(PatternChain, Boolean)] = Seq.empty,
+      pathBinds: Seq[(String, PatternChain)] = Seq.empty) extends Clause
+  /** `CALL ns.proc(args) [YIELD col [AS alias], …]` — procedure invocation
+    * (reference query/opencypher/executor/steps/CallStep.java:48, registry
+    * function/procedure/ProcedureRegistry.java). The procedure returns a
+    * DataFrame; YIELD projects/renames its columns into the horizon. */
+  final case class CallC(name: String, args: Seq[Expr],
+      yields: Seq[(String, Option[String])]) extends Clause
   final case class WithC(items: Seq[ReturnItem], distinct: Boolean,
       where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
       skip: Option[Long] = None, limit: Option[Long] = None) extends Clause
@@ -94,7 +103,35 @@ object Cypher {
 
   // ---------------- parser ----------------
 
+  /** Pattern-comprehension hook for the shared expression parser: called
+    * with the cursor just past `[`; recognizes `[(a)-[:T]->(b) [WHERE p]
+    * | m]` and backtracks (returning None) on anything else so ordinary
+    * list literals/comprehensions still parse. */
+  private val patternCompExt: Parser.P => Option[Expr] = p => {
+    if (p.peek != TOp("(")) None
+    else {
+      val mark = p.pos
+      try {
+        val chain = parseChain(p, optional = false)
+        if (chain.rels.isEmpty) { p.pos = mark; None }
+        else {
+          val w = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
+          if (p.op("|")) {
+            val m = Parser.parseExpr(p)
+            p.expectOp("]")
+            Some(Ast.PatternComp(chain, w, m))
+          } else { p.pos = mark; None }
+        }
+      } catch { case _: ParseException => p.pos = mark; None }
+    }
+  }
+
   def parse(text: String): CypherQuery = {
+    Parser.bracketExt.set(patternCompExt)
+    try parseImpl(text) finally Parser.bracketExt.remove()
+  }
+
+  private def parseImpl(text: String): CypherQuery = {
     val p = new Parser.P(Parser.lex(text))
     val clauses = Seq.newBuilder[Clause]
     var done = false
@@ -164,10 +201,33 @@ object Cypher {
         while (p.op(",")) vars += Parser.ident(p)
         clauses += DeleteC(vars.result(), detach = false)
       }
+      else if (p.kw("CALL")) {
+        // CALL ns.proc(args) [YIELD col [AS alias], ...]
+        val name = new StringBuilder(Parser.ident(p))
+        while (p.op(".")) { name += '.'; name ++= Parser.ident(p) }
+        val args =
+          if (p.op("(")) {
+            if (p.op(")")) Seq.empty
+            else { val a = Parser.parseExprList(p); p.expectOp(")"); a }
+          } else Seq.empty
+        val yields = if (p.kw("YIELD")) {
+          val b = Seq.newBuilder[(String, Option[String])]
+          var more = true
+          while (more) {
+            val n = Parser.ident(p)
+            val al = if (p.kw("AS")) Some(Parser.ident(p)) else None
+            b += n -> al
+            more = p.op(",")
+          }
+          b.result()
+        } else Seq.empty
+        clauses += CallC(name.toString, args, yields)
+      }
       else if (p.peekKw("MATCH") || p.peekKw("OPTIONAL")) {
         val optional = p.kw("OPTIONAL")
         p.expectKw("MATCH")
-        // `p = shortestPath(...)` — one-token lookahead for `ident =`
+        // `p = shortestPath(...)` / `p = (a)-[...]->(b)` — one-token
+        // lookahead for `ident =`
         val mark = p.pos
         val spVar = p.peek match {
           case TId(s) if !s.equalsIgnoreCase("shortestPath") =>
@@ -175,7 +235,17 @@ object Cypher {
             if (p.op("=")) Some(s) else { p.pos = mark; None }
           case _ => None
         }
-        if (spVar.isDefined) {
+        if (spVar.isDefined && !p.peekKw("SHORTESTPATH")) {
+          // named plain path: record the chain for nodes()/length()/
+          // relationships() resolution; otherwise an ordinary MATCH
+          val chain = parseChain(p, optional)
+          val chains = Seq.newBuilder[PatternChain]
+          chains += chain
+          while (p.op(",")) chains += parseChain(p, optional)
+          val (where, pats) =
+            if (p.kw("WHERE")) parseMatchWhere(p) else (None, Seq.empty)
+          clauses += MatchC(chains.result(), where, pats, Seq(spVar.get -> chain))
+        } else if (spVar.isDefined) {
           p.expectKw("SHORTESTPATH")
           p.expectOp("(")
           val chain = parseChain(p, optional = false)
@@ -407,10 +477,38 @@ object Cypher {
 
   /** Rewrite `v.prop` property accesses into the flat `v_prop` columns
     * the pattern join produces. `passThrough` names (WITH aliases, UNWIND
-    * variables) stay as-is — they are already scalar columns. */
-  private def flatten(e: Expr, passThrough: Set[String]): Expr = {
-    def f(x: Expr): Expr = flatten(x, passThrough)
+    * variables) stay as-is — they are already scalar columns. `paths`
+    * maps named plain paths to their chains so openCypher path functions
+    * resolve statically (fixed-hop chains: node list, rel-type list, and
+    * length are all known at compile time). */
+  private def flatten(e: Expr, passThrough: Set[String],
+      paths: Map[String, PatternChain] = Map.empty): Expr = {
+    def f(x: Expr): Expr = flatten(x, passThrough, paths)
     e match {
+      // path functions over a named plain path (reference openCypher
+      // nodes()/relationships()/length() — function/graph; the chain is
+      // fixed-hop so each resolves to a static projection)
+      case FnCall(n, Seq(Ident(pv)), _) if paths.contains(pv) &&
+          Set("length", "nodes", "relationships")(n.toLowerCase) =>
+        val ch = paths(pv)
+        n.toLowerCase match {
+          case "length" => NumLit(BigDecimal(ch.rels.length), isIntegral = true)
+          case "nodes" => ArrayLit(ch.nodes.map(nd => f(PropAccess(Ident(nd.varName.getOrElse(
+            throw ParseException(s"nodes($pv) requires all pattern nodes to be named"))), "id"))))
+          case _ => ArrayLit(ch.rels.map(r => StrLit(r.relType.getOrElse(""))))
+        }
+      // temporal namespaces: `date.truncate(...)`, `duration.between(...)`
+      // — the target is a namespace token, not a pattern variable
+      case MethodCall(t @ Ident(ns), m, args)
+          if Set("date", "datetime", "duration")(ns.toLowerCase) && !passThrough(ns) =>
+        MethodCall(t, m, args.map(f))
+      // list comprehension: the lambda variable shadows pattern variables
+      case ListComp(v, l, w, m) =>
+        def fi(x: Expr): Expr = flatten(x, passThrough + v, paths)
+        ListComp(v, f(l), w.map(fi), m.map(fi))
+      // pattern comprehension: resolved by the pipeline against the graph
+      // (its inner expressions bind to the comprehension's own chain)
+      case pc: PatternComp => pc
       // graph metadata functions over pattern variables (openCypher
       // id()/labels()/type()): resolve to the flattened identity/label
       // columns; labels() is a one-element list (single-label model)
@@ -522,10 +620,56 @@ object Cypher {
     var nodeVars = Set.empty[String]  // vars with v_* columns (incl. v_id)
     var relVars = Set.empty[String]   // rel vars with r_* prop columns
     var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
-    def toCol(e: Expr): Column = graft.sql.Translator.toColumn(flatten(e, scalars))
+    var paths = Map.empty[String, PatternChain] // named plain paths
+    def toCol(e: Expr): Column = graft.sql.Translator.toColumn(flatten(e, scalars, paths))
+
+    /** Resolve pattern comprehensions in `e` against the current horizon:
+      * each becomes one grouped `sort_array(collect_list(map))` over the
+      * pattern's join frame, left-joined back on the comprehension's
+      * anchor variables (the vars it shares with the horizon) — the same
+      * shape the reference's PatternComprehension step produces, as one
+      * aggregation + one join instead of a per-row subquery. Elements are
+      * sorted for determinism (openCypher leaves their order unspecified).
+      * Mutates `acc`; returns the rewritten expression. */
+    def resolvePatternComps(e: Expr): Expr = e match {
+      case PatternComp(chainRef, whereE, mapE) =>
+        val chain = chainRef.asInstanceOf[PatternChain]
+        val (pf0, pvars, _) = chainFrame(g, chain)
+        val pf = whereE.fold(pf0)(w =>
+          pf0.filter(graft.sql.Translator.toColumn(flatten(w, Set.empty))))
+        val anchors = (nodeVars intersect pvars).toSeq.sorted
+        if (anchors.isEmpty)
+          throw ParseException("pattern comprehension must reference a bound variable")
+        val tmp = freshVar()
+        val mapCol = graft.sql.Translator.toColumn(flatten(mapE, Set.empty))
+        val grouped = pf
+          .groupBy(anchors.map(v => col(s"${v}_id").as(s"__pc_${v}_id")): _*)
+          .agg(sort_array(collect_list(mapCol)).as(tmp))
+        val elemType = grouped.schema(tmp).dataType
+        val cond = anchors.map(v => acc(s"${v}_id") === grouped(s"__pc_${v}_id")).reduce(_ && _)
+        acc = acc.join(grouped, cond, "left_outer")
+          .drop(anchors.map(v => s"__pc_${v}_id"): _*)
+          // no-match rows get an EMPTY list (openCypher), typed to match:
+          // array() is ARRAY<NULL>, castable to any element type
+          .withColumn(tmp, coalesce(col(tmp), array().cast(elemType)))
+        scalars += tmp
+        Ident(tmp)
+      case Bin(op, l, r)          => Bin(op, resolvePatternComps(l), resolvePatternComps(r))
+      case Neg(x)                 => Neg(resolvePatternComps(x))
+      case Not(x)                 => Not(resolvePatternComps(x))
+      case FnCall(n, args, s)     => FnCall(n, args.map(resolvePatternComps), s)
+      case MethodCall(t, m, args) => MethodCall(resolvePatternComps(t), m, args.map(resolvePatternComps))
+      case InList(x, es, n)       => InList(resolvePatternComps(x), es.map(resolvePatternComps), n)
+      case ArrayLit(es)           => ArrayLit(es.map(resolvePatternComps))
+      case CaseExpr(op, bs, els)  => CaseExpr(op.map(resolvePatternComps),
+        bs.map(b => (resolvePatternComps(b._1), resolvePatternComps(b._2))),
+        els.map(resolvePatternComps))
+      case other                  => other
+    }
 
     def step(clause: Clause): Unit = clause match {
-      case MatchC(chains, where, patternPreds) =>
+      case MatchC(chains, where, patternPreds, pathBinds) =>
+        paths ++= pathBinds
         chains.foreach { chain =>
           val (cf, vars, rvars) = chainFrame(g, chain)
           if (acc == null) { acc = cf; nodeVars = vars }
@@ -566,7 +710,19 @@ object Cypher {
           else acc.withColumn(a, explode(toCol(e)))
         scalars += a
 
-      case WithC(items, distinct, where, orderBy, skip, limit) =>
+      case CallC(name, args, yields) =>
+        val out0 = Procedures.invoke(g, name, args)
+        val out = if (yields.isEmpty) out0
+          else out0.select(yields.map { case (n, al) => col(n).as(al.getOrElse(n)) }: _*)
+        // a procedure frame is independent of the horizon; standalone CALL
+        // starts the horizon, CALL after MATCH cross-joins (openCypher's
+        // per-row procedure semantics for row-independent procedures)
+        acc = if (acc == null) out else acc.crossJoin(out)
+        scalars ++= (if (yields.isEmpty) out.columns.toSet
+          else yields.map { case (n, al) => al.getOrElse(n) }.toSet)
+
+      case WithC(items0, distinct, where, orderBy, skip, limit) =>
+        val items = items0.map(it => it.copy(expr = resolvePatternComps(it.expr)))
         // bare pattern variables carry all their columns; everything else
         // projects to a scalar column named by its alias
         val carried = items.collect {
@@ -642,9 +798,11 @@ object Cypher {
 
   /** Final RETURN projection over the accumulated pipeline frame. */
   private def finishReturn(pl: Pipeline, q: CypherQuery): DataFrame = {
+    // pattern comprehensions first: they extend the horizon frame
+    val resolved = q.items.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
     val acc = pl.acc
     val scalars = pl.scalars
-    val items = q.items.map(it => it.copy(expr = flatten(it.expr, scalars)))
+    val items = resolved.map(it => it.copy(expr = flatten(it.expr, scalars, pl.paths)))
     val hasAgg = items.exists(it => graft.sql.Translator.containsAgg(it.expr))
     def name(it: ReturnItem, i: Int): String = it.alias.getOrElse(exprLabel(q.items(i).expr))
     var out =
@@ -665,7 +823,7 @@ object Cypher {
       out = out.orderBy(q.orderBy.map { o =>
         val c = o.expr match {
           case Ident(n) if out.columns.contains(n) => col(n)
-          case other => graft.sql.Translator.toColumn(flatten(other, scalars))
+          case other => graft.sql.Translator.toColumn(flatten(other, scalars, pl.paths))
         }
         if (o.asc) c.asc else c.desc
       }: _*)

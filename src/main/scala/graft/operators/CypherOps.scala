@@ -14,6 +14,38 @@ object CypherOps {
   private def cy(text: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, d) => Cypher.query(PropertyGraph.fromTpch(s, d), text)
 
+  /** Nation chain graph (consecutive nations within a region, both edge
+    * directions, label "next") for the CALL algo.* procedures — the same
+    * construction GraphAlgoOps oracles with an unrolled recurrence. */
+  private def nationGraph(s: org.apache.spark.sql.SparkSession, d: String): PropertyGraph = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val n = graft.Tables.nation(s, d)
+    val byRegion = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val canon = n.withColumn("b", lead(col("n_nationkey"), 1).over(byRegion))
+      .filter(col("b").isNotNull)
+      .select(col("n_nationkey").as("a"), col("b"))
+    val edges = canon.select(col("a").as("src"), col("b").as("dst"))
+      .union(canon.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("label", lit("next"))
+    val verts = n.select(col("n_nationkey").as("id"), lit("nation").as("label"),
+      col("n_nationkey").as("key"), col("n_name").as("name"))
+    PropertyGraph(verts, edges)
+  }
+
+  /** Order-only graph carrying the order date as a vertex property, for
+    * the temporal-function surface (no edges needed). */
+  private def orderGraph(s: org.apache.spark.sql.SparkSession, d: String): PropertyGraph = {
+    import org.apache.spark.sql.functions._
+    val ords = graft.Tables.orders(s, d).select(
+      PropertyGraph.vid(PropertyGraph.TOrder, col("o_orderkey")).as("id"),
+      lit("order").as("label"), col("o_orderkey").as("key"),
+      col("o_orderdate").as("odate"))
+    val edges = ords.limit(0).select(col("id").as("src"), col("id").as("dst"),
+      lit("x").as("label"))
+    PropertyGraph(ords, edges)
+  }
+
   /** Undirected co-purchase graph induced on p_partkey < 300 (both edge
     * directions, label "co") for variable-length path queries. */
   private def coGraph(s: org.apache.spark.sql.SparkSession, d: String): PropertyGraph = {
@@ -273,6 +305,112 @@ object CypherOps {
         |FROM orders""".stripMargin)(
       cy("""MATCH (c:customer)-[r:placed]->(o:order)
            | RETURN round(percentileCont(r.qty, 0.5), 4) AS p50"""
-        .stripMargin.replace("\n", "")))
+        .stripMargin.replace("\n", ""))),
+
+    // ---- list comprehension [v IN list WHERE p | m] → codegen'd
+    //      higher-order filter/transform (Cypher25Parser.g4
+    //      listComprehension) ----
+    Q("q_cypher_listcomp",
+      """SELECT x,
+        |  coalesce(array_to_string(list_transform(list_filter(generate_series(1, x),
+        |    y -> y % 2 = 0), y -> (y * y)::VARCHAR), ','), '') AS sq,
+        |  len(list_filter(generate_series(1, x), y -> y % 3 = 0)) AS n3
+        |FROM (SELECT UNNEST(generate_series(1, 12)) AS x) ORDER BY x""".stripMargin)(
+      cy("""UNWIND range(1, 12) AS x
+           | RETURN x, array_join([y IN range(1, x) WHERE y % 2 = 0 | toString(y * y)], ',') AS sq,
+           |   toInteger(size([y IN range(1, x) WHERE y % 3 = 0])) AS n3
+           | ORDER BY x""".stripMargin.replace("\n", ""))),
+
+    // ---- pattern comprehension [(c)-[:T]->(o) WHERE p | m] → one grouped
+    //      collect over the pattern frame + one left join (never a per-row
+    //      subquery; elements sorted for determinism) ----
+    Q("q_cypher_patterncomp",
+      """SELECT c_custkey AS ck,
+        |  coalesce((SELECT array_to_string(list_sort(list(o_orderkey::VARCHAR)), ',')
+        |            FROM orders
+        |            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'), '') AS fo,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)::BIGINT AS n
+        |FROM customer WHERE c_custkey <= 30 ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer) WHERE c.key <= 30
+           | RETURN c.key AS ck,
+           |   array_join([(c)-[:placed]->(o:order) WHERE o.name = 'F' | toString(o.key)], ',') AS fo,
+           |   toInteger(size([(c)-[:placed]->(o2:order) | o2.key])) AS n
+           | ORDER BY ck""".stripMargin.replace("\n", ""))),
+
+    // ---- temporal constructors + truncation + durations (reference
+    //      function/temporal/*.java): durations are total seconds, the
+    //      flat engine-portable encoding ----
+    Q("q_cypher_temporal",
+      """SELECT o_orderkey AS k,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
+        |  date_diff('second', o_orderdate, TIMESTAMP '2001-08-01 00:00:00') AS secs
+        |FROM orders
+        |WHERE o_orderkey < 500
+        |  AND date_diff('second', o_orderdate, TIMESTAMP '2001-08-01 00:00:00') > 1460 * 86400
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Cypher.query(orderGraph(s, d),
+        "MATCH (o:order) WHERE o.key < 500 AND " +
+          "duration.between(o.odate, datetime('2001-08-01 00:00:00')) > duration('P1460D') " +
+          "RETURN o.key AS k, toString(date.truncate('month', o.odate)) AS mo, " +
+          "duration.between(o.odate, datetime('2001-08-01 00:00:00')) AS secs ORDER BY k")
+    },
+
+    // ---- named plain paths: nodes()/relationships()/length() resolve
+    //      statically on fixed-hop chains ----
+    Q("q_cypher_path_fns",
+      """SELECT c_custkey AS ck, o_orderkey AS ok, 1::BIGINT AS len, 2::BIGINT AS nn,
+        |  'placed' AS rels
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey <= 5 ORDER BY ck, ok""".stripMargin)(
+      cy("""MATCH p = (c:customer)-[:placed]->(o:order) WHERE c.key <= 5
+           | RETURN c.key AS ck, o.key AS ok, length(p) AS len,
+           |   toInteger(size(nodes(p))) AS nn, array_join(relationships(p), ',') AS rels
+           | ORDER BY ck, ok""".stripMargin.replace("\n", ""))),
+
+    // ---- CALL db.labels() — schema introspection procedure (reference
+    //      CallStep.java + ProcedureRegistry.java) ----
+    Q("q_cypher_call_labels",
+      """SELECT label FROM (
+        |  SELECT 'customer' AS label UNION ALL SELECT 'order' UNION ALL SELECT 'part')
+        |ORDER BY label""".stripMargin)(
+      cy("CALL db.labels() YIELD label RETURN label ORDER BY label")),
+
+    // ---- chained CALLs: relationship types × property keys (the second
+    //      CALL cross-joins the first's horizon) ----
+    Q("q_cypher_call_schema",
+      """SELECT relationshipType, pk FROM
+        |  (SELECT 'contains' AS relationshipType UNION ALL SELECT 'placed'),
+        |  (SELECT 'key' AS pk UNION ALL SELECT 'name' UNION ALL SELECT 'qty')
+        |ORDER BY relationshipType, pk""".stripMargin)(
+      cy("CALL db.relationshipTypes() YIELD relationshipType " +
+        "CALL db.propertyKeys() YIELD propertyKey AS pk " +
+        "RETURN relationshipType, pk ORDER BY relationshipType, pk")),
+
+    // ---- CALL algo.pageRank — algo procedure, oracled by the unrolled
+    //      recurrence (same graph + recurrence as q_graph_pagerank_small) ----
+    Q("q_cypher_call_pagerank", {
+      val iters = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT v.id, 0.15 + 0.85 * coalesce(s.msum, 0.0) AS rank
+           |  FROM pr${i - 1} v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / d.outdeg) AS msum
+           |    FROM e JOIN pr${i - 1} p ON e.src = p.id JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ce AS (
+         |  SELECT a.n_nationkey AS a, min(b.n_nationkey) AS b
+         |  FROM nation a JOIN nation b
+         |    ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey
+         |  GROUP BY a.n_nationkey),
+         |e AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |pr0 AS (SELECT n_nationkey AS id, CAST(1.0 AS DOUBLE) AS rank FROM nation),
+         |$iters
+         |SELECT id, round(rank, 6) AS rank FROM pr10 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      Cypher.query(nationGraph(s, d),
+        "CALL algo.pageRank(10, 0.15) YIELD id, rank " +
+          "RETURN id, round(rank, 6) AS rank ORDER BY id")
+    }
   )
 }

@@ -43,6 +43,21 @@ object Ast {
   final case class CaseExpr(operand: Option[Expr],
       branches: Seq[(Expr, Expr)], els: Option[Expr])           extends Expr
 
+  /** Cypher list comprehension `[v IN list WHERE p | m]` (Cypher25Parser.g4
+    * listComprehension; reference executes it as an interpreted expression
+    * — here it compiles to higher-order `filter`/`transform` columns, so
+    * it stays inside codegen). WHERE and the `| map` part are each
+    * optional. */
+  final case class ListComp(varName: String, list: Expr,
+      where: Option[Expr], map: Option[Expr])                   extends Expr
+  /** Cypher pattern comprehension `[(a)-[:T]->(b) WHERE p | m]`
+    * (Cypher25Parser.g4 patternComprehension). `chain` is the front-end's
+    * pattern representation, kept opaque at this layer — only the Cypher
+    * pipeline can resolve it against a graph (it becomes a grouped
+    * collect over the pattern's join frame). */
+  final case class PatternComp(chain: AnyRef, where: Option[Expr],
+      map: Expr)                                                extends Expr
+
   /** Scalar subquery `(SELECT …)` — resolved to a [[Resolved]] literal at
     * compile time (the reference evaluates global LET subqueries once,
     * SelectExecutionPlanner.splitLet :745). */

@@ -285,6 +285,14 @@ object Parser {
     b.result()
   }
 
+  /** Bracket-extension hook: a front-end (Cypher) may install a handler
+    * that is consulted right after a `[` is consumed, before core
+    * list-literal parsing. The handler must restore `p.pos` and return
+    * None when the bracket isn't its construct (e.g. a Cypher pattern
+    * comprehension `[(a)-[:T]->(b) | …]`, which only the Cypher grammar
+    * can recognize). ThreadLocal: parsing is per-query, driver-side. */
+  private[graft] val bracketExt = new ThreadLocal[P => Option[Expr]]
+
   // precedence climbing
   private[graft] def parseExpr(p: P): Expr = parseOr(p)
 
@@ -383,9 +391,31 @@ object Parser {
     case TOp("(") =>
       if (p.peekKw("SELECT")) { val s = parseSelect(p); p.expectOp(")"); Subquery(s) }
       else { val e = parseExpr(p); p.expectOp(")"); e }
-    case TOp("[") => // list literal
-      if (p.op("]")) ArrayLit(Seq.empty)
-      else { val es = parseExprList(p); p.expectOp("]"); ArrayLit(es) }
+    case TOp("[") => // list literal | list comprehension | front-end ext
+      Option(bracketExt.get()).flatMap(ext => ext(p)) match {
+        case Some(e) => e
+        case None =>
+          // `[v IN list [WHERE p] [| m]]` — a leading identifier followed
+          // by IN (with no parenthesized value list) is a comprehension
+          val mark = p.pos
+          val compVar = p.peek match {
+            case TId(v) =>
+              p.next()
+              if (p.kw("IN")) Some(v) else { p.pos = mark; None }
+            case _ => None
+          }
+          compVar match {
+            case Some(v) =>
+              val listE = parseExpr(p)
+              val whereE = if (p.kw("WHERE")) Some(parseExpr(p)) else None
+              val mapE = if (p.op("|")) Some(parseExpr(p)) else None
+              p.expectOp("]")
+              ListComp(v, listE, whereE, mapE)
+            case None =>
+              if (p.op("]")) ArrayLit(Seq.empty)
+              else { val es = parseExprList(p); p.expectOp("]"); ArrayLit(es) }
+          }
+      }
     case TId(id) if id.equalsIgnoreCase("CASE") =>
       // searched: CASE WHEN c THEN v ... | simple: CASE x WHEN w THEN v ...
       val operand = if (p.peekKw("WHEN")) None else Some(parseExpr(p))

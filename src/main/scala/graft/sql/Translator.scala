@@ -50,7 +50,8 @@ object Translator {
     case CaseExpr(op, bs, els) =>
       op.exists(containsAgg) || bs.exists(b => containsAgg(b._1) || containsAgg(b._2)) ||
         els.exists(containsAgg)
-    case _ => false // Subquery/Resolved are scalars by construction
+    case ListComp(_, l, _, _) => containsAgg(l) // lambda body is per-element
+    case _ => false // Subquery/Resolved/PatternComp are scalars by construction
   }
 
   /** Substitute LET variables, user-defined SQL-bodied functions
@@ -84,6 +85,10 @@ object Translator {
       case ContainsOp(x, k, a)    => ContainsOp(r(x), k, r(a))
       case ArrayLit(es)           => ArrayLit(es.map(r))
       case CaseExpr(op, bs, els)  => CaseExpr(op.map(r), bs.map(b => (r(b._1), r(b._2))), els.map(r))
+      case ListComp(v, l, w, m)   => // the lambda var shadows outer bindings
+        def ri(x: Expr): Expr = resolve(x, env - v, evalSub, fns)
+        ListComp(v, r(l), w.map(ri), m.map(ri))
+      case PatternComp(c, w, m)   => PatternComp(c, w.map(r), r(m))
       case other                  => other
     }
   }
@@ -135,6 +140,32 @@ object Translator {
       val chained = conds.tail.foldLeft(when(conds.head._1, conds.head._2)) {
         case (c, (w, t)) => c.when(w, t) }
       els.fold(chained)(e => chained.otherwise(toColumn(e)))
+    case ListComp(v, listE, whereE, mapE) =>
+      // compiles to higher-order filter/transform: the lambda variable is
+      // bound by substituting a Resolved(column) for its identifier, so
+      // the body translates through the ordinary expression path
+      def bind(body: Expr, x: Column): Column =
+        toColumn(resolve(body, Map(v -> Resolved(x)),
+          _ => throw TranslateException("subquery inside a list comprehension")))
+      val base = toColumn(listE)
+      val filtered = whereE.fold(base)(w => filter(base, x => bind(w, x)))
+      mapE.fold(filtered)(m => transform(filtered, x => bind(m, x)))
+    case PatternComp(_, _, _) =>
+      throw TranslateException("pattern comprehension is only valid inside a Cypher query")
+    // Cypher temporal namespace methods (reference function/temporal/*.java:
+    // DateTruncFunction-class truncation and duration arithmetic)
+    case MethodCall(Ident(ns), m, args)
+        if ns.equalsIgnoreCase("duration") && m.equalsIgnoreCase("between") =>
+      // whole-second duration between two instants (durations are carried
+      // as total seconds — a flat, parquet/oracle-comparable encoding)
+      unix_timestamp(toColumn(args(1)).cast("timestamp")) -
+        unix_timestamp(toColumn(args(0)).cast("timestamp"))
+    case MethodCall(Ident(ns), m, args)
+        if ns.equalsIgnoreCase("date") && m.equalsIgnoreCase("truncate") =>
+      trunc(toColumn(args(1)), litToStr(args(0)))
+    case MethodCall(Ident(ns), m, args)
+        if ns.equalsIgnoreCase("datetime") && m.equalsIgnoreCase("truncate") =>
+      date_trunc(litToStr(args(0)), toColumn(args(1)))
     case FnCall(n, args, star) => fn(n.toLowerCase, args, star)
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access
@@ -284,6 +315,13 @@ object Translator {
       case "date_add"   => date_add(args.head, litToInt(argEs(1)))
       case "date_sub"   => date_sub(args.head, litToInt(argEs(1)))
       case "sysdate" | "now" => current_timestamp()
+      // Cypher temporal constructors (function/temporal/*.java): date(s) /
+      // datetime(s) parse ISO strings; duration('PnDTnHnMnS') folds to
+      // total seconds at compile time (calendar-free components only —
+      // years/months are calendar-dependent and rejected)
+      case "date"     => to_date(args.head)
+      case "datetime" | "localdatetime" => to_timestamp(args.head)
+      case "duration" => lit(java.time.Duration.parse(litToStr(argEs.head)).getSeconds)
       case "last_day"   => last_day(args.head)
       case "make_date"  => make_date(args(0).cast("int"), args(1).cast("int"), args(2).cast("int"))
       case "date_part"  => date_part(lit(litToStr(argEs(0))), args(1))

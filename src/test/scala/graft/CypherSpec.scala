@@ -110,4 +110,49 @@ class CypherSpec extends AnyFunSuite {
     val vals = df.collect().map(_.getString(0)).toSeq
     assert(vals == vals.distinct && vals.nonEmpty)
   }
+
+  test("list comprehension: WHERE-only, map-only, both, nested shadowing") {
+    val g = PropertyGraph.fromTpch(spark, sfDir)
+    val df = Cypher.query(g,
+      "UNWIND range(1, 4) AS x RETURN x, " +
+        "size([y IN range(1, x) WHERE y % 2 = 0]) AS evens, " +
+        "array_join([y IN range(1, x) | toString(y * 10)], ',') AS tens ORDER BY x")
+    val rows = df.collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 1, 2))
+    assert(rows.map(_.getString(2)).toSeq == Seq("10", "10,20", "10,20,30", "10,20,30,40"))
+  }
+
+  test("CALL db.* procedures and YIELD aliasing") {
+    val g = PropertyGraph.fromTpch(spark, sfDir)
+    val labels = Cypher.query(g, "CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels == Seq("customer", "order", "part"))
+    val keys = Cypher.query(g,
+      "CALL db.propertyKeys() YIELD propertyKey AS pk RETURN pk ORDER BY pk")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("key", "name", "qty"))
+    intercept[graft.sql.Parser.ParseException] {
+      Cypher.query(g, "CALL db.nope() YIELD x RETURN x")
+    }
+  }
+
+  test("path functions resolve statically on named plain paths") {
+    val g = PropertyGraph.fromTpch(spark, sfDir)
+    val row = Cypher.query(g,
+      "MATCH p = (c:customer {key: 1})-[:placed]->(o:order) " +
+        "RETURN length(p) AS len, size(nodes(p)) AS nn, " +
+        "array_join(relationships(p), '|') AS rels LIMIT 1").collect().head
+    assert(row.getLong(0) == 1L && row.getInt(1) == 2 && row.getString(2) == "placed")
+  }
+
+  test("temporal namespace: truncation and duration comparison") {
+    val g = PropertyGraph.fromTpch(spark, sfDir)
+    val row = Cypher.query(g,
+      "UNWIND [1] AS x RETURN " +
+        "toString(date.truncate('month', date('2020-03-17'))) AS mo, " +
+        "duration.between(datetime('2020-01-01 00:00:00'), datetime('2020-01-02 06:00:00')) AS s, " +
+        "duration('P1DT6H') AS d").collect().head
+    assert(row.getString(0) == "2020-03-01")
+    assert(row.getLong(1) == 108000L && row.getLong(2) == 108000L)
+  }
 }

@@ -116,6 +116,115 @@ object GeoFunctions {
       (aggregate(ring, lit(0.0), (a, p) => a + p.getField("y")) / n).as("y"))
   }
 
+  // ---- constructor tail (SQLFunctionRectangle.java, SQLFunctionCircle
+  // .java, SQLFunctionLineString.java, SQLFunctionGeoBuffer.java) — all
+  // produce the library's ring encoding array<struct<x,y>> (closed:
+  // last vertex repeats the first) so every measure/predicate composes ----
+
+  /** Closed axis-aligned rectangle ring. */
+  def rectangleRing(x1: Column, y1: Column, x2: Column, y2: Column): Column = array(
+    struct(x1.as("x"), y1.as("y")), struct(x2.as("x"), y1.as("y")),
+    struct(x2.as("x"), y2.as("y")), struct(x1.as("x"), y2.as("y")),
+    struct(x1.as("x"), y1.as("y")))
+
+  /** Regular n-gon ring approximating a circle (planar radius). The
+    * closing vertex is computed as k % n so the ring closes EXACTLY; the
+    * axis vertices (k·2π/n at 0, π/2, π, 3π/2 for n divisible by 4) land
+    * on x±r / y±r to the last ulp, so the envelope of the ring is exactly
+    * [x−r, x+r] × [y−r, y+r] — the property the MBR predicates below and
+    * their DuckDB oracles rely on. */
+  def circleRing(x: Column, y: Column, r: Column, n: Int): Column = {
+    require(n % 4 == 0, "circle vertex count must be divisible by 4 for an exact envelope")
+    transform(sequence(lit(0), lit(n)), k => {
+      val ang = (k % n).cast("double") * lit(2.0 * math.Pi / n)
+      struct((x + r * cos(ang)).as("x"), (y + r * sin(ang)).as("y"))
+    })
+  }
+
+  /** LINESTRING from parallel coordinate arrays. */
+  def lineStringRing(xs: Column, ys: Column): Column =
+    zip_with(xs, ys, (x, y) => struct(x.cast("double").as("x"), y.cast("double").as("y")))
+
+  /** Planar buffer as envelope expansion: the ring's MBR grown by `r` on
+    * every side (the reference's SQLFunctionGeoBuffer wraps spatial4j's
+    * shape buffer; under this library's MBR predicate semantics the
+    * envelope expansion is the exact counterpart). */
+  def bufferRing(g: Column, r: Column): Column = {
+    val xs = transform(g, _.getField("x"))
+    val ys = transform(g, _.getField("y"))
+    rectangleRing(array_min(xs) - r, array_min(ys) - r,
+      array_max(xs) + r, array_max(ys) + r)
+  }
+
+  /** GeoJSON Polygon text of a ring (SQLFunctionGeoAsGeoJson.java). */
+  def asGeoJson(g: Column): Column = concat(
+    lit("{\"type\":\"Polygon\",\"coordinates\":[["),
+    array_join(transform(g, p => concat(lit("["), p.getField("x").cast("string"),
+      lit(","), p.getField("y").cast("string"), lit("]"))), ","),
+    lit("]]}"))
+
+  // ---- spatial predicate tail over envelopes (MBR semantics — the
+  // reference's envelope fast path in SQLFunctionGeoContains.java /
+  // SQLFunctionGeoIntersects.java; exact for axis-aligned shapes,
+  // conservative for arbitrary rings; exact point-in-polygon remains
+  // pointInPolygon above). Closed-boundary DE-9IM on boxes:
+  // touches = boundary contact without interior overlap, overlaps =
+  // interiors overlap with neither containing the other. ----
+
+  private def envX(g: Column, f: String, agg: Column => Column): Column =
+    agg(transform(g, _.getField(f)))
+
+  private def envOf(g: Column): (Column, Column, Column, Column) =
+    (envX(g, "x", array_min), envX(g, "y", array_min),
+      envX(g, "x", array_max), envX(g, "y", array_max))
+
+  def stIntersects(a: Column, b: Column): Column = {
+    val (ax1, ay1, ax2, ay2) = envOf(a); val (bx1, by1, bx2, by2) = envOf(b)
+    ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
+  }
+
+  def stDisjoint(a: Column, b: Column): Column = !stIntersects(a, b)
+
+  private def interiorsOverlap(a: Column, b: Column): Column = {
+    val (ax1, ay1, ax2, ay2) = envOf(a); val (bx1, by1, bx2, by2) = envOf(b)
+    ax1 < bx2 && bx1 < ax2 && ay1 < by2 && by1 < ay2
+  }
+
+  def stTouches(a: Column, b: Column): Column =
+    stIntersects(a, b) && !interiorsOverlap(a, b)
+
+  def stContains(a: Column, b: Column): Column = {
+    val (ax1, ay1, ax2, ay2) = envOf(a); val (bx1, by1, bx2, by2) = envOf(b)
+    ax1 <= bx1 && bx2 <= ax2 && ay1 <= by1 && by2 <= ay2
+  }
+
+  def stOverlaps(a: Column, b: Column): Column =
+    interiorsOverlap(a, b) && !stContains(a, b) && !stContains(b, a)
+
+  def stEquals(a: Column, b: Column): Column = {
+    val (ax1, ay1, ax2, ay2) = envOf(a); val (bx1, by1, bx2, by2) = envOf(b)
+    ax1 === bx1 && ay1 === by1 && ax2 === bx2 && ay2 === by2
+  }
+
+  /** `crosses(line, g)`: the line's first→last segment passes through
+    * g's interior without lying entirely inside it. Separating-axis test
+    * (x-slab, y-slab, segment normal) — pure arithmetic, mirrored
+    * operation-for-operation in the DuckDB oracle. */
+  def stCrosses(line: Column, g: Column): Column = {
+    val (bx1, by1, bx2, by2) = envOf(g)
+    val p1 = element_at(line, 1); val p2 = element_at(line, size(line))
+    val (x1, y1) = (p1.getField("x"), p1.getField("y"))
+    val (x2, y2) = (p2.getField("x"), p2.getField("y"))
+    def d(cx: Column, cy: Column): Column = (x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1)
+    val ds = Seq(d(bx1, by1), d(bx2, by1), d(bx2, by2), d(bx1, by2))
+    val slabReject = (x1 <= bx1 && x2 <= bx1) || (x1 >= bx2 && x2 >= bx2) ||
+      (y1 <= by1 && y2 <= by1) || (y1 >= by2 && y2 >= by2)
+    val normalSplit = ds.map(_ < 0).reduce(_ || _) && ds.map(_ > 0).reduce(_ || _)
+    def insideStrict(px: Column, py: Column): Column =
+      px > bx1 && px < bx2 && py > by1 && py < by2
+    !slabReject && normalSplit && !(insideStrict(x1, y1) && insideStrict(x2, y2))
+  }
+
   // ---- covering-cell index (reference index/geospatial/
   // GeoCoveringCellWalk.java + LSMTreeGeoIndex.java:90): points partition
   // by a coarse grid cell; a radius query enumerates the covering cells on

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Redis {
 
-  private final case class Op(seq: Long, key: String, field: String, op: String, arg: String)
+  // NOT private: the encoder's generated (janino) code must call the
+  // field accessors reflectively from outside this object — a private
+  // case class forces a per-run codegen failure + interpreted fallback
+  final case class Op(seq: Long, key: String, field: String, op: String, arg: String)
 
   /** Tokenize one command: whitespace-separated, single quotes protect spaces. */
   private def tokens(cmd: String): List[String] = {

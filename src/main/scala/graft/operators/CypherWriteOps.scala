@@ -143,6 +143,20 @@ object CypherWriteOps {
         .crossJoin(mg.edges.agg(count(lit(1)).as("n_edges")))
     },
 
+    // ---- SQL-dialect MOVE VERTEX: relabel to the target type; the
+    //      stable surrogate id keeps every incident edge valid without a
+    //      repointing pass (MoveVertexStep.java does delete+reinsert) ----
+    Q("q_sql_move_vertex",
+      """SELECT label, count(*) AS n FROM (
+        |  SELECT CASE WHEN n_nationkey < 5 THEN 'micronation' ELSE 'nation' END AS label
+        |  FROM nation)
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "sql_move")
+      graft.sql.GraphDml.execute(mg, "MOVE VERTEX nation TO TYPE:micronation WHERE key < 5")
+      mg.vertices.filter(col("label").isin("nation", "micronation"))
+        .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
+    },
+
     // ---- REMOVE: property removal (null-out on the matched set) ----
     Q("q_cypher_remove",
       """SELECT n_nationkey AS key,

@@ -119,13 +119,15 @@ object GeoOps {
          |WHERE round(${geoDistanceKmSql("lon", "lat", "0.0", "0.0")}, 6) <= 3000.0
          |ORDER BY id""".stripMargin) { (s, d) =>
       val dir = s"/tmp/graft_state/geocells_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      located(s, d).withColumn("cell", cellOf(col("lon"), col("lat")))
-        // cluster rows by cell into few tasks BEFORE partitionBy: otherwise
-        // every one of the 32 shuffle tasks opens a writer per cell it
-        // touches (~370 cells × 32 tasks of tiny files — measured 18 s at
-        // sf0.1; one writer per cell brings the lifecycle write to ~2 s)
-        .repartition(8, col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      graft.sources.LayoutOnce.ensure(dir, located(s, d).count()) {
+        located(s, d).withColumn("cell", cellOf(col("lon"), col("lat")))
+          // cluster rows by cell into few tasks BEFORE partitionBy: otherwise
+          // every one of the 32 shuffle tasks opens a writer per cell it
+          // touches (~370 cells × 32 tasks of tiny files — measured 18 s at
+          // sf0.1; one writer per cell brings the lifecycle write to ~2 s)
+          .repartition(8, col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      }
       val cells = coveringCells(0.0, 0.0, 3000.0)
       s.read.parquet(dir)
         .filter(col("cell").isin(cells: _*)) // partition pruning
@@ -134,6 +136,95 @@ object GeoOps {
         .filter(col("dist_km") <= 3000.0)    // exact residual predicate
         .select("id", "dist_km")
         .orderBy("id")
+    },
+
+    // ---- geo predicate + constructor tail through the SQL registry
+    //      (st_rectangle/circle/linestring/buffer + intersects/disjoint/
+    //      touches/overlaps/within/equals/crosses + GeoJSON out). MBR
+    //      predicate semantics (the reference's envelope fast path); the
+    //      oracle is the same interval algebra, and the crosses test is
+    //      the separating-axis formula mirrored operation-for-operation.
+    //      Data: per-customer rectangle [lon,lat]..[lon+dx,lat+dy] vs the
+    //      fixed query box [-60,-25]..[-10,25]. ----
+    Q("q_geo_predicates", {
+      val d1 = "((x2 - x1) * (-25.0 - y1) - (y2 - y1) * (-60.0 - x1))"
+      val d2 = "((x2 - x1) * (-25.0 - y1) - (y2 - y1) * (-10.0 - x1))"
+      val d3 = "((x2 - x1) * (25.0 - y1) - (y2 - y1) * (-10.0 - x1))"
+      val d4 = "((x2 - x1) * (25.0 - y1) - (y2 - y1) * (-60.0 - x1))"
+      val slab = """((x1 <= -60.0 AND x2 <= -60.0) OR (x1 >= -10.0 AND x2 >= -10.0)
+        | OR (y1 <= -25.0 AND y2 <= -25.0) OR (y1 >= 25.0 AND y2 >= 25.0))""".stripMargin
+      val split = s"""(($d1 < 0 OR $d2 < 0 OR $d3 < 0 OR $d4 < 0)
+        | AND ($d1 > 0 OR $d2 > 0 OR $d3 > 0 OR $d4 > 0))""".stripMargin
+      def ins(px: String, py: String) =
+        s"($px > -60.0 AND $px < -10.0 AND $py > -25.0 AND $py < 25.0)"
+      s"""WITH t AS (SELECT c_custkey AS id,
+         |    ((c_custkey * 104729) % 34000) / 100.0 - 170.0 AS lon,
+         |    ((c_custkey * 7919) % 12000) / 100.0 - 60.0 AS lat,
+         |    (c_custkey % 5 + 1) * 1.0 AS dx,
+         |    (c_custkey % 3 + 1) * 1.0 AS dy
+         |  FROM customer WHERE c_custkey < 300),
+         |r AS (SELECT id, lon, lat, lon AS ax1, lat AS ay1,
+         |    lon + dx AS ax2, lat + dy AS ay2,
+         |    lon AS x1, lat AS y1, lon + 3 * dx AS x2, lat + 3 * dy AS y2 FROM t)
+         |SELECT id,
+         |  (ax1 <= -10.0 AND -60.0 <= ax2 AND ay1 <= 25.0 AND -25.0 <= ay2) AS inter,
+         |  NOT (ax1 <= -10.0 AND -60.0 <= ax2 AND ay1 <= 25.0 AND -25.0 <= ay2) AS disj,
+         |  ((ax1 <= -10.0 AND -60.0 <= ax2 AND ay1 <= 25.0 AND -25.0 <= ay2)
+         |    AND NOT (ax1 < -10.0 AND -60.0 < ax2 AND ay1 < 25.0 AND -25.0 < ay2)) AS tch,
+         |  ((ax1 < -10.0 AND -60.0 < ax2 AND ay1 < 25.0 AND -25.0 < ay2)
+         |    AND NOT (ax1 <= -60.0 AND -10.0 <= ax2 AND ay1 <= -25.0 AND 25.0 <= ay2)
+         |    AND NOT (-60.0 <= ax1 AND ax2 <= -10.0 AND -25.0 <= ay1 AND ay2 <= 25.0)) AS ovl,
+         |  (-60.0 <= ax1 AND ax2 <= -10.0 AND -25.0 <= ay1 AND ay2 <= 25.0) AS w_in,
+         |  (ax1 - 5.0 <= -10.0 AND -60.0 <= ax2 + 5.0
+         |    AND ay1 - 5.0 <= 25.0 AND -25.0 <= ay2 + 5.0) AS binter,
+         |  (lon - 10.0 <= -10.0 AND -60.0 <= lon + 10.0
+         |    AND lat - 10.0 <= 25.0 AND -25.0 <= lat + 10.0) AS cinter,
+         |  (NOT $slab AND $split AND NOT (${ins("x1", "y1")} AND ${ins("x2", "y2")})) AS crx,
+         |  TRUE AS eqv
+         |FROM r ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      graft.sql.GraftSql.query(s, d,
+        """SELECT c_custkey AS id,
+          | st_intersects(a, q) AS inter,
+          | st_disjoint(a, q) AS disj,
+          | st_touches(a, q) AS tch,
+          | st_overlaps(a, q) AS ovl,
+          | st_within(a, q) AS w_in,
+          | st_intersects(st_buffer(a, 5.0), q) AS binter,
+          | st_intersects(st_circle(lon, lat, 10.0, 8), q) AS cinter,
+          | st_crosses(st_linestring([lon, lon + 3 * dx], [lat, lat + 3 * dy]), q) AS crx,
+          | st_equals(a, st_buffer(a, 0.0)) AS eqv
+          | FROM customer
+          | LET lon = (c_custkey * 104729 % 34000) / 100.0 - 170.0,
+          |     lat = (c_custkey * 7919 % 12000) / 100.0 - 60.0,
+          |     dx = (c_custkey % 5 + 1) * 1.0,
+          |     dy = (c_custkey % 3 + 1) * 1.0,
+          |     a = st_rectangle(lon, lat, lon + dx, lat + dy),
+          |     q = st_rectangle(-60.0, -25.0, -10.0, 25.0)
+          | WHERE c_custkey < 300 ORDER BY id""".stripMargin.replace("\n", ""))
+    },
+
+    // ---- GeoJSON out: constructor → JSON text round-trip ----
+    Q("q_geo_geojson",
+      """SELECT c_custkey AS id,
+        |  '{"type":"Polygon","coordinates":[[['
+        |    || lon::VARCHAR || ',' || lat::VARCHAR || '],['
+        |    || (lon + 1.0)::VARCHAR || ',' || lat::VARCHAR || '],['
+        |    || (lon + 1.0)::VARCHAR || ',' || (lat + 1.0)::VARCHAR || '],['
+        |    || lon::VARCHAR || ',' || (lat + 1.0)::VARCHAR || '],['
+        |    || lon::VARCHAR || ',' || lat::VARCHAR || ']]]}' AS gj
+        |FROM (SELECT c_custkey,
+        |    ((c_custkey * 104729) % 34000) / 100.0 - 170.0 AS lon,
+        |    ((c_custkey * 7919) % 12000) / 100.0 - 60.0 AS lat
+        |  FROM customer WHERE c_custkey < 50)
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      graft.sql.GraftSql.query(s, d,
+        """SELECT c_custkey AS id,
+          | st_asgeojson(st_rectangle(lon, lat, lon + 1.0, lat + 1.0)) AS gj
+          | FROM customer
+          | LET lon = (c_custkey * 104729 % 34000) / 100.0 - 170.0,
+          |     lat = (c_custkey * 7919 % 12000) / 100.0 - 60.0
+          | WHERE c_custkey < 50 ORDER BY id""".stripMargin.replace("\n", ""))
     },
 
     // ---- WKT round-trip + measures (geomFromText / area / envelope /

@@ -366,6 +366,20 @@ object SqlOps {
             | FROM orders WHERE o_orderkey < 1000
             | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", ""))),
 
+    // ---- nested projections `expr:{f1, f2}` / `expr:{*, !f}` over
+    //      embedded documents (NestedProjection.java), emitted as JSON so
+    //      the struct shape is hash-comparable across engines ----
+    Q("q_sql_nested_projection",
+      """SELECT doc_id,
+        |  to_json({'lang': lang, 'nc': n_chars})::VARCHAR AS m,
+        |  to_json({'lang': lang, 'src': source})::VARCHAR AS pub
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)(
+      sql("""SELECT doc_id, to_json(meta:{lang, nc}) AS m, to_json(info:{*, !secret}) AS pub
+            | FROM documents
+            | LET meta = {'lang': lang, 'nc': n_chars, 'src': source},
+            |     info = {'lang': lang, 'secret': doc_id, 'src': source}
+            | WHERE doc_id < 50 ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
     // ---- TRAVERSE statement (grammar SQLParser.g4:220-229, executor
     //      BreadthFirstTraverseStep.java:34): BFS frontier loop from the
     //      seed set, min reach depth per vertex; out() with no edge type

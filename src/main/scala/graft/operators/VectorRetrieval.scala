@@ -75,6 +75,66 @@ object VectorRetrieval {
     TopK.ranked(scored, k, "rn", col("score").desc, col("vec_id"))
   }
 
+  /** WAND/BMW-style pruned sparse top-k (index/sparsevector/BmwScorer.java
+    * re-expressed for a distributed posting store): identical result to
+    * [[sparseTopK]], but documents that cannot reach the k-th score are
+    * never fully scored.
+    *
+    * Distributed WAND split: (1) per-dim contribution upper bounds
+    * ub_d = max(w·q_d) — one tiny aggregate, ≤ query-nnz rows to the
+    * driver (the posting-list max-score metadata BMW keeps per block);
+    * (2) a cheap threshold θ = k-th exact score among the docs of the
+    * single highest-impact dim (any subset k-th lower-bounds the true
+    * k-th); (3) the maximal ascending-ub dim prefix with Σub < θ is
+    * non-essential — a doc appearing ONLY there has score ≤ Σub < θ and
+    * is pruned without scoring (WAND's essential-list invariant, exact:
+    * a doc with score ≥ θ must hit an essential dim); (4) full scoring
+    * runs only for candidates with ≥ 1 essential-dim posting.
+    *
+    * Returns (top-k frame, postingsScored, postingsTotal) so callers and
+    * tests can observe the pruning. */
+  def sparseTopKPruned(emb: DataFrame, queryVecId: Long, k: Int): (DataFrame, Long, Long) = {
+    val p = sparsePostings(emb, SparseThreshold)
+    val q = p.filter(col("vec_id") === queryVecId).select(col("dim"), col("w").as("qw"))
+    val pq = p.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("w") * col("qw")).as("c"))
+      .persist()
+    val totalPostings = pq.count()
+    val ubs = pq.groupBy("dim").agg(max(col("c")).as("ub")).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("ub")).toSeq
+    val pruned =
+      if (ubs.isEmpty) (pq.select(col("vec_id"), lit(0.0).as("score")).limit(0), 0L)
+      else {
+        val seedDim = ubs.maxBy(u => (u._2, -u._1))._1
+        val seedDocs = pq.filter(col("dim") === seedDim).select("vec_id").distinct()
+        val seed = pq.join(broadcast(seedDocs), Seq("vec_id"))
+          .groupBy("vec_id").agg(sum(col("c")).as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(k).collect()
+        val theta = if (seed.length < k) Double.NegativeInfinity
+          else seed.last.getAs[Double]("s")
+        // WAND's prefix bound assumes non-negative per-dim maxima: a doc
+        // restricted to dim set S has score ≤ Σ_{d∈S, ub_d>0} ub_d. Dims
+        // with ub ≤ 0 can never RAISE a score, so when θ > 0 they are
+        // non-essential for free; the ascending-positive-ub prefix below
+        // Σ < θ joins them.
+        val nonPos = ubs.filter(_._2 <= 0).map(_._1)
+        val pos = ubs.filter(_._2 > 0).sortBy(u => (u._2, u._1))
+        val cum = pos.map(_._2).scanLeft(0.0)(_ + _).drop(1)
+        val posPrefix = pos.zip(cum).takeWhile(_._2 < theta).map(_._1._1)
+        val nonEssential =
+          (if (theta > 0) nonPos ++ posPrefix else posPrefix.filter(_ => false)).toSet
+        val essential = ubs.map(_._1).filterNot(nonEssential).map(Integer.valueOf)
+        val cands = pq.filter(col("dim").isin(essential: _*)).select("vec_id").distinct()
+        val hit = pq.join(broadcast(cands), Seq("vec_id"))
+        (hit.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")), hit.count())
+      }
+    val out = TopK.ranked(pruned._1, k, "rn", col("score").desc, col("vec_id"))
+      .localCheckpoint(eager = true)
+    pq.unpersist(blocking = false)
+    (out, pruned._2, totalPostings)
+  }
+
   /** Greedy MMR over one query's candidate group. Scores and pairwise
     * cosines are rounded to 6 digits BEFORE the greedy loop so the
     * selection sequence is bit-identical across engines. Ties pick the
@@ -263,6 +323,27 @@ object VectorRetrieval {
          |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM scored)
          |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
       sparseTopK(Tables.embeddings(s, d), queryVecId = 0, k = 20).orderBy("rn")
+    },
+
+    // ---- the same top-k through the WAND/BMW pruned scorer: the oracle
+    //      is the EXACT path's full-scoring SQL — pruning must not change
+    //      a single row (BmwScorer.java's safety invariant) ----
+    Q("q_vec_sparse_topk_bmw",
+      s"""WITH p AS (
+         |  SELECT vec_id, idx - 1 AS dim, w FROM (
+         |    SELECT vec_id, unnest(embedding::DOUBLE[]) AS w,
+         |           generate_subscripts(embedding, 1) AS idx
+         |    FROM embeddings)
+         |  WHERE abs(w) > $SparseThreshold),
+         |q AS (SELECT dim, w AS qw FROM p WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT p.vec_id, round(sum(p.w * q.qw), 6) AS score
+         |  FROM p JOIN q USING (dim) WHERE p.vec_id <> 0 GROUP BY p.vec_id)
+         |SELECT vec_id, score, rn FROM (
+         |  SELECT vec_id, score,
+         |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM scored)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      sparseTopKPruned(Tables.embeddings(s, d), queryVecId = 0, k = 20)._1.orderBy("rn")
     },
 
     // ---- reciprocal-rank fusion of cosine + L2 rankings (RRFScore) ----

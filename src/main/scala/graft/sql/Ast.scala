@@ -43,6 +43,16 @@ object Ast {
   final case class CaseExpr(operand: Option[Expr],
       branches: Seq[(Expr, Expr)], els: Option[Expr])           extends Expr
 
+  /** Embedded-document literal `{'k': v, …}` (reference json-style map
+    * literals in projections, e.g. `SELECT {'x': 1}`) → a struct column. */
+  final case class StructLit(fields: Seq[(String, Expr)])          extends Expr
+  /** Nested projection `expr:{f1, f2 AS a}` / `expr:{*, !f}` (reference
+    * query/sql/parser/NestedProjection.java — re-projects an embedded
+    * document to the named fields, or all-but-excluded with `*`/`!`). */
+  final case class NestedProj(target: Expr,
+      includes: Seq[(String, Option[String])], excludes: Seq[String],
+      star: Boolean)                                               extends Expr
+
   /** Cypher list comprehension `[v IN list WHERE p | m]` (Cypher25Parser.g4
     * listComprehension; reference executes it as an interpreted expression
     * — here it compiles to higher-order `filter`/`transform` columns, so

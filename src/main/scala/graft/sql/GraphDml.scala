@@ -31,6 +31,12 @@ object GraphDml {
   final case class CreateEdge(label: String, from: Ast.Select, to: Ast.Select,
       sets: Seq[(String, Expr)]) extends GStmt
   final case class DeleteVertex(label: String, where: Option[Expr]) extends GStmt
+  /** MOVE VERTEX <label> TO TYPE:<label2> [SET …] [WHERE …] (reference
+    * MoveVertexStep.java:40 — delete + reinsert into the target type with
+    * edges repointed; here the surrogate id is stable, so the relabel
+    * leaves every incident edge valid with no repointing pass). */
+  final case class MoveVertex(label: String, toLabel: String,
+      sets: Seq[(String, Expr)], where: Option[Expr]) extends GStmt
 
   def parse(sql: String): GStmt = {
     val p = new Parser.P(Parser.lex(sql))
@@ -59,7 +65,17 @@ object GraphDml {
         val label = Parser.ident(p)
         val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
         DeleteVertex(label, where)
-      } else throw ParseException(s"expected CREATE VERTEX/EDGE or DELETE VERTEX, found ${p.peek}")
+      } else if (p.kw("MOVE")) {
+        p.expectKw("VERTEX")
+        val label = Parser.ident(p)
+        p.expectKw("TO")
+        p.expectKw("TYPE")
+        p.expectOp(":")
+        val to = Parser.ident(p)
+        val sets = if (p.kw("SET")) parseSets(p) else Seq.empty
+        val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
+        MoveVertex(label, to, sets, where)
+      } else throw ParseException(s"expected CREATE/DELETE/MOVE VERTEX or CREATE EDGE, found ${p.peek}")
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     st
   }
@@ -99,6 +115,12 @@ object GraphDml {
         val ids = where.foldLeft(base)((d, w) => d.filter(Translator.toColumn(w)))
           .select(col("id"))
         mg.deleteVertices(ids, detach = true)
+      case MoveVertex(label, to, sets, where) =>
+        val base = mg.vertices.filter(col("label") === label)
+        val ids = where.foldLeft(base)((d, w) => d.filter(Translator.toColumn(w)))
+          .select(col("id"))
+        mg.setVertexProps(ids, ("label" -> lit(to)) +:
+          sets.map { case (k, e) => k -> Translator.toColumn(e) })
     }
     mg.spark.range(1).select(lit(1).as("ok"))
   }

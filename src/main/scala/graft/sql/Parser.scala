@@ -375,12 +375,38 @@ object Parser {
 
   private def parsePostfix(p: P): Expr = {
     var e = parsePrimary(p)
-    while (p.op(".")) {
-      val m = ident(p)
-      if (p.op("(")) {
-        val args = if (p.op(")")) Seq.empty else { val a = parseExprList(p); p.expectOp(")"); a }
-        e = MethodCall(e, m, args)
-      } else e = PropAccess(e, m)
+    var go = true
+    while (go) {
+      if (p.op(".")) {
+        val m = ident(p)
+        if (p.op("(")) {
+          val args = if (p.op(")")) Seq.empty else { val a = parseExprList(p); p.expectOp(")"); a }
+          e = MethodCall(e, m, args)
+        } else e = PropAccess(e, m)
+      } else {
+        // nested projection suffix `:{f1, f2 AS a}` / `:{*, !f}`
+        // (NestedProjection.java) — only when ':' is followed by '{'
+        val mark = p.pos
+        if (p.op(":") && p.peek == TOp("{")) {
+          p.expectOp("{")
+          var star = false
+          val inc = Seq.newBuilder[(String, Option[String])]
+          val exc = Seq.newBuilder[String]
+          var more = true
+          while (more) {
+            if (p.op("*")) star = true
+            else if (p.op("!")) exc += ident(p)
+            else {
+              val f = ident(p)
+              val al = if (p.kw("AS")) Some(ident(p)) else None
+              inc += f -> al
+            }
+            more = p.op(",")
+          }
+          p.expectOp("}")
+          e = NestedProj(e, inc.result(), exc.result(), star)
+        } else { p.pos = mark; go = false }
+      }
     }
     e
   }
@@ -416,6 +442,23 @@ object Parser {
               else { val es = parseExprList(p); p.expectOp("]"); ArrayLit(es) }
           }
       }
+    case TOp("{") => // embedded-document literal {'k': v, …} → struct
+      val b = Seq.newBuilder[(String, Expr)]
+      if (!p.op("}")) {
+        var more = true
+        while (more) {
+          val k = p.next() match {
+            case TStr(s) => s
+            case TId(s)  => s
+            case t => throw ParseException(s"expected field name, found $t")
+          }
+          p.expectOp(":")
+          b += k -> parseExpr(p)
+          more = p.op(",")
+        }
+        p.expectOp("}")
+      }
+      StructLit(b.result())
     case TId(id) if id.equalsIgnoreCase("CASE") =>
       // searched: CASE WHEN c THEN v ... | simple: CASE x WHEN w THEN v ...
       val operand = if (p.peekKw("WHEN")) None else Some(parseExpr(p))

@@ -51,6 +51,8 @@ object Translator {
       op.exists(containsAgg) || bs.exists(b => containsAgg(b._1) || containsAgg(b._2)) ||
         els.exists(containsAgg)
     case ListComp(_, l, _, _) => containsAgg(l) // lambda body is per-element
+    case StructLit(fs) => fs.exists(f => containsAgg(f._2))
+    case NestedProj(t, _, _, _) => containsAgg(t)
     case _ => false // Subquery/Resolved/PatternComp are scalars by construction
   }
 
@@ -89,6 +91,8 @@ object Translator {
         def ri(x: Expr): Expr = resolve(x, env - v, evalSub, fns)
         ListComp(v, r(l), w.map(ri), m.map(ri))
       case PatternComp(c, w, m)   => PatternComp(c, w.map(r), r(m))
+      case StructLit(fs)          => StructLit(fs.map { case (k, e2) => k -> r(e2) })
+      case NestedProj(t, i, x, s) => NestedProj(r(t), i, x, s)
       case other                  => other
     }
   }
@@ -152,6 +156,17 @@ object Translator {
       mapE.fold(filtered)(m => transform(filtered, x => bind(m, x)))
     case PatternComp(_, _, _) =>
       throw TranslateException("pattern comprehension is only valid inside a Cypher query")
+    case StructLit(fields) =>
+      struct(fields.map { case (k, e2) => toColumn(e2).as(k) }: _*)
+    case NestedProj(t, includes, excludes, star) =>
+      // NestedProjection.java: include list re-projects to those fields;
+      // `*` with `!f` excludes keeps the rest (dropFields — schema-driven,
+      // no field list needed at translate time)
+      val tc = toColumn(t)
+      if (includes.nonEmpty)
+        struct(includes.map { case (f, al) => tc.getField(f).as(al.getOrElse(f)) }: _*)
+      else if (star && excludes.nonEmpty) tc.dropFields(excludes: _*)
+      else tc
     // Cypher temporal namespace methods (reference function/temporal/*.java:
     // DateTruncFunction-class truncation and duration arithmetic)
     case MethodCall(Ident(ns), m, args)
@@ -348,6 +363,7 @@ object Translator {
 
       // ---- json ----
       case "json_extract" => get_json_object(args.head, litToStr(argEs(1)))
+      case "to_json"      => to_json(args.head)
 
       // ---- vectors (graft.functions.VectorFunctions — the Column-level
       //      implementations the q_vec_* oracles already pin down) ----
@@ -381,6 +397,23 @@ object Translator {
       case "st_area"            => graft.functions.GeoFunctions.polyArea(args.head)
       case "st_envelope"        => graft.functions.GeoFunctions.envelope(args.head)
       case "st_centroid"        => graft.functions.GeoFunctions.centroid(args.head)
+      // geo tail: constructors + MBR predicates + GeoJSON (reference
+      // SQLFunctionRectangle/Circle/LineString/GeoBuffer/GeoIntersects/
+      // GeoAsGeoJson.java et al.)
+      case "st_rectangle" => graft.functions.GeoFunctions.rectangleRing(args(0), args(1), args(2), args(3))
+      case "st_circle"    => graft.functions.GeoFunctions.circleRing(args(0), args(1), args(2),
+        if (argEs.size > 3) litToInt(argEs(3)) else 16)
+      case "st_linestring"=> graft.functions.GeoFunctions.lineStringRing(args(0), args(1))
+      case "st_buffer"    => graft.functions.GeoFunctions.bufferRing(args(0), args(1))
+      case "st_intersects"=> graft.functions.GeoFunctions.stIntersects(args(0), args(1))
+      case "st_disjoint"  => graft.functions.GeoFunctions.stDisjoint(args(0), args(1))
+      case "st_touches"   => graft.functions.GeoFunctions.stTouches(args(0), args(1))
+      case "st_overlaps"  => graft.functions.GeoFunctions.stOverlaps(args(0), args(1))
+      case "st_contains"  => graft.functions.GeoFunctions.stContains(args(0), args(1))
+      case "st_within"    => graft.functions.GeoFunctions.stContains(args(1), args(0))
+      case "st_equals"    => graft.functions.GeoFunctions.stEquals(args(0), args(1))
+      case "st_crosses"   => graft.functions.GeoFunctions.stCrosses(args(0), args(1))
+      case "st_asgeojson" => graft.functions.GeoFunctions.asGeoJson(args.head)
 
       // ---- text similarity (function/text/SQLFunctionJaroWinkler.java,
       //      SQLFunctionHamming.java, SQLFunctionSorensenDice.java — the

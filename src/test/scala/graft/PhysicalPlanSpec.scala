@@ -120,6 +120,36 @@ class PhysicalPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("WAND-pruned sparse top-k matches the exact scorer and scores fewer postings") {
+    import graft.operators.VectorRetrieval
+    import org.apache.spark.sql.functions.{col, expr}
+    def run(emb: org.apache.spark.sql.DataFrame): (Seq[(Long, Double, Int)], Seq[(Long, Double, Int)], Long, Long) = {
+      val exact = VectorRetrieval.sparseTopK(emb, 0L, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val (prunedDf, scored, total) = VectorRetrieval.sparseTopKPruned(emb, 0L, 20)
+      val pruned = prunedDf.orderBy("rn")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      (exact, pruned, scored, total)
+    }
+    // identity on the real (dense-ish) corpus — pruning may be a no-op
+    // there, but must never change a row
+    val (exactR, prunedR, _, _) = run(Tables.embeddings(spark, sfDir))
+    assert(prunedR == exactR, "pruning changed the top-k on the real corpus")
+    // pruning evidence needs a genuinely sparse corpus (impact-style
+    // posting lists): each doc shares exactly one dim with the query, so
+    // docs living only in low-impact query dims never get scored
+    val sparse = spark.range(0, 400).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+        CASE WHEN id = 0 THEN (CASE WHEN d < 8 THEN 1.0 - CAST(d AS DOUBLE) * 0.1 ELSE 0.0 END)
+        ELSE (CASE WHEN d = CAST(id % 8 AS INT)
+                THEN 0.25 + CAST(id % 7 AS DOUBLE) / 10.0
+              WHEN d = CAST(8 + id % 56 AS INT) THEN 0.9
+              ELSE 0.0 END) END)""").as("embedding"))
+    val (exactS, prunedS, scored, total) = run(sparse)
+    assert(prunedS == exactS, "pruning changed the top-k on the sparse corpus")
+    assert(scored < total, s"no postings pruned: scored=$scored total=$total")
+  }
+
   test("CUBE compiles to one Expand pass over a single scan") {
     val q = graft.sql.GraftSql.query(spark, sfDir,
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +

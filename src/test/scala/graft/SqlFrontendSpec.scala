@@ -125,6 +125,25 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(prof.filter(col("metric") === "numOutputRows" && col("value") > 0).count() > 0)
   }
 
+  test("geo predicate registry: equals/touches/crosses truth table") {
+    // fixed shapes so every branch (true AND false) is exercised
+    val row = GraftSql.query(spark, sfDir,
+      """SELECT
+        | st_equals(st_rectangle(0.0, 0.0, 2.0, 2.0), st_buffer(st_rectangle(0.5, 0.5, 1.5, 1.5), 0.5)) AS eq_t,
+        | st_equals(st_rectangle(0.0, 0.0, 2.0, 2.0), st_rectangle(0.0, 0.0, 2.0, 3.0)) AS eq_f,
+        | st_touches(st_rectangle(0.0, 0.0, 1.0, 1.0), st_rectangle(1.0, 0.0, 2.0, 1.0)) AS tch_t,
+        | st_touches(st_rectangle(0.0, 0.0, 1.5, 1.0), st_rectangle(1.0, 0.0, 2.0, 1.0)) AS tch_f,
+        | st_crosses(st_linestring([-1.0, 3.0], [0.5, 0.5]), st_rectangle(0.0, 0.0, 2.0, 1.0)) AS crx_t,
+        | st_crosses(st_linestring([0.2, 0.8], [0.5, 0.5]), st_rectangle(0.0, 0.0, 2.0, 1.0)) AS crx_f,
+        | st_overlaps(st_rectangle(0.0, 0.0, 2.0, 2.0), st_rectangle(1.0, 1.0, 3.0, 3.0)) AS ovl_t,
+        | st_overlaps(st_rectangle(0.0, 0.0, 4.0, 4.0), st_rectangle(1.0, 1.0, 2.0, 2.0)) AS ovl_f
+        | FROM region LIMIT 1""".stripMargin.replace("\n", "")).collect().head
+    assert(row.getBoolean(0) && !row.getBoolean(1), "equals")
+    assert(row.getBoolean(2) && !row.getBoolean(3), "touches")
+    assert(row.getBoolean(4) && !row.getBoolean(5), "crosses")
+    assert(row.getBoolean(6) && !row.getBoolean(7), "overlaps")
+  }
+
   test("SQL MATCH .out/.in method form matches the arrow form") {
     val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
     val arrow = graft.sql.Match.query(g,

@@ -143,6 +143,47 @@ object StreamingOps {
         .orderBy("user_id", "s_start")
     },
 
+    // ---- watermarked stream-stream self-join: each event joined to the
+    //      same user's follow-up events within 1 hour. Both sides carry
+    //      watermarks so the join state is bounded (Spark evicts rows
+    //      older than watermark + range); the oracle is the identical
+    //      batch join — stream answer ≡ batch answer on the same data ----
+    Q("q_stream_join",
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.user_id < 10 AND b.user_id < 10
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val srcDir = stateDir("stream_src3", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def src = s.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("user_id") < 10)
+      val a = src.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts")).withWatermark("a_ts", "1 hour")
+      val b = src.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts")).withWatermark("b_ts", "1 hour")
+      val joined = a.join(b,
+        col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+      val sinkName = s"stream_join_${streamSeq.incrementAndGet()}"
+      val query = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(sinkName).orderBy("a_id", "b_id")
+    },
+
     // ---- materialized view, INCREMENTAL refresh of stale groups only ----
     Q("q_matview_incremental",
       """SELECT o_custkey, count(*) AS n_orders,

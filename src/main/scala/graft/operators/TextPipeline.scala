@@ -116,8 +116,40 @@ object TextPipeline {
   }
   val MersennePrime = 2147483647L // 2^31 - 1
 
-  /** Add a 128-int minhash signature column from `shingles`. */
-  def withMinhash(docs: DataFrame): DataFrame = {
+  /** The 128-perm signature fold as a JVM loop over pre-hashed shingles —
+    * bit-identical to the column-expression form below but ~20× faster:
+    * perms × shingles is 10⁷+ lambda evaluations per 5k docs, and
+    * higher-order-function lambdas evaluate interpreted per element (the
+    * same lesson as SimHash's r3 rewrite). pmod(x, P) ≡ ((x % P) + P) % P;
+    * a·h < 2³¹·2³¹ fits a Long. */
+  private val minhashSigUdf = udf((hashed: Seq[Int]) => {
+    val P = MersennePrime
+    val perms = MinhashPerms
+    val hs = new Array[Long](hashed.length)
+    var i = 0
+    while (i < hs.length) { hs(i) = ((hashed(i).toLong % P) + P) % P; i += 1 }
+    perms.map { case (a, b) =>
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (((a * hs(j) + b) % P) + P) % P
+        if (v < m) m = v
+        j += 1
+      }
+      m
+    }.toArray
+  })
+
+  /** Add a 128-int minhash signature column from `shingles`. The shingle
+    * hash (Spark murmur3 `hash()`) stays a codegen'd column expression;
+    * only the perms×shingles min-fold moves into the JVM loop. */
+  def withMinhash(docs: DataFrame): DataFrame =
+    docs.withColumn("sig",
+      minhashSigUdf(expr("transform(shingles, sh -> hash(sh))")))
+
+  /** The original column-expression signature (kept for the equivalence
+    * spec test — [[withMinhash]] must produce identical bits). */
+  private[graft] def withMinhashExpr(docs: DataFrame): DataFrame = {
     val permArr = MinhashPerms.map { case (a, b) => s"struct(${a}L as a, ${b}L as b)" }
       .mkString("array(", ", ", ")")
     docs.withColumn("sig",
@@ -167,6 +199,25 @@ object TextPipeline {
       .localCheckpoint() // eager: materialize while `sigs` is cached
     sigs.unpersist(false)
     out
+  }
+
+  /** Near-dup cluster canonicalization — the keep-one step a training
+    * pipeline runs after candidate generation: MinHash dup pairs →
+    * connected components (min-id propagation over the dup graph) →
+    * canonical = the smallest doc_id of each cluster. Returns one row per
+    * document that HAS a near-dup (singletons keep themselves trivially
+    * and are not emitted): (doc_id, canonical_id, keep). Scale shape:
+    * the pair graph is tiny relative to the corpus (only near-dups), and
+    * CC is the bounded min-propagation loop from [[graft.graph.GraphAlgos]]
+    * — dup clusters are shallow, so few iterations converge. */
+  def dedupClusters(docs: DataFrame, minJac: Double): DataFrame = {
+    val pairs = minhashDupPairs(docs, minJac).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val verts = edges.select(col("src").as("id")).distinct()
+    graft.graph.GraphAlgos.connectedComponents(verts, edges, maxIters = 10)
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
+        (col("id") === col("comp")).as("keep"))
   }
 
   /** Engine-portable SimHash signature: 8 chunk values (0..255), one per
@@ -253,6 +304,26 @@ object TextPipeline {
       minhashDupPairs(Tables.documents(s, d), 0.7).orderBy("doc_a", "doc_b")
     },
 
+    // ---- keep-one canonicalization over the near-dup graph: clusters =
+    //      min-reachability over the verified MinHash pairs (the oracle
+    //      replays the same pair generation, then a recursive CTE) ----
+    Q("q_dedup_clusters",
+      s"""${shingleCte(None).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dup AS (SELECT doc_a, doc_b FROM jacs WHERE jac >= 0.7),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+         |      UNION ALL SELECT doc_b, doc_a FROM dup),
+         |v AS (SELECT DISTINCT src AS id FROM e),
+         |reach(id, comp, d) AS (
+         |  SELECT id, id, 0 FROM v
+         |  UNION ALL
+         |  SELECT e.dst, reach.comp, reach.d + 1
+         |  FROM reach JOIN e ON e.src = reach.id WHERE reach.d < 8)
+         |SELECT id AS doc_id, min(comp) AS canonical_id,
+         |  (id = min(comp)) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dedupClusters(Tables.documents(s, d), 0.7).orderBy("doc_id")
+    },
+
     // ---- SimHash near-dup pairs (signature-specific; no SQL oracle) ----
     // ---- simhash near-dup: DuckDB replays the identical md5-derived
     //      signature, banding, and hamming verify ----
@@ -281,6 +352,35 @@ object TextPipeline {
         |  FROM cand)
         |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       simhashDupPairs(Tables.documents(s, d), maxHamming = 6).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- PII redaction (email/URL scrub — the masking pass a training
+    //      pipeline runs before tokenization; both engines apply the same
+    //      RE2-and-Java-compatible patterns). The synthetic docs carry no
+    //      contact strings, so each row is salted with a derived
+    //      email+URL suffix to make the redaction data-dependent. ----
+    Q("q_text_redact",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g') AS clean,
+        |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(raw, 'https?://[^ ]+'))::BIGINT AS n_url
+        |FROM (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via https://ex.com/p/' || doc_id || ' end' AS raw
+        |  FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^ ]+"
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .withColumn("raw", concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com via https://ex.com/p/"), col("doc_id"), lit(" end")))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), urlRe, "<URL>")
+            .as("clean"),
+          regexp_count(col("raw"), lit(emailRe)).cast("bigint").as("n_email"),
+          regexp_count(col("raw"), lit(urlRe)).cast("bigint").as("n_url"))
+        .orderBy("doc_id")
     },
 
     // ---- language ID by stopword voting (deterministic tie-break) ----

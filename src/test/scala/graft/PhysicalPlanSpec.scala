@@ -150,6 +150,21 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(scored < total, s"no postings pruned: scored=$scored total=$total")
   }
 
+  test("JVM-loop minhash signature is bit-identical to the expression form") {
+    import graft.operators.TextPipeline
+    import org.apache.spark.sql.functions.col
+    val docs = TextPipeline.withShingles(
+      Tables.documents(spark, sfDir).filter(col("doc_id") < 100))
+      .filter(org.apache.spark.sql.functions.size(col("shingles")) > 0)
+    val fast = TextPipeline.withMinhash(docs)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val slow = TextPipeline.withMinhashExpr(docs)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == slow.keySet && fast.forall { case (k, v) => slow(k) == v })
+  }
+
   test("CUBE compiles to one Expand pass over a single scan") {
     val q = graft.sql.GraftSql.query(spark, sfDir,
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +

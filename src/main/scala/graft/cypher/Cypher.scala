@@ -285,7 +285,7 @@ object Cypher {
         val e = Parser.parseExpr(p)
         p.expectKw("AS")
         clauses += UnwindC(e, Parser.ident(p))
-      } else throw ParseException(s"expected MATCH/WITH/UNWIND/CREATE/MERGE/SET/DELETE/RETURN, found ${p.peek}")
+      } else throw ParseException(s"expected MATCH/WITH/UNWIND/CALL/CREATE/MERGE/SET/DELETE/RETURN, found ${p.peek}")
     }
     if (!hasReturn)
       return CypherQuery(clauses.result(), Seq.empty, distinct = false, Seq.empty, None, None)
@@ -621,7 +621,39 @@ object Cypher {
     var relVars = Set.empty[String]   // rel vars with r_* prop columns
     var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
     var paths = Map.empty[String, PatternChain] // named plain paths
-    def toCol(e: Expr): Column = graft.sql.Translator.toColumn(flatten(e, scalars, paths))
+    def toCol(e: Expr): Column =
+      graft.sql.Translator.toColumn(flatten(rewriteMetaFns(e), scalars, paths))
+
+    /** openCypher keys(n) / properties(n) over a bound pattern variable:
+      * the property set is a schema fact of the accumulated frame, so both
+      * resolve statically — keys to a sorted literal list, properties to a
+      * struct over the variable's flattened prop columns (id/label are
+      * metadata, not properties, matching the reference's Result
+      * property-name surface). */
+    def rewriteMetaFns(e: Expr): Expr = {
+      def propNames(v: String): Seq[String] =
+        acc.columns.filter(_.startsWith(s"${v}_")).map(_.stripPrefix(s"${v}_"))
+          .filterNot(Set("id", "label")).sorted.toSeq
+      def f(x: Expr): Expr = rewriteMetaFns(x)
+      e match {
+        case FnCall(n, Seq(Ident(v)), _)
+            if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("keys") =>
+          ArrayLit(propNames(v).map(StrLit))
+        case FnCall(n, Seq(Ident(v)), _)
+            if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("properties") =>
+          StructLit(propNames(v).map(p => p -> Ident(s"${v}_$p")))
+        case Bin(op, l, r)          => Bin(op, f(l), f(r))
+        case Neg(x)                 => Neg(f(x))
+        case Not(x)                 => Not(f(x))
+        case FnCall(n, args, s)     => FnCall(n, args.map(f), s)
+        case MethodCall(t, m, args) => MethodCall(f(t), m, args.map(f))
+        case InList(x, es, n)       => InList(f(x), es.map(f), n)
+        case ArrayLit(es)           => ArrayLit(es.map(f))
+        case CaseExpr(op, bs, els)  =>
+          CaseExpr(op.map(f), bs.map(b => (f(b._1), f(b._2))), els.map(f))
+        case other                  => other
+      }
+    }
 
     /** Resolve pattern comprehensions in `e` against the current horizon:
       * each becomes one grouped `sort_array(collect_list(map))` over the
@@ -802,7 +834,8 @@ object Cypher {
     val resolved = q.items.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
     val acc = pl.acc
     val scalars = pl.scalars
-    val items = resolved.map(it => it.copy(expr = flatten(it.expr, scalars, pl.paths)))
+    val items = resolved.map(it =>
+      it.copy(expr = flatten(pl.rewriteMetaFns(it.expr), scalars, pl.paths)))
     val hasAgg = items.exists(it => graft.sql.Translator.containsAgg(it.expr))
     def name(it: ReturnItem, i: Int): String = it.alias.getOrElse(exprLabel(q.items(i).expr))
     var out =

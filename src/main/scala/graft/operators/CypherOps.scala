@@ -367,6 +367,19 @@ object CypherOps {
            |   toInteger(size(nodes(p))) AS nn, array_join(relationships(p), ',') AS rels
            | ORDER BY ck, ok""".stripMargin.replace("\n", ""))),
 
+    // ---- keys(n) / properties(n): the property map of a bound variable
+    //      (schema facts — keys resolve to a literal list, properties to
+    //      a struct over the flattened prop columns, emitted as JSON for
+    //      cross-engine hashing) ----
+    Q("q_cypher_props_fns",
+      """SELECT c_custkey AS ck, 'key,name' AS ks,
+        |  to_json({'key': c_custkey, 'name': c_name})::VARCHAR AS props
+        |FROM customer WHERE c_custkey <= 20 ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer) WHERE c.key <= 20
+           | RETURN c.key AS ck, array_join(keys(c), ',') AS ks,
+           |   to_json(properties(c)) AS props
+           | ORDER BY ck""".stripMargin.replace("\n", ""))),
+
     // ---- CALL db.labels() — schema introspection procedure (reference
     //      CallStep.java + ProcedureRegistry.java) ----
     Q("q_cypher_call_labels",

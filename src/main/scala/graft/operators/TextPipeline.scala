@@ -27,8 +27,31 @@ object TextPipeline {
   def withTokens(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(lower(col("text")), " "))
 
+  /** The trigram builder as a JVM loop: the higher-order-function form
+    * below evaluates interpreted per element (~26 µs per shingle — it
+    * dominated q_dedup_ngram's profile at 7+ s for a 5k-doc corpus where
+    * the same loop runs in milliseconds). First-occurrence order matches
+    * array_distinct, so the output is bit-identical (equivalence spec). */
+  private val shinglesUdf = udf((toks: Seq[String]) => {
+    if (toks.length < 3) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= toks.length - 3) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      seen.toArray(Array.empty[String])
+    }
+  })
+
   /** Distinct word 3-gram shingles per document. */
   def withShingles(docs: DataFrame): DataFrame =
+    withTokens(docs).withColumn("shingles", shinglesUdf(col("toks")))
+
+  /** The original column-expression shingling (kept for the equivalence
+    * spec — [[withShingles]] must produce identical bits). */
+  private[graft] def withShinglesExpr(docs: DataFrame): DataFrame =
     withTokens(docs).withColumn("shingles",
       expr("""CASE WHEN size(toks) >= 3 THEN
              |  array_distinct(transform(sequence(0, size(toks)-3),
@@ -61,16 +84,11 @@ object TextPipeline {
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // One shuffle instead of a self-join: group the (capped) posting list
-    // per shingle, emit each doc pair map-side via a combination expand.
-    // Per-shingle fanout is bounded by the df cap (≤ maxDf²/2 pairs).
-    val pairs = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x, y))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
+    // Codegen'd posting self-join per shingle (pair fanout bounded by the
+    // df cap at ≤ maxDf²/2 per shingle).
+    val pairs = sh.alias("x").join(sh.alias("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val out = pairs
       .join(szs.select(col("doc_id"), col("sz").as("sza")), col("doc_a") === col("doc_id")).drop("doc_id")
@@ -122,12 +140,21 @@ object TextPipeline {
     * higher-order-function lambdas evaluate interpreted per element (the
     * same lesson as SimHash's r3 rewrite). pmod(x, P) ≡ ((x % P) + P) % P;
     * a·h < 2³¹·2³¹ fits a Long. */
-  private val minhashSigUdf = udf((hashed: Seq[Int]) => {
+  private val minhashSigUdf = udf((shingles: Seq[String]) => {
     val P = MersennePrime
     val perms = MinhashPerms
-    val hs = new Array[Long](hashed.length)
+    // murmur3(seed 42) over UTF-8 bytes — the exact definition of Spark's
+    // `hash()` on a string column (HashExpression's UTF8String branch),
+    // computed here so the per-shingle hash isn't an interpreted lambda
+    val hs = new Array[Long](shingles.length)
     var i = 0
-    while (i < hs.length) { hs(i) = ((hashed(i).toLong % P) + P) % P; i += 1 }
+    while (i < hs.length) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(shingles(i))
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+      hs(i) = ((h.toLong % P) + P) % P
+      i += 1
+    }
     perms.map { case (a, b) =>
       var m = Long.MaxValue
       var j = 0
@@ -140,12 +167,10 @@ object TextPipeline {
     }.toArray
   })
 
-  /** Add a 128-int minhash signature column from `shingles`. The shingle
-    * hash (Spark murmur3 `hash()`) stays a codegen'd column expression;
-    * only the perms×shingles min-fold moves into the JVM loop. */
+  /** Add a 128-int minhash signature column from `shingles` (one JVM
+    * fold per document — hash + perms×shingles min). */
   def withMinhash(docs: DataFrame): DataFrame =
-    docs.withColumn("sig",
-      minhashSigUdf(expr("transform(shingles, sh -> hash(sh))")))
+    docs.withColumn("sig", minhashSigUdf(col("shingles")))
 
   /** The original column-expression signature (kept for the equivalence
     * spec test — [[withMinhash]] must produce identical bits). */

@@ -150,11 +150,18 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(scored < total, s"no postings pruned: scored=$scored total=$total")
   }
 
-  test("JVM-loop minhash signature is bit-identical to the expression form") {
+  test("JVM-loop shingles and minhash signatures are bit-identical to the expression forms") {
     import graft.operators.TextPipeline
     import org.apache.spark.sql.functions.col
-    val docs = TextPipeline.withShingles(
-      Tables.documents(spark, sfDir).filter(col("doc_id") < 100))
+    val src = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    // shingle equivalence (first-occurrence-order distinct trigrams)
+    val shFast = TextPipeline.withShingles(src).select("doc_id", "shingles")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val shSlow = TextPipeline.withShinglesExpr(src).select("doc_id", "shingles")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(shFast.keySet == shSlow.keySet && shFast.forall { case (k, v) => shSlow(k) == v })
+    // signature equivalence (murmur3 seed-42 + perm fold ≡ hash() + HOF)
+    val docs = TextPipeline.withShingles(src)
       .filter(org.apache.spark.sql.functions.size(col("shingles")) > 0)
     val fast = TextPipeline.withMinhash(docs)
       .select("doc_id", "sig").collect()

@@ -27,27 +27,18 @@ object TextPipeline {
   def withTokens(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(lower(col("text")), " "))
 
-  /** The trigram builder as a JVM loop: the higher-order-function form
-    * below evaluates interpreted per element (~26 µs per shingle — it
-    * dominated q_dedup_ngram's profile at 7+ s for a 5k-doc corpus where
-    * the same loop runs in milliseconds). First-occurrence order matches
-    * array_distinct, so the output is bit-identical (equivalence spec). */
-  private val shinglesUdf = udf((toks: Seq[String]) => {
-    if (toks.length < 3) Array.empty[String]
-    else {
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      while (i <= toks.length - 3) {
-        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-        i += 1
-      }
-      seen.toArray(Array.empty[String])
-    }
-  })
-
-  /** Distinct word 3-gram shingles per document. */
-  def withShingles(docs: DataFrame): DataFrame =
-    withTokens(docs).withColumn("shingles", shinglesUdf(col("toks")))
+  /** Distinct word 3-gram shingles per document, via the native codegen'd
+    * [[graft.functions.ShingleArray]] expression. The higher-order-
+    * function form below evaluates interpreted per element (~26 µs per
+    * shingle — it dominated q_dedup_ngram's profile at 7+ s for a 5k-doc
+    * corpus where the kernel loop runs in milliseconds); first-occurrence
+    * order matches array_distinct, so the output is bit-identical
+    * (equivalence spec). */
+  def withShingles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    withTokens(docs).withColumn("shingles", ColumnBridge.column(
+      graft.functions.ShingleArray(ColumnBridge.expression(col("toks")))))
+  }
 
   /** The original column-expression shingling (kept for the equivalence
     * spec — [[withShingles]] must produce identical bits). */
@@ -125,52 +116,21 @@ object TextPipeline {
        |                    JOIN szs sb ON doc_b = sb.doc_id)""".stripMargin
   }
 
-  /** MinHash signature permutation constants: 128 fixed (a, b) pairs from
-    * a small deterministic LCG (no runtime randomness). */
-  val MinhashPerms: Seq[(Long, Long)] = {
-    var x = 0x5deece66dL
-    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 17) & 0x7fffffffL }
-    Seq.fill(128)((next() | 1L, next()))
+  /** MinHash signature permutation constants (source of truth lives with
+    * the native kernel, [[graft.functions.MinhashKernel]]). */
+  val MinhashPerms: Seq[(Long, Long)] = graft.functions.MinhashKernel.Perms.toSeq
+  val MersennePrime: Long = graft.functions.MinhashKernel.MersennePrime
+
+  /** Add a 128-int minhash signature column from `shingles` via the
+    * native codegen'd [[graft.functions.MinhashSignature]] expression —
+    * one static-kernel call per row over in-place UTF8String slices, no
+    * UDF encoder boundary (bit-identical to the expression form below:
+    * murmur3 seed 42 ≡ Spark `hash()`, pinned by the equivalence spec). */
+  def withMinhash(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.withColumn("sig", ColumnBridge.column(
+      graft.functions.MinhashSignature(ColumnBridge.expression(col("shingles")))))
   }
-  val MersennePrime = 2147483647L // 2^31 - 1
-
-  /** The 128-perm signature fold as a JVM loop over pre-hashed shingles —
-    * bit-identical to the column-expression form below but ~20× faster:
-    * perms × shingles is 10⁷+ lambda evaluations per 5k docs, and
-    * higher-order-function lambdas evaluate interpreted per element (the
-    * same lesson as SimHash's r3 rewrite). pmod(x, P) ≡ ((x % P) + P) % P;
-    * a·h < 2³¹·2³¹ fits a Long. */
-  private val minhashSigUdf = udf((shingles: Seq[String]) => {
-    val P = MersennePrime
-    val perms = MinhashPerms
-    // murmur3(seed 42) over UTF-8 bytes — the exact definition of Spark's
-    // `hash()` on a string column (HashExpression's UTF8String branch),
-    // computed here so the per-shingle hash isn't an interpreted lambda
-    val hs = new Array[Long](shingles.length)
-    var i = 0
-    while (i < hs.length) {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(shingles(i))
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
-      hs(i) = ((h.toLong % P) + P) % P
-      i += 1
-    }
-    perms.map { case (a, b) =>
-      var m = Long.MaxValue
-      var j = 0
-      while (j < hs.length) {
-        val v = (((a * hs(j) + b) % P) + P) % P
-        if (v < m) m = v
-        j += 1
-      }
-      m
-    }.toArray
-  })
-
-  /** Add a 128-int minhash signature column from `shingles` (one JVM
-    * fold per document — hash + perms×shingles min). */
-  def withMinhash(docs: DataFrame): DataFrame =
-    docs.withColumn("sig", minhashSigUdf(col("shingles")))
 
   /** The original column-expression signature (kept for the equivalence
     * spec test — [[withMinhash]] must produce identical bits). */

@@ -170,6 +170,11 @@ class PhysicalPlanSpec extends AnyFunSuite {
       .select("doc_id", "sig").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(fast.keySet == slow.keySet && fast.forall { case (k, v) => slow(k) == v })
+    // the native expression stays inside whole-stage codegen — no UDF
+    // boundary appears in the signature projection
+    val plan = Explain.explain(TextPipeline.withMinhash(docs).select("sig"), "extended")
+    assert(plan.toLowerCase.contains("minhash"), plan)
+    assert(!plan.contains("UDF("), s"UDF boundary crept into the minhash path:\n$plan")
   }
 
   test("CUBE compiles to one Expand pass over a single scan") {

@@ -99,7 +99,11 @@ object Cypher {
       distinct: Boolean,
       orderBy: Seq[OrderItem],
       skip: Option[Long],
-      limit: Option[Long])
+      limit: Option[Long],
+      /** `UNION [ALL] <next query>` — the flag is true for UNION ALL.
+        * openCypher's trailing ORDER BY/SKIP/LIMIT (written on the last
+        * branch) modify the COMBINED result; compile() hoists them. */
+      union: Option[(Boolean, CypherQuery)] = None)
 
   // ---------------- parser ----------------
 
@@ -133,6 +137,12 @@ object Cypher {
 
   private def parseImpl(text: String): CypherQuery = {
     val p = new Parser.P(Parser.lex(text))
+    val q = parseQuery(p)
+    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
+    q
+  }
+
+  private def parseQuery(p: Parser.P): CypherQuery = {
     val clauses = Seq.newBuilder[Clause]
     var done = false
     var hasReturn = false
@@ -307,8 +317,11 @@ object Cypher {
     } else Seq.empty
     val skip = if (p.kw("SKIP")) Some(Parser.longLit(p)) else None
     val limit = if (p.kw("LIMIT")) Some(Parser.longLit(p)) else None
-    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
-    CypherQuery(clauses.result(), items.result(), distinct, orderBy, skip, limit)
+    val union = if (p.kw("UNION")) {
+      val all = p.kw("ALL")
+      Some((all, parseQuery(p)))
+    } else None
+    CypherQuery(clauses.result(), items.result(), distinct, orderBy, skip, limit, union)
   }
 
   private def parseItem(p: Parser.P): ReturnItem = {
@@ -502,10 +515,13 @@ object Cypher {
       case MethodCall(t @ Ident(ns), m, args)
           if Set("date", "datetime", "duration")(ns.toLowerCase) && !passThrough(ns) =>
         MethodCall(t, m, args.map(f))
-      // list comprehension: the lambda variable shadows pattern variables
+      // list comprehension / quantifier: the lambda variable shadows
+      // pattern variables
       case ListComp(v, l, w, m) =>
         def fi(x: Expr): Expr = flatten(x, passThrough + v, paths)
         ListComp(v, f(l), w.map(fi), m.map(fi))
+      case Quantifier(k, v, l, p2) =>
+        Quantifier(k, v, f(l), flatten(p2, passThrough + v, paths))
       // pattern comprehension: resolved by the pipeline against the graph
       // (its inner expressions bind to the comprehension's own chain)
       case pc: PatternComp => pc
@@ -821,6 +837,43 @@ object Cypher {
   }
 
   def compile(g: PropertyGraph, q: CypherQuery): DataFrame = {
+    // UNION chain: branches combine by column name; one plain UNION
+    // anywhere dedups the whole result (set semantics); the LAST branch's
+    // ORDER BY/SKIP/LIMIT modify the combined result (openCypher allows
+    // them only at the end of a union query).
+    val branches = Seq.newBuilder[(CypherQuery, Boolean)]
+    var cur = q
+    branches += ((cur, true))
+    while (cur.union.isDefined) {
+      val (all, nxt) = cur.union.get
+      branches += ((nxt, all))
+      cur = nxt
+    }
+    val bs = branches.result()
+    if (bs.length == 1) return compileSingle(g, q)
+    val last = bs.last._1
+    val dfs = bs.map { case (b, _) =>
+      val stripped = if (b eq last)
+        b.copy(orderBy = Seq.empty, skip = None, limit = None, union = None)
+      else b.copy(union = None)
+      compileSingle(g, stripped)
+    }
+    var out = dfs.reduce(_ unionByName _)
+    if (bs.tail.exists(!_._2)) out = out.distinct()
+    if (last.orderBy.nonEmpty)
+      out = out.orderBy(last.orderBy.map { o =>
+        val c = o.expr match {
+          case Ident(n) if out.columns.contains(n) => col(n)
+          case other => graft.sql.Translator.toColumn(flatten(other, out.columns.toSet))
+        }
+        if (o.asc) c.asc else c.desc
+      }: _*)
+    last.skip.foreach(n => out = out.offset(n.toInt))
+    last.limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
+  private def compileSingle(g: PropertyGraph, q: CypherQuery): DataFrame = {
     val pl = new Pipeline(g)
     q.clauses.foreach(pl.step)
     if (q.items.isEmpty)

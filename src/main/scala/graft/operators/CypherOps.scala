@@ -380,6 +380,45 @@ object CypherOps {
            |   to_json(properties(c)) AS props
            | ORDER BY ck""".stripMargin.replace("\n", ""))),
 
+    // ---- UNION ALL across branches, trailing ORDER BY modifies the
+    //      combined result (TCK clauses/union) ----
+    Q("q_cypher_union",
+      """SELECT k, src FROM (
+        |  SELECT c_custkey AS k, 'cust' AS src FROM customer WHERE c_custkey <= 5
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, 'ord' AS src FROM orders WHERE o_orderkey <= 8)
+        |ORDER BY src, k""".stripMargin)(
+      cy("""MATCH (c:customer) WHERE c.key <= 5 RETURN c.key AS k, 'cust' AS src
+           | UNION ALL MATCH (o:order) WHERE o.key <= 8 RETURN o.key AS k, 'ord' AS src
+           | ORDER BY src, k""".stripMargin.replace("\n", ""))),
+
+    // ---- plain UNION deduplicates across branches ----
+    Q("q_cypher_union_distinct",
+      """SELECT c_custkey AS k FROM customer WHERE c_custkey <= 6
+        |UNION
+        |SELECT c_custkey AS k FROM customer WHERE c_custkey BETWEEN 4 AND 9
+        |ORDER BY k""".stripMargin)(
+      cy("""MATCH (c:customer) WHERE c.key <= 6 RETURN c.key AS k
+           | UNION MATCH (c2:customer) WHERE c2.key >= 4 AND c2.key <= 9 RETURN c2.key AS k
+           | ORDER BY k""".stripMargin.replace("\n", ""))),
+
+    // ---- list quantifiers all/any/none/single (TCK expressions/
+    //      quantifier) → higher-order forall/exists, inside codegen ----
+    Q("q_cypher_quantifiers",
+      """SELECT x,
+        |  len(list_filter(generate_series(1, x), y -> y < 8)) = len(generate_series(1, x)) AS qall,
+        |  len(list_filter(generate_series(1, x), y -> y % 4 = 0)) > 0 AS qany,
+        |  len(list_filter(generate_series(1, x), y -> y % 7 = 0)) = 0 AS qnone,
+        |  len(list_filter(generate_series(1, x), y -> y % 3 = 0)) = 1 AS qsingle
+        |FROM (SELECT UNNEST(generate_series(1, 10)) AS x) ORDER BY x""".stripMargin)(
+      cy("""UNWIND range(1, 10) AS x
+           | RETURN x,
+           |   all(y IN range(1, x) WHERE y < 8) AS qall,
+           |   any(y IN range(1, x) WHERE y % 4 = 0) AS qany,
+           |   none(y IN range(1, x) WHERE y % 7 = 0) AS qnone,
+           |   single(y IN range(1, x) WHERE y % 3 = 0) AS qsingle
+           | ORDER BY x""".stripMargin.replace("\n", ""))),
+
     // ---- CALL db.labels() — schema introspection procedure (reference
     //      CallStep.java + ProcedureRegistry.java) ----
     Q("q_cypher_call_labels",

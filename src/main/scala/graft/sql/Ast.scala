@@ -53,6 +53,11 @@ object Ast {
       includes: Seq[(String, Option[String])], excludes: Seq[String],
       star: Boolean)                                               extends Expr
 
+  /** Cypher list quantifier `all|any|none|single(v IN list WHERE p)`
+    * (Cypher25Parser.g4 quantifier) → higher-order forall/exists. */
+  final case class Quantifier(kind: String, varName: String,
+      list: Expr, pred: Expr)                                      extends Expr
+
   /** Cypher list comprehension `[v IN list WHERE p | m]` (Cypher25Parser.g4
     * listComprehension; reference executes it as an interpreted expression
     * — here it compiles to higher-order `filter`/`transform` columns, so

@@ -476,6 +476,28 @@ object Parser {
     case TId(id) if id.equalsIgnoreCase("NULL")  => NullLit
     case TId(id) if id.equalsIgnoreCase("TRUE")  => BoolLit(true)
     case TId(id) if id.equalsIgnoreCase("FALSE") => BoolLit(false)
+    case TId(id) if Set("all", "any", "none", "single")(id.toLowerCase) && p.peek == TOp("(") =>
+      // quantifier `all(v IN list WHERE p)` — only when the arg shape is
+      // `ident IN …`; otherwise fall through to a plain function call
+      val mark = p.pos
+      p.expectOp("(")
+      val q = p.peek match {
+        case TId(v) =>
+          p.next()
+          if (p.kw("IN")) {
+            val listE = parseExpr(p)
+            p.expectKw("WHERE")
+            val pred = parseExpr(p)
+            p.expectOp(")")
+            Some(Quantifier(id.toLowerCase, v, listE, pred))
+          } else { p.pos = mark; None }
+        case _ => p.pos = mark; None
+      }
+      q.getOrElse {
+        p.expectOp("(")
+        if (p.op(")")) FnCall(id, Seq.empty)
+        else { val args = parseExprList(p); p.expectOp(")"); FnCall(id, args) }
+      }
     case TId(id) =>
       if (p.op("(")) { // function call; DISTINCT folds into the fn name
         if (p.op("*")) { p.expectOp(")"); FnCall(id, Seq.empty, star = true) }

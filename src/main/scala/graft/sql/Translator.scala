@@ -51,6 +51,7 @@ object Translator {
       op.exists(containsAgg) || bs.exists(b => containsAgg(b._1) || containsAgg(b._2)) ||
         els.exists(containsAgg)
     case ListComp(_, l, _, _) => containsAgg(l) // lambda body is per-element
+    case Quantifier(_, _, l, _) => containsAgg(l)
     case StructLit(fs) => fs.exists(f => containsAgg(f._2))
     case NestedProj(t, _, _, _) => containsAgg(t)
     case _ => false // Subquery/Resolved/PatternComp are scalars by construction
@@ -90,6 +91,8 @@ object Translator {
       case ListComp(v, l, w, m)   => // the lambda var shadows outer bindings
         def ri(x: Expr): Expr = resolve(x, env - v, evalSub, fns)
         ListComp(v, r(l), w.map(ri), m.map(ri))
+      case Quantifier(k, v, l, p) =>
+        Quantifier(k, v, r(l), resolve(p, env - v, evalSub, fns))
       case PatternComp(c, w, m)   => PatternComp(c, w.map(r), r(m))
       case StructLit(fs)          => StructLit(fs.map { case (k, e2) => k -> r(e2) })
       case NestedProj(t, i, x, s) => NestedProj(r(t), i, x, s)
@@ -156,6 +159,18 @@ object Translator {
       mapE.fold(filtered)(m => transform(filtered, x => bind(m, x)))
     case PatternComp(_, _, _) =>
       throw TranslateException("pattern comprehension is only valid inside a Cypher query")
+    case Quantifier(kind, v, listE, pred) =>
+      def bind(x: Column): Column =
+        toColumn(resolve(pred, Map(v -> Resolved(x)),
+          _ => throw TranslateException("subquery inside a quantifier")))
+      val base = toColumn(listE)
+      kind match {
+        case "all"    => forall(base, x => bind(x))
+        case "any"    => exists(base, x => bind(x))
+        case "none"   => !exists(base, x => bind(x))
+        case "single" => size(filter(base, x => bind(x))) === 1
+        case other    => throw TranslateException(s"unknown quantifier $other")
+      }
     case StructLit(fields) =>
       struct(fields.map { case (k, e2) => toColumn(e2).as(k) }: _*)
     case NestedProj(t, includes, excludes, star) =>

@@ -130,9 +130,38 @@ object Cypher {
     }
   }
 
+  /** `EXISTS { <pattern> [WHERE p] }` / `COUNT { <pattern> [WHERE p] }`
+    * (Cypher25Parser.g4 existsExpression / countExpression) — desugared to
+    * a pattern comprehension: COUNT = size of the per-anchor match list,
+    * EXISTS = that size > 0. The pipeline turns the comprehension into one
+    * grouped collect + one left join on the anchor variables. */
+  private val existsCountExt: (Parser.P, Expr) => Option[Expr] = (p, target) =>
+    target match {
+      case Ident(n) if n.equalsIgnoreCase("EXISTS") || n.equalsIgnoreCase("COUNT") =>
+        val mark = p.pos
+        try {
+          p.expectOp("{")
+          val chain = parseChain(p, optional = false)
+          if (chain.rels.isEmpty) { p.pos = mark; None }
+          else {
+            val w = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
+            p.expectOp("}")
+            val sizeE = FnCall("size",
+              Seq(Ast.PatternComp(chain, w, NumLit(BigDecimal(1), isIntegral = true))))
+            Some(if (n.equalsIgnoreCase("COUNT")) sizeE
+              else Bin(">", sizeE, NumLit(BigDecimal(0), isIntegral = true)))
+          }
+        } catch { case _: ParseException => p.pos = mark; None }
+      case _ => None
+    }
+
   def parse(text: String): CypherQuery = {
     Parser.bracketExt.set(patternCompExt)
-    try parseImpl(text) finally Parser.bracketExt.remove()
+    Parser.braceExt.set(existsCountExt)
+    try parseImpl(text) finally {
+      Parser.bracketExt.remove()
+      Parser.braceExt.remove()
+    }
   }
 
   private def parseImpl(text: String): CypherQuery = {
@@ -359,8 +388,8 @@ object Cypher {
       case t =>
         p.next()
         t match {
-          case TOp("(") | TOp("[") => depth += 1; cur += t
-          case TOp(")") | TOp("]") => depth -= 1; cur += t
+          case TOp("(") | TOp("[") | TOp("{") => depth += 1; cur += t
+          case TOp(")") | TOp("]") | TOp("}") => depth -= 1; cur += t
           case TId(id) if id.equalsIgnoreCase("CASE") => caseDepth += 1; cur += t
           case TId(id) if id.equalsIgnoreCase("END")  => caseDepth -= 1; cur += t
           case TId(id) if id.equalsIgnoreCase("BETWEEN") => betweenPending += 1; cur += t
@@ -522,6 +551,8 @@ object Cypher {
         ListComp(v, f(l), w.map(fi), m.map(fi))
       case Quantifier(k, v, l, p2) =>
         Quantifier(k, v, f(l), flatten(p2, passThrough + v, paths))
+      case StructLit(fs)          => StructLit(fs.map { case (k, x) => k -> f(x) })
+      case NestedProj(t, i, x, s) => NestedProj(f(t), i, x, s)
       // pattern comprehension: resolved by the pipeline against the graph
       // (its inner expressions bind to the comprehension's own chain)
       case pc: PatternComp => pc
@@ -657,7 +688,9 @@ object Cypher {
           ArrayLit(propNames(v).map(StrLit))
         case FnCall(n, Seq(Ident(v)), _)
             if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("properties") =>
-          StructLit(propNames(v).map(p => p -> Ident(s"${v}_$p")))
+          // PropAccess (not the flat name): flatten runs after this
+          // rewrite and maps v.p → v_p itself
+          StructLit(propNames(v).map(p => p -> PropAccess(Ident(v), p)))
         case Bin(op, l, r)          => Bin(op, f(l), f(r))
         case Neg(x)                 => Neg(f(x))
         case Not(x)                 => Not(f(x))
@@ -709,6 +742,7 @@ object Cypher {
       case MethodCall(t, m, args) => MethodCall(resolvePatternComps(t), m, args.map(resolvePatternComps))
       case InList(x, es, n)       => InList(resolvePatternComps(x), es.map(resolvePatternComps), n)
       case ArrayLit(es)           => ArrayLit(es.map(resolvePatternComps))
+      case StructLit(fs)          => StructLit(fs.map { case (k, x) => k -> resolvePatternComps(x) })
       case CaseExpr(op, bs, els)  => CaseExpr(op.map(resolvePatternComps),
         bs.map(b => (resolvePatternComps(b._1), resolvePatternComps(b._2))),
         els.map(resolvePatternComps))
@@ -739,7 +773,13 @@ object Cypher {
           }
           relVars ++= rvars
         }
-        where.foreach(w => acc = acc.filter(toCol(w)))
+        // EXISTS{}/COUNT{} blocks in WHERE arrive as pattern comprehensions
+        // — resolve them FIRST (it left-joins the grouped counts onto acc;
+        // the filter must run on the extended frame)
+        where.foreach { w =>
+          val cond = resolvePatternComps(w)
+          acc = acc.filter(toCol(cond))
+        }
         // pattern predicates → semi/anti join on the bound vars' identity
         // (the reference's ExpandInto/anti-join rewrite of WHERE patterns)
         patternPreds.foreach { case (chain, neg) =>
@@ -806,7 +846,10 @@ object Cypher {
           }: _*)
         skip.foreach(n => acc = acc.offset(n.toInt))
         limit.foreach(n => acc = acc.limit(n.toInt))
-        where.foreach(w => acc = acc.filter(toCol(w)))
+        where.foreach { w =>
+          val cond = resolvePatternComps(w)
+          acc = acc.filter(toCol(cond))
+        }
 
       case ShortestPathC(pv, chain) =>
         if (chain.nodes.length != 2 || chain.rels.length != 1)

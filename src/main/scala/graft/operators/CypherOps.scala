@@ -419,6 +419,32 @@ object CypherOps {
            |   single(y IN range(1, x) WHERE y % 3 = 0) AS qsingle
            | ORDER BY x""".stripMargin.replace("\n", ""))),
 
+    // ---- map projection n{.prop, key: expr} → struct (JSON-emitted for
+    //      cross-engine hashing) ----
+    Q("q_cypher_map_projection",
+      """SELECT c_custkey AS ck,
+        |  to_json({'name': c_name, 'double_key': c_custkey * 2})::VARCHAR AS mp
+        |FROM customer WHERE c_custkey <= 20 ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer) WHERE c.key <= 20
+           | RETURN c.key AS ck, to_json(c {.name, double_key: c.key * 2}) AS mp
+           | ORDER BY ck""".stripMargin.replace("\n", ""))),
+
+    // ---- EXISTS{} / COUNT{} subquery blocks (TCK expressions/
+    //      existentialSubqueries): per-anchor grouped counts, one left
+    //      join — never a per-row subquery ----
+    Q("q_cypher_exists_count",
+      """SELECT c_custkey AS ck,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)::BIGINT AS n
+        |FROM customer
+        |WHERE c_custkey <= 30 AND EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY ck""".stripMargin)(
+      cy("""MATCH (c:customer)
+           | WHERE c.key <= 30 AND EXISTS { (c)-[:placed]->(o:order) WHERE o.name = 'F' }
+           | RETURN c.key AS ck, toInteger(COUNT { (c)-[:placed]->(o2:order) }) AS n
+           | ORDER BY ck""".stripMargin.replace("\n", ""))),
+
     // ---- CALL db.labels() — schema introspection procedure (reference
     //      CallStep.java + ProcedureRegistry.java) ----
     Q("q_cypher_call_labels",

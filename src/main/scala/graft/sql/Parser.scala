@@ -293,6 +293,12 @@ object Parser {
     * can recognize). ThreadLocal: parsing is per-query, driver-side. */
   private[graft] val bracketExt = new ThreadLocal[P => Option[Expr]]
 
+  /** Brace-extension hook, consulted when `{` directly follows a parsed
+    * identifier (before map-projection parsing): Cypher's
+    * `EXISTS { <pattern> }` / `COUNT { <pattern> }` subquery blocks.
+    * Same backtracking contract as [[bracketExt]]. */
+  private[graft] val braceExt = new ThreadLocal[(P, Expr) => Option[Expr]]
+
   // precedence climbing
   private[graft] def parseExpr(p: P): Expr = parseOr(p)
 
@@ -383,6 +389,27 @@ object Parser {
           val args = if (p.op(")")) Seq.empty else { val a = parseExprList(p); p.expectOp(")"); a }
           e = MethodCall(e, m, args)
         } else e = PropAccess(e, m)
+      } else if (p.peek == TOp("{") && e.isInstanceOf[Ident] &&
+          Option(braceExt.get()).flatMap(h => h(p, e)).map { e2 => e = e2; true }
+            .getOrElse(false)) {
+        // front-end brace construct consumed (EXISTS{}/COUNT{}); continue
+      } else if (p.peek == TOp("{") && e.isInstanceOf[Ident]) {
+        // Cypher map projection `n{.name, key: expr}` (Cypher25Parser.g4
+        // mapProjection) — desugars to a struct literal; only valid
+        // immediately after a variable, so it never collides with the
+        // primary-position document literal `{'k': v}`
+        p.expectOp("{")
+        val b = Seq.newBuilder[(String, Expr)]
+        if (!p.op("}")) {
+          var more = true
+          while (more) {
+            if (p.op(".")) { val f = ident(p); b += f -> PropAccess(e, f) }
+            else { val k = ident(p); p.expectOp(":"); b += k -> parseExpr(p) }
+            more = p.op(",")
+          }
+          p.expectOp("}")
+        }
+        e = StructLit(b.result())
       } else {
         // nested projection suffix `:{f1, f2 AS a}` / `:{*, !f}`
         // (NestedProjection.java) — only when ':' is followed by '{'

@@ -308,6 +308,9 @@ object Translator {
         java.util.regex.Pattern.quote(litToStr(argEs(1))), litToStr(argEs(2)))
       case "ascii"      => ascii(args.head)
       case "levenshtein"   => levenshtein(args(0), args(1))
+      case "toupper"    => upper(args.head) // Cypher names for the case fns
+      case "tolower"    => lower(args.head)
+      case "split"      => split(args.head, java.util.regex.Pattern.quote(litToStr(argEs(1))))
       case "starts_with" | "startswith" => args(0).startsWith(args(1))
       case "ends_with" | "endswith"     => args(0).endsWith(args(1))
       case "str_contains" => args(0).contains(args(1)) // Cypher string CONTAINS

@@ -145,6 +145,14 @@ class CypherSpec extends AnyFunSuite {
     assert(row.getLong(0) == 1L && row.getInt(1) == 2 && row.getString(2) == "placed")
   }
 
+  test("Cypher string function names: toUpper/toLower/split") {
+    val g = PropertyGraph.fromTpch(spark, sfDir)
+    val row = Cypher.query(g,
+      "UNWIND ['a-b-c'] AS s RETURN toUpper(s) AS u, toLower('XY') AS l, " +
+        "size(split(s, '-')) AS n").collect().head
+    assert(row.getString(0) == "A-B-C" && row.getString(1) == "xy" && row.getInt(2) == 3)
+  }
+
   test("temporal namespace: truncation and duration comparison") {
     val g = PropertyGraph.fromTpch(spark, sfDir)
     val row = Cypher.query(g,

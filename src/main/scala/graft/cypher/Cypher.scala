@@ -751,6 +751,15 @@ object Cypher {
 
     def step(clause: Clause): Unit = clause match {
       case MatchC(chains, where, patternPreds, pathBinds) =>
+        // path functions resolve statically from the chain (fixed hop
+        // count); a variable-length rel makes length(p)/nodes(p) per-row
+        // quantities we don't materialize — reject rather than silently
+        // answering with the static 1-hop shape (ADVICE r4)
+        pathBinds.foreach { case (pv, ch) =>
+          if (ch.rels.exists(_.hops.isDefined))
+            throw ParseException(
+              s"path functions over variable-length paths are not supported: $pv")
+        }
         paths ++= pathBinds
         chains.foreach { chain =>
           val (cf, vars, rvars) = chainFrame(g, chain)
@@ -804,7 +813,16 @@ object Cypher {
           else out0.select(yields.map { case (n, al) => col(n).as(al.getOrElse(n)) }: _*)
         // a procedure frame is independent of the horizon; standalone CALL
         // starts the horizon, CALL after MATCH cross-joins (openCypher's
-        // per-row procedure semantics for row-independent procedures)
+        // per-row procedure semantics for row-independent procedures).
+        // YIELD names must not shadow columns already on the horizon —
+        // fail loudly instead of producing ambiguous references (ADVICE r4)
+        if (acc != null) {
+          val clash = out.columns.toSet intersect acc.columns.toSet
+          if (clash.nonEmpty)
+            throw ParseException(
+              s"CALL $name YIELD name(s) ${clash.mkString(", ")} collide with " +
+                "variables already in scope; alias them with YIELD x AS y")
+        }
         acc = if (acc == null) out else acc.crossJoin(out)
         scalars ++= (if (yields.isEmpty) out.columns.toSet
           else yields.map { case (n, al) => al.getOrElse(n) }.toSet)

@@ -24,10 +24,15 @@ object MinhashKernel {
     Array.fill(128)((next() | 1L, next()))
   }
 
-  /** sig[k] = min over shingles of pmod(a_k · pmod(h, P) + b_k, P). */
+  /** sig[k] = min over shingles of pmod(a_k · pmod(h, P) + b_k, P).
+    * Empty shingle sets have no meaningful signature: returns null so the
+    * expression yields SQL NULL (the HOF form's min-over-empty is null
+    * too) rather than a sentinel signature of Long.MaxValue that would
+    * spuriously band-match every other empty doc. */
   def sig(arr: ArrayData): ArrayData = {
     val p = MersennePrime
     val n = arr.numElements()
+    if (n == 0) return null
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -96,10 +101,15 @@ case class ShingleArray(child: Expression) extends UnaryExpression {
   * array<bigint> of 128 signature values. */
 case class MinhashSignature(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // nullable even over non-null children: empty shingle arrays map to NULL
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     MinhashKernel.sig(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashKernel.sig($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashKernel.sig($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"

@@ -176,7 +176,10 @@ object GraphOps {
         .join(adj.select(col("u").as("x"), col("nbrs").as("nu")), col("u") === col("x"))
         .join(adj.select(col("u").as("y"), col("nbrs").as("nv")), col("v") === col("y"))
         .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
-        .agg(sum(col("c")).as("n_triangles"))
+        // coalesce: a graph whose orientation leaves no joinable edges
+        // (star-shaped, empty) must count 0 like the oracle's count(*),
+        // not NULL from sum-over-empty.
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
         .localCheckpoint()
       e.unpersist(false)
       out

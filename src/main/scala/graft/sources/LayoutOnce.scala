@@ -7,26 +7,31 @@ package graft.sources
   * keyed by that dir can be reused across runs — at 100 TB these layouts
   * are built once by an ingest/OPTIMIZE job, not per query; rebuilding
   * them inside every query run made the bench measure ingest, not scan
-  * (r2/r3 verdicts on q_ts_partition_prune). The guard stamps the source
-  * row count next to the layout and reuses it only when the current
-  * source count matches — a cheap identity check that invalidates the
-  * layout whenever the generated test data changes.
+  * (r2/r3 verdicts on q_ts_partition_prune). The guard stamps a layout
+  * identity next to the data and reuses the layout only when the current
+  * identity matches. The identity is the source row count PLUS a caller
+  * token that encodes the layout parameters (partition keys, file counts,
+  * code version) — so changing either the generated test data or the
+  * layout recipe invalidates the stamp, not just a row-count change.
   */
 object LayoutOnce {
 
   private def marker(dir: String) = java.nio.file.Paths.get(dir, "_GRAFT_SRC_ROWS")
 
-  /** True when `dir` holds a completed layout stamped with `srcRows`. */
-  def upToDate(dir: String, srcRows: Long): Boolean =
+  private def identity(srcRows: Long, token: String) = s"$srcRows:$token"
+
+  /** True when `dir` holds a completed layout stamped with the same
+    * (srcRows, token) identity. */
+  def upToDate(dir: String, srcRows: Long, token: String): Boolean =
     java.nio.file.Files.exists(marker(dir)) &&
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker(dir)))
-        .trim.toLong).toOption.contains(srcRows)
+        .trim).toOption.contains(identity(srcRows, token))
 
-  def stamp(dir: String, srcRows: Long): Unit =
-    java.nio.file.Files.write(marker(dir), srcRows.toString.getBytes)
+  def stamp(dir: String, srcRows: Long, token: String): Unit =
+    java.nio.file.Files.write(marker(dir), identity(srcRows, token).getBytes)
 
-  /** Run `build` unless the layout at `dir` is already stamped for
-    * `srcRows`; stamp after a successful build. */
-  def ensure(dir: String, srcRows: Long)(build: => Unit): Unit =
-    if (!upToDate(dir, srcRows)) { build; stamp(dir, srcRows) }
+  /** Run `build` unless the layout at `dir` is already stamped for this
+    * exact (srcRows, token) identity; stamp after a successful build. */
+  def ensure(dir: String, srcRows: Long, token: String)(build: => Unit): Unit =
+    if (!upToDate(dir, srcRows, token)) { build; stamp(dir, srcRows, token) }
 }

@@ -143,6 +143,11 @@ class CypherSpec extends AnyFunSuite {
         "RETURN length(p) AS len, size(nodes(p)) AS nn, " +
         "array_join(relationships(p), '|') AS rels LIMIT 1").collect().head
     assert(row.getLong(0) == 1L && row.getInt(1) == 2 && row.getString(2) == "placed")
+    // a named path over a variable-length rel has no static shape — the
+    // engine must refuse rather than answer length(p) with the 1-hop chain
+    intercept[graft.sql.Parser.ParseException] {
+      Cypher.query(g, "MATCH p = (a:part)-[:co*1..3]->(b:part) RETURN length(p)")
+    }
   }
 
   test("Cypher string function names: toUpper/toLower/split") {

@@ -175,6 +175,16 @@ class PhysicalPlanSpec extends AnyFunSuite {
     val plan = Explain.explain(TextPipeline.withMinhash(docs).select("sig"), "extended")
     assert(plan.toLowerCase.contains("minhash"), plan)
     assert(!plan.contains("UDF("), s"UDF boundary crept into the minhash path:\n$plan")
+    // empty shingle sets yield NULL, not a Long.MaxValue sentinel signature
+    // that would band-match every other empty doc (ADVICE r4)
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val empty = Seq(Seq.empty[String]).toDF("shingles")
+      .select(ColumnBridge.column(
+        graft.functions.MinhashSignature(
+          ColumnBridge.expression(col("shingles")))).as("sig"))
+      .collect().head
+    assert(empty.isNullAt(0), "minhash_signature(array()) must be NULL")
   }
 
   test("CUBE compiles to one Expand pass over a single scan") {

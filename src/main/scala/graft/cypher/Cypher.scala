@@ -354,6 +354,9 @@ object Cypher {
   }
 
   private def parseItem(p: Parser.P): ReturnItem = {
+    // `WITH *` / `RETURN *`: all variables in scope (expanded at
+    // compile time against the pipeline's variable sets)
+    if (p.op("*")) return ReturnItem(Ident("*"), None)
     val e = Parser.parseExpr(p)
     val alias = if (p.kw("AS")) Some(Parser.ident(p)) else None
     ReturnItem(e, alias)
@@ -475,16 +478,27 @@ object Cypher {
 
   /** `*`, `*n`, `*lo..hi` (bare `*` defaults to 1..3). The lexer emits
     * "1..3" as a single numeric token (digits+dots), split here. */
+  /** `*`, `*n`, `*lo..hi`, `*lo..`, `*..hi`. Unbounded ends take the
+    * compose cap (8) — the TCK graphs and any sane OLAP traversal sit
+    * far below it; a true fixpoint expansion is `TRAVERSE`'s job. */
   private def parseHops(p: Parser.P): Option[(Int, Int)] =
     if (p.op("*")) {
       p.peek match {
         case Parser.TNum(s) =>
           p.next()
-          if (s.contains("..")) {
+          if (s.endsWith("..")) Some((s.dropRight(2).toInt, 8))
+          else if (s.contains("..")) {
             val parts = s.split("\\.\\.")
             Some((parts(0).toInt, parts(1).toInt))
           } else Some((s.toInt, s.toInt))
-        case _ => Some((1, 3))
+        case TOp(".") => // `*..hi` / bare `*..` — lexed as TOp(.) TNum(.hi) | TOp(.) TOp(.)
+          p.next()
+          p.peek match {
+            case Parser.TNum(s) if s.startsWith(".") => p.next(); Some((1, s.drop(1).toInt))
+            case TOp(".") => p.next(); Some((1, 8))
+            case other => throw ParseException(s"invalid hop range: $other")
+          }
+        case _ => Some((1, 8))
       }
     } else None
 
@@ -616,11 +630,13 @@ object Cypher {
         d.filter(col(k) === graft.sql.Translator.toColumn(lv))
       }
       val eAlias = freshVar()
-      // undirected `-`: the edge matches in either orientation
+      // undirected `-`: the edge matches in either orientation; a
+      // self-loop is its own reversal, so it contributes one binding,
+      // not two (openCypher relationship-isomorphism semantics)
       def bothOriented(e: DataFrame): DataFrame = {
         val swapped = e.withColumnRenamed("src", "__swap")
           .withColumnRenamed("dst", "src").withColumnRenamed("__swap", "dst")
-        e.unionByName(swapped)
+        e.unionByName(swapped.filter(col("src") =!= col("dst")))
       }
       // variable-length: union of h-fold edge compositions for h in lo..hi
       val eBase = rel.hops match {
@@ -635,14 +651,18 @@ object Cypher {
           }
           if (rel.direction == "both") bothOriented(base) else base
         case Some((lo, hi)) =>
-          require(lo >= 1 && hi >= lo && hi <= 8, s"unsupported hop range $lo..$hi")
+          require(lo >= 0 && hi >= lo && hi <= 8, s"unsupported hop range $lo..$hi")
           val one0 = e0.select(col("src"), col("dst"))
           val one = if (rel.direction == "both") bothOriented(one0).distinct() else one0
           def compose(h: Int): DataFrame =
             (1 until h).foldLeft(one)((acc, _) =>
               acc.alias("l").join(one.alias("r"), col("l.dst") === col("r.src"))
                 .select(col("l.src").as("src"), col("r.dst").as("dst")))
-          (lo to hi).map(compose).reduce(_ union _).distinct()
+          // `*0..` includes the zero-length hop: endpoint equals start
+          val zero =
+            if (lo == 0) Seq(g.vertices.select(col("id").as("src"), col("id").as("dst")))
+            else Seq.empty
+          (zero ++ (math.max(lo, 1) to hi).map(compose)).reduce(_ union _).distinct()
       }
       val e = eBase
         .withColumnRenamed("src", s"${eAlias}_src")
@@ -650,10 +670,23 @@ object Cypher {
       val (fromCol, toCol) =
         if (rel.direction == "in") (s"${eAlias}_dst", s"${eAlias}_src")
         else (s"${eAlias}_src", s"${eAlias}_dst") // out + both
-      df = df.join(e, col(s"${prevVar}_id") === col(fromCol))
-        .join(nf, col(toCol) === col(s"${v}_id"))
-        .drop(s"${eAlias}_src", s"${eAlias}_dst")
-      vars += v
+      if (vars(v)) {
+        // cyclic pattern `(a)-...->(a)`: the variable is already bound in
+        // this chain — close the loop on its identity instead of joining
+        // a second copy; label/prop predicates of the repeated occurrence
+        // filter the bound columns
+        df = df.join(e, col(s"${prevVar}_id") === col(fromCol))
+          .filter(col(toCol) === col(s"${v}_id"))
+          .drop(s"${eAlias}_src", s"${eAlias}_dst")
+        node.label.foreach(l => df = df.filter(col(s"${v}_label") === l))
+        node.props.foreach { case (k, lv) =>
+          df = df.filter(col(s"${v}_$k") === graft.sql.Translator.toColumn(lv)) }
+      } else {
+        df = df.join(e, col(s"${prevVar}_id") === col(fromCol))
+          .join(nf, col(toCol) === col(s"${v}_id"))
+          .drop(s"${eAlias}_src", s"${eAlias}_dst")
+        vars += v
+      }
       prevVar = v
     }
     (df, vars, relVars)
@@ -663,11 +696,15 @@ object Cypher {
     * [[execute]] (reads + writes). `g` is by-name so a MATCH issued after
     * a write clause reads the post-mutation graph. */
   private final class Pipeline(g: => PropertyGraph) {
+    def session: SparkSession = g.vertices.sparkSession
     var acc: DataFrame = null
     var nodeVars = Set.empty[String]  // vars with v_* columns (incl. v_id)
     var relVars = Set.empty[String]   // rel vars with r_* prop columns
     var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
     var paths = Map.empty[String, PatternChain] // named plain paths
+    // vertex ids allocated by CREATE clauses of THIS statement: a later
+    // CREATE in the same statement wires edges to them by variable name
+    val createdIds = scala.collection.mutable.Map.empty[String, Long]
     def toCol(e: Expr): Column =
       graft.sql.Translator.toColumn(flatten(rewriteMetaFns(e), scalars, paths))
 
@@ -691,6 +728,14 @@ object Cypher {
           // PropAccess (not the flat name): flatten runs after this
           // rewrite and maps v.p → v_p itself
           StructLit(propNames(v).map(p => p -> PropAccess(Ident(v), p)))
+        // a property the schema has never seen is null, not an error —
+        // openCypher records are schema-flexible property bags. The check
+        // is case-SENSITIVE (n.aGe ≠ n.age) although Spark columns are
+        // not, hence the explicit columns lookup.
+        case PropAccess(Ident(v), prop)
+            if (nodeVars(v) || relVars(v)) && acc != null &&
+              !acc.columns.contains(s"${v}_$prop") =>
+          NullLit
         case Bin(op, l, r)          => Bin(op, f(l), f(r))
         case Neg(x)                 => Neg(f(x))
         case Not(x)                 => Not(f(x))
@@ -700,6 +745,8 @@ object Cypher {
         case ArrayLit(es)           => ArrayLit(es.map(f))
         case CaseExpr(op, bs, els)  =>
           CaseExpr(op.map(f), bs.map(b => (f(b._1), f(b._2))), els.map(f))
+        case IsNull(x, neg)         => IsNull(f(x), neg)
+        case StructLit(fs)          => StructLit(fs.map { case (k, x) => k -> f(x) })
         case other                  => other
       }
     }
@@ -760,8 +807,33 @@ object Cypher {
             throw ParseException(
               s"path functions over variable-length paths are not supported: $pv")
         }
+        // a path name must not collide with pattern variables
+        pathBinds.foreach { case (pv, _) =>
+          if (nodeVars(pv) || relVars(pv) || scalars(pv) ||
+              chains.exists(ch => ch.nodes.exists(_.varName.contains(pv)) ||
+                ch.rels.exists(_.varName.contains(pv))))
+            throw ParseException(s"VariableAlreadyBound: path variable $pv")
+        }
         paths ++= pathBinds
         chains.foreach { chain =>
+          // openCypher variable discipline: a name is a node var XOR a rel
+          // var (VariableTypeConflict), and a relationship variable binds
+          // at most once across all patterns (VariableAlreadyBound —
+          // relationship uniqueness is per-variable, unlike node vars
+          // which re-joining is legal and common)
+          val chainRels = chain.rels.flatMap(_.varName)
+          chainRels.groupBy(identity).collect { case (rv, occ) if occ.length > 1 =>
+            throw ParseException(s"VariableAlreadyBound: relationship variable $rv reused") }
+          val chainNodes = chain.nodes.flatMap(_.varName).toSet
+          val typeClash = (chainNodes ++ nodeVars) intersect (chainRels.toSet ++ relVars)
+          if (typeClash.nonEmpty)
+            throw ParseException(s"VariableTypeConflict: ${typeClash.mkString(", ")}")
+          val pathClash = (chainNodes ++ chainRels) intersect paths.keySet
+          if (pathClash.nonEmpty)
+            throw ParseException(
+              s"VariableTypeConflict: path variable ${pathClash.mkString(", ")} reused")
+          if (chainRels.exists(relVars))
+            throw ParseException("VariableAlreadyBound: relationship variable reused across patterns")
           val (cf, vars, rvars) = chainFrame(g, chain)
           if (acc == null) { acc = cf; nodeVars = vars }
           else {
@@ -827,7 +899,14 @@ object Cypher {
         scalars ++= (if (yields.isEmpty) out.columns.toSet
           else yields.map { case (n, al) => al.getOrElse(n) }.toSet)
 
-      case WithC(items0, distinct, where, orderBy, skip, limit) =>
+      case WithC(items0raw, distinct, where, orderBy, skip, limit) =>
+        // `WITH *` carries every variable in scope
+        val items0 = items0raw.flatMap {
+          case ReturnItem(Ident("*"), None) =>
+            (nodeVars ++ relVars ++ scalars).toSeq.distinct.sorted
+              .map(v => ReturnItem(Ident(v), None))
+          case it => Seq(it)
+        }
         val items = items0.map(it => it.copy(expr = resolvePatternComps(it.expr)))
         // bare pattern variables carry all their columns; everything else
         // projects to a scalar column named by its alias
@@ -944,26 +1023,54 @@ object Cypher {
 
   /** Final RETURN projection over the accumulated pipeline frame. */
   private def finishReturn(pl: Pipeline, q: CypherQuery): DataFrame = {
+    // `RETURN *` expands to every variable in scope, alphabetically
+    val srcItems = q.items.flatMap {
+      case ReturnItem(Ident("*"), None) =>
+        (pl.nodeVars ++ pl.relVars ++ pl.scalars).toSeq.distinct.sorted
+          .map(v => ReturnItem(Ident(v), None))
+      case it => Seq(it)
+    }
     // pattern comprehensions first: they extend the horizon frame
-    val resolved = q.items.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
-    val acc = pl.acc
+    val resolved = srcItems.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
+    // standalone RETURN (no MATCH/UNWIND horizon): openCypher evaluates
+    // the items once — a literal one-row frame, the relational dual table
+    val acc =
+      if (pl.acc != null) pl.acc
+      else pl.session.range(1).select(lit(1).as("__dual"))
     val scalars = pl.scalars
     val items = resolved.map(it =>
       it.copy(expr = flatten(pl.rewriteMetaFns(it.expr), scalars, pl.paths)))
     val hasAgg = items.exists(it => graft.sql.Translator.containsAgg(it.expr))
-    def name(it: ReturnItem, i: Int): String = it.alias.getOrElse(exprLabel(q.items(i).expr))
+    def name(it: ReturnItem, i: Int): String = it.alias.getOrElse(exprLabel(srcItems(i).expr))
+    // openCypher rejects a projection with two identically-named columns
+    locally {
+      val names = srcItems.zipWithIndex.map { case (it, i) => name(it, i) }
+      names.groupBy(identity).collect { case (nm, occ) if occ.length > 1 =>
+        throw ParseException(s"ColumnNameConflict: multiple return columns named $nm") }
+    }
+    // a bare node/rel variable returns the whole entity: a struct of its
+    // flattened columns (id/label metadata + properties), the DataFrame
+    // shape of the reference's whole-record Result rows. Matched on the
+    // PRE-flatten expression — flatten resolves a bare var to its id.
+    def itemCol(i: Int): Column = resolved(i).expr match {
+      case Ident(v) if (pl.nodeVars(v) || pl.relVars(v)) && !scalars(v) =>
+        val fields = acc.columns.filter(_.startsWith(s"${v}_")).sorted
+          .map(c => col(c).as(c.stripPrefix(s"${v}_")))
+        struct(fields.toIndexedSeq: _*)
+      case _ => graft.sql.Translator.toColumn(items(i).expr)
+    }
     var out =
       if (hasAgg) {
         // Cypher implicit grouping: non-aggregate items are the keys
         val keys = items.zipWithIndex.collect { case (it, i) if !graft.sql.Translator.containsAgg(it.expr) =>
-          graft.sql.Translator.toColumn(it.expr).as(name(it, i)) }
+          itemCol(i).as(name(it, i)) }
         val aggs = items.zipWithIndex.collect { case (it, i) if graft.sql.Translator.containsAgg(it.expr) =>
           graft.sql.Translator.toColumn(it.expr).as(name(it, i)) }
         if (keys.isEmpty) acc.agg(aggs.head, aggs.tail: _*)
         else acc.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
       } else
         acc.select(items.zipWithIndex.map { case (it, i) =>
-          graft.sql.Translator.toColumn(it.expr).as(name(it, i)) }: _*)
+          itemCol(i).as(name(it, i)) }: _*)
 
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)
@@ -979,11 +1086,24 @@ object Cypher {
     out
   }
 
+  /** Default output column name for an unaliased item: the openCypher
+    * convention is the expression's source text (`n.name`, `count(*)`,
+    * `sum(r1.times)`), reconstructed best-effort from the AST. */
   private def exprLabel(e: Expr): String = e match {
-    case PropAccess(Ident(v), p) => s"${v}_$p"
-    case Ident(v) => v
-    case FnCall(n, _, _) => n.toLowerCase
-    case _ => "expr"
+    case PropAccess(t, p)     => s"${exprLabel(t)}.$p"
+    case Ident(v)             => v
+    case NumLit(v, true)      => v.toBigInt.toString
+    case NumLit(v, false)     => v.toString
+    case StrLit(s)            => s"'$s'"
+    case BoolLit(b)           => b.toString
+    case NullLit              => "null"
+    case FnCall(n, _, true)   => s"$n(*)"
+    case FnCall(n, args, _)   => s"$n(${args.map(exprLabel).mkString(", ")})"
+    case Bin(op, l, r)        => s"${exprLabel(l)} $op ${exprLabel(r)}"
+    case Neg(x)               => s"-${exprLabel(x)}"
+    case Not(x)               => s"NOT ${exprLabel(x)}"
+    case ArrayLit(xs)         => s"[${xs.map(exprLabel).mkString(", ")}]"
+    case _                    => "expr"
   }
 
   // ---------------- write execution ----------------
@@ -1019,14 +1139,56 @@ object Cypher {
     def litCols(props: Seq[(String, Expr)]): Seq[Column] =
       props.map { case (k, e) => graft.sql.Translator.toColumn(e).as(k) }
     w match {
-      case CreateC(chains) => chains.foreach { ch =>
-        if (ch.rels.isEmpty) {
-          // CREATE (n:label {...}) — one new vertex from literal props
-          val n = ch.nodes.head
-          val cols = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
-          require(cols.nonEmpty, "CREATE node needs a label or properties")
-          mg.createVertices(mg.spark.range(1).select(cols: _*))
-        } else {
+      case CreateC(chains) =>
+        // A chain whose endpoints are bound by a preceding MATCH creates
+        // edges per binding row (distributed). A chain of inline node
+        // patterns is a LITERAL create: the whole pattern — nodes, their
+        // props, the connecting rels — is written in one batch with
+        // driver-assigned ids (a scalar max-id fetch; id allocation on a
+        // write path is inherently coordinated, cf. the reference's
+        // bucket position allocator).
+        val (boundChains, literalChains) = chains.partition(
+          _.nodes.exists(_.varName.exists(pl.nodeVars)))
+
+        if (literalChains.nonEmpty) {
+          var idBase: Long = Option(mg.vertices.agg(max(col("id"))).head.get(0))
+            .map(_.toString.toLong).getOrElse(-1L) + 1
+          val created = pl.createdIds // statement-scoped: CREATE...CREATE chains share vars
+          val vFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+          val eFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+          def nodeId(n: NodePat): Long = n.varName.flatMap(created.get).getOrElse {
+            // an explicit integral `id` prop wins (established convention:
+            // graph keys are modelled as ids); otherwise allocate
+            val explicit = n.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }
+            val id = explicit.getOrElse { val i = idBase; idBase += 1; i }
+            val cols = lit(id).as("id") +:
+              lit(n.label.orNull).cast("string").as("label") +:
+              litCols(n.props.filterNot(_._1 == "id"))
+            vFrames += mg.spark.range(1).select(cols.toIndexedSeq: _*)
+            n.varName.foreach(v => created(v) = id)
+            id
+          }
+          literalChains.foreach { ch =>
+            var prev = nodeId(ch.nodes.head)
+            ch.rels.zip(ch.nodes.tail).foreach { case (r, n) =>
+              val t = r.relType.getOrElse(throw ParseException("CREATE edge needs a :type"))
+              if (r.direction == "both")
+                throw ParseException("CREATE relationship must be directed")
+              val cur = nodeId(n)
+              val (s0, d0) = if (r.direction == "in") (cur, prev) else (prev, cur)
+              eFrames += mg.spark.range(1).select(
+                (lit(s0).as("src") +: lit(d0).as("dst") +: lit(t).as("label") +:
+                  litCols(r.props)).toIndexedSeq: _*)
+              prev = cur
+            }
+          }
+          if (vFrames.nonEmpty)
+            mg.createVertices(vFrames.reduce(_.unionByName(_, allowMissingColumns = true)))
+          if (eFrames.nonEmpty)
+            mg.createEdges(eFrames.reduce(_.unionByName(_, allowMissingColumns = true)))
+        }
+
+        boundChains.foreach { ch =>
           // CREATE (a)-[:T {...}]->(b) — edges between bound variables,
           // one row per binding in the accumulated frame
           var prev = ch.nodes.head
@@ -1046,7 +1208,6 @@ object Cypher {
             prev = n
           }
         }
-      }
 
       case MergeC(ch, onCreate, onMatch) =>
         if (ch.rels.nonEmpty)

@@ -28,22 +28,25 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
   private def overwriteE(next: DataFrame): Unit =
     next.localCheckpoint(eager = true).write.mode("overwrite").parquet(eDir)
 
-  /** Align `rows` to `to`'s schema: missing columns null, extras dropped. */
-  private def aligned(rows: DataFrame, to: DataFrame): DataFrame =
-    rows.select(to.schema.map(f =>
-      (if (rows.columns.contains(f.name)) col(f.name).cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+  /** Schema-evolving append: columns missing on either side become null,
+    * new property keys extend the schema (the reference's records are
+    * schema-flexible property bags — Document.java:42; Delta/Iceberg
+    * mergeSchema is the at-scale equivalent of this union). Shared
+    * columns that exist on both sides still cast through union's
+    * wider-type resolution. */
+  private def evolved(base: DataFrame, rows: DataFrame): DataFrame =
+    base.unionByName(rows, allowMissingColumns = true)
 
-  /** CREATE (n:label {...}) — append schema-aligned vertex rows. */
+  /** CREATE (n:label {...}) — append vertex rows, evolving the schema. */
   def createVertices(rows: DataFrame): Unit = {
     val v = vertices
-    overwriteV(v.unionByName(aligned(rows, v).localCheckpoint(eager = true)))
+    overwriteV(evolved(v, rows.localCheckpoint(eager = true)))
   }
 
-  /** CREATE (a)-[:T {...}]->(b) — append schema-aligned edge rows. */
+  /** CREATE (a)-[:T {...}]->(b) — append edge rows, evolving the schema. */
   def createEdges(rows: DataFrame): Unit = {
     val e = edges
-    overwriteE(e.unionByName(aligned(rows, e).localCheckpoint(eager = true)))
+    overwriteE(evolved(e, rows.localCheckpoint(eager = true)))
   }
 
   /** SET v.prop = expr on vertices whose id ∈ `ids`. Set expressions are
@@ -86,6 +89,22 @@ object MutableGraph {
   def copyOf(spark: SparkSession, g: PropertyGraph, dir: String): MutableGraph = {
     g.vertices.write.mode("overwrite").parquet(s"$dir/vertices")
     g.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    new MutableGraph(spark, s"$dir/vertices", s"$dir/edges")
+  }
+
+  /** Fresh empty graph under `dir` — the minimal vertex/edge schemas;
+    * properties appear through schema evolution as writes add them. */
+  def empty(spark: SparkSession, dir: String): MutableGraph = {
+    import org.apache.spark.sql.types._
+    val vSchema = StructType(Seq(
+      StructField("id", LongType), StructField("label", StringType)))
+    val eSchema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType),
+      StructField("label", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema)
+      .write.mode("overwrite").parquet(s"$dir/vertices")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eSchema)
+      .write.mode("overwrite").parquet(s"$dir/edges")
     new MutableGraph(spark, s"$dir/vertices", s"$dir/edges")
   }
 }

@@ -42,9 +42,36 @@ object Parser {
           out += TId(input.substring(i, j)); i = j
         }
       } else if (c.isDigit) {
-        var j = i + 1
-        while (j < n && (input(j).isDigit || input(j) == '.')) j += 1
-        out += TNum(input.substring(i, j)); i = j
+        // hex / octal integer literals (reference SQL + openCypher forms)
+        if (c == '0' && i + 1 < n && (input(i + 1) == 'x' || input(i + 1) == 'X')) {
+          var j = i + 2
+          while (j < n && (input(j).isDigit || ('a' to 'f').contains(input(j).toLower))) j += 1
+          if (j == i + 2) throw ParseException("invalid hex literal")
+          // magnitude as decimal text — 64-bit range enforcement happens
+          // at translation where a unary minus is visible (-0x8000… is
+          // the valid smallest long, +0x8000… is an overflow)
+          out += TNum(BigInt(input.substring(i + 2, j), 16).toString); i = j
+        } else if (c == '0' && i + 1 < n && (input(i + 1) == 'o' || input(i + 1) == 'O')) {
+          var j = i + 2
+          while (j < n && input(j) >= '0' && input(j) <= '7') j += 1
+          if (j == i + 2) throw ParseException("invalid octal literal")
+          out += TNum(BigInt(input.substring(i + 2, j), 8).toString); i = j
+        } else {
+          var j = i + 1
+          while (j < n && (input(j).isDigit || input(j) == '.')) j += 1
+          // scientific exponent: 1e5 / 2.5E-3 — consumed only when a
+          // well-formed exponent actually follows, so `1 eq` still lexes
+          // as number + identifier
+          if (j < n && (input(j) == 'e' || input(j) == 'E')) {
+            var k = j + 1
+            if (k < n && (input(k) == '+' || input(k) == '-')) k += 1
+            if (k < n && input(k).isDigit) {
+              while (k < n && input(k).isDigit) k += 1
+              j = k
+            }
+          }
+          out += TNum(input.substring(i, j)); i = j
+        }
       } else if (c == '\'' || c == '"') {
         // single- or double-quoted string (PromQL uses double quotes; the
         // reference SQL accepts both); '' / "" escape the quote char
@@ -54,10 +81,41 @@ object Parser {
         while (j < n && !closed) {
           if (input(j) == c && j + 1 < n && input(j + 1) == c) { sb += c; j += 2 }
           else if (input(j) == c) { closed = true; j += 1 }
+          else if (input(j) == '\\' && j + 1 < n) {
+            // backslash escapes (openCypher string grammar). Unknown
+            // escapes keep the backslash so regex-bearing dialect strings
+            // ('\d' etc.) pass through unchanged; \u demands 4 hex digits.
+            input(j + 1) match {
+              case '\\' => sb += '\\'; j += 2
+              case '\'' => sb += '\''; j += 2
+              case '"'  => sb += '"'; j += 2
+              case 'n'  => sb += '\n'; j += 2
+              case 'r'  => sb += '\r'; j += 2
+              case 't'  => sb += '\t'; j += 2
+              case 'b'  => sb += '\b'; j += 2
+              case 'f'  => sb += '\f'; j += 2
+              case 'u'  =>
+                if (j + 5 >= n || !input.substring(j + 2, j + 6).forall(ch =>
+                    ch.isDigit || ('a' to 'f').contains(ch.toLower)))
+                  throw ParseException(s"invalid unicode escape in string literal")
+                sb += Integer.parseInt(input.substring(j + 2, j + 6), 16).toChar; j += 6
+              case other => sb += '\\'; sb += other; j += 2
+            }
+          }
           else { sb += input(j); j += 1 }
         }
         if (!closed) throw ParseException("unterminated string literal")
         out += TStr(sb.toString); i = j
+      } else if (c == '.' && i + 1 < n && input(i + 1).isDigit) {
+        // fraction-only float literal `.5` (both dialects allow it)
+        var j = i + 1
+        while (j < n && input(j).isDigit) j += 1
+        if (j < n && (input(j) == 'e' || input(j) == 'E')) {
+          var k = j + 1
+          if (k < n && (input(k) == '+' || input(k) == '-')) k += 1
+          if (k < n && input(k).isDigit) { while (k < n && input(k).isDigit) k += 1; j = k }
+        }
+        out += TNum(input.substring(i, j)); i = j
       } else {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
         if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
@@ -439,7 +497,9 @@ object Parser {
   }
 
   private def parsePrimary(p: P): Expr = p.next() match {
-    case TNum(s) => NumLit(BigDecimal(s), !s.contains('.'))
+    // a '.' or an exponent marks a float literal (1e5 is float in both
+    // dialects); bare digit runs are integral
+    case TNum(s) => NumLit(BigDecimal(s), !s.contains('.') && !s.toLowerCase.contains('e'))
     case TStr(s) => StrLit(s)
     case TOp("(") =>
       if (p.peekKw("SELECT")) { val s = parseSelect(p); p.expectOp(")"); Subquery(s) }

@@ -103,8 +103,21 @@ object Translator {
   /** Expression → Column. */
   def toColumn(e: Expr): Column = e match {
     case Ident(n)            => col(n)
-    case NumLit(v, true)     => lit(v.toLong)
-    case NumLit(v, false)    => lit(v.toDouble)
+    case NumLit(v, true)     =>
+      // integral literals are 64-bit: out-of-range text is a compile-time
+      // IntegerOverflow (openCypher TCK semantics), not a silent wrap
+      if (!v.isValidLong) throw Parser.ParseException(s"IntegerOverflow: $v")
+      lit(v.toLong)
+    // negated integral literal: the sign is part of the 64-bit range
+    // check (-9223372036854775808 is valid although its magnitude is not)
+    case Neg(NumLit(v, true)) =>
+      if (!(-v).isValidLong) throw Parser.ParseException(s"IntegerOverflow: -$v")
+      lit((-v).toLong)
+    case NumLit(v, false)    =>
+      // a literal too large for IEEE-754 double is a compile-time error
+      // (openCypher FloatingPointOverflow), not a silent Infinity
+      if (v.toDouble.isInfinity) throw Parser.ParseException(s"FloatingPointOverflow: $v")
+      lit(v.toDouble)
     case StrLit(s)           => lit(s)
     case BoolLit(b)          => lit(b)
     case NullLit             => lit(null)
@@ -172,7 +185,9 @@ object Translator {
         case other    => throw TranslateException(s"unknown quantifier $other")
       }
     case StructLit(fields) =>
-      struct(fields.map { case (k, e2) => toColumn(e2).as(k) }: _*)
+      // `{}` as an empty map: zero-field structs break Spark's row codecs
+      if (fields.isEmpty) map()
+      else struct(fields.map { case (k, e2) => toColumn(e2).as(k) }: _*)
     case NestedProj(t, includes, excludes, star) =>
       // NestedProjection.java: include list re-projects to those fields;
       // `*` with `!f` excludes keeps the rest (dropFields — schema-driven,

@@ -1,0 +1,94 @@
+package graft.tck
+
+import graft.cypher.Cypher
+import graft.graph.MutableGraph
+import org.apache.spark.sql.SparkSession
+
+/** Executes one TCK scenario against the engine: builds a fresh empty
+  * graph, applies the `having executed` setup through the Cypher write
+  * path, runs the query, and compares against the expected table in the
+  * canonical [[TV]] domain. Returns None on pass, Some(reason) on fail.
+  * Side-effect assertions are not checked (result conformance only).
+  */
+object TckRunner {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  def run(spark: SparkSession, sc: TckScenario): Option[String] =
+    try runInner(spark, sc)
+    catch {
+      case u: TckUnsupported => Some(s"unsupported: ${u.getMessage}")
+      case e: Throwable => Some(s"error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  private def runInner(spark: SparkSession, sc: TckScenario): Option[String] = {
+    val setups = Vector.newBuilder[String]
+    var query: String = null
+    var expectError = false
+    var expectEmpty = false
+    var ordered = false
+    var expectTable: Vector[Vector[String]] = null
+
+    sc.steps.foreach { st =>
+      val t = st.text
+      if (t.contains("having executed")) setups += st.doc
+      else if (t.contains("executing query") || t.contains("executing control query"))
+        query = st.doc
+      else if (t.contains("parameters are"))
+        throw new TckUnsupported("query parameters")
+      else if (t.contains("should be raised")) expectError = true
+      else if (t.contains("the result should be empty")) expectEmpty = true
+      else if (t.contains("the result should be")) {
+        ordered = t.contains(", in order") && !t.contains("in any order")
+        expectTable = st.table
+      }
+      // side-effect steps intentionally ignored
+    }
+    if (query == null) return Some("no query step")
+
+    val dir = s"/tmp/graft_tck/s${counter.incrementAndGet()}"
+    val mg = MutableGraph.empty(spark, dir)
+    setups.result().foreach(s => Cypher.execute(mg, s.replace('\n', ' ')))
+
+    def exec(): Array[org.apache.spark.sql.Row] = {
+      val text = query.replace('\n', ' ')
+      val q = Cypher.parse(text)
+      val df =
+        if (q.clauses.exists(_.isInstanceOf[Cypher.WriteClause])) Cypher.execute(mg, text)
+        else Cypher.query(mg.graph, text)
+      df.collect()
+    }
+
+    if (expectError) {
+      try { exec(); Some("expected an error, query succeeded") }
+      catch { case _: Throwable => None }
+    } else {
+      val rows = exec()
+      if (expectEmpty) {
+        if (rows.isEmpty) None else Some(s"expected empty result, got ${rows.length} rows")
+      } else if (expectTable == null) {
+        None // write-only scenario with side-effect assertions: result unchecked
+      } else {
+        compare(rows, expectTable, ordered)
+      }
+    }
+  }
+
+  private def compare(rows: Array[org.apache.spark.sql.Row],
+      table: Vector[Vector[String]], ordered: Boolean): Option[String] = {
+    val header = table.head
+    val expected = table.tail.map(_.map(TckValues.parse))
+    val gotCols = if (rows.isEmpty) header else rows.head.schema.fieldNames.toVector
+    if (gotCols.map(_.trim) != header.map(_.trim))
+      return Some(s"columns [${gotCols.mkString(", ")}] != expected [${header.mkString(", ")}]")
+    val got = rows.toVector.map(r => header.indices.map(ix => TckValues.fromSpark(r.get(ix))).toVector)
+    if (got.length != expected.length)
+      return Some(s"row count ${got.length} != expected ${expected.length}\n" +
+        s"got: ${got.take(5).mkString("; ")}\nexp: ${expected.take(5).mkString("; ")}")
+    val (g, e) =
+      if (ordered) (got, expected)
+      else (got.sortBy(_.toString()), expected.sortBy(_.toString()))
+    if (g == e) None
+    else Some(s"rows differ\ngot: ${g.take(8).mkString("; ")}\nexp: ${e.take(8).mkString("; ")}")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.tck
+
+/** Triage main: run every scenario in the selected TCK slice and print
+  * one line per scenario (PASS/FAIL + reason) — used to maintain
+  * `src/test/resources/tck-expected-failures.txt`.
+  *
+  * sbt 'Test/runMain graft.tck.TckTriage [subdir ...]'
+  */
+object TckTriage {
+  val Root = "/root/reference/engine/src/test/resources/opencypher/tck/features"
+  val DefaultSlice = Seq("clauses/match", "clauses/return", "expressions/literals")
+
+  def featureFiles(slice: Seq[String]): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    slice.flatMap { sub =>
+      val d = java.nio.file.Paths.get(Root, sub)
+      if (java.nio.file.Files.isDirectory(d))
+        java.nio.file.Files.list(d).iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".feature")).sortBy(_.toString)
+      else Seq.empty
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val slice = if (args.nonEmpty) args.toSeq else DefaultSlice
+    val spark = graft.GraftSession.build("local[4]", "4", "graft-tck")
+    var pass = 0; var fail = 0
+    featureFiles(slice).foreach { f =>
+      TckFeatureParser.parseFile(f).foreach { sc =>
+        val key = s"${sc.feature}::${sc.name}"
+        val t0 = System.nanoTime()
+        TckRunner.run(spark, sc) match {
+          case None =>
+            pass += 1
+            println(f"[tck] PASS  $key  (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+          case Some(reason) =>
+            fail += 1
+            println(s"[tck] FAIL  $key  -- ${reason.linesIterator.mkString(" / ").take(300)}")
+        }
+      }
+    }
+    println(s"[tck] == $pass pass, $fail fail")
+    spark.stop()
+  }
+}

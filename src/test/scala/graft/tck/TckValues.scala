@@ -1,0 +1,186 @@
+package graft.tck
+
+/** Canonical value domain for TCK result comparison: both the expected
+  * table cells (TCK literal syntax — `(:L {k: 1})`, `[:T]`, `[1, 'a']`,
+  * `{k: v}`) and the engine's collected Spark rows map into these, then
+  * compare structurally. Integers and floats are distinct (TCK
+  * semantics); node labels compare as sets; null-valued props drop
+  * (schema-evolved columns hold null for every node that lacks the key).
+  */
+sealed trait TV
+case object VNull extends TV
+final case class VBool(b: Boolean) extends TV
+final case class VInt(v: Long) extends TV
+final case class VFloat(v: Double) extends TV
+final case class VStr(s: String) extends TV
+final case class VList(xs: Vector[TV]) extends TV
+final case class VMap(m: Map[String, TV]) extends TV
+final case class VNode(labels: Set[String], props: Map[String, TV]) extends TV
+final case class VRel(tpe: String, props: Map[String, TV]) extends TV
+
+final class TckUnsupported(msg: String) extends RuntimeException(msg)
+
+object TckValues {
+
+  // ---------------- expected-cell parser ----------------
+
+  def parse(s: String): TV = {
+    val p = new P(s.trim)
+    val v = p.value()
+    p.ws()
+    if (!p.eof) throw new TckUnsupported(s"trailing content in value: $s")
+    v
+  }
+
+  private final class P(s: String) {
+    var i = 0
+    def eof: Boolean = i >= s.length
+    def ws(): Unit = while (!eof && s(i).isWhitespace) i += 1
+    def peek: Char = s(i)
+    def expect(c: Char): Unit = {
+      if (eof || s(i) != c) throw new TckUnsupported(s"expected '$c' at $i in: $s")
+      i += 1
+    }
+
+    def value(): TV = {
+      ws()
+      if (eof) throw new TckUnsupported(s"empty value in: $s")
+      peek match {
+        case '\'' => str()
+        case '[' =>
+          // `[:T ...]` is a relationship, `[v, ...]` a list
+          val save = i
+          i += 1; ws()
+          if (!eof && peek == ':') { i = save; rel() } else { i = save; list() }
+        case '(' => node()
+        case '{' => map()
+        case '<' => throw new TckUnsupported("path values not supported")
+        case _ => atom()
+      }
+    }
+
+    def str(): TV = {
+      expect('\''); val b = new StringBuilder
+      while (!eof && peek != '\'') {
+        if (peek == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case '\'' => b += '\''; i += 2
+            case '\\' => b += '\\'; i += 2
+            case 'n' => b += '\n'; i += 2
+            case 't' => b += '\t'; i += 2
+            case other => b += '\\'; b += other; i += 2
+          }
+        } else { b += peek; i += 1 }
+      }
+      expect('\'')
+      VStr(b.toString)
+    }
+
+    def atom(): TV = {
+      val start = i
+      while (!eof && !", ]})|".contains(peek)) i += 1
+      val tok = s.substring(start, i).trim
+      tok match {
+        case "null" => VNull
+        case "true" => VBool(true)
+        case "false" => VBool(false)
+        case t if t.matches("-?\\d+") => VInt(t.toLong)
+        case t if t.matches("-?\\d*\\.?\\d+([eE][+-]?\\d+)?") || t.matches("-?\\d+\\.\\d*") =>
+          VFloat(t.toDouble)
+        case t => throw new TckUnsupported(s"unrecognized atom: $t")
+      }
+    }
+
+    def list(): TV = {
+      expect('['); ws()
+      val xs = Vector.newBuilder[TV]
+      if (!eof && peek != ']') {
+        xs += value(); ws()
+        while (!eof && peek == ',') { i += 1; xs += value(); ws() }
+      }
+      expect(']')
+      VList(xs.result())
+    }
+
+    def map(): TV = { expect('{'); val m = mapBody(); expect('}'); VMap(m) }
+
+    /** key: value pairs up to the closing brace (not consumed). */
+    def mapBody(): Map[String, TV] = {
+      ws()
+      val m = Map.newBuilder[String, TV]
+      var more = !eof && peek != '}'
+      while (more) {
+        ws()
+        val ks = i
+        while (!eof && (peek.isLetterOrDigit || peek == '_')) i += 1
+        val k = s.substring(ks, i)
+        ws(); expect(':')
+        m += k -> value()
+        ws()
+        if (!eof && peek == ',') { i += 1; more = true } else more = false
+      }
+      m.result()
+    }
+
+    def node(): TV = {
+      expect('('); ws()
+      val labels = Set.newBuilder[String]
+      while (!eof && peek == ':') {
+        i += 1
+        val ks = i
+        while (!eof && (peek.isLetterOrDigit || peek == '_')) i += 1
+        labels += s.substring(ks, i)
+        ws()
+      }
+      ws()
+      val props = if (!eof && peek == '{') { expect('{'); val m = mapBody(); expect('}'); m }
+        else Map.empty[String, TV]
+      ws(); expect(')')
+      VNode(labels.result(), props)
+    }
+
+    def rel(): TV = {
+      expect('['); ws(); expect(':')
+      val ks = i
+      while (!eof && (peek.isLetterOrDigit || peek == '_')) i += 1
+      val t = s.substring(ks, i)
+      ws()
+      val props = if (!eof && peek == '{') { expect('{'); val m = mapBody(); expect('}'); m }
+        else Map.empty[String, TV]
+      ws(); expect(']')
+      VRel(t, props)
+    }
+  }
+
+  // ---------------- Spark-result conversion ----------------
+
+  def fromSpark(v: Any): TV = v match {
+    case null => VNull
+    case b: Boolean => VBool(b)
+    case x: Byte => VInt(x.toLong)
+    case x: Short => VInt(x.toLong)
+    case x: Int => VInt(x.toLong)
+    case x: Long => VInt(x)
+    case x: Float => VFloat(x.toDouble)
+    case x: Double => VFloat(x)
+    case x: java.math.BigDecimal =>
+      if (x.scale <= 0) VInt(x.longValueExact()) else VFloat(x.doubleValue())
+    case s: String => VStr(s)
+    case xs: scala.collection.Seq[_] => VList(xs.map(fromSpark).toVector)
+    case m: scala.collection.Map[_, _] =>
+      VMap(m.map { case (k, x) => k.toString -> fromSpark(x) }.toMap)
+    case r: org.apache.spark.sql.Row =>
+      val names = r.schema.fieldNames
+      val fields = names.zipWithIndex.map { case (f, ix) => f -> fromSpark(r.get(ix)) }.toMap
+      if (names.contains("id") && names.contains("label")) {
+        // whole-node struct: id is identity, label is the label set,
+        // null-valued columns are absent properties
+        val labels = fields("label") match { case VStr(l) => Set(l); case _ => Set.empty[String] }
+        VNode(labels, fields.removedAll(Seq("id", "label")).filter(_._2 != VNull))
+      } else if (names.contains("label")) {
+        val t = fields("label") match { case VStr(l) => l; case _ => "" }
+        VRel(t, fields.removed("label").filter(_._2 != VNull))
+      } else VMap(fields)
+    case other => throw new TckUnsupported(s"unconvertible result value: $other (${other.getClass})")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.tck
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** openCypher TCK conformance over the reference's own Cucumber corpus
+  * (engine/src/test/resources/opencypher/tck/features — the reference
+  * runs it through TCKStepDefinitions.java with an expected-failures
+  * list of its own). Every scenario in the slice must either pass or be
+  * pinned in `tck-expected-failures.txt`; a listed scenario that starts
+  * passing fails the drift test so the list stays tight.
+  */
+class TckSpec extends AnyFunSuite {
+  import graft.TestSession.spark
+
+  private val expectedFailures: Set[String] = {
+    val in = getClass.getResourceAsStream("/tck-expected-failures.txt")
+    assert(in != null, "tck-expected-failures.txt resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    finally src.close()
+  }
+
+  private val scenarios: Seq[TckScenario] =
+    TckTriage.featureFiles(TckTriage.DefaultSlice).flatMap(TckFeatureParser.parseFile)
+
+  test("TCK slice covers a real corpus") {
+    assert(scenarios.length >= 500, s"only ${scenarios.length} scenarios found")
+  }
+
+  // one ScalaTest test per feature file keeps the report readable while
+  // still pinning every scenario
+  for ((feature, scs) <- scenarios.groupBy(_.feature).toSeq.sortBy(_._1)) {
+    test(s"TCK: $feature (${scs.length} scenarios)") {
+      val unexpected = scala.collection.mutable.Buffer.empty[String]
+      val fixedButListed = scala.collection.mutable.Buffer.empty[String]
+      scs.foreach { sc =>
+        val key = s"${sc.feature}::${sc.name}"
+        val listed = expectedFailures.contains(key)
+        TckRunner.run(spark, sc) match {
+          case None if listed => fixedButListed += key
+          case Some(reason) if !listed =>
+            unexpected += s"$key -- ${reason.linesIterator.mkString(" / ").take(200)}"
+          case _ => ()
+        }
+      }
+      assert(unexpected.isEmpty,
+        s"\nunexpected TCK failures:\n  ${unexpected.mkString("\n  ")}")
+      assert(fixedButListed.isEmpty,
+        s"\nnow passing — remove from tck-expected-failures.txt:\n  ${fixedButListed.mkString("\n  ")}")
+    }
+  }
+}

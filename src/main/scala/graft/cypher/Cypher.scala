@@ -76,6 +76,13 @@ object Cypher {
       where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
       skip: Option[Long] = None, limit: Option[Long] = None) extends Clause
   final case class UnwindC(expr: Expr, alias: String) extends Clause
+  /** `LOAD CSV [WITH HEADERS] FROM 'url' AS var [FIELDTERMINATOR 'c']` —
+    * streams CSV rows into the pattern pipeline (reference
+    * cy/steps/LoadCSVStep.java:61). With headers the row variable is a
+    * struct keyed by header name (`row.name`); without, an array indexed
+    * positionally (`row[0]`). All cells are strings, per openCypher. */
+  final case class LoadCsvC(url: String, headers: Boolean, alias: String,
+      sep: String) extends Clause
   /** `MATCH p = shortestPath((a)-[:T*lo..hi]-(b))` — min-depth BFS from
     * the `a` anchor set; binds `b`'s columns plus `p.length` (the
     * reference supports openCypher's `length(p)`; this dialect projects
@@ -92,6 +99,12 @@ object Cypher {
   final case class SetItem(varName: String, prop: String, value: Expr)
   final case class SetC(items: Seq[SetItem]) extends WriteClause
   final case class DeleteC(vars: Seq[String], detach: Boolean) extends WriteClause
+  /** `FOREACH (x IN list | SET/CREATE/DELETE …)` — list-driven write
+    * clause (openCypher Cypher25Parser.g4 foreach). The list is exploded
+    * over the horizon (one distributed frame, no driver loop) and each
+    * body clause applies per element. */
+  final case class ForeachC(varName: String, list: Expr,
+      body: Seq[WriteClause]) extends WriteClause
 
   final case class CypherQuery(
       clauses: Seq[Clause],
@@ -205,17 +218,7 @@ object Cypher {
         }
         clauses += MergeC(chain, onCreate, onMatch)
       } else if (p.kw("SET")) {
-        val items = Seq.newBuilder[SetItem]
-        var more = true
-        while (more) {
-          val v = Parser.ident(p)
-          p.expectOp(".")
-          val prop = Parser.ident(p)
-          p.expectOp("=")
-          items += SetItem(v, prop, Parser.parseExpr(p))
-          more = p.op(",")
-        }
-        clauses += SetC(items.result())
+        clauses += SetC(parseSetItems(p))
       } else if (p.kw("REMOVE")) {
         // REMOVE n.prop — property removal = SET to null (columnar
         // storage has no "absent" distinct from null)
@@ -324,6 +327,47 @@ object Cypher {
         val e = Parser.parseExpr(p)
         p.expectKw("AS")
         clauses += UnwindC(e, Parser.ident(p))
+      } else if (p.kw("LOAD")) {
+        p.expectKw("CSV")
+        val headers = if (p.kw("WITH")) { p.expectKw("HEADERS"); true } else false
+        p.expectKw("FROM")
+        val url = stringTok(p)
+        p.expectKw("AS")
+        val alias = Parser.ident(p)
+        val sep = if (p.kw("FIELDTERMINATOR")) stringTok(p) else ","
+        clauses += LoadCsvC(url, headers, alias, sep)
+      } else if (p.kw("FOREACH")) {
+        p.expectOp("(")
+        val v = Parser.ident(p)
+        p.expectKw("IN")
+        val list = Parser.parseExpr(p)
+        p.expectOp("|")
+        val body = Seq.newBuilder[WriteClause]
+        var more = true
+        while (more) {
+          if (p.kw("SET")) body += SetC(parseSetItems(p))
+          else if (p.kw("CREATE")) {
+            val chains = Seq.newBuilder[PatternChain]
+            chains += parseChain(p, optional = false)
+            while (p.op(",")) chains += parseChain(p, optional = false)
+            body += CreateC(chains.result())
+          } else if (p.kw("DETACH")) {
+            p.expectKw("DELETE")
+            val vars = Seq.newBuilder[String]
+            vars += Parser.ident(p)
+            while (p.op(",")) vars += Parser.ident(p)
+            body += DeleteC(vars.result(), detach = true)
+          } else if (p.kw("DELETE")) {
+            val vars = Seq.newBuilder[String]
+            vars += Parser.ident(p)
+            while (p.op(",")) vars += Parser.ident(p)
+            body += DeleteC(vars.result(), detach = false)
+          } else more = false
+        }
+        p.expectOp(")")
+        if (body.result().isEmpty)
+          throw ParseException("FOREACH body needs at least one update clause")
+        clauses += ForeachC(v, list, body.result())
       } else throw ParseException(s"expected MATCH/WITH/UNWIND/CALL/CREATE/MERGE/SET/DELETE/RETURN, found ${p.peek}")
     }
     if (!hasReturn)
@@ -351,6 +395,25 @@ object Cypher {
       Some((all, parseQuery(p)))
     } else None
     CypherQuery(clauses.result(), items.result(), distinct, orderBy, skip, limit, union)
+  }
+
+  private def stringTok(p: Parser.P): String = p.next() match {
+    case Parser.TStr(s) => s
+    case other => throw ParseException(s"expected string literal, found $other")
+  }
+
+  private def parseSetItems(p: Parser.P): Seq[SetItem] = {
+    val items = Seq.newBuilder[SetItem]
+    var more = true
+    while (more) {
+      val v = Parser.ident(p)
+      p.expectOp(".")
+      val prop = Parser.ident(p)
+      p.expectOp("=")
+      items += SetItem(v, prop, Parser.parseExpr(p))
+      more = p.op(",")
+    }
+    items.result()
   }
 
   private def parseItem(p: Parser.P): ReturnItem = {
@@ -879,6 +942,20 @@ object Cypher {
           else acc.withColumn(a, explode(toCol(e)))
         scalars += a
 
+      case LoadCsvC(url, headers, alias, sep) =>
+        val path = url.stripPrefix("file://")
+        val raw = session.read
+          .option("header", headers.toString).option("sep", sep)
+          .option("inferSchema", "false") // openCypher: all cells are strings
+          .csv(path)
+        val rowCol =
+          if (headers) struct(raw.columns.toIndexedSeq.map(col): _*)
+          else array(raw.columns.toIndexedSeq.map(col): _*) // _c0.._cN, positional
+        val csv = raw.select(rowCol.as(alias))
+        // LOAD CSV after other clauses iterates the file per horizon row
+        acc = if (acc == null) csv else acc.crossJoin(csv)
+        scalars += alias
+
       case CallC(name, args, yields) =>
         val out0 = Procedures.invoke(g, name, args)
         val out = if (yields.isEmpty) out0
@@ -1251,6 +1328,42 @@ object Cypher {
           pl.acc.select(col(s"${v}_id").as("id"))
         }.reduce(_ union _)
         mg.deleteVertices(ids, detach)
+
+      case ForeachC(x, list, body) =>
+        // one distributed frame of elements; each body clause is a bulk
+        // write over it (SET/DELETE need the elements to be node ids —
+        // the shape nodes(p) and collect(v) produce)
+        val base =
+          if (pl.acc != null) pl.acc
+          else mg.spark.range(1).select(lit(1).as("__dual"))
+        val elems = base.select(explode(pl.toCol(list)).as(x)).localCheckpoint(true)
+        body.foreach {
+          case SetC(items) =>
+            items.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
+              if (v != x)
+                throw ParseException(s"FOREACH SET target $v is not the loop variable $x")
+              val sets = its.map(it =>
+                it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, x)))
+              mg.setVertexProps(elems.select(col(x).cast("long").as("id")), sets)
+            }
+          case CreateC(chains) => chains.foreach { ch =>
+            if (ch.rels.nonEmpty)
+              throw ParseException("FOREACH CREATE supports node patterns only")
+            val n = ch.nodes.head
+            // props may reference the loop variable — evaluated per element
+            val cols = n.props.map { case (k, e) =>
+              graft.sql.Translator.toColumn(e).as(k) } ++
+              n.label.map(l => lit(l).as("label"))
+            if (cols.isEmpty) throw ParseException("CREATE node needs a label or properties")
+            mg.createVertices(elems.select(cols.toIndexedSeq: _*))
+          }
+          case DeleteC(vars, detach) =>
+            vars.foreach(v => if (v != x)
+              throw ParseException(s"FOREACH DELETE target $v is not the loop variable $x"))
+            mg.deleteVertices(elems.select(col(x).cast("long").as("id")), detach)
+          case other =>
+            throw ParseException(s"unsupported clause in FOREACH body: $other")
+        }
     }
   }
 

@@ -56,7 +56,10 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
       .localCheckpoint(eager = true)
     val marked = vertices.join(broadcast(keys), col("id") === col("__set_id"), "left_outer")
     val next = sets.foldLeft(marked) { case (d, (p, c)) =>
-      d.withColumn(p, when(col("__set_id").isNotNull, c).otherwise(col(p)))
+      // a property the schema has never seen extends it (schema-flexible
+      // records): untouched rows hold null, not an unresolved column
+      val prev = if (d.columns.contains(p)) col(p) else lit(null)
+      d.withColumn(p, when(col("__set_id").isNotNull, c).otherwise(prev))
     }.drop("__set_id")
     overwriteV(next)
   }

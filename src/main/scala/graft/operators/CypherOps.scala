@@ -62,6 +62,26 @@ object CypherOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---- LOAD CSV: rows stream into the pattern pipeline and join
+    //      back to graph data (reference cy/steps/LoadCSVStep.java:61).
+    //      The CSV is exported deterministically from the customer table
+    //      first, so the oracle can derive the same result relationally. ----
+    Q("q_cypher_load_csv",
+      """SELECT c_name AS name, count(*)::BIGINT AS n_orders
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val csvDir = s"/tmp/graft_state/load_csv_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.Tables.customer(s, d).filter(col("c_custkey") < 50)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+      Cypher.query(PropertyGraph.fromTpch(s, d),
+        s"LOAD CSV WITH HEADERS FROM 'file://$csvDir' AS row " +
+          "MATCH (c:customer)-[:placed]->(o:order) WHERE c.key = toInteger(row.key) " +
+          "RETURN row.name AS name, count(o) AS n_orders ORDER BY name")
+    },
+
     // ---- two-hop pattern chain with aggregate ----
     Q("q_cypher_2hop",
       """SELECT c_custkey, count(DISTINCT l_partkey) AS n_parts
@@ -468,7 +488,7 @@ object CypherOps {
     //      recurrence (same graph + recurrence as q_graph_pagerank_small) ----
     Q("q_cypher_call_pagerank", {
       val iters = (1 to 10).map { i =>
-        s"""pr$i AS (
+        s"""pr$i AS MATERIALIZED (
            |  SELECT v.id, 0.15 + 0.85 * coalesce(s.msum, 0.0) AS rank
            |  FROM pr${i - 1} v LEFT JOIN (
            |    SELECT e.dst AS id, sum(p.rank / d.outdeg) AS msum

@@ -179,6 +179,28 @@ object CypherWriteOps {
           | WHERE o.key < 500
           | RETURN o.key AS okey, p.key AS pkey ORDER BY okey, pkey"""
           .stripMargin.replace("\n", ""))
+    },
+
+    // ---- FOREACH: list-driven writes — marks every node on the matched
+    //      paths (nodes(p) → ids, exploded into one bulk SET), then a
+    //      second FOREACH over a literal list creates tag vertices ----
+    Q("q_cypher_foreach",
+      """SELECT key, seen FROM (
+        |  SELECT n_nationkey AS key,
+        |    CASE WHEN n_regionkey = 1 THEN 1 ELSE NULL END AS seen FROM nation
+        |  UNION ALL SELECT r_regionkey,
+        |    CASE WHEN r_regionkey = 1 THEN 1 ELSE NULL END FROM region
+        |  UNION ALL SELECT 900 + x, NULL
+        |    FROM (SELECT UNNEST(generate_series(1, 3)) AS x))
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      val mg = copied(s, d, "cy_foreach")
+      Cypher.execute(mg,
+        "MATCH p = (n:nation)-[:in_region]->(r:region {key: 1}) " +
+          "FOREACH (x IN nodes(p) | SET x.seen = 1)")
+      Cypher.execute(mg,
+        "FOREACH (i IN [1, 2, 3] | CREATE (:tag {id: 900 + i, key: 900 + i}))")
+      Cypher.query(mg.graph,
+        "MATCH (v) RETURN v.key AS key, v.seen AS seen ORDER BY key")
     }
   )
 }

@@ -66,7 +66,7 @@ object GraphAlgoOps {
     // ---- PageRank with an exact unrolled-recurrence oracle ----
     Q("q_graph_pagerank_small", {
       val iters = (1 to 10).map { i =>
-        s"""pr$i AS (
+        s"""pr$i AS MATERIALIZED (
            |  SELECT v.id, 0.15 + 0.85 * coalesce(s.msum, 0.0) AS rank
            |  FROM pr${i - 1} v LEFT JOIN (
            |    SELECT e.dst AS id, sum(p.rank / d.outdeg) AS msum

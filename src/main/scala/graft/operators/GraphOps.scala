@@ -185,8 +185,39 @@ object GraphOps {
       out
     },
 
-    // ---- PageRank (GraphX; reference GraphAlgorithms.java:164) ----
-    Q.noOracle("q_graph_pagerank") { (s, d) =>
+    // ---- PageRank (GraphX; reference GraphAlgorithms.java:164).
+    //      Oracled by the unrolled recurrence over the same fromTpch
+    //      graph: rank0 = 1.0, rank_{i+1} = 0.15 + 0.85 * sum(in-rank /
+    //      outdeg), then the final rank-sum normalization GraphX applies
+    //      (ranks scaled to sum to |V|, PageRank.normalizeRankSum /
+    //      SPARK-18847). ----
+    Q("q_graph_pagerank", {
+      // MATERIALIZED: each pr_i references pr_{i-1} twice; DuckDB inlines
+      // CTEs by default, which would re-evaluate the chain 2^10 times
+      val iters = (1 to 10).map { i =>
+        s"""pr$i AS MATERIALIZED (
+           |  SELECT v.id, 0.15 + 0.85 * coalesce(s.msum, 0.0) AS rank
+           |  FROM pr${i - 1} v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / d.outdeg) AS msum
+           |    FROM e JOIN pr${i - 1} p ON e.src = p.id JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (
+         |  SELECT c_custkey * 8 + 0 AS id FROM customer
+         |  UNION ALL SELECT o_orderkey * 8 + 1 FROM orders
+         |  UNION ALL SELECT p_partkey * 8 + 2 FROM part),
+         |e AS (
+         |  SELECT o_custkey * 8 + 0 AS src, o_orderkey * 8 + 1 AS dst FROM orders
+         |  UNION ALL
+         |  SELECT DISTINCT l_orderkey * 8 + 1, l_partkey * 8 + 2 FROM lineitem),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
+         |$iters,
+         |norm AS (SELECT sum(rank) AS s, count(*) AS n FROM pr10)
+         |SELECT id // 8 AS key, id % 8 AS vtype, round(rank * n / s, 4) AS rank
+         |FROM pr10, norm
+         |ORDER BY rank DESC, vtype, key LIMIT 20""".stripMargin
+    }) { (s, d) =>
       val g = PropertyGraph.fromTpch(s, d).toGraphX
       val ranks = org.apache.spark.graphx.lib.PageRank.run(g, numIter = 10, resetProb = 0.15)
       val df = s.createDataFrame(ranks.vertices.map { case (id, r) => (id, r) })

@@ -508,7 +508,7 @@ object Cypher {
           // -[r:type*lo..hi {k: v}]-> / -[r:type]- (no '>' → undirected)
           p.expectOp("[")
           val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
-          val t = if (p.op(":")) Some(Parser.ident(p)) else None
+          val t = parseRelTypes(p)
           val hops = parseHops(p)
           val props = parseProps(p)
           p.expectOp("]")
@@ -521,23 +521,37 @@ object Cypher {
         // <-[r:type]- or anonymous <--
         p.expectOp("-")
         if (p.op("-")) {
-          rels += RelPat(None, None, "in")
+          // <-- or <--> (arrows both ways = either orientation)
+          val dir = if (p.op(">")) "both" else "in"
+          rels += RelPat(None, None, dir)
           nodes += parseNode(p)
         } else {
           p.expectOp("[")
           val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
-          val t = if (p.op(":")) Some(Parser.ident(p)) else None
+          val t = parseRelTypes(p)
           val hops = parseHops(p)
           val props = parseProps(p)
           p.expectOp("]")
           p.expectOp("-")
-          rels += RelPat(v, t, "in", hops, props)
+          // `<-[r]->` — arrows on both ends match either orientation
+          val dir = if (p.op(">")) "both" else "in"
+          rels += RelPat(v, t, dir, hops, props)
           nodes += parseNode(p)
         }
       } else go = false
     }
     PatternChain(nodes.result(), rels.result(), optional)
   }
+
+  /** `:A`, `:A|B`, `:A|:B` — alternative relationship types, "|"-joined
+    * (matching is membership, see relTypePred). */
+  private def parseRelTypes(p: Parser.P): Option[String] =
+    if (p.op(":")) {
+      val ts = Seq.newBuilder[String]
+      ts += Parser.ident(p)
+      while (p.op("|")) { p.op(":"); ts += Parser.ident(p) }
+      Some(ts.result().mkString("|"))
+    } else None
 
   /** `*`, `*n`, `*lo..hi` (bare `*` defaults to 1..3). The lexer emits
     * "1..3" as a single numeric token (digits+dots), split here. */
@@ -586,7 +600,13 @@ object Cypher {
       case TId(s) => p.next(); Some(s)
       case _ => None
     }
-    val label = if (p.op(":")) Some(Parser.ident(p)) else None
+    // `:A:B:C` — a multi-label conjunction, stored sorted and ":"-joined
+    // (the single-string label column holds the label SET; matching is
+    // set-containment, see labelPred)
+    val labels = Seq.newBuilder[String]
+    while (p.op(":")) labels += Parser.ident(p)
+    val ls = labels.result()
+    val label = if (ls.isEmpty) None else Some(ls.sorted.mkString(":"))
     val props = parseProps(p)
     p.expectOp(")")
     NodePat(v, label, props)
@@ -601,19 +621,23 @@ object Cypher {
     * resolve statically (fixed-hop chains: node list, rel-type list, and
     * length are all known at compile time). */
   private def flatten(e: Expr, passThrough: Set[String],
-      paths: Map[String, PatternChain] = Map.empty): Expr = {
+      paths: Map[String, PathInfo] = Map.empty): Expr = {
     def f(x: Expr): Expr = flatten(x, passThrough, paths)
     e match {
       // path functions over a named plain path (reference openCypher
-      // nodes()/relationships()/length() — function/graph; the chain is
-      // fixed-hop so each resolves to a static projection)
+      // nodes()/relationships()/length()). Fixed chains resolve length
+      // and relationships statically (relationships → type names, the
+      // SQL-dialect surface); variable-length chains resolve all three
+      // from the materialized per-row path columns.
       case FnCall(n, Seq(Ident(pv)), _) if paths.contains(pv) &&
           Set("length", "nodes", "relationships")(n.toLowerCase) =>
-        val ch = paths(pv)
+        val info = paths(pv)
+        val ch = info.chain
         n.toLowerCase match {
+          case "length" if info.dynamic => Ident(s"${pv}__plen")
           case "length" => NumLit(BigDecimal(ch.rels.length), isIntegral = true)
-          case "nodes" => ArrayLit(ch.nodes.map(nd => f(PropAccess(Ident(nd.varName.getOrElse(
-            throw ParseException(s"nodes($pv) requires all pattern nodes to be named"))), "id"))))
+          case "nodes" => Ident(s"${pv}__pnodes")
+          case "relationships" if info.dynamic => Ident(s"${pv}__prels")
           case _ => ArrayLit(ch.rels.map(r => StrLit(r.relType.getOrElse(""))))
         }
       // temporal namespaces: `date.truncate(...)`, `duration.between(...)`
@@ -638,13 +662,17 @@ object Cypher {
       // columns; labels() is a one-element list (single-label model)
       case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("id") && !passThrough(v) =>
         Ident(s"${v}_id")
+      // labels() splits the ":"-joined label set (single-label → [label])
       case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("labels") && !passThrough(v) =>
-        FnCall("array", Seq(Ident(s"${v}_label")))
+        FnCall("split", Seq(Ident(s"${v}_label"), StrLit(":")))
       case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("type") && !passThrough(v) =>
         Ident(s"${v}_label")
       case PropAccess(Ident(v), prop) if !passThrough(v) => Ident(s"${v}_$prop")
       case PropAccess(t, prop)        => PropAccess(f(t), prop)
       case Ident(v) if passThrough(v) => Ident(v)
+      // bare path var inside an expression: its node-id array stands in
+      // (null exactly when the path is null — IS NULL etc. work)
+      case Ident(pv) if paths.contains(pv) => Ident(s"${pv}__pnodes")
       case Ident(v)                   => Ident(s"${v}_id") // bare node var = its identity
       case Bin(op, l, r)              => Bin(op, f(l), f(r))
       case Neg(x)                     => Neg(f(x))
@@ -666,13 +694,87 @@ object Cypher {
   private var anon = 0
   private def freshVar(): String = synchronized { anon += 1; s"_anon$anon" }
 
-  /** One chain → joined DataFrame with v_* columns per node variable and
-    * r_* columns per named single-hop relationship variable. */
-  private def chainFrame(g: PropertyGraph, chain: PatternChain)
-      : (DataFrame, Set[String], Set[String]) = {
+  /** Bookkeeping for one relationship occurrence of a chain. `alias` keys
+    * the hidden columns left on the frame:
+    *   - fixed rel: `${eidCol}` (the relationship identity; named
+    *     `${rv}__eid` for a freshly-bound rel variable so later clauses
+    *     can identity-join a reuse) and, when `structs`, `${alias}__rst`
+    *     (the whole-rel struct `_src/_dst/_eid/label/props`);
+    *   - variable-length rel: `${alias}__rs` (array of rel structs in
+    *     traversal order) and `${alias}__ns` (array of node ids from the
+    *     pattern's left endpoint to its right, inclusive).
+    * `reused` marks an occurrence of a rel variable bound by an earlier
+    * clause — the caller joins it back on `${rv}__eid` equality. */
+  private final case class RelMark(pat: RelPat, alias: String, eidCol: String,
+      isList: Boolean, varName: Option[String], reused: Boolean)
+
+  private final case class ChainResult(df: DataFrame, nodeVars: Set[String],
+      relVars: Set[String], relListVars: Set[String], marks: Seq[RelMark],
+      nodeSeq: Seq[String])
+
+  /** A bound named path. `dynamic` (any variable-length rel in the chain)
+    * switches length/nodes/relationships from static chain shape to the
+    * materialized `${pv}__plen/__pnodes/__prels` columns. */
+  final case class PathInfo(chain: PatternChain, dynamic: Boolean)
+
+  /** Label-set containment: stored labels are ":"-joined (sorted);
+    * `want` may itself be ":"-joined — every wanted label must be
+    * present. Single-label stores hit the `===` fast path so constant
+    * folding can still prune union branches. */
+  private def labelPred(stored: Column, want: String): Column = {
+    val wanted = want.split(':').filter(_.nonEmpty)
+    if (wanted.length == 1)
+      stored === wanted.head || array_contains(split(stored, ":"), wanted.head)
+    else wanted.map(l => array_contains(split(stored, ":"), l)).reduce(_ && _)
+  }
+
+  /** `:A|B` alternative relationship types — membership test. */
+  private def relTypePred(stored: Column, want: String): Column =
+    if (want.contains('|')) stored.isin(want.split('|').toSeq: _*)
+    else stored === want
+
+  /** The uniform whole-rel struct type over a graph's edges (+ identity). */
+  private def relStructType(g: PropertyGraph): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val base = g.edges.schema.fields.filterNot(f => Set("src", "dst", "_eid")(f.name))
+      .sortBy(_.name)
+    StructType(
+      StructField("_src", LongType) +: StructField("_dst", LongType) +:
+      StructField("_eid", LongType) +: base.toIndexedSeq)
+  }
+
+  /** An empty, correctly-typed array of rel structs (concat seed). */
+  private def emptyRels(g: PropertyGraph): Column = {
+    val t = relStructType(g)
+    filter(array(lit(null).cast(t)), x => x.isNotNull)
+  }
+
+  /** One chain → joined DataFrame with v_* columns per node variable,
+    * r_* columns per named single-hop relationship variable, plus the
+    * hidden identity/path columns described on [[RelMark]]. Relationship
+    * uniqueness INSIDE a variable-length walk is enforced here (no
+    * relationship repeats within one walk — openCypher relationship
+    * isomorphism); uniqueness ACROSS the rels of a MATCH pattern is the
+    * caller's job via the returned marks. `boundRels` are rel variables
+    * bound by earlier clauses (a new occurrence is a reuse, not a new
+    * binding); `structs` additionally carries whole-rel structs for
+    * named-path materialization. */
+  private def chainFrame(g: PropertyGraph, chain: PatternChain,
+      boundRels: Set[String] = Set.empty, structs: Boolean = false): ChainResult = {
+    // every edge occurrence carries a relationship identity: the store's
+    // persistent `_eid` when present (MutableGraph allocates one per
+    // created edge), else a row hash — graphs assembled from
+    // distinct-by-construction frames (fromTpch etc.) have no duplicate
+    // (src, dst, label) rows, so the hash IS an identity there
+    val allEdges =
+      if (g.edges.columns.contains("_eid"))
+        // schema-evolved stores can hold pre-identity rows: hash-fill
+        g.edges.withColumn("_eid",
+          coalesce(col("_eid"), xxhash64(col("src"), col("dst"), col("label"))))
+      else g.edges.withColumn("_eid", xxhash64(col("src"), col("dst"), col("label")))
     def nodeFrame(n: NodePat): (DataFrame, String) = {
       val v = n.varName.getOrElse(freshVar())
-      val labeled = n.label.fold(g.vertices)(l => g.vertices.filter(col("label") === l))
+      val labeled = n.label.fold(g.vertices)(l => g.vertices.filter(labelPred(col("label"), l)))
       // inline props filter BEFORE the rename so it can push to the scan
       val base = n.props.foldLeft(labeled) { case (d, (k, lv)) =>
         d.filter(col(k) === graft.sql.Translator.toColumn(lv))
@@ -684,15 +786,25 @@ object Cypher {
     var df = first
     var vars = Set(v0)
     var relVars = Set.empty[String]
+    var relListVars = Set.empty[String]
+    val marks = Seq.newBuilder[RelMark]
+    val nodeSeq = Seq.newBuilder[String]
+    nodeSeq += v0
     var prevVar = v0
     chain.rels.zip(chain.nodes.tail).foreach { case (rel, node) =>
       val (nf, v) = nodeFrame(node)
-      val typed = rel.relType.fold(g.edges)(t => g.edges.filter(col("label") === t))
+      val typed = rel.relType.fold(allEdges)(t => allEdges.filter(relTypePred(col("label"), t)))
       // inline rel props `{k: v}` filter the edge before the join
       val e0 = rel.props.foldLeft(typed) { case (d, (k, lv)) =>
         d.filter(col(k) === graft.sql.Translator.toColumn(lv))
       }
       val eAlias = freshVar()
+      val reused = rel.varName.exists(boundRels) // same-chain dups error earlier
+      // whole-rel struct in the edge's own orientation (stable under the
+      // undirected swap below — direction renders from _src/_dst later)
+      val rProps = e0.columns.filterNot(Set("src", "dst", "_eid")).sorted
+      val rStruct = struct((col("src").as("_src") +: col("dst").as("_dst") +:
+        col("_eid").as("_eid") +: rProps.map(c => col(c).as(c)).toIndexedSeq): _*)
       // undirected `-`: the edge matches in either orientation; a
       // self-loop is its own reversal, so it contributes one binding,
       // not two (openCypher relationship-isomorphism semantics)
@@ -701,31 +813,68 @@ object Cypher {
           .withColumnRenamed("dst", "src").withColumnRenamed("__swap", "dst")
         e.unionByName(swapped.filter(col("src") =!= col("dst")))
       }
-      // variable-length: union of h-fold edge compositions for h in lo..hi
+      // variable-length: union of h-fold edge walks for h in lo..hi, one
+      // row PER WALK (openCypher path multiplicity — not reachability;
+      // TRAVERSE is the frontier-dedup scale path for unbounded sweeps)
       val eBase = rel.hops match {
         case None =>
-          val base = rel.varName match {
-            case Some(rv) => // carry edge props as rv_* columns
-              relVars += rv
-              val propCols = e0.columns.filterNot(c => c == "src" || c == "dst")
-                .map(c => col(c).as(s"${rv}_$c"))
-              e0.select(col("src") +: col("dst") +: propCols.toIndexedSeq: _*)
-            case None => e0.select(col("src"), col("dst"))
-          }
+          val eidCol =
+            rel.varName.filterNot(_ => reused).map(rv => s"${rv}__eid")
+              .getOrElse(s"${eAlias}__eid")
+          marks += RelMark(rel, eAlias, eidCol, isList = false, rel.varName, reused)
+          val keep = Seq(col("src"), col("dst"), col("_eid").as(eidCol)) ++
+            (if (structs) Seq(rStruct.as(s"${eAlias}__rst")) else Nil) ++
+            (rel.varName match {
+              case Some(rv) if !reused =>
+                relVars += rv
+                e0.columns.filterNot(Set("src", "dst", "_eid"))
+                  .map(c => col(c).as(s"${rv}_$c")).toSeq
+              case _ => Nil
+            })
+          val base = e0.select(keep: _*)
           if (rel.direction == "both") bothOriented(base) else base
         case Some((lo, hi)) =>
-          require(lo >= 0 && hi >= lo && hi <= 8, s"unsupported hop range $lo..$hi")
-          val one0 = e0.select(col("src"), col("dst"))
-          val one = if (rel.direction == "both") bothOriented(one0).distinct() else one0
+          require(lo >= 0 && hi <= 8, s"unsupported hop range $lo..$hi")
+          if (reused)
+            throw ParseException(
+              s"variable-length pattern over an already-bound relationship variable")
+          marks += RelMark(rel, eAlias, s"${eAlias}__rs", isList = true, rel.varName, reused)
+          rel.varName.foreach(relListVars += _)
+          val one = {
+            val o = e0.select(col("src"), col("dst"), rStruct.as("__r"))
+            if (rel.direction == "both") bothOriented(o) else o
+          }
+          val firstHop = one.select(col("src"), col("dst"),
+            array(col("__r")).as("__rs"), array(col("src"), col("dst")).as("__ns"))
+          // each extension step refuses relationships already on the walk
           def compose(h: Int): DataFrame =
-            (1 until h).foldLeft(one)((acc, _) =>
-              acc.alias("l").join(one.alias("r"), col("l.dst") === col("r.src"))
-                .select(col("l.src").as("src"), col("r.dst").as("dst")))
-          // `*0..` includes the zero-length hop: endpoint equals start
+            (1 until h).foldLeft(firstHop)((accF, _) =>
+              accF.alias("l").join(one.alias("rr"),
+                  col("l.dst") === col("rr.src") &&
+                    !exists(col("l.__rs"),
+                      x => x.getField("_eid") === col("rr.__r").getField("_eid")))
+                .select(col("l.src").as("src"), col("rr.dst").as("dst"),
+                  concat(col("l.__rs"), array(col("rr.__r"))).as("__rs"),
+                  concat(col("l.__ns"), array(col("rr.dst"))).as("__ns")))
+          // `*0..`: the zero-length walk — endpoint equals start, no rels
           val zero =
-            if (lo == 0) Seq(g.vertices.select(col("id").as("src"), col("id").as("dst")))
+            if (lo == 0 && hi >= 0) Seq(g.vertices.select(col("id").as("src"),
+              col("id").as("dst"), emptyRels(g).as("__rs"), array(col("id")).as("__ns")))
             else Seq.empty
-          (zero ++ (math.max(lo, 1) to hi).map(compose)).reduce(_ union _).distinct()
+          val parts = zero ++ (math.max(lo, 1) to hi).map(compose)
+          // an empty interval (`*2..1`) matches nothing, it is not an error
+          val unioned =
+            if (parts.isEmpty) firstHop.filter(lit(false))
+            else parts.reduce(_ unionByName _)
+          // `in` patterns walk edges backwards: reverse the carried arrays
+          // so they read in the pattern's left-to-right order
+          val oriented =
+            if (rel.direction == "in")
+              unioned.select(col("src"), col("dst"),
+                reverse(col("__rs")).as("__rs"), reverse(col("__ns")).as("__ns"))
+            else unioned
+          oriented.withColumnRenamed("__rs", s"${eAlias}__rs")
+            .withColumnRenamed("__ns", s"${eAlias}__ns")
       }
       val e = eBase
         .withColumnRenamed("src", s"${eAlias}_src")
@@ -741,7 +890,7 @@ object Cypher {
         df = df.join(e, col(s"${prevVar}_id") === col(fromCol))
           .filter(col(toCol) === col(s"${v}_id"))
           .drop(s"${eAlias}_src", s"${eAlias}_dst")
-        node.label.foreach(l => df = df.filter(col(s"${v}_label") === l))
+        node.label.foreach(l => df = df.filter(labelPred(col(s"${v}_label"), l)))
         node.props.foreach { case (k, lv) =>
           df = df.filter(col(s"${v}_$k") === graft.sql.Translator.toColumn(lv)) }
       } else {
@@ -750,9 +899,10 @@ object Cypher {
           .drop(s"${eAlias}_src", s"${eAlias}_dst")
         vars += v
       }
+      nodeSeq += v
       prevVar = v
     }
-    (df, vars, relVars)
+    ChainResult(df, vars, relVars, relListVars, marks.result(), nodeSeq.result())
   }
 
   /** Mutable clause-pipeline state shared by [[compile]] (read-only) and
@@ -760,11 +910,13 @@ object Cypher {
     * a write clause reads the post-mutation graph. */
   private final class Pipeline(g: => PropertyGraph) {
     def session: SparkSession = g.vertices.sparkSession
+    def graph: PropertyGraph = g
     var acc: DataFrame = null
     var nodeVars = Set.empty[String]  // vars with v_* columns (incl. v_id)
     var relVars = Set.empty[String]   // rel vars with r_* prop columns
+    var relListVars = Set.empty[String] // var-length rel vars (list columns)
     var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
-    var paths = Map.empty[String, PatternChain] // named plain paths
+    var paths = Map.empty[String, PathInfo] // named plain paths
     // vertex ids allocated by CREATE clauses of THIS statement: a later
     // CREATE in the same statement wires edges to them by variable name
     val createdIds = scala.collection.mutable.Map.empty[String, Long]
@@ -799,6 +951,25 @@ object Cypher {
             if (nodeVars(v) || relVars(v)) && acc != null &&
               !acc.columns.contains(s"${v}_$prop") =>
           NullLit
+        // graph metadata fns take the VARIABLE itself — leave their
+        // argument alone for flatten's type()/id()/labels() resolution
+        case fc @ FnCall(n, Seq(Ident(_)), _)
+            if Set("type", "id", "labels", "nodes", "relationships", "length",
+              "startnode", "endnode")(n.toLowerCase) =>
+          fc
+        // a bare rel variable inside an expression (s IS NULL, s = t):
+        // its identity column stands in (flatten maps v._eid → v__eid)
+        case Ident(v) if relVars(v) && !scalars(v) =>
+          PropAccess(Ident(v), "_eid")
+        // openCypher head/last are LIST accessors, not aggregates
+        // (0-based `get` is null out-of-bounds — empty lists yield null
+        // instead of an ANSI element_at error)
+        case FnCall(n, Seq(x), _) if n.equalsIgnoreCase("head") =>
+          FnCall("get", Seq(f(x), NumLit(BigDecimal(0), isIntegral = true)))
+        case FnCall(n, Seq(x), _) if n.equalsIgnoreCase("last") =>
+          val fx = f(x)
+          FnCall("get", Seq(fx, Bin("-", FnCall("size", Seq(fx)),
+            NumLit(BigDecimal(1), isIntegral = true))))
         case Bin(op, l, r)          => Bin(op, f(l), f(r))
         case Neg(x)                 => Neg(f(x))
         case Not(x)                 => Not(f(x))
@@ -825,7 +996,8 @@ object Cypher {
     def resolvePatternComps(e: Expr): Expr = e match {
       case PatternComp(chainRef, whereE, mapE) =>
         val chain = chainRef.asInstanceOf[PatternChain]
-        val (pf0, pvars, _) = chainFrame(g, chain)
+        val cr = chainFrame(g, chain)
+        val (pf0, pvars) = (cr.df, cr.nodeVars)
         val pf = whereE.fold(pf0)(w =>
           pf0.filter(graft.sql.Translator.toColumn(flatten(w, Set.empty))))
         val anchors = (nodeVars intersect pvars).toSeq.sorted
@@ -861,61 +1033,144 @@ object Cypher {
 
     def step(clause: Clause): Unit = clause match {
       case MatchC(chains, where, patternPreds, pathBinds) =>
-        // path functions resolve statically from the chain (fixed hop
-        // count); a variable-length rel makes length(p)/nodes(p) per-row
-        // quantities we don't materialize — reject rather than silently
-        // answering with the static 1-hop shape (ADVICE r4)
-        pathBinds.foreach { case (pv, ch) =>
-          if (ch.rels.exists(_.hops.isDefined))
-            throw ParseException(
-              s"path functions over variable-length paths are not supported: $pv")
-        }
         // a path name must not collide with pattern variables
         pathBinds.foreach { case (pv, _) =>
-          if (nodeVars(pv) || relVars(pv) || scalars(pv) ||
+          if (nodeVars(pv) || relVars(pv) || relListVars(pv) || scalars(pv) ||
               chains.exists(ch => ch.nodes.exists(_.varName.contains(pv)) ||
                 ch.rels.exists(_.varName.contains(pv))))
             throw ParseException(s"VariableAlreadyBound: path variable $pv")
         }
-        paths ++= pathBinds
+        val boundBefore = relVars ++ relListVars // earlier clauses: reuse = identity join
+        var localRels = Set.empty[String]        // this MATCH: reuse = error
+        val chainResults = Seq.newBuilder[ChainResult]
+        val pathChains = pathBinds.map(_._2)
         chains.foreach { chain =>
           // openCypher variable discipline: a name is a node var XOR a rel
-          // var (VariableTypeConflict), and a relationship variable binds
-          // at most once across all patterns (VariableAlreadyBound —
-          // relationship uniqueness is per-variable, unlike node vars
-          // which re-joining is legal and common)
+          // var (VariableTypeConflict); a relationship variable binds at
+          // most once WITHIN one MATCH pattern (VariableAlreadyBound),
+          // while a rebinding of an earlier clause's rel variable is a
+          // bound-variable occurrence — the same relationship, joined on
+          // its identity below (TCK Match2 [7], Match3 [24][25])
           val chainRels = chain.rels.flatMap(_.varName)
           chainRels.groupBy(identity).collect { case (rv, occ) if occ.length > 1 =>
             throw ParseException(s"VariableAlreadyBound: relationship variable $rv reused") }
+          if (chainRels.exists(localRels))
+            throw ParseException(
+              "VariableAlreadyBound: relationship variable reused in one MATCH pattern")
           val chainNodes = chain.nodes.flatMap(_.varName).toSet
-          val typeClash = (chainNodes ++ nodeVars) intersect (chainRels.toSet ++ relVars)
+          val typeClash = (chainNodes ++ nodeVars) intersect
+            (chainRels.toSet ++ relVars ++ relListVars)
           if (typeClash.nonEmpty)
             throw ParseException(s"VariableTypeConflict: ${typeClash.mkString(", ")}")
           val pathClash = (chainNodes ++ chainRels) intersect paths.keySet
           if (pathClash.nonEmpty)
             throw ParseException(
               s"VariableTypeConflict: path variable ${pathClash.mkString(", ")} reused")
-          if (chainRels.exists(relVars))
-            throw ParseException("VariableAlreadyBound: relationship variable reused across patterns")
-          val (cf, vars, rvars) = chainFrame(g, chain)
-          if (acc == null) { acc = cf; nodeVars = vars }
-          else {
-            val shared = (nodeVars intersect vars).toSeq.sorted
-            val joinType = if (chain.optional) "left_outer" else "inner"
-            if (shared.isEmpty) acc = acc.crossJoin(cf)
-            else {
-              // join on the shared vars' identity; the chain frame carries
-              // its own copies of the shared columns — rename them away so
-              // the join condition binds unambiguously, then drop them
-              val dup = cf.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_")))
-              val renamed = cf.withColumnsRenamed(dup.map(c => c -> s"__dup_$c").toMap)
-              val cond = shared.map(v => acc(s"${v}_id") === renamed(s"__dup_${v}_id")).reduce(_ && _)
-              acc = acc.join(renamed, cond, joinType)
-                .drop(dup.map(c => s"__dup_$c").toIndexedSeq: _*)
-            }
-            nodeVars ++= vars
+          val cr = chainFrame(g, chain, boundBefore, structs = pathChains.exists(_ == chain))
+          val cf = cr.df
+          if (acc == null) {
+            // a leading OPTIONAL MATCH still yields one all-null row when
+            // nothing matches (openCypher): left-join from the dual row
+            acc =
+              if (chain.optional)
+                g.vertices.sparkSession.range(1).select(lit(1).as("__dual0"))
+                  .join(cf, lit(true), "left_outer").drop("__dual0")
+              else cf
+            nodeVars = cr.nodeVars
           }
-          relVars ++= rvars
+          else {
+            val shared = (nodeVars intersect cr.nodeVars).toSeq.sorted
+            val joinType = if (chain.optional) "left_outer" else "inner"
+            // join on shared node identities plus reused-rel identities;
+            // the chain frame carries its own copies of the shared columns
+            // — rename them away so the condition binds unambiguously
+            val dup = cf.columns.filter(c => shared.exists(v => c.startsWith(s"${v}_")))
+            val renamed = cf.withColumnsRenamed(dup.map(c => c -> s"__dup_$c").toMap)
+            val nodeConds = shared.map(v => acc(s"${v}_id") === renamed(s"__dup_${v}_id"))
+            val reuseConds = cr.marks.filter(_.reused).map { mk =>
+              acc(s"${mk.varName.get}__eid") === renamed(mk.eidCol) }
+            (nodeConds ++ reuseConds).reduceOption(_ && _) match {
+              case Some(cond) =>
+                acc = acc.join(renamed, cond, joinType)
+                  .drop(dup.map(c => s"__dup_$c").toIndexedSeq: _*)
+              case None if chain.optional =>
+                // unanchored OPTIONAL: keep every horizon row even when
+                // the pattern matches nothing
+                acc = acc.join(renamed, lit(true), "left_outer")
+              case None => acc = acc.crossJoin(renamed)
+            }
+            nodeVars ++= cr.nodeVars
+          }
+          relVars ++= cr.relVars
+          relListVars ++= cr.relListVars
+          localRels ++= chainRels
+          chainResults += cr
+        }
+        val allMarks = chainResults.result().flatMap(_.marks)
+        // relationship isomorphism across the whole MATCH pattern: every
+        // pair of distinct relationship occurrences binds distinct
+        // relationships (null-safe: an optional miss disables the pair)
+        locally {
+          def eidOf(mk: RelMark): Column =
+            if (mk.reused) col(s"${mk.varName.get}__eid") else col(mk.eidCol)
+          def idsOf(mk: RelMark): Column =
+            transform(col(mk.eidCol), x => x.getField("_eid"))
+          val conds = for {
+            (a, i) <- allMarks.zipWithIndex
+            (b, j) <- allMarks.zipWithIndex if i < j
+            if !(a.varName.isDefined && a.varName == b.varName)
+          } yield (a.isList, b.isList) match {
+            case (false, false) => coalesce(eidOf(a) =!= eidOf(b), lit(true))
+            case (false, true)  => coalesce(!array_contains(idsOf(b), eidOf(a)), lit(true))
+            case (true, false)  => coalesce(!array_contains(idsOf(a), eidOf(b)), lit(true))
+            case (true, true)   => coalesce(!arrays_overlap(idsOf(a), idsOf(b)), lit(true))
+          }
+          conds.reduceOption(_ && _).foreach(c => acc = acc.filter(c))
+        }
+        // named paths: materialize length / node ids / rel structs as
+        // per-row columns (dynamic for variable-length chains; uniform
+        // columns either way so RETURN p can render the path value)
+        pathBinds.foreach { case (pv, ch) =>
+          val cr = chainResults.result()(chains.indexWhere(_ == ch))
+          var len: Column = lit(0L)
+          var nodesC: Column = array(col(s"${cr.nodeSeq.head}_id"))
+          var relsC: Column = emptyRels(g)
+          cr.marks.zip(cr.nodeSeq.tail).foreach { case (mk, nv) =>
+            if (mk.isList) {
+              val ns = col(s"${mk.alias}__ns"); val rs = col(s"${mk.alias}__rs")
+              len = len + size(rs).cast("long")
+              nodesC = concat(nodesC, slice(ns, lit(2), size(ns) - 1))
+              relsC = concat(relsC, rs)
+            } else {
+              len = len + lit(1L)
+              nodesC = concat(nodesC, array(col(s"${nv}_id")))
+              relsC = concat(relsC, array(col(s"${mk.alias}__rst")))
+            }
+          }
+          // an optional-match miss nulls the whole path, not just pieces
+          // (any endpoint null — shared vars bound before the optional
+          // stay non-null on a miss, so check every chain node)
+          val pnull = cr.nodeSeq.map(v => col(s"${v}_id").isNull).reduce(_ || _)
+          acc = acc.withColumn(s"${pv}__plen", when(pnull, lit(null)).otherwise(len))
+            .withColumn(s"${pv}__pnodes", when(pnull, lit(null)).otherwise(nodesC))
+            .withColumn(s"${pv}__prels", when(pnull, lit(null)).otherwise(relsC))
+          paths += pv -> PathInfo(ch, dynamic = ch.rels.exists(_.hops.isDefined))
+        }
+        // publish variable-length rel variables as list columns; drop the
+        // remaining bookkeeping columns
+        allMarks.foreach { mk =>
+          if (mk.isList) {
+            mk.varName match {
+              case Some(rv) =>
+                acc = acc.withColumnRenamed(s"${mk.alias}__rs", rv)
+                scalars += rv
+              case None => acc = acc.drop(s"${mk.alias}__rs")
+            }
+            acc = acc.drop(s"${mk.alias}__ns")
+          } else {
+            if (mk.reused || mk.varName.isEmpty) acc = acc.drop(mk.eidCol)
+            acc = acc.drop(s"${mk.alias}__rst")
+          }
         }
         // EXISTS{}/COUNT{} blocks in WHERE arrive as pattern comprehensions
         // — resolve them FIRST (it left-joins the grouped counts onto acc;
@@ -927,7 +1182,8 @@ object Cypher {
         // pattern predicates → semi/anti join on the bound vars' identity
         // (the reference's ExpandInto/anti-join rewrite of WHERE patterns)
         patternPreds.foreach { case (chain, neg) =>
-          val (pf, pvars, _) = chainFrame(g, chain)
+          val pcr = chainFrame(g, chain)
+          val (pf, pvars) = (pcr.df, pcr.nodeVars)
           val shared = (nodeVars intersect pvars).toSeq.sorted
           if (shared.isEmpty)
             throw ParseException("pattern predicate must reference a bound variable")
@@ -980,17 +1236,19 @@ object Cypher {
         // `WITH *` carries every variable in scope
         val items0 = items0raw.flatMap {
           case ReturnItem(Ident("*"), None) =>
-            (nodeVars ++ relVars ++ scalars).toSeq.distinct.sorted
+            (nodeVars ++ relVars ++ scalars ++ paths.keySet).toSeq.distinct.sorted
               .map(v => ReturnItem(Ident(v), None))
           case it => Seq(it)
         }
         val items = items0.map(it => it.copy(expr = resolvePatternComps(it.expr)))
-        // bare pattern variables carry all their columns; everything else
-        // projects to a scalar column named by its alias
+        // bare pattern/path variables carry all their columns; everything
+        // else projects to a scalar column named by its alias
         val carried = items.collect {
-          case ReturnItem(Ident(v), None) if nodeVars(v) || relVars(v) => v }
+          case ReturnItem(Ident(v), None)
+              if nodeVars(v) || relVars(v) || paths.contains(v) => v }
         val scalarItems = items.filterNot {
-          case ReturnItem(Ident(v), None) => nodeVars(v) || relVars(v)
+          case ReturnItem(Ident(v), None) =>
+            nodeVars(v) || relVars(v) || paths.contains(v)
           case _ => false
         }
         def name(it: ReturnItem): String = it.alias.getOrElse(exprLabel(it.expr))
@@ -1009,6 +1267,8 @@ object Cypher {
         nodeVars = carried.filter(nodeVars).toSet
         relVars = carried.filter(relVars).toSet
         scalars = scalarItems.map(name).toSet
+        relListVars = relListVars intersect scalars
+        paths = paths.filter { case (pv, _) => carried.contains(pv) }
         if (distinct) acc = acc.distinct()
         if (orderBy.nonEmpty)
           acc = acc.orderBy(orderBy.map { o =>
@@ -1098,12 +1358,32 @@ object Cypher {
     finishReturn(pl, q)
   }
 
+  /** Attach `${pv}__pn`: whole-node structs aligned with the path's
+    * `${pv}__pnodes` id array (explode with position → join vertices →
+    * re-collect in position order). A null path stays null. */
+  private def attachPathNodes(g: PropertyGraph, df: DataFrame, pv: String): DataFrame = {
+    val vstruct = struct(g.vertices.columns.sorted.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val verts = g.vertices.select(col("id").as("__nid2"), vstruct.as("__nstruct"))
+    // the row id is nondeterministic — pin it so the exploded branch and
+    // the join branch see the SAME ids (recomputation under different
+    // partitioning would silently mis-join and null out paths)
+    val withId = df.withColumn("__prow", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val exploded = withId.select(col("__prow"),
+      posexplode(col(s"${pv}__pnodes")).as(Seq("__pos", "__nid")))
+    val collected = exploded.join(verts, col("__nid") === col("__nid2"))
+      .groupBy(col("__prow"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__nstruct")))),
+        x => x.getField("__nstruct")).as(s"${pv}__pn"))
+    withId.join(collected, Seq("__prow"), "left_outer").drop("__prow")
+  }
+
   /** Final RETURN projection over the accumulated pipeline frame. */
   private def finishReturn(pl: Pipeline, q: CypherQuery): DataFrame = {
     // `RETURN *` expands to every variable in scope, alphabetically
     val srcItems = q.items.flatMap {
       case ReturnItem(Ident("*"), None) =>
-        (pl.nodeVars ++ pl.relVars ++ pl.scalars).toSeq.distinct.sorted
+        (pl.nodeVars ++ pl.relVars ++ pl.scalars ++ pl.paths.keySet).toSeq.distinct.sorted
           .map(v => ReturnItem(Ident(v), None))
       case it => Seq(it)
     }
@@ -1111,9 +1391,14 @@ object Cypher {
     val resolved = srcItems.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
     // standalone RETURN (no MATCH/UNWIND horizon): openCypher evaluates
     // the items once — a literal one-row frame, the relational dual table
-    val acc =
+    var acc =
       if (pl.acc != null) pl.acc
       else pl.session.range(1).select(lit(1).as("__dual"))
+    // returned path variables need whole-node structs along the path —
+    // attach them (one explode + vertex join + positional re-collect per
+    // returned path; queries that never return a path pay nothing)
+    resolved.collect { case ReturnItem(Ident(pv), _) if pl.paths.contains(pv) => pv }
+      .distinct.foreach { pv => acc = attachPathNodes(pl.graph, acc, pv) }
     val scalars = pl.scalars
     val items = resolved.map(it =>
       it.copy(expr = flatten(pl.rewriteMetaFns(it.expr), scalars, pl.paths)))
@@ -1133,7 +1418,16 @@ object Cypher {
       case Ident(v) if (pl.nodeVars(v) || pl.relVars(v)) && !scalars(v) =>
         val fields = acc.columns.filter(_.startsWith(s"${v}_")).sorted
           .map(c => col(c).as(c.stripPrefix(s"${v}_")))
-        struct(fields.toIndexedSeq: _*)
+        // an optional-match miss leaves the identity null: the entity IS
+        // null then, not a struct of nulls
+        val idCol =
+          if (acc.columns.contains(s"${v}_id")) col(s"${v}_id") else col(s"${v}__eid")
+        when(idCol.isNull, lit(null)).otherwise(struct(fields.toIndexedSeq: _*))
+      // a bare path variable returns the whole path value: aligned node
+      // structs + rel structs (direction recoverable from _src/_dst)
+      case Ident(pv) if pl.paths.contains(pv) =>
+        when(col(s"${pv}__pnodes").isNull, lit(null)).otherwise(
+          struct(col(s"${pv}__pn").as("_pathn"), col(s"${pv}__prels").as("_pathr")))
       case _ => graft.sql.Translator.toColumn(items(i).expr)
     }
     var out =
@@ -1143,8 +1437,12 @@ object Cypher {
           itemCol(i).as(name(it, i)) }
         val aggs = items.zipWithIndex.collect { case (it, i) if graft.sql.Translator.containsAgg(it.expr) =>
           graft.sql.Translator.toColumn(it.expr).as(name(it, i)) }
-        if (keys.isEmpty) acc.agg(aggs.head, aggs.tail: _*)
-        else acc.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        val grouped =
+          if (keys.isEmpty) acc.agg(aggs.head, aggs.tail: _*)
+          else acc.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        // groupBy puts keys first — restore the RETURN item order
+        grouped.select(items.zipWithIndex.map { case (it, i) =>
+          col(s"`${name(it, i)}`") }: _*)
       } else
         acc.select(items.zipWithIndex.map { case (it, i) =>
           itemCol(i).as(name(it, i)) }: _*)
@@ -1224,8 +1522,9 @@ object Cypher {
         // driver-assigned ids (a scalar max-id fetch; id allocation on a
         // write path is inherently coordinated, cf. the reference's
         // bucket position allocator).
-        val (boundChains, literalChains) = chains.partition(
-          _.nodes.exists(_.varName.exists(pl.nodeVars)))
+        val (boundChains, literalChains) =
+          if (pl.acc == null) (Seq.empty[PatternChain], chains)
+          else (chains, Seq.empty[PatternChain])
 
         if (literalChains.nonEmpty) {
           var idBase: Long = Option(mg.vertices.agg(max(col("id"))).head.get(0))
@@ -1265,25 +1564,48 @@ object Cypher {
             mg.createEdges(eFrames.reduce(_.unionByName(_, allowMissingColumns = true)))
         }
 
+        // per-row creates: openCypher CREATE after MATCH/UNWIND runs once
+        // PER BINDING ROW — new node variables allocate one id per row
+        // (distributed: base offset + monotonic id), their props evaluate
+        // against the row, and the created bindings join the horizon so
+        // later chains/clauses can wire edges to them
         boundChains.foreach { ch =>
-          // CREATE (a)-[:T {...}]->(b) — edges between bound variables,
-          // one row per binding in the accumulated frame
-          var prev = ch.nodes.head
-          ch.rels.zip(ch.nodes.tail).foreach { case (r, n) =>
-            val a = prev.varName.getOrElse(
-              throw ParseException("CREATE edge endpoints must be named variables"))
-            val b = n.varName.getOrElse(
-              throw ParseException("CREATE edge endpoints must be named variables"))
-            if (!pl.nodeVars(a) || !pl.nodeVars(b))
-              throw ParseException(s"CREATE edge endpoints $a/$b must be bound by a preceding MATCH")
-            val t = r.relType.getOrElse(throw ParseException("CREATE edge needs a :type"))
-            val (srcV, dstV) = if (r.direction == "in") (b, a) else (a, b)
-            val rows = pl.acc.select(
-              (col(s"${srcV}_id").as("src") +: col(s"${dstV}_id").as("dst") +:
-                lit(t).as("label") +: litCols(r.props)).toIndexedSeq: _*).distinct()
-            mg.createEdges(rows)
-            prev = n
+          var acc2 = pl.acc
+          val names = ch.nodes.map(n => n.varName.getOrElse(freshVar()))
+          ch.nodes.zip(names).foreach { case (n, v) =>
+            if (!pl.nodeVars(v)) {
+              val base = Option(mg.vertices.agg(max(col("id"))).head.get(0))
+                .map(_.toString.toLong + 1).getOrElse(0L)
+              acc2 = acc2.withColumn(s"${v}_id", lit(base) + monotonically_increasing_id())
+                .withColumn(s"${v}_label", lit(n.label.orNull).cast("string"))
+              n.props.foreach { case (k, e) =>
+                acc2 = acc2.withColumn(s"${v}_$k", pl.toCol(e)) }
+              // pin the allocated ids BEFORE writing so the store and the
+              // horizon agree on them
+              acc2 = acc2.localCheckpoint(true)
+              mg.createVertices(acc2.select(
+                (col(s"${v}_id").as("id") +: col(s"${v}_label").as("label") +:
+                  n.props.map { case (k, _) => col(s"${v}_$k").as(k) }).toIndexedSeq: _*))
+              pl.nodeVars += v
+            } else {
+              // bound endpoint: label/prop constraints on it are CREATE
+              // pattern errors, not filters — leave as-is
+            }
           }
+          var prevV = names.head
+          ch.rels.zip(ch.nodes.tail).zip(names.tail).foreach { case ((r, _), curV) =>
+            val t = r.relType.getOrElse(throw ParseException("CREATE edge needs a :type"))
+            if (r.direction == "both")
+              throw ParseException("CREATE relationship must be directed")
+            val (srcV, dstV) = if (r.direction == "in") (curV, prevV) else (prevV, curV)
+            val rows = acc2.select(
+              (col(s"${srcV}_id").as("src") +: col(s"${dstV}_id").as("dst") +:
+                lit(t).as("label") +:
+                r.props.map { case (k, e) => pl.toCol(e).as(k) }).toIndexedSeq: _*)
+            mg.createEdges(rows)
+            prevV = curV
+          }
+          pl.acc = acc2
         }
 
       case MergeC(ch, onCreate, onMatch) =>
@@ -1291,10 +1613,12 @@ object Cypher {
           throw ParseException("MERGE supports a single node pattern")
         val n = ch.nodes.head
         val v = n.varName.getOrElse("n")
-        val pred = (n.label.map(l => col("label") === l).toSeq ++
+        // `MERGE (n)` with no label/props matches any node (creates one
+        // only into an empty graph)
+        val pred = (n.label.map(l => labelPred(col("label"), l)).toSeq ++
           n.props.map { case (k, e) => col(k) === graft.sql.Translator.toColumn(e) })
           .reduceOption(_ && _)
-          .getOrElse(throw ParseException("MERGE node needs a label or properties"))
+          .getOrElse(lit(true))
         def sets(items: Seq[SetItem]): Seq[(String, Column)] = items.map { it =>
           if (it.varName != v)
             throw ParseException(s"ON CREATE/MATCH SET target ${it.varName} is not the MERGE variable $v")
@@ -1303,8 +1627,16 @@ object Cypher {
         val matched = mg.vertices.filter(pred)
         if (matched.isEmpty) {
           // fold ON CREATE SET into the created row (reference MergeStep's
-          // create path applies them before insert)
-          val base = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
+          // create path applies them before insert); allocate an id when
+          // the props don't carry one
+          val base0 = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
+          val base =
+            if (n.props.exists(_._1 == "id")) base0
+            else {
+              val nextId = Option(mg.vertices.agg(max(col("id"))).head.get(0))
+                .map(_.toString.toLong + 1).getOrElse(0L)
+              lit(nextId).as("id") +: base0
+            }
           val row0 = mg.spark.range(1).select(base: _*)
           val row = sets(onCreate).foldLeft(row0) { case (d, (p2, c)) => d.withColumn(p2, c) }
           mg.createVertices(row)
@@ -1322,12 +1654,26 @@ object Cypher {
         }
 
       case DeleteC(vars, detach) =>
-        val ids = vars.map { v =>
-          if (!pl.nodeVars(v))
-            throw ParseException(s"DELETE target $v is not a bound node variable")
-          pl.acc.select(col(s"${v}_id").as("id"))
-        }.reduce(_ union _)
-        mg.deleteVertices(ids, detach)
+        // DELETE accepts node variables (vertices go, with incident edges
+        // under DETACH) and relationship variables (edges go by identity)
+        val (relTargets, nodeTargets) = vars.partition(v =>
+          pl.relVars(v) || pl.relListVars(v))
+        relTargets.foreach { v =>
+          val eids =
+            if (pl.relListVars(v))
+              pl.acc.select(explode(col(v)).as("__r"))
+                .select(col("__r").getField("_eid").as("eid"))
+            else pl.acc.select(col(s"${v}__eid").as("eid"))
+          mg.deleteEdges(eids)
+        }
+        if (nodeTargets.nonEmpty) {
+          val ids = nodeTargets.map { v =>
+            if (!pl.nodeVars(v))
+              throw ParseException(s"DELETE target $v is not a bound node variable")
+            pl.acc.select(col(s"${v}_id").as("id"))
+          }.reduce(_ union _)
+          mg.deleteVertices(ids, detach)
+        }
 
       case ForeachC(x, list, body) =>
         // one distributed frame of elements; each body clause is a bulk

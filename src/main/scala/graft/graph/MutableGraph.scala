@@ -43,10 +43,25 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     overwriteV(evolved(v, rows.localCheckpoint(eager = true)))
   }
 
-  /** CREATE (a)-[:T {...}]->(b) — append edge rows, evolving the schema. */
+  /** CREATE (a)-[:T {...}]->(b) — append edge rows, evolving the schema.
+    * Every created edge gets a persistent `_eid` identity (parallel edges
+    * between the same endpoints are distinct relationships — openCypher
+    * relationship identity; cf. the reference's RID-per-edge model).
+    * Offset + monotonically_increasing_id keeps the assignment
+    * distributed — ids are unique, not dense. */
   def createEdges(rows: DataFrame): Unit = {
     val e = edges
-    overwriteE(evolved(e, rows.localCheckpoint(eager = true)))
+    val withId =
+      if (rows.columns.contains("_eid")) rows
+      else {
+        val next =
+          if (e.columns.contains("_eid"))
+            Option(e.agg(max(col("_eid"))).head.get(0))
+              .map(_.toString.toLong + 1).getOrElse(0L)
+          else 0L
+        rows.withColumn("_eid", lit(next) + monotonically_increasing_id())
+      }
+    overwriteE(evolved(e, withId.localCheckpoint(eager = true)))
   }
 
   /** SET v.prop = expr on vertices whose id ∈ `ids`. Set expressions are
@@ -78,6 +93,15 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
       overwriteE(kept)
     }
     overwriteV(vertices.join(broadcast(keys), col("id") === col("__del_id"), "left_anti"))
+  }
+
+  /** DELETE r — remove relationships by their `_eid` identity. */
+  def deleteEdges(eids: DataFrame): Unit = {
+    val keys = eids.select(col("eid").as("__del_eid")).distinct()
+      .localCheckpoint(eager = true)
+    if (!edges.columns.contains("_eid"))
+      throw new IllegalStateException("edge store has no _eid identity column")
+    overwriteE(edges.join(broadcast(keys), col("_eid") === col("__del_eid"), "left_anti"))
   }
 
   /** MERGE (n:label {k: v, ...}): bind if a vertex matches `pred`, else

@@ -468,6 +468,47 @@ object Parser {
           p.expectOp("}")
         }
         e = StructLit(b.result())
+      } else if (p.peek == TOp("[")) {
+        // subscript `e[i]` (0-based, openCypher) / slice `e[lo..hi]`
+        // (end-exclusive; negatives count from the end; open ends default
+        // to 0/size). The lexer fuses `1..3` into one numeric token and
+        // `..3` into TOp(.) TNum(.3) — unpick both here.
+        p.expectOp("[")
+        val sizeE = FnCall("size", Seq(e))
+        def sliceOf(lo: Expr, hi: Expr): Expr = FnCall("list_slice", Seq(e, lo, hi))
+        def hiOrEnd(): Expr = if (p.peek == TOp("]")) sizeE else parseExpr(p)
+        val out = p.peek match {
+          case TNum(s) if s.matches("-?\\d+\\.\\.\\d*") =>
+            p.next()
+            val parts = s.split("\\.\\.", -1)
+            val lo = NumLit(BigDecimal(parts(0)), isIntegral = true)
+            val hi =
+              if (parts(1).nonEmpty) NumLit(BigDecimal(parts(1)), isIntegral = true)
+              else hiOrEnd()
+            sliceOf(lo, hi)
+          case TOp(".") => // `[..hi]`
+            p.next()
+            p.peek match {
+              case TNum(s) if s.startsWith(".") =>
+                p.next()
+                sliceOf(NumLit(0, isIntegral = true),
+                  NumLit(BigDecimal(s.drop(1)), isIntegral = true))
+              case TOp(".") =>
+                p.next(); sliceOf(NumLit(0, isIntegral = true), hiOrEnd())
+              case other => throw ParseException(s"invalid slice bound: $other")
+            }
+          case _ =>
+            val ix = parseExpr(p)
+            if (p.op(".")) { // `lo..hi` with expression bounds
+              p.expectOp(".")
+              sliceOf(ix, hiOrEnd())
+            } else ix match {
+              case s: StrLit => FnCall("map_index", Seq(e, s))
+              case _ => FnCall("list_index", Seq(e, ix))
+            }
+        }
+        p.expectOp("]")
+        e = out
       } else {
         // nested projection suffix `:{f1, f2 AS a}` / `:{*, !f}`
         // (NestedProjection.java) — only when ':' is followed by '{'

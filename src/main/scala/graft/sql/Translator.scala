@@ -499,6 +499,18 @@ object Translator {
       case "array_compact" => array_compact(args.head)
       // Cypher list functions (size/head/tail/range — openCypher list surface)
       case "size"       => size(args.head)
+      case "get"        => get(args(0), args(1)) // 0-based, null out-of-bounds
+      // postfix subscript forms (openCypher 0-based; negatives from end;
+      // try_element_at: null out-of-bounds instead of an ANSI error)
+      case "list_index" =>
+        try_element_at(args(0),
+          when(args(1) >= lit(0), args(1) + lit(1)).otherwise(args(1)).cast("int"))
+      case "map_index"  => try_element_at(args(0), args(1))
+      case "list_slice" =>
+        val arr = args(0)
+        val lo = when(args(1) >= lit(0), args(1)).otherwise(size(arr) + args(1))
+        val hi = when(args(2) >= lit(0), args(2)).otherwise(size(arr) + args(2))
+        slice(arr, (lo + lit(1)).cast("int"), greatest(hi - lo, lit(0)).cast("int"))
       case "head"       => element_at(args.head, 1)
       case "tail"       => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))
       case "range"      => // inclusive, like Cypher's range()

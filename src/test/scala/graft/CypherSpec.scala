@@ -143,11 +143,12 @@ class CypherSpec extends AnyFunSuite {
         "RETURN length(p) AS len, size(nodes(p)) AS nn, " +
         "array_join(relationships(p), '|') AS rels LIMIT 1").collect().head
     assert(row.getLong(0) == 1L && row.getInt(1) == 2 && row.getString(2) == "placed")
-    // a named path over a variable-length rel has no static shape — the
-    // engine must refuse rather than answer length(p) with the 1-hop chain
-    intercept[graft.sql.Parser.ParseException] {
-      Cypher.query(g, "MATCH p = (a:part)-[:co*1..3]->(b:part) RETURN length(p)")
-    }
+    // a named path over a variable-length rel resolves per-row: length(p)
+    // is the actual hop count of each walk, not the static chain shape
+    val lens = Cypher.query(PropertyGraph.fromTpch(spark, sfDir),
+      "MATCH p = (c:customer {key: 1})-[:placed*1..2]->(x) " +
+        "RETURN DISTINCT length(p) AS len ORDER BY len").collect().map(_.getLong(0))
+    assert(lens.sameElements(Array(1L)))
   }
 
   test("Cypher string function names: toUpper/toLower/split") {

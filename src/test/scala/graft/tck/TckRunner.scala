@@ -27,6 +27,7 @@ object TckRunner {
     var expectError = false
     var expectEmpty = false
     var ordered = false
+    var unorderedLists = false
     var expectTable: Vector[Vector[String]] = null
 
     sc.steps.foreach { st =>
@@ -40,6 +41,7 @@ object TckRunner {
       else if (t.contains("the result should be empty")) expectEmpty = true
       else if (t.contains("the result should be")) {
         ordered = t.contains(", in order") && !t.contains("in any order")
+        unorderedLists = t.contains("ignoring element order for lists")
         expectTable = st.table
       }
       // side-effect steps intentionally ignored
@@ -69,19 +71,33 @@ object TckRunner {
       } else if (expectTable == null) {
         None // write-only scenario with side-effect assertions: result unchecked
       } else {
-        compare(rows, expectTable, ordered)
+        compare(rows, expectTable, ordered, unorderedLists)
       }
     }
   }
 
+  /** "(ignoring element order for lists)" — canonicalize every list as a
+    * sorted multiset, recursively, on both sides before comparing. */
+  private def canonLists(tv: TV): TV = tv match {
+    case VList(xs) => VList(xs.map(canonLists).sortBy(_.toString))
+    case VMap(m) => VMap(m.view.mapValues(canonLists).toMap)
+    case VNode(ls, ps) => VNode(ls, ps.view.mapValues(canonLists).toMap)
+    case VRel(t, ps) => VRel(t, ps.view.mapValues(canonLists).toMap)
+    case other => other
+  }
+
   private def compare(rows: Array[org.apache.spark.sql.Row],
-      table: Vector[Vector[String]], ordered: Boolean): Option[String] = {
+      table: Vector[Vector[String]], ordered: Boolean,
+      unorderedLists: Boolean): Option[String] = {
     val header = table.head
-    val expected = table.tail.map(_.map(TckValues.parse))
+    val expected0 = table.tail.map(_.map(TckValues.parse))
     val gotCols = if (rows.isEmpty) header else rows.head.schema.fieldNames.toVector
     if (gotCols.map(_.trim) != header.map(_.trim))
       return Some(s"columns [${gotCols.mkString(", ")}] != expected [${header.mkString(", ")}]")
-    val got = rows.toVector.map(r => header.indices.map(ix => TckValues.fromSpark(r.get(ix))).toVector)
+    val got0 = rows.toVector.map(r => header.indices.map(ix => TckValues.fromSpark(r.get(ix))).toVector)
+    val (got, expected) =
+      if (unorderedLists) (got0.map(_.map(canonLists)), expected0.map(_.map(canonLists)))
+      else (got0, expected0)
     if (got.length != expected.length)
       return Some(s"row count ${got.length} != expected ${expected.length}\n" +
         s"got: ${got.take(5).mkString("; ")}\nexp: ${expected.take(5).mkString("; ")}")

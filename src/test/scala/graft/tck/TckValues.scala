@@ -17,6 +17,8 @@ final case class VList(xs: Vector[TV]) extends TV
 final case class VMap(m: Map[String, TV]) extends TV
 final case class VNode(labels: Set[String], props: Map[String, TV]) extends TV
 final case class VRel(tpe: String, props: Map[String, TV]) extends TV
+/** A path: nodes plus (rel, forward?) steps — `<(:A)-[:T]->(:B)>`. */
+final case class VPath(nodes: Vector[TV], steps: Vector[(TV, Boolean)]) extends TV
 
 final class TckUnsupported(msg: String) extends RuntimeException(msg)
 
@@ -54,7 +56,7 @@ object TckValues {
           if (!eof && peek == ':') { i = save; rel() } else { i = save; list() }
         case '(' => node()
         case '{' => map()
-        case '<' => throw new TckUnsupported("path values not supported")
+        case '<' => path()
         case _ => atom()
       }
     }
@@ -139,6 +141,31 @@ object TckValues {
       VNode(labels.result(), props)
     }
 
+    /** `<(:A)-[:T {k: 1}]->(:B)<-[:X]-(:C)>` — nodes joined by directed
+      * or reversed steps. */
+    def path(): TV = {
+      expect('<'); ws()
+      val nodes = Vector.newBuilder[TV]
+      val steps = Vector.newBuilder[(TV, Boolean)]
+      nodes += node()
+      ws()
+      while (!eof && peek != '>') {
+        val back = peek == '<'
+        if (back) { i += 1; ws() }
+        expect('-'); ws()
+        val r = if (!eof && peek == '[') rel() else VRel("", Map.empty)
+        ws(); expect('-'); ws()
+        val fwd = !eof && peek == '>'
+        if (fwd) { i += 1; ws() }
+        if (back == fwd) throw new TckUnsupported("undirected step in path literal")
+        steps += ((r, fwd))
+        nodes += node()
+        ws()
+      }
+      expect('>')
+      VPath(nodes.result(), steps.result())
+    }
+
     def rel(): TV = {
       expect('['); ws(); expect(':')
       val ks = i
@@ -172,14 +199,37 @@ object TckValues {
     case r: org.apache.spark.sql.Row =>
       val names = r.schema.fieldNames
       val fields = names.zipWithIndex.map { case (f, ix) => f -> fromSpark(r.get(ix)) }.toMap
-      if (names.contains("id") && names.contains("label")) {
+      // engine-internal metadata fields (_eid/_src/_dst/…) are not
+      // user-visible properties
+      def props(m: Map[String, TV]): Map[String, TV] =
+        m.filter { case (k, v) => !k.startsWith("_") && v != VNull }
+      if (names.contains("_pathn") && names.contains("_pathr")) {
+        // whole-path struct: aligned node structs + rel structs; per-step
+        // direction recovered from the rel's true _src vs the node order
+        val nodes = fields("_pathn") match { case VList(xs) => xs; case _ => Vector.empty }
+        val nrows = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("_pathn")
+        val rrows = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("_pathr")
+        if (nrows == null || rrows == null || nrows.exists(_ == null) || rrows.exists(_ == null))
+          VNull
+        else {
+          val nodeIds = nrows.map(n => n.getAs[Long]("id")).toVector
+          val steps = rrows.toVector.zipWithIndex.map { case (rr, i) =>
+            val fwd = rr.getAs[Long]("_src") == nodeIds(i)
+            (fromSpark(rr), fwd)
+          }
+          VPath(nodes, steps)
+        }
+      } else if (names.contains("id") && names.contains("label")) {
         // whole-node struct: id is identity, label is the label set,
         // null-valued columns are absent properties
-        val labels = fields("label") match { case VStr(l) => Set(l); case _ => Set.empty[String] }
-        VNode(labels, fields.removedAll(Seq("id", "label")).filter(_._2 != VNull))
+        val labels = fields("label") match {
+          case VStr(l) => l.split(':').filter(_.nonEmpty).toSet
+          case _ => Set.empty[String]
+        }
+        VNode(labels, props(fields.removedAll(Seq("id", "label"))))
       } else if (names.contains("label")) {
         val t = fields("label") match { case VStr(l) => l; case _ => "" }
-        VRel(t, fields.removed("label").filter(_._2 != VNull))
+        VRel(t, props(fields.removed("label")))
       } else VMap(fields)
     case other => throw new TckUnsupported(s"unconvertible result value: $other (${other.getClass})")
   }

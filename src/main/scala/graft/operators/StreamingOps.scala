@@ -38,6 +38,47 @@ object StreamingOps {
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast(DoubleType)
 
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked stream-stream self-join over an events directory: each
+    * event (user_id < 10) joined to the same user's follow-up events
+    * within 1 hour. Both sides carry 1-hour watermarks, so Spark evicts
+    * join state older than watermark + range — the state bound that makes
+    * this run on an unbounded stream. Returns the joined result plus the
+    * final [[StreamingQueryProgress]] so tests can pin that bound
+    * (StreamingSpec asserts numRowsTotal against a watermark-derived
+    * row count). `maxFilesPerTrigger` splits the run into multiple
+    * micro-batches (file order = event-time order advances the watermark
+    * between batches, exercising eviction). */
+  def streamSelfJoin(s: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    def src = {
+      val r = s.readStream.schema(eventsSchema)
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("user_id") < 10)
+    }
+    val a = src.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+      col("ts").as("a_ts")).withWatermark("a_ts", "1 hour")
+    val b = src.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts")).withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+    val sinkName = s"stream_join_${streamSeq.incrementAndGet()}"
+    val query = joined.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    (s.table(sinkName), query.recentProgress)
+  }
+
   /** Daily per-type aggregate used by the continuous-aggregate queries. */
   private def dailyAgg(ev: DataFrame): DataFrame =
     ev.groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
@@ -155,33 +196,13 @@ object StreamingOps {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.user_id < 10 AND b.user_id < 10
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val srcDir = stateDir("stream_src3", d)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         java.nio.file.Paths.get(s"$srcDir/events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      def src = s.readStream.schema(schema).parquet(srcDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .filter(col("user_id") < 10)
-      val a = src.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
-        col("ts").as("a_ts")).withWatermark("a_ts", "1 hour")
-      val b = src.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
-        col("ts").as("b_ts")).withWatermark("b_ts", "1 hour")
-      val joined = a.join(b,
-        col("a_user") === col("b_user") &&
-          col("b_ts") > col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
-      val sinkName = s"stream_join_${streamSeq.incrementAndGet()}"
-      val query = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      s.table(sinkName).orderBy("a_id", "b_id")
+      streamSelfJoin(s, srcDir)._1.orderBy("a_id", "b_id")
     },
 
     // ---- materialized view, INCREMENTAL refresh of stale groups only ----

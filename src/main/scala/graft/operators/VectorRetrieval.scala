@@ -135,6 +135,83 @@ object VectorRetrieval {
     (out, pruned._2, totalPostings)
   }
 
+  /** Block-max WAND (the full BmwScorer.java idea): on top of
+    * [[sparseTopKPruned]]'s one global upper bound per dim, each posting
+    * list is split into doc-id blocks of `blockWidth` and a max
+    * contribution is kept PER (dim, block) — the block-max metadata.
+    * A block whose ascending-ub dim prefix sums below θ is non-essential
+    * for those dims: a doc in it whose postings all fall in that prefix
+    * cannot reach θ. Candidates must survive BOTH the global essential
+    * test and the per-block one (each is independently sound, so the
+    * intersection is — and postingsScored is ≤ the global variant's by
+    * construction, strictly lower whenever some block's maxima sit well
+    * under the global ones).
+    *
+    * Scale shape: the (dim, block) maxima and the essentiality prefix are
+    * computed as DataFrames (groupBy + one window partitioned by block —
+    * block count grows with the corpus, so this metadata NEVER collects
+    * to the driver); only θ's k-row seed does.
+    * Returns (top-k frame, postingsScored, postingsTotal). */
+  def sparseTopKBlockMax(emb: DataFrame, queryVecId: Long, k: Int,
+      blockWidth: Int = 32): (DataFrame, Long, Long) = {
+    val p = sparsePostings(emb, SparseThreshold)
+    val q = p.filter(col("vec_id") === queryVecId).select(col("dim"), col("w").as("qw"))
+    val pq = p.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("w") * col("qw")).as("c"),
+        floor(col("vec_id") / blockWidth).as("blk"))
+      .persist()
+    val totalPostings = pq.count()
+    val gubs = pq.groupBy("dim").agg(max(col("c")).as("ub")).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("ub")).toSeq
+    val pruned =
+      if (gubs.isEmpty) (pq.select(col("vec_id"), lit(0.0).as("score")).limit(0), 0L)
+      else {
+        // θ seed — identical to sparseTopKPruned: the k-th exact score
+        // among the docs of the single highest-impact dim lower-bounds
+        // the true k-th score
+        val seedDim = gubs.maxBy(u => (u._2, -u._1))._1
+        val seedDocs = pq.filter(col("dim") === seedDim).select("vec_id").distinct()
+        val seed = pq.join(broadcast(seedDocs), Seq("vec_id"))
+          .groupBy("vec_id").agg(sum(col("c")).as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(k).collect()
+        val theta = if (seed.length < k) Double.NegativeInfinity
+          else seed.last.getAs[Double]("s")
+        if (theta <= 0) {
+          // a non-positive θ prunes nothing (negative contributions can
+          // never be excluded) — score everything, like the global variant
+          (pq.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")), totalPostings)
+        } else {
+          // global essential dims (sparseTopKPruned's criterion)
+          val nonPosG = gubs.filter(_._2 <= 0).map(_._1)
+          val posG = gubs.filter(_._2 > 0).sortBy(u => (u._2, u._1))
+          val cumG = posG.map(_._2).scanLeft(0.0)(_ + _).drop(1)
+          val nonEssG = (nonPosG ++ posG.zip(cumG).takeWhile(_._2 < theta).map(_._1._1)).toSet
+          val essG = gubs.map(_._1).filterNot(nonEssG).map(Integer.valueOf)
+          val candsG = pq.filter(col("dim").isin(essG: _*)).select("vec_id").distinct()
+          // per-block essential (dim, blk) pairs: ub ≤ 0 never raises a
+          // score; positive ubs ascend per block, inclusive cumsum < θ
+          // is the non-essential prefix
+          val bubs = pq.groupBy("blk", "dim").agg(max(col("c")).as("ub"))
+          val w = Window.partitionBy(col("blk"))
+            .orderBy(col("ub").asc, col("dim").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val essPairs = bubs
+            .withColumn("cum", sum(when(col("ub") > 0, col("ub")).otherwise(0.0)).over(w))
+            .filter(col("ub") > 0 && col("cum") >= theta)
+            .select("blk", "dim")
+          val candsB = pq.join(essPairs, Seq("blk", "dim")).select("vec_id").distinct()
+          val cands = candsG.join(candsB, Seq("vec_id"))
+          val hit = pq.join(broadcast(cands), Seq("vec_id"))
+          (hit.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")), hit.count())
+        }
+      }
+    val out = TopK.ranked(pruned._1, k, "rn", col("score").desc, col("vec_id"))
+      .localCheckpoint(eager = true)
+    pq.unpersist(blocking = false)
+    (out, pruned._2, totalPostings)
+  }
+
   /** Greedy MMR over one query's candidate group. Scores and pairwise
     * cosines are rounded to 6 digits BEFORE the greedy loop so the
     * selection sequence is bit-identical across engines. Ties pick the
@@ -343,7 +420,7 @@ object VectorRetrieval {
          |  SELECT vec_id, score,
          |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM scored)
          |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
-      sparseTopKPruned(Tables.embeddings(s, d), queryVecId = 0, k = 20)._1.orderBy("rn")
+      sparseTopKBlockMax(Tables.embeddings(s, d), queryVecId = 0, k = 20)._1.orderBy("rn")
     },
 
     // ---- reciprocal-rank fusion of cosine + L2 rankings (RRFScore) ----

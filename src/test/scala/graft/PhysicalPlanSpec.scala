@@ -150,6 +150,41 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(scored < total, s"no postings pruned: scored=$scored total=$total")
   }
 
+  test("block-max WAND matches exact results and prunes strictly more than global WAND") {
+    import graft.operators.VectorRetrieval
+    import org.apache.spark.sql.functions.{col, expr}
+    // identity on the real corpus: block-max must never change a row
+    val real = Tables.embeddings(spark, sfDir)
+    val exactR = VectorRetrieval.sparseTopK(real, 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val bmR = VectorRetrieval.sparseTopKBlockMax(real, 0L, 20)._1.orderBy("rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(bmR == exactR, "block-max changed the top-k on the real corpus")
+
+    // the refinement corpus: a band of elite docs makes every dim's
+    // GLOBAL upper bound large (global WAND can barely prune), while the
+    // chaff blocks' per-block maxima stay small — only block-max metadata
+    // sees that whole blocks cannot reach θ
+    val corpus = spark.range(0, 400).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+        CASE WHEN id = 0 THEN (CASE WHEN d < 8 THEN 1.0 - CAST(d AS DOUBLE) * 0.1 ELSE 0.0 END)
+        WHEN id < 64 THEN (CASE WHEN d = CAST(id % 8 AS INT) THEN 0.95 ELSE 0.0 END)
+        ELSE (CASE WHEN d = CAST(id % 8 AS INT) THEN 0.3 ELSE 0.0 END) END)""")
+        .as("embedding"))
+    val exactS = VectorRetrieval.sparseTopK(corpus, 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val (prunedDf, scoredG, totalG) = VectorRetrieval.sparseTopKPruned(corpus, 0L, 20)
+    val (bmDf, scoredB, totalB) = VectorRetrieval.sparseTopKBlockMax(corpus, 0L, 20)
+    val prunedS = prunedDf.orderBy("rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val bmS = bmDf.orderBy("rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(prunedS == exactS && bmS == exactS, "pruning changed the top-k")
+    assert(totalB == totalG)
+    assert(scoredB < scoredG,
+      s"block-max did not tighten pruning: blockmax=$scoredB global=$scoredG total=$totalG")
+  }
+
   test("JVM-loop shingles and minhash signatures are bit-identical to the expression forms") {
     import graft.operators.TextPipeline
     import org.apache.spark.sql.functions.col

@@ -168,7 +168,7 @@ object Cypher {
       case _ => None
     }
 
-  def parse(text: String): CypherQuery = {
+  def parse(text: String): CypherQuery = graft.StatementCache.cached("cypher", text) {
     Parser.bracketExt.set(patternCompExt)
     Parser.braceExt.set(existsCountExt)
     try parseImpl(text) finally {

@@ -83,7 +83,10 @@ object Gremlin {
   }
 
   /** Parse `g.V().has(...)...` into steps with .by() modulators attached. */
-  private def parse(text: String): List[Step] = {
+  private def parse(text: String): List[Step] =
+    graft.StatementCache.cached("gremlin", text)(parseImpl(text))
+
+  private def parseImpl(text: String): List[Step] = {
     val body = text.trim.stripPrefix("g").stripPrefix(".")
     val calls = splitTop(body, '.').map { c =>
       val t = c.trim

@@ -43,7 +43,7 @@ object PromQL {
 
   // ---------------- parser ----------------
 
-  def parse(text: String): PExpr = {
+  def parse(text: String): PExpr = graft.StatementCache.cached("promql", text) {
     val p = new Parser.P(Parser.lex(text))
     val e = parseExpr(p)
     if (p.peek != Parser.TEof) throw ParseException(s"trailing input at ${p.peek}")

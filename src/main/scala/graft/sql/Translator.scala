@@ -316,6 +316,11 @@ object Translator {
       case "instr" | "strpos" => instr(args(0), litToStr(argEs(1))) // 1-based, SQL convention
       case "chr"        => call_function("char", args.head)
       case "left"       => substring(args.head, 1, litToInt(argEs(1)))
+      // ANSI substring(str, pos[, len]) — 1-based, like the subString
+      // method form and Spark's own
+      case "substring"  =>
+        if (args.length >= 3) substring(args(0), litToInt(argEs(1)), litToInt(argEs(2)))
+        else args(0).substr(args(1), length(args(0)))
       case "right"      =>
         val n = litToInt(argEs(1))
         args.head.substr(length(args.head) - n + 1, lit(n))
@@ -775,7 +780,8 @@ object GraftSql {
   def query(spark: SparkSession, dir: String, sql: String,
       cat: TypeCatalog = TypeCatalog.default,
       fns: FunctionRegistry = new FunctionRegistry): DataFrame =
-    Translator.compile(spark, dir, cat, Parser.parse(sql), fns.snapshot)
+    Translator.compile(spark, dir, cat,
+      graft.StatementCache.cached("sql", sql)(Parser.parse(sql)), fns.snapshot)
 
   /** Execute one SELECT or DML statement (INSERT/UPDATE/DELETE route to
     * the type's writable storage via MutableTable). `EXPLAIN <select>`

@@ -55,7 +55,10 @@ object Cypher {
       direction: String, hops: Option[(Int, Int)] = None,
       props: Seq[(String, Expr)] = Seq.empty)
   final case class PatternChain(nodes: Seq[NodePat], rels: Seq[RelPat], optional: Boolean)
-  final case class ReturnItem(expr: Expr, alias: Option[String])
+  /** `raw` = the item's verbatim source span (openCypher: an unaliased
+    * column is labeled with its source text, case and spacing intact). */
+  final case class ReturnItem(expr: Expr, alias: Option[String],
+      raw: Option[String] = None)
 
   sealed trait Clause
   /** `patternPreds`: WHERE pattern predicates `(n)-[:T]->(...)` (negated
@@ -171,14 +174,19 @@ object Cypher {
   def parse(text: String): CypherQuery = graft.StatementCache.cached("cypher", text) {
     Parser.bracketExt.set(patternCompExt)
     Parser.braceExt.set(existsCountExt)
+    Parser.labelTestExt.set(true)
     try parseImpl(text) finally {
       Parser.bracketExt.remove()
       Parser.braceExt.remove()
+      Parser.labelTestExt.remove()
     }
   }
 
   private def parseImpl(text: String): CypherQuery = {
-    val p = new Parser.P(Parser.lex(text))
+    val (toks, offs) = Parser.lexWithOffsets(text)
+    val p = new Parser.P(toks)
+    p.src = text
+    p.offs = offs
     val q = parseQuery(p)
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     q
@@ -420,9 +428,11 @@ object Cypher {
     // `WITH *` / `RETURN *`: all variables in scope (expanded at
     // compile time against the pipeline's variable sets)
     if (p.op("*")) return ReturnItem(Ident("*"), None)
+    val start = p.pos
     val e = Parser.parseExpr(p)
+    val raw = if (p.src != null) Some(p.spanFrom(start)) else None
     val alias = if (p.kw("AS")) Some(Parser.ident(p)) else None
-    ReturnItem(e, alias)
+    ReturnItem(e, alias, raw)
   }
 
   /** MATCH-WHERE with openCypher pattern predicates: the clause is split
@@ -775,9 +785,12 @@ object Cypher {
     def nodeFrame(n: NodePat): (DataFrame, String) = {
       val v = n.varName.getOrElse(freshVar())
       val labeled = n.label.fold(g.vertices)(l => g.vertices.filter(labelPred(col("label"), l)))
-      // inline props filter BEFORE the rename so it can push to the scan
+      // inline props filter BEFORE the rename so it can push to the scan;
+      // a property the schema has never seen matches nothing (openCypher
+      // property bags — no node carries it, so the pattern is empty)
       val base = n.props.foldLeft(labeled) { case (d, (k, lv)) =>
-        d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+        if (d.columns.contains(k)) d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+        else d.filter(lit(false))
       }
       val renamed = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"${v}_$c"))
       (renamed, v)
@@ -794,9 +807,11 @@ object Cypher {
     chain.rels.zip(chain.nodes.tail).foreach { case (rel, node) =>
       val (nf, v) = nodeFrame(node)
       val typed = rel.relType.fold(allEdges)(t => allEdges.filter(relTypePred(col("label"), t)))
-      // inline rel props `{k: v}` filter the edge before the join
+      // inline rel props `{k: v}` filter the edge before the join; a
+      // never-seen property matches nothing (same rule as nodeFrame)
       val e0 = rel.props.foldLeft(typed) { case (d, (k, lv)) =>
-        d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+        if (d.columns.contains(k)) d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+        else d.filter(lit(false))
       }
       val eAlias = freshVar()
       val reused = rel.varName.exists(boundRels) // same-chain dups error earlier
@@ -892,7 +907,10 @@ object Cypher {
           .drop(s"${eAlias}_src", s"${eAlias}_dst")
         node.label.foreach(l => df = df.filter(labelPred(col(s"${v}_label"), l)))
         node.props.foreach { case (k, lv) =>
-          df = df.filter(col(s"${v}_$k") === graft.sql.Translator.toColumn(lv)) }
+          df =
+            if (df.columns.contains(s"${v}_$k"))
+              df.filter(col(s"${v}_$k") === graft.sql.Translator.toColumn(lv))
+            else df.filter(lit(false)) }
       } else {
         df = df.join(e, col(s"${prevVar}_id") === col(fromCol))
           .join(nf, col(toCol) === col(s"${v}_id"))
@@ -921,7 +939,106 @@ object Cypher {
     // CREATE in the same statement wires edges to them by variable name
     val createdIds = scala.collection.mutable.Map.empty[String, Long]
     def toCol(e: Expr): Column =
-      graft.sql.Translator.toColumn(flatten(rewriteMetaFns(e), scalars, paths))
+      graft.sql.Translator.toColumn(typed(flatten(rewriteMetaFns(substParams(e)), scalars, paths)))
+
+    /** Static type tag of a flattened expression against the horizon's
+      * schema: 's' string, 'a' list, 'i' integral, 'f' fractional,
+      * '?' unknown. */
+    def typeTag(e: Expr): Char = e match {
+      case StrLit(_)                       => 's'
+      case ArrayLit(_) | ListComp(_, _, _, _) => 'a'
+      case NumLit(_, i)                    => if (i) 'i' else 'f'
+      case Neg(x)                          => typeTag(x)
+      case Ident(c) if acc != null && acc.columns.contains(c) =>
+        import org.apache.spark.sql.types._
+        acc.schema(c).dataType match {
+          case StringType                                      => 's'
+          case _: ArrayType                                    => 'a'
+          case LongType | IntegerType | ShortType | ByteType   => 'i'
+          case DoubleType | FloatType | _: DecimalType         => 'f'
+          case _                                               => '?'
+        }
+      case FnCall(n, _, _) if Set("count", "count_distinct", "size", "length",
+          "id", "sum_int", "sum_int_distinct", "intdiv")(n.toLowerCase) => 'i'
+      case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("abs") => typeTag(a)
+      case FnCall(n, args, _) if n.equalsIgnoreCase("concat") && args.nonEmpty =>
+        typeTag(args.head)
+      case Bin(op, l, r) if Set("+", "-", "*", "%")(op) =>
+        (typeTag(l), typeTag(r)) match {
+          case ('i', 'i')                            => 'i'
+          case (a, b) if Set(a, b).subsetOf(Set('i', 'f')) => 'f'
+          case _                                     => '?'
+        }
+      case _ => '?'
+    }
+
+    /** openCypher type-polymorphic operators, resolved bottom-up from the
+      * static tags: `+` concatenates strings and lists, `/` on integrals
+      * is integer division, sum() of integrals stays integral. The SQL
+      * dialect keeps its decimal-promoting forms (oracle numeric parity);
+      * this rewrite runs only on the Cypher path (reference openCypher
+      * runtime arithmetic — cy/CypherFunctions-style type dispatch). */
+    def typed(e: Expr): Expr = {
+      val e2 = e match {
+        case Bin(op, l, r)          => Bin(op, typed(l), typed(r))
+        case Neg(x)                 => Neg(typed(x))
+        case Not(x)                 => Not(typed(x))
+        case FnCall(n, args, st)    => FnCall(n, args.map(typed), st)
+        case MethodCall(t, n, args) => MethodCall(typed(t), n, args.map(typed))
+        case ArrayLit(xs)           => ArrayLit(xs.map(typed))
+        case StructLit(fs)          => StructLit(fs.map { case (k, x) => k -> typed(x) })
+        case InList(x, es, neg)     => InList(typed(x), es.map(typed), neg)
+        case Between(x, lo, hi)     => Between(typed(x), typed(lo), typed(hi))
+        case IsNull(x, n)           => IsNull(typed(x), n)
+        case CaseExpr(op, bs, el) =>
+          CaseExpr(op.map(typed), bs.map { case (w, t) => (typed(w), typed(t)) }, el.map(typed))
+        case other => other
+      }
+      e2 match {
+        case Bin("+", l, r) =>
+          (typeTag(l), typeTag(r)) match {
+            case ('a', _) | (_, 'a') => FnCall("concat", Seq(l, r))
+            case (tl, tr) if tl == 's' || tr == 's' =>
+              // ANSI concat takes strings: cast a known-numeric side
+              def s(x: Expr, t: Char): Expr =
+                if (t == 'i' || t == 'f') MethodCall(x, "asString", Seq.empty) else x
+              FnCall("concat", Seq(s(l, tl), s(r, tr)))
+            case _ => e2
+          }
+        case Bin("/", l, r) if typeTag(l) == 'i' && typeTag(r) == 'i' =>
+          FnCall("intdiv", Seq(l, r))
+        case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("sum") && typeTag(a) == 'i' =>
+          FnCall("sum_int", Seq(a), st)
+        case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("sum_distinct") && typeTag(a) == 'i' =>
+          FnCall("sum_int_distinct", Seq(a), st)
+        case other => other
+      }
+    }
+
+    /** Whole-entity struct of a bound variable (the shape finishReturn
+      * renders for a top-level bare variable): every `v_*` column with
+      * the prefix stripped, the whole value null when the identity is
+      * null. `withFields` forces a caller-supplied unified field set —
+      * heterogeneous lists mixing nodes and rels need one element type,
+      * so absent fields materialize as typed nulls. */
+    def entityCol(v: String,
+        withFields: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty): Column = {
+      val own = acc.columns.filter(_.startsWith(s"${v}_")).sorted
+        .map(c => c.stripPrefix(s"${v}_") -> c).toMap
+      val fields =
+        if (withFields.nonEmpty)
+          withFields.map { case (fn, dt) =>
+            own.get(fn).map(c => col(c).as(fn)).getOrElse(lit(null).cast(dt).as(fn)) }
+        else own.toSeq.sortBy(_._1).map { case (fn, c) => col(c).as(fn) }
+      val idCol = if (own.contains("id")) col(own("id")) else col(s"${v}__eid")
+      when(idCol.isNull, lit(null)).otherwise(struct(fields.toIndexedSeq: _*))
+    }
+
+    def entityFieldTypes(v: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      acc.columns.filter(_.startsWith(s"${v}_")).sorted
+        .map(c => c.stripPrefix(s"${v}_") -> acc.schema(c).dataType)
+
+    private def isEntity(v: String): Boolean = (nodeVars(v) || relVars(v)) && !scalars(v)
 
     /** openCypher keys(n) / properties(n) over a bound pattern variable:
       * the property set is a schema fact of the accumulated frame, so both
@@ -932,7 +1049,7 @@ object Cypher {
     def rewriteMetaFns(e: Expr): Expr = {
       def propNames(v: String): Seq[String] =
         acc.columns.filter(_.startsWith(s"${v}_")).map(_.stripPrefix(s"${v}_"))
-          .filterNot(Set("id", "label")).sorted.toSeq
+          .filterNot(Set("id", "label", "_hasid")).sorted.toSeq
       def f(x: Expr): Expr = rewriteMetaFns(x)
       e match {
         case FnCall(n, Seq(Ident(v)), _)
@@ -947,16 +1064,60 @@ object Cypher {
         // openCypher records are schema-flexible property bags. The check
         // is case-SENSITIVE (n.aGe ≠ n.age) although Spark columns are
         // not, hence the explicit columns lookup.
+        // `id` and `label` are identity metadata, not properties: `n.id`
+        // reads the PROPERTY id, which the storage model cannot carry
+        // (explicit {id: n} props become the identity itself) — openCypher
+        // resolves an absent property to null (id()/labels()/type() are
+        // the metadata accessors)
         case PropAccess(Ident(v), prop)
             if (nodeVars(v) || relVars(v)) && acc != null &&
-              !acc.columns.contains(s"${v}_$prop") =>
-          NullLit
+              (Set("id", "label")(prop) || !acc.columns.contains(s"${v}_$prop")) =>
+          // `n.id` is the PROPERTY id: present only when the node was
+          // created with an explicit id prop (identity doubles as the
+          // value then, `_hasid` marks it)
+          if (prop == "id" && acc.columns.contains(s"${v}__hasid"))
+            Resolved(when(col(s"${v}__hasid"), col(s"${v}_id")))
+          else NullLit
         // graph metadata fns take the VARIABLE itself — leave their
         // argument alone for flatten's type()/id()/labels() resolution
         case fc @ FnCall(n, Seq(Ident(_)), _)
             if Set("type", "id", "labels", "nodes", "relationships", "length",
               "startnode", "endnode")(n.toLowerCase) =>
           fc
+        // label test `v:Label` from the expression parser's postfix ext:
+        // resolves against the bound variable's label column (null
+        // variable → null, openCypher ternary logic)
+        case FnCall("__labeltest", Seq(Ident(v), StrLit(l)), _)
+            if nodeVars(v) || relVars(v) =>
+          // null variable (optional miss) → null; unlabeled node → false
+          val idCol = if (nodeVars(v)) col(s"${v}_id") else col(s"${v}__eid")
+          Resolved(when(idCol.isNull, lit(null))
+            .otherwise(coalesce(labelPred(col(s"${v}_label"), l), lit(false))))
+        // whole entities inside containers and collect(): a bare
+        // node/rel variable renders its full struct, not its identity
+        // (openCypher projecting lists/maps of nodes and relationships —
+        // TCK Return2 [12][13], Return6 [10]). A mixed list needs ONE
+        // element type: union the fields, absent ones as typed nulls.
+        case FnCall(n, Seq(Ident(v)), st)
+            if Set("collect", "collect_distinct")(n.toLowerCase) &&
+              isEntity(v) && acc != null =>
+          FnCall(n, Seq(Resolved(entityCol(v))), st)
+        case ArrayLit(es) if acc != null && es.exists {
+              case Ident(v) => isEntity(v); case _ => false } =>
+          val evs = es.collect { case Ident(v) if isEntity(v) => v }
+          val unified = evs.flatMap(entityFieldTypes).distinctBy(_._1).sortBy(_._1)
+          ArrayLit(es.map {
+            case Ident(v) if isEntity(v) => Resolved(entityCol(v, unified))
+            case x => f(x)
+          })
+        case StructLit(fs) if acc != null && fs.exists {
+              case (_, Ident(v)) => isEntity(v); case _ => false } =>
+          StructLit(fs.map { case (k, x) =>
+            k -> (x match {
+              case Ident(v) if isEntity(v) => Resolved(entityCol(v))
+              case y => f(y)
+            })
+          })
         // a bare rel variable inside an expression (s IS NULL, s = t):
         // its identity column stands in (flatten maps v._eid → v__eid)
         case Ident(v) if relVars(v) && !scalars(v) =>
@@ -1044,6 +1205,24 @@ object Cypher {
         var localRels = Set.empty[String]        // this MATCH: reuse = error
         val chainResults = Seq.newBuilder[ChainResult]
         val pathChains = pathBinds.map(_._2)
+        // OPTIONAL MATCH … WHERE w: the predicate is part of the PATTERN —
+        // a binding that matches the pattern but fails the predicate
+        // null-extends the row instead of dropping it, so the predicate
+        // must join WITH the pattern, not filter after it (TCK Match7
+        // [11]; reference cy/steps/OptionalMatchStep semantics). Limited
+        // to the single-chain, fixed-length, non-pattern-predicate shape;
+        // other shapes keep the post-filter (their predicates only
+        // reference non-optional bindings in the TCK corpus).
+        def hasPatternComp(e: Expr): Boolean = {
+          var f = false
+          Ast.mapDown(e) { case x: PatternComp => f = true; x; case x => x }
+          f
+        }
+        val whereIntoJoin = acc != null && chains.length == 1 &&
+          chains.head.optional && chains.head.rels.forall(_.hops.isEmpty) &&
+          where.isDefined && patternPreds.isEmpty && pathBinds.isEmpty &&
+          !hasPatternComp(where.get)
+        var whereConsumed = false
         chains.foreach { chain =>
           // openCypher variable discipline: a name is a node var XOR a rel
           // var (VariableTypeConflict); a relationship variable binds at
@@ -1062,11 +1241,33 @@ object Cypher {
             (chainRels.toSet ++ relVars ++ relListVars)
           if (typeClash.nonEmpty)
             throw ParseException(s"VariableTypeConflict: ${typeClash.mkString(", ")}")
+          // a WITH/UNWIND scalar re-bound as a pattern node: a node
+          // REFERENCE (numeric identity, e.g. `WITH coalesce(b, c) AS x
+          // MATCH (x)-->(d)`) re-matches by identity — null matches
+          // nothing; a list or other non-node value is a type error
+          // (TCK Match3 [30] vs Match7 [22])
+          val scalarRefs = (chainNodes intersect scalars).toSeq.sorted.map { v =>
+            acc.schema(v).dataType match {
+              case _: org.apache.spark.sql.types.ArrayType |
+                  _: org.apache.spark.sql.types.MapType |
+                  org.apache.spark.sql.types.StringType |
+                  org.apache.spark.sql.types.BooleanType =>
+                throw ParseException(s"VariableTypeConflict: $v is not a node variable")
+              case _ => // numeric identity reference: rename + identity join
+                val fresh = freshVar()
+                (v, fresh)
+            }
+          }.toMap
+          val chainR =
+            if (scalarRefs.isEmpty) chain
+            else chain.copy(nodes = chain.nodes.map(n =>
+              n.varName.flatMap(scalarRefs.get)
+                .fold(n)(fresh => n.copy(varName = Some(fresh)))))
           val pathClash = (chainNodes ++ chainRels) intersect paths.keySet
           if (pathClash.nonEmpty)
             throw ParseException(
               s"VariableTypeConflict: path variable ${pathClash.mkString(", ")} reused")
-          val cr = chainFrame(g, chain, boundBefore, structs = pathChains.exists(_ == chain))
+          val cr = chainFrame(g, chainR, boundBefore, structs = pathChains.exists(_ == chain))
           val cf = cr.df
           if (acc == null) {
             // a leading OPTIONAL MATCH still yields one all-null row when
@@ -1089,7 +1290,21 @@ object Cypher {
             val nodeConds = shared.map(v => acc(s"${v}_id") === renamed(s"__dup_${v}_id"))
             val reuseConds = cr.marks.filter(_.reused).map { mk =>
               acc(s"${mk.varName.get}__eid") === renamed(mk.eidCol) }
-            (nodeConds ++ reuseConds).reduceOption(_ && _) match {
+            // predicate-into-join: compile the WHERE against a schema-only
+            // view of the joined frame (nothing executes), then make it
+            // part of the left-outer condition
+            val optWhere: Option[Column] =
+              if (!whereIntoJoin) None
+              else {
+                nodeVars ++= cr.nodeVars
+                relVars ++= cr.relVars
+                relListVars ++= cr.relListVars
+                val saved = acc
+                acc = acc.join(renamed, lit(true), "left_outer")
+                try { whereConsumed = true; Some(toCol(where.get)) }
+                finally acc = saved
+              }
+            (nodeConds ++ reuseConds ++ optWhere).reduceOption(_ && _) match {
               case Some(cond) =>
                 acc = acc.join(renamed, cond, joinType)
                   .drop(dup.map(c => s"__dup_$c").toIndexedSeq: _*)
@@ -1104,6 +1319,10 @@ object Cypher {
           relVars ++= cr.relVars
           relListVars ++= cr.relListVars
           localRels ++= chainRels
+          // close the identity loop for scalar node references (null
+          // reference === anything is null → matches nothing)
+          scalarRefs.foreach { case (v, fresh) =>
+            acc = acc.filter(col(s"${fresh}_id") === col(v)) }
           chainResults += cr
         }
         val allMarks = chainResults.result().flatMap(_.marks)
@@ -1175,7 +1394,7 @@ object Cypher {
         // EXISTS{}/COUNT{} blocks in WHERE arrive as pattern comprehensions
         // — resolve them FIRST (it left-joins the grouped counts onto acc;
         // the filter must run on the extended frame)
-        where.foreach { w =>
+        where.filter(_ => !whereConsumed).foreach { w =>
           val cond = resolvePatternComps(w)
           acc = acc.filter(toCol(cond))
         }
@@ -1235,7 +1454,7 @@ object Cypher {
       case WithC(items0raw, distinct, where, orderBy, skip, limit) =>
         // `WITH *` carries every variable in scope
         val items0 = items0raw.flatMap {
-          case ReturnItem(Ident("*"), None) =>
+          case ReturnItem(Ident("*"), None, _) =>
             (nodeVars ++ relVars ++ scalars ++ paths.keySet).toSeq.distinct.sorted
               .map(v => ReturnItem(Ident(v), None))
           case it => Seq(it)
@@ -1244,10 +1463,10 @@ object Cypher {
         // bare pattern/path variables carry all their columns; everything
         // else projects to a scalar column named by its alias
         val carried = items.collect {
-          case ReturnItem(Ident(v), None)
+          case ReturnItem(Ident(v), None, _)
               if nodeVars(v) || relVars(v) || paths.contains(v) => v }
         val scalarItems = items.filterNot {
-          case ReturnItem(Ident(v), None) =>
+          case ReturnItem(Ident(v), None, _) =>
             nodeVars(v) || relVars(v) || paths.contains(v)
           case _ => false
         }
@@ -1293,7 +1512,8 @@ object Cypher {
         def filtered(n: NodePat): DataFrame = {
           val labeled = n.label.fold(g.vertices)(l => g.vertices.filter(col("label") === l))
           n.props.foldLeft(labeled) { case (d, (k, lv)) =>
-            d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+            if (d.columns.contains(k)) d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+            else d.filter(lit(false))
           }
         }
         // min reach depth IS the shortest path length (BFS invariant)
@@ -1382,9 +1602,14 @@ object Cypher {
   private def finishReturn(pl: Pipeline, q: CypherQuery): DataFrame = {
     // `RETURN *` expands to every variable in scope, alphabetically
     val srcItems = q.items.flatMap {
-      case ReturnItem(Ident("*"), None) =>
-        (pl.nodeVars ++ pl.relVars ++ pl.scalars ++ pl.paths.keySet).toSeq.distinct.sorted
-          .map(v => ReturnItem(Ident(v), None))
+      case ReturnItem(Ident("*"), None, _) =>
+        // anonymous pattern nodes (`_anonN`) are not user variables
+        val inScope =
+          (pl.nodeVars ++ pl.relVars ++ pl.scalars ++ pl.paths.keySet)
+            .filterNot(_.startsWith("_anon")).toSeq.distinct.sorted
+        if (inScope.isEmpty)
+          throw ParseException("NoVariablesInScope: RETURN * requires at least one variable")
+        inScope.map(v => ReturnItem(Ident(v), None))
       case it => Seq(it)
     }
     // pattern comprehensions first: they extend the horizon frame
@@ -1397,13 +1622,14 @@ object Cypher {
     // returned path variables need whole-node structs along the path —
     // attach them (one explode + vertex join + positional re-collect per
     // returned path; queries that never return a path pay nothing)
-    resolved.collect { case ReturnItem(Ident(pv), _) if pl.paths.contains(pv) => pv }
+    resolved.collect { case ReturnItem(Ident(pv), _, _) if pl.paths.contains(pv) => pv }
       .distinct.foreach { pv => acc = attachPathNodes(pl.graph, acc, pv) }
     val scalars = pl.scalars
     val items = resolved.map(it =>
-      it.copy(expr = flatten(pl.rewriteMetaFns(it.expr), scalars, pl.paths)))
+      it.copy(expr = pl.typed(flatten(pl.rewriteMetaFns(substParams(it.expr)), scalars, pl.paths))))
     val hasAgg = items.exists(it => graft.sql.Translator.containsAgg(it.expr))
-    def name(it: ReturnItem, i: Int): String = it.alias.getOrElse(exprLabel(srcItems(i).expr))
+    def name(it: ReturnItem, i: Int): String =
+      it.alias.orElse(srcItems(i).raw).getOrElse(exprLabel(srcItems(i).expr))
     // openCypher rejects a projection with two identically-named columns
     locally {
       val names = srcItems.zipWithIndex.map { case (it, i) => name(it, i) }
@@ -1432,6 +1658,44 @@ object Cypher {
     }
     var out =
       if (hasAgg) {
+        // openCypher: inside an aggregate-bearing item, a reference
+        // outside the aggregate calls must itself BE a grouping item and
+        // a simple variable/property form — anything else is ambiguous
+        // (which group's value?) and a compile-time error (TCK Return6
+        // [20][21]; Neo4j AmbiguousAggregationExpression)
+        locally {
+          // validate on the PRE-flatten AST: flatten resolves absent
+          // properties to null, which would hide the offending reference
+          val keyForms = resolved.collect {
+            case it if !graft.sql.Translator.containsAgg(it.expr) => it.expr
+          }.collect { case e @ (Ident(_) | PropAccess(_, _) | Resolved(_)) => e }.toSet
+          def validate(e: Expr): Unit = e match {
+            case _ if keyForms(e) => ()
+            case FnCall(n, _, _) if graft.sql.Translator.isAggFn(n) => ()
+            case Ident(n) if n.startsWith("$") => () // parameter = constant
+            case Ident(_) | PropAccess(_, _) =>
+              throw ParseException(
+                "AmbiguousAggregationExpression: non-grouped variable inside " +
+                  "an expression containing an aggregation")
+            case Bin(_, l, r)           => validate(l); validate(r)
+            case Neg(x)                 => validate(x)
+            case Not(x)                 => validate(x)
+            case FnCall(_, args, _)     => args.foreach(validate)
+            case MethodCall(t, _, args) => validate(t); args.foreach(validate)
+            case ArrayLit(xs)           => xs.foreach(validate)
+            case StructLit(fs)          => fs.foreach(kv => validate(kv._2))
+            case InList(x, es, _)       => validate(x); es.foreach(validate)
+            case Between(a, b, c)       => Seq(a, b, c).foreach(validate)
+            case IsNull(x, _)           => validate(x)
+            case CaseExpr(op, bs, el) =>
+              op.foreach(validate)
+              bs.foreach { case (w, t) => validate(w); validate(t) }
+              el.foreach(validate)
+            case _ => ()
+          }
+          resolved.filter(it => graft.sql.Translator.containsAgg(it.expr))
+            .foreach(it => validate(it.expr))
+        }
         // Cypher implicit grouping: non-aggregate items are the keys
         val keys = items.zipWithIndex.collect { case (it, i) if !graft.sql.Translator.containsAgg(it.expr) =>
           itemCol(i).as(name(it, i)) }
@@ -1452,7 +1716,8 @@ object Cypher {
       out = out.orderBy(q.orderBy.map { o =>
         val c = o.expr match {
           case Ident(n) if out.columns.contains(n) => col(n)
-          case other => graft.sql.Translator.toColumn(flatten(other, scalars, pl.paths))
+          case other =>
+            graft.sql.Translator.toColumn(pl.typed(flatten(other, scalars, pl.paths)))
         }
         if (o.asc) c.asc else c.desc
       }: _*)
@@ -1537,9 +1802,12 @@ object Cypher {
             // graph keys are modelled as ids); otherwise allocate
             val explicit = n.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }
             val id = explicit.getOrElse { val i = idBase; idBase += 1; i }
+            // `_hasid` marks nodes whose id IS also a user property, so
+            // `n.id` can distinguish "property id" from bare identity
             val cols = lit(id).as("id") +:
               lit(n.label.orNull).cast("string").as("label") +:
-              litCols(n.props.filterNot(_._1 == "id"))
+              (litCols(n.props.filterNot(_._1 == "id")) ++
+                explicit.map(_ => lit(true).as("_hasid")).toSeq)
             vFrames += mg.spark.range(1).select(cols.toIndexedSeq: _*)
             n.varName.foreach(v => created(v) = id)
             id
@@ -1562,6 +1830,24 @@ object Cypher {
             mg.createVertices(vFrames.reduce(_.unionByName(_, allowMissingColumns = true)))
           if (eFrames.nonEmpty)
             mg.createEdges(eFrames.reduce(_.unionByName(_, allowMissingColumns = true)))
+
+          // bind the created node variables into the horizon so read
+          // clauses (WITH/UNWIND/RETURN) can follow a literal CREATE in
+          // the same statement — one seed row carrying v_id/v_label/props
+          val namedPats: Seq[(String, NodePat)] = literalChains
+            .flatMap(_.nodes).flatMap(n => n.varName.map(_ -> n))
+            .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+          if (namedPats.nonEmpty) {
+            val cols = namedPats.flatMap { case (v, n) =>
+              lit(created(v)).as(s"${v}_id") +:
+                lit(n.label.orNull).cast("string").as(s"${v}_label") +:
+                n.props.filterNot(_._1 == "id").map { case (k, e) =>
+                  graft.sql.Translator.toColumn(e).as(s"${v}_$k") }
+            }
+            pl.acc = (if (pl.acc == null) mg.spark.range(1).select(cols: _*)
+                      else pl.acc.select(col("*") +: cols: _*))
+            pl.nodeVars ++= namedPats.map(_._1)
+          }
         }
 
         // per-row creates: openCypher CREATE after MATCH/UNWIND runs once
@@ -1616,7 +1902,10 @@ object Cypher {
         // `MERGE (n)` with no label/props matches any node (creates one
         // only into an empty graph)
         val pred = (n.label.map(l => labelPred(col("label"), l)).toSeq ++
-          n.props.map { case (k, e) => col(k) === graft.sql.Translator.toColumn(e) })
+          n.props.map { case (k, e) =>
+            if (mg.vertices.columns.contains(k))
+              col(k) === graft.sql.Translator.toColumn(e)
+            else lit(false) })
           .reduceOption(_ && _)
           .getOrElse(lit(true))
         def sets(items: Seq[SetItem]): Seq[(String, Column)] = items.map { it =>
@@ -1713,8 +2002,52 @@ object Cypher {
     }
   }
 
+  // ---- query parameters ($name — reference Cypher25Parser.g4 parameter
+  //      rule; the reference binds them per-execution in the statement
+  //      cache's context). Parse results stay parameter-FREE (the
+  //      statement cache is keyed by text alone); bindings resolve at
+  //      compile time, thread-scoped around one query/execute call. ----
+  private val paramsTL = new ThreadLocal[Map[String, Any]] {
+    override def initialValue: Map[String, Any] = Map.empty
+  }
+
+  private def paramLit(v: Any): Expr = v match {
+    case null          => NullLit
+    case b: Boolean    => BoolLit(b)
+    case i: Int        => NumLit(BigDecimal(i), isIntegral = true)
+    case l: Long       => NumLit(BigDecimal(l), isIntegral = true)
+    case d: Double     => NumLit(BigDecimal(d), isIntegral = false)
+    case bd: BigDecimal => NumLit(bd, isIntegral = bd.isWhole && bd.scale <= 0)
+    case s: String     => StrLit(s)
+    case xs: Seq[_]    => ArrayLit(xs.map(paramLit))
+    case m: Map[_, _]  => StructLit(m.toSeq.map { case (k, x) => k.toString -> paramLit(x) })
+    case other => throw ParseException(s"unsupported parameter value: $other")
+  }
+
+  /** Substitute `$name` references from the thread's parameter bindings. */
+  private[cypher] def substParams(e: Expr): Expr =
+    Ast.mapDown(e) {
+      case Ident(n) if n.startsWith("$") =>
+        paramLit(paramsTL.get().getOrElse(n.drop(1),
+          throw ParseException(s"parameter not provided: $n")))
+      case x => x
+    }
+
   /** Entry point: run a Cypher query against a property graph. */
   def query(g: PropertyGraph, text: String): DataFrame = compile(g, parse(text))
+
+  /** Run a Cypher query with named parameter bindings (`$name`). */
+  def query(g: PropertyGraph, text: String, params: Map[String, Any]): DataFrame = {
+    paramsTL.set(params)
+    try query(g, text) finally paramsTL.remove()
+  }
+
+  /** [[execute]] with named parameter bindings (`$name`). */
+  def execute(mg: graft.graph.MutableGraph, text: String,
+      params: Map[String, Any]): DataFrame = {
+    paramsTL.set(params)
+    try execute(mg, text) finally paramsTL.remove()
+  }
 
   /** Entry point for write statements (CREATE / MERGE / SET / DELETE,
     * optionally preceded by MATCH/WITH/UNWIND read clauses and followed by

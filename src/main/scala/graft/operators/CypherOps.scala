@@ -99,8 +99,11 @@ object CypherOps {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_custkey < 300
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)(
-      cy("""MATCH (n:customer) OPTIONAL MATCH (n)-[:placed]->(o:order)
-           | WHERE n.key < 300
+      // WHERE belongs to the MATCH clause it follows: on the OPTIONAL
+      // MATCH it would null-extend non-qualifying rows (TCK Match7 [11]),
+      // not filter them — the left-side restriction goes on the first MATCH
+      cy("""MATCH (n:customer) WHERE n.key < 300
+           | OPTIONAL MATCH (n)-[:placed]->(o:order)
            | RETURN n.key AS c_custkey, count(o.key) AS n_orders
            | ORDER BY c_custkey""".stripMargin.replace("\n", ""))),
 

@@ -83,6 +83,39 @@ object Ast {
   final case class Projection(expr: Expr, alias: Option[String])
   final case class OrderItem(expr: Expr, asc: Boolean)
 
+  /** Top-down expression rewrite: applies `f` at the node, then recurses
+    * into the (possibly replaced) node's children. Leaves [[Subquery]]
+    * and [[PatternComp]] chains opaque (their inner scopes bind their own
+    * variables); their WHERE/map expressions are still rewritten. */
+  def mapDown(e: Expr)(f: Expr => Expr): Expr = {
+    def go(x: Expr): Expr = mapDown(x)(f)
+    f(e) match {
+      case x @ (Ident(_) | NumLit(_, _) | StrLit(_) | BoolLit(_) | NullLit |
+                Resolved(_) | Subquery(_)) => x
+      case FnCall(n, args, st)    => FnCall(n, args.map(go), st)
+      case MethodCall(t, n, args) => MethodCall(go(t), n, args.map(go))
+      case PropAccess(t, n)       => PropAccess(go(t), n)
+      case Bin(op, l, r)          => Bin(op, go(l), go(r))
+      case Neg(x)                 => Neg(go(x))
+      case Not(x)                 => Not(go(x))
+      case InList(x, xs, n)       => InList(go(x), xs.map(go), n)
+      case Between(x, lo, hi)     => Between(go(x), go(lo), go(hi))
+      case LikeOp(x, p, ci)       => LikeOp(go(x), go(p), ci)
+      case Matches(x, p)          => Matches(go(x), go(p))
+      case IsNull(x, n)           => IsNull(go(x), n)
+      case ContainsOp(x, k, a)    => ContainsOp(go(x), k, go(a))
+      case ArrayLit(xs)           => ArrayLit(xs.map(go))
+      case CaseExpr(op, bs, els)  =>
+        CaseExpr(op.map(go), bs.map { case (w, t) => (go(w), go(t)) }, els.map(go))
+      case StructLit(fs)          => StructLit(fs.map { case (k, v) => (k, go(v)) })
+      case NestedProj(t, inc, exc, st) => NestedProj(go(t), inc, exc, st)
+      case Quantifier(k, v, l, p) => Quantifier(k, v, go(l), go(p))
+      case ListComp(v, l, w, m)   => ListComp(v, go(l), w.map(go), m.map(go))
+      case PatternComp(ch, w, m)  => PatternComp(ch, w.map(go), go(m))
+      case other                  => other
+    }
+  }
+
   /** DML statements (reference InsertExecutionPlanner.java,
     * UpdateExecutionPlanner.java, DeleteExecutionPlanner.java; grammar
     * SQLParser.g4 insertStatement/updateStatement/deleteStatement). */

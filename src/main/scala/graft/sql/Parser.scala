@@ -24,11 +24,18 @@ object Parser {
   final case class TOp(s: String)    extends Tok
   case object TEof                   extends Tok
 
-  private[graft] def lex(input: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+  private[graft] def lex(input: String): Vector[Tok] = lexWithOffsets(input)._1
+
+  /** Lex plus each token's start offset in `input` (TEof → length) — lets
+    * a front-end recover an expression's verbatim source span (openCypher
+    * default column names are the item's source text). */
+  private[graft] def lexWithOffsets(input: String): (Vector[Tok], Vector[Int]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     val n = input.length
     while (i < n) {
+      val tokStart = i
       val c = input(i)
       if (c.isWhitespace) i += 1
       else if (c.isLetter || c == '_' || c == '@' || c == '$' || c == '`') {
@@ -121,14 +128,24 @@ object Parser {
         if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
         else { out += TOp(c.toString); i += 1 }
       }
+      while (offs.length < out.length) offs += tokStart
     }
     out += TEof
-    out.result()
+    offs += n
+    (out.toVector, offs.toVector)
   }
 
   // ---------------- parser state ----------------
   private[graft] final class P(toks: Vector[Tok]) {
     var pos = 0
+    /** Set together (by [[lexWithOffsets]] callers) to enable
+      * [[spanFrom]] — verbatim source recovery for default column
+      * labels. Slice-parsers that re-tokenize leave them null. */
+    var src: String = null
+    var offs: Vector[Int] = null
+    /** Verbatim source text of tokens [startTok, pos), outer-trimmed. */
+    def spanFrom(startTok: Int): String =
+      src.substring(offs(startTok), offs(pos)).trim
     def peek: Tok = toks(pos)
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def kw(s: String): Boolean = peek match {
@@ -385,12 +402,20 @@ object Parser {
     else if (p.op(">")) Bin(">", l, parseAdditive(p))
     else if (p.peekKw("NOT")) { // NOT IN / NOT LIKE / NOT BETWEEN
       p.pos += 1
-      if (p.kw("IN")) { p.expectOp("("); val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = true) }
+      if (p.kw("IN")) {
+        // `IN (e1, e2)` — SQL value list; `IN <expr>` — openCypher list
+        // membership over any list-valued expression
+        if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = true) }
+        else Not(FnCall("list_in", Seq(l, parseAdditive(p))))
+      }
       else if (p.kw("LIKE")) Not(LikeOp(l, parseAdditive(p), caseInsensitive = false))
       else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); Not(Between(l, lo, parseAdditive(p))) }
       else throw ParseException("expected IN/LIKE/BETWEEN after NOT")
     }
-    else if (p.kw("IN")) { p.expectOp("("); val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = false) }
+    else if (p.kw("IN")) {
+      if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = false) }
+      else FnCall("list_in", Seq(l, parseAdditive(p)))
+    }
     else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); Between(l, lo, parseAdditive(p)) }
     else if (p.kw("LIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = false)
     else if (p.kw("ILIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = true)
@@ -423,15 +448,22 @@ object Parser {
   }
 
   private def parseMultiplicative(p: P): Expr = {
-    var l = parseUnary(p)
+    var l = parsePower(p)
     var go = true
     while (go) {
-      if (p.op("*")) l = Bin("*", l, parseUnary(p))
-      else if (p.op("/")) l = Bin("/", l, parseUnary(p))
-      else if (p.op("%")) l = Bin("%", l, parseUnary(p))
+      if (p.op("*")) l = Bin("*", l, parsePower(p))
+      else if (p.op("/")) l = Bin("/", l, parsePower(p))
+      else if (p.op("%")) l = Bin("%", l, parsePower(p))
       else go = false
     }
     l
+  }
+
+  /** `^` exponentiation — binds tighter than `*`, right-associative
+    * (openCypher powerOfExpression; the SQL dialect has no `^`). */
+  private def parsePower(p: P): Expr = {
+    val l = parseUnary(p)
+    if (p.op("^")) Bin("^", l, parsePower(p)) else l
   }
 
   private def parseUnary(p: P): Expr =
@@ -531,11 +563,21 @@ object Parser {
           }
           p.expectOp("}")
           e = NestedProj(e, inc.result(), exc.result(), star)
+        } else if (labelTestExt.get != null && labelTestExt.get &&
+            p.pos == mark + 1 && e.isInstanceOf[Ident] &&
+            (p.peek match { case TId(_) => true; case _ => false })) {
+          // Cypher label-test `v:Label` (expression position — WHERE
+          // `n:Foo`, RETURN `(n:Foo)`; Cypher25Parser.g4 labelExpression)
+          e = FnCall("__labeltest", Seq(e, StrLit(ident(p))))
         } else { p.pos = mark; go = false }
       }
     }
     e
   }
+
+  /** Enables the Cypher label-test postfix `v:Label` in [[parsePostfix]];
+    * the SQL dialect keeps ':' exclusively for nested projections. */
+  private[graft] val labelTestExt = new ThreadLocal[java.lang.Boolean]
 
   private def parsePrimary(p: P): Expr = p.next() match {
     // a '.' or an exponent marks a float literal (1e5 is float in both

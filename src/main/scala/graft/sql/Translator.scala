@@ -27,10 +27,12 @@ object Translator {
 
   final case class TranslateException(msg: String) extends RuntimeException(msg)
 
-  private val AggFns = Set("count", "sum", "avg", "min", "max", "first", "last",
+  private val AggFns = Set("count", "sum", "sum_int", "avg", "min", "max", "first", "last",
     "median", "percentile", "stddev", "variance", "list", "set", "collect",
     "any_value", "count_if", "mode", "corr", "covar_pop", "covar_samp",
     "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor", "string_agg")
+
+  def isAggFn(n: String): Boolean = AggFns.contains(n.toLowerCase.stripSuffix("_distinct"))
 
   def containsAgg(e: Expr): Boolean = e match {
     case FnCall(n, args, _) =>
@@ -136,6 +138,7 @@ object Translator {
     case Bin("*", l, r)      => toColumn(l) * toColumn(r)
     case Bin("/", l, r)      => toColumn(l) / toColumn(r)
     case Bin("%", l, r)      => toColumn(l) % toColumn(r)
+    case Bin("^", l, r)      => pow(toColumn(l).cast(DoubleType), toColumn(r).cast(DoubleType))
     case Bin("||", l, r)     => concat(toColumn(l), toColumn(r))
     case Bin(op, _, _)       => throw TranslateException(s"unknown operator $op")
     case InList(x, es, neg)  =>
@@ -230,6 +233,14 @@ object Translator {
       case "collect" | "collect_list" => collect_list(args.head)
       case "collect_distinct" => sort_array(collect_set(args.head))
       case "sum"        => sum(args.head.cast(DecimalType(28, 4))).cast(DoubleType)
+      // integral-typed forms the Cypher front-end emits (openCypher: sum
+      // of integers is an integer, `/` on integers truncates); the plain
+      // "sum"/"/" keep decimal/double for oracle numeric parity
+      case "sum_int"          => sum(args.head)
+      case "sum_int_distinct" => sum_distinct(args.head)
+      case "intdiv"           => call_function("div", args(0), args(1))
+      // openCypher `x IN <list-expr>` membership
+      case "list_in"          => array_contains(args(1), args(0))
       case "avg"        => (sum(args.head.cast(DecimalType(28, 4))) / count(args.head)).cast(DoubleType)
       case "min"        => min(args.head)
       case "max"        => max(args.head)

@@ -125,7 +125,8 @@ object TckFeatureParser {
     out.result()
   }
 
-  /** `| a | b |` → cells; `\|` escapes a literal pipe inside a cell. */
+  /** `| a | b |` → cells; Gherkin cell escapes: `\|` a literal pipe,
+    * `\\` a literal backslash, `\n` a newline. */
   private def splitTableRow(s: String): Vector[String] = {
     val body = s.trim
     val cells = Vector.newBuilder[String]
@@ -134,6 +135,8 @@ object TckFeatureParser {
     while (i < body.length) {
       val c = body(i)
       if (c == '\\' && i + 1 < body.length && body(i + 1) == '|') { cur += '|'; i += 2 }
+      else if (c == '\\' && i + 1 < body.length && body(i + 1) == '\\') { cur += '\\'; i += 2 }
+      else if (c == '\\' && i + 1 < body.length && body(i + 1) == 'n') { cur += '\n'; i += 2 }
       else if (c == '|') { cells += cur.toString.trim; cur.clear(); i += 1 }
       else { cur += c; i += 1 }
     }

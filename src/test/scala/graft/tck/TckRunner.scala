@@ -18,7 +18,9 @@ object TckRunner {
     try runInner(spark, sc)
     catch {
       case u: TckUnsupported => Some(s"unsupported: ${u.getMessage}")
-      case e: Throwable => Some(s"error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      case e: Throwable =>
+        if (sys.env.contains("TCK_STACK")) e.printStackTrace()
+        Some(s"error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
   private def runInner(spark: SparkSession, sc: TckScenario): Option[String] = {
@@ -29,6 +31,7 @@ object TckRunner {
     var ordered = false
     var unorderedLists = false
     var expectTable: Vector[Vector[String]] = null
+    var params = Map.empty[String, Any]
 
     sc.steps.foreach { st =>
       val t = st.text
@@ -36,7 +39,7 @@ object TckRunner {
       else if (t.contains("executing query") || t.contains("executing control query"))
         query = st.doc
       else if (t.contains("parameters are"))
-        throw new TckUnsupported("query parameters")
+        params = st.table.map(r => r(0) -> toAny(TckValues.parse(r(1)))).toMap
       else if (t.contains("should be raised")) expectError = true
       else if (t.contains("the result should be empty")) expectEmpty = true
       else if (t.contains("the result should be")) {
@@ -56,8 +59,8 @@ object TckRunner {
       val text = query.replace('\n', ' ')
       val q = Cypher.parse(text)
       val df =
-        if (q.clauses.exists(_.isInstanceOf[Cypher.WriteClause])) Cypher.execute(mg, text)
-        else Cypher.query(mg.graph, text)
+        if (q.clauses.exists(_.isInstanceOf[Cypher.WriteClause])) Cypher.execute(mg, text, params)
+        else Cypher.query(mg.graph, text, params)
       df.collect()
     }
 
@@ -74,6 +77,18 @@ object TckRunner {
         compare(rows, expectTable, ordered, unorderedLists)
       }
     }
+  }
+
+  /** TCK parameter value → plain Scala value for Cypher.query's params. */
+  private def toAny(tv: TV): Any = tv match {
+    case VNull      => null
+    case VBool(b)   => b
+    case VInt(v)    => v
+    case VFloat(v)  => v
+    case VStr(s)    => s
+    case VList(xs)  => xs.map(toAny)
+    case VMap(m)    => m.view.mapValues(toAny).toMap
+    case other => throw new TckUnsupported(s"parameter value $other")
   }
 
   /** "(ignoring element order for lists)" — canonicalize every list as a

@@ -22,12 +22,17 @@ object TckTriage {
   }
 
   def main(args: Array[String]): Unit = {
-    val slice = if (args.nonEmpty) args.toSeq else DefaultSlice
+    // args: slice dirs, optionally "name=<substring>" to run matching scenarios only
+    val (nameFilters, dirs) = args.toSeq.partition(_.startsWith("name="))
+    val nameFilter = nameFilters.map(_.stripPrefix("name="))
+    val slice = if (dirs.nonEmpty) dirs else DefaultSlice
     val spark = graft.GraftSession.build("local[4]", "4", "graft-tck")
     var pass = 0; var fail = 0
     featureFiles(slice).foreach { f =>
       TckFeatureParser.parseFile(f).foreach { sc =>
         val key = s"${sc.feature}::${sc.name}"
+        if (nameFilter.nonEmpty && !nameFilter.exists(key.contains)) ()
+        else {
         val t0 = System.nanoTime()
         TckRunner.run(spark, sc) match {
           case None =>
@@ -36,6 +41,7 @@ object TckTriage {
           case Some(reason) =>
             fail += 1
             println(s"[tck] FAIL  $key  -- ${reason.linesIterator.mkString(" / ").take(300)}")
+        }
         }
       }
     }

@@ -219,6 +219,11 @@ object TckValues {
           }
           VPath(nodes, steps)
         }
+      } else if (fields.get("_eid").exists(_ != VNull) && names.contains("label")) {
+        // rel struct (possibly in a unified node/rel element type where
+        // the node-only `id` field is a typed null)
+        val t = fields("label") match { case VStr(l) => l; case _ => "" }
+        VRel(t, props(fields.removedAll(Seq("id", "label"))))
       } else if (names.contains("id") && names.contains("label")) {
         // whole-node struct: id is identity, label is the label set,
         // null-valued columns are absent properties
@@ -226,7 +231,10 @@ object TckValues {
           case VStr(l) => l.split(':').filter(_.nonEmpty).toSet
           case _ => Set.empty[String]
         }
-        VNode(labels, props(fields.removedAll(Seq("id", "label"))))
+        // `_hasid` marks identity doubling as a user `id` property
+        val hasIdProp = fields.get("_hasid").contains(VBool(true))
+        VNode(labels,
+          props(if (hasIdProp) fields.removed("label") else fields.removedAll(Seq("id", "label"))))
       } else if (names.contains("label")) {
         val t = fields("label") match { case VStr(l) => l; case _ => "" }
         VRel(t, props(fields.removed("label")))

@@ -270,6 +270,29 @@ object ImportOps {
         .unionByName(byEvent.filter(!col("user_id").between(3, 5))
           .select("event_id", "user_id", "value"))
         .orderBy("event_id")
+    },
+
+    // ---- EXPORT DATABASE statement → re-import round-trip (reference
+    //      ExportDatabaseStatement.java + JsonlExporterFormat.java): the
+    //      statement exports the selected types as jsonl, the check
+    //      re-imports one and must reproduce the pristine rows, and the
+    //      statement's own summary rows must carry the right counts ----
+    Q("q_export_database",
+      """SELECT n_nationkey, n_name, n_regionkey, cnt_nation, cnt_region FROM nation
+        |CROSS JOIN (SELECT (SELECT count(*) FROM nation) AS cnt_nation,
+        |                   (SELECT count(*) FROM region) AS cnt_region)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val dir = stateDir("exportdb", d)
+      val summary = graft.sql.GraftSql.statement(s, d,
+        s"EXPORT DATABASE '$dir' WITH format = 'jsonl', includeTypes = 'nation,region'")
+      val counts = summary.groupBy()
+        .pivot("type", Seq("nation", "region")).sum("records")
+        .select(col("nation").as("cnt_nation"), col("region").as("cnt_region"))
+      Importers.readJsonl(s, s"$dir/nation",
+          Some(Tables.nation(s, d).schema))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .crossJoin(counts)
+        .orderBy("n_nationkey")
     }
   )
 }

@@ -817,6 +817,43 @@ object GraftSql {
         Translator.compile(spark, dir, cat, sel, fns.snapshot))
       import spark.implicits._
       metrics.toDF("operator", "metric", "value")
+    } else if (p.kw("EXPORT") || p.peekKw("BACKUP")) {
+      // EXPORT DATABASE <url> [WITH k = v, …] / BACKUP DATABASE <url>
+      // (reference SQLParser.g4 exportDatabaseStatement:1090,
+      // backupDatabaseStatement:1094 — both take a url + settingList)
+      val isBackup = p.kw("BACKUP")
+      p.expectKw("DATABASE")
+      val url = p.next() match {
+        case Parser.TStr(s) => s
+        case t => throw Parser.ParseException(s"expected export url string, found $t")
+      }
+      var settings = Map.empty[String, String]
+      if (p.kw("WITH")) {
+        var more = true
+        while (more) {
+          val k = Parser.ident(p)
+          p.expectOp("=")
+          val v = p.next() match {
+            case Parser.TStr(s) => s
+            case Parser.TNum(s) => s
+            case Parser.TId(s)  => s
+            case t => throw Parser.ParseException(s"expected setting value, found $t")
+          }
+          settings += k -> v
+          more = p.op(",")
+        }
+      }
+      def typeSet(k: String): Set[String] =
+        settings.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      if (isBackup) {
+        val tables = cat.typeNames.filter(cat(_).path.isDefined)
+          .map(n => n -> cat(n).path.get(dir)).toMap
+        graft.sources.Backup.backup(spark, tables, url)
+        graft.sources.Backup.manifest(spark, url).orderBy("table")
+      } else
+        graft.sources.Export.exportDatabase(spark, dir, cat, url,
+          settings.getOrElse("format", "jsonl"),
+          typeSet("includeTypes"), typeSet("excludeTypes"))
     } else Parser.parseStatement(sql) match {
       case Left(sel) => Translator.compile(spark, dir, cat, sel, fns.snapshot)
       case Right(st) => Translator.executeDml(spark, dir, cat, st)

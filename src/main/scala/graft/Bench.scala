@@ -22,7 +22,7 @@ object Bench {
     // ±2× on sub-second entries (r2 verdict noise-watch), so the report
     // carries both runs — `queries` (run 1, comparable with prior rounds)
     // and `queries_run2` — and the per-query minimum in `queries_min`.
-    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // Full-row checksum, not count(): a count lets Catalyst prune every
       // projection column, so pure-projection queries would benchmark
@@ -31,12 +31,20 @@ object Bench {
       // combine with bit_xor, NOT sum — summing full-range longs overflows
       // under ANSI mode and aborts the job mid-query, so the recorded time
       // measured partial work (the pre-round-3 bench had this bug).
-      try {
-        val df = fn(spark, sfDir)
-        df.withColumn("__h", xxhash64(struct(df.columns.map(col): _*)))
-          .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      // A throwing query is recorded as an explicit error, NOT a
+      // fast-fail wall-time masquerading as an improvement (r5 advice:
+      // 13 broken q_ts_* entries sat inside the comparable set at ~0.08 s).
+      val err =
+        try {
+          val df = fn(spark, sfDir)
+          df.withColumn("__h", xxhash64(struct(df.columns.map(col): _*)))
+            .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
+          None
+        } catch { case t: Throwable =>
+          Some(t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160))
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // Session hygiene between queries: the 207-query sweep accumulates
     // cached blocks, persisted RDDs from iterative graph/dedup operators,
@@ -54,19 +62,33 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i > 0 && i % RecycleEvery == 0) { spark.stop(); spark = freshSession() }
-        val r1 = once(name, fn); resetState()
-        val r2 = once(name, fn); resetState()
-        (name, r1, r2)
+        val (r1, e1) = once(name, fn); resetState()
+        val (r2, e2) = once(name, fn); resetState()
+        (name, r1, r2, e1.orElse(e2))
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_run2":${jmap(_._3)},"queries_min":${jmap(r => math.min(r._2, r._3))},"sf":"$sfDir"}"""
-    // The driver captures stdout with a tail-truncation; persist the full
-    // per-query JSON to a file too so every entry stays recoverable.
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ok = results.filter(_._4.isEmpty)
+    def jmap(f: ((String, Double, Double, Option[String])) => Double): String =
+      ok.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Throwing queries are excluded from the timing maps and the total —
+    // their fast-fail wall-times are artifacts — and reported by name+cause.
+    val errs = results.collect { case (n, _, _, Some(m)) => s"${jstr(n)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.length},"n_err":${results.length - ok.length},"queries":${jmap(_._2)},"queries_run2":${jmap(_._3)},"queries_min":${jmap(r => math.min(r._2, r._3))},"errors":$errs,"sf":"$sfDir"}"""
+    // The driver captures stdout with a tail-truncation (r5: `parsed` came
+    // back null and only a 65-entry tail survived); persist the full
+    // per-query JSON BOTH to /tmp and into the repo so every entry stays
+    // recoverable whatever happens to stdout.
+    Seq("/tmp/bench_full.json", "bench_full_latest.json").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(json)
     spark.stop()
+    // Nonzero rc when any query threw (r5 advice): the run is not a clean
+    // benchmark — the JSON above still carries every healthy timing.
+    if (results.exists(_._4.nonEmpty)) sys.exit(2)
   }
 }

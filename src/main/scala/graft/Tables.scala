@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated test data.
   *
@@ -27,9 +28,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy flag) and surface
-    * as µs TimestampType — the same ns→µs truncation DuckDB applies.
+  /** `events.ts` has drifted across testdata generations: early drops wrote
+    * parquet TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL), so it is read as raw ns longs under the
+    * `nanosAsLong` legacy flag — while current drops write TIMESTAMP(MICROS)
+    * (surfaced as TIMESTAMP_NTZ; the session runs in UTC, so the NTZ→LTZ
+    * cast below is value-preserving and matches DuckDB's naive-timestamp
+    * read). [[normalizeTs]] probes the *loaded* type and converges every
+    * layout onto µs `TimestampType`, so no consumer hard-codes a layout.
     * The nanosAsLong conf is set at session build ([[GraftSession]]); the
     * guard below only rescues ad-hoc sessions and never flips an
     * already-configured one mid-plan.
@@ -37,7 +43,32 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(t(spark, dir, "events"))
+  }
+
+  /** Normalize a drifted event-time column to session-tz µs TimestampType,
+    * whatever physical layout the parquet carried (see [[events]]).
+    * Tolerant by design: a future regeneration should fail TestdataSpec's
+    * readable assertion, not 28 opaque query tests. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType | IntegerType => // legacy raw-ns long → µs timestamp
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn(colName, df(colName).cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.$colName has unsupported physical type $other — extend Tables.normalizeTs")
+    }
+
+  /** Streaming twin of [[events]]: probe the directory's physical schema
+    * with a footer-only batch read (file streams require an explicit
+    * schema), then apply the same [[normalizeTs]] branch to the stream. */
+  def eventsStream(spark: SparkSession, srcDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(srcDir).schema
+    normalizeTs(spark.readStream.schema(physical).options(options).parquet(srcDir))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

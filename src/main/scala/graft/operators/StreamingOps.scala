@@ -38,11 +38,6 @@ object StreamingOps {
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast(DoubleType)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Watermarked stream-stream self-join over an events directory: each
     * event (user_id < 10) joined to the same user's follow-up events
     * within 1 hour. Both sides carry 1-hour watermarks, so Spark evicts
@@ -56,13 +51,9 @@ object StreamingOps {
   def streamSelfJoin(s: SparkSession, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None)
       : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
-    def src = {
-      val r = s.readStream.schema(eventsSchema)
-      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-      r.parquet(srcDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .filter(col("user_id") < 10)
-    }
+    def src = Tables.eventsStream(s, srcDir,
+        maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
+      .filter(col("user_id") < 10)
     val a = src.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
       col("ts").as("a_ts")).withWatermark("a_ts", "1 hour")
     val b = src.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
@@ -112,12 +103,6 @@ object StreamingOps {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |  count(*) AS n, sum(value::DECIMAL(28,4))::DOUBLE AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
-      // Explicit schema: events.ts is parquet TIMESTAMP(NANOS), surfaced
-      // as raw nanos under the session's nanosAsLong conf ([[Tables]]).
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       // File-stream sources read directories (new files appear over time);
       // stage the static test file into one.
       val srcDir = stateDir("stream_src", d)
@@ -126,8 +111,7 @@ object StreamingOps {
         java.nio.file.Paths.get(s"$d/events.parquet"),
         java.nio.file.Paths.get(s"$srcDir/events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val stream = s.readStream.schema(schema).parquet(srcDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.eventsStream(s, srcDir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))

@@ -84,15 +84,14 @@ final class TypeCatalog(initial: Seq[TypeDef]) {
     types.filter(_.parent.contains(name))
       .flatMap(t => t +: subtypesOf(t.name))
 
-  /** Raw table read (no decoration). `events` needs its ns→µs rewrite, so
-    * readers route through [[graft.Tables]] conventions. */
+  /** Raw table read (no decoration). `events.ts` layouts drifted across
+    * testdata generations, so any `ts` column is normalized through the
+    * shared layout probe ([[graft.Tables.normalizeTs]]). */
   private def raw(spark: SparkSession, dir: String, t: TypeDef): DataFrame = {
     val p = t.path.getOrElse(
       throw new IllegalArgumentException(s"type ${t.name} is abstract (no storage)"))
     val df = spark.read.parquet(p(dir))
-    if (df.schema.fieldNames.contains("ts") && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (df.schema.fieldNames.contains("ts")) graft.Tables.normalizeTs(df) else df
   }
 
   /** Type scan with `@type` discriminator and `_props` dynamic map. */

@@ -59,13 +59,12 @@ object Sessionize {
       spark: SparkSession, srcDir: String, gapMicros: Long, sinkName: String,
       userFilter: Long): DataFrame = {
     import spark.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val evs = spark.readStream.schema(schema).parquet(srcDir)
+    // Layout-adaptive read ([[graft.Tables.eventsStream]]) — ts arrives as
+    // µs TimestampType whatever the parquet carried; unix_micros recovers
+    // the exact epoch-µs long the session math runs on.
+    val evs = graft.Tables.eventsStream(spark, srcDir)
       .filter(col("user_id") < userFilter)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       .as[Ev]
     val sessions = evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(

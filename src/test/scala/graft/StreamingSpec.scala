@@ -23,16 +23,19 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
     }
-    val ev = spark.read.parquet(s"$sfDir/events.parquet").filter(col("user_id") < 10)
+    val ev = Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+      .filter(col("user_id") < 10)
     val n = 12
     // one file per time slice, written SEQUENTIALLY in slice order: the
     // file source admits files in modification-time order, so the stream
     // replays in event-time order and the watermark advances every batch
-    val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts"))).collect()
+    val Array(lo, hi) = ev
+      .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).collect()
       .head.toSeq.map(_.toString.toLong).toArray
     val step = (hi - lo) / n + 1
+    val tsUs = unix_micros(col("ts"))
     (0 until n).foreach { k =>
-      ev.filter(col("ts") >= lo + k * step && col("ts") < lo + (k + 1) * step)
+      ev.filter(tsUs >= lo + k * step && tsUs < lo + (k + 1) * step)
         .coalesce(1).write.mode("append").parquet(srcDir)
       Thread.sleep(5) // distinct mtimes → deterministic admission order
     }
@@ -42,7 +45,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // 1) correctness: stream answer ≡ batch answer on the same data
     val batch = {
-      val e = ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val e = ev // already normalized to µs TimestampType
       val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
         col("ts").as("a_ts"))
       val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
@@ -69,9 +72,9 @@ class StreamingSpec extends AnyFunSuite {
     val wm = java.time.Instant.parse(wmStr).toEpochMilli
     val stateRows = last.stateOperators.map(_.numRowsTotal).sum
     val totalInput = ev.count()
-    // ts is raw nanos; the retained window is [watermark − 1h join range, ∞)
-    val wmNanos = wm * 1000000L
-    val inWindow = ev.filter(col("ts") >= lit(wmNanos - 3600L * 1000000000L)).count()
+    // the retained window is [watermark − 1h join range, ∞)
+    val wmMicros = wm * 1000L
+    val inWindow = ev.filter(tsUs >= lit(wmMicros - 3600L * 1000000L)).count()
     // each side keeps ≤ inWindow rows (+1 batch of slack for rows that
     // arrived after the watermark was computed)
     val lastBatchRows = last.numInputRows

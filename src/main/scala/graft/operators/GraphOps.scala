@@ -228,8 +228,34 @@ object GraphOps {
         .limit(20)
     },
 
-    // ---- connected components (GraphX; GraphAlgorithms.java:309) ----
-    Q.noOracle("q_graph_cc") { (s, d) =>
+    // ---- connected components (GraphX; GraphAlgorithms.java:309).
+    //      Oracled by min-label propagation unrolled past the graph's
+    //      diameter (comp0 = id; comp_{k+1}(v) = min over v ∪ N(v) of
+    //      comp_k): the co-purchase graph converges in 3 rounds at
+    //      sf0.01 (measured), 6 rounds carries margin. Same recurrence
+    //      the q_dedup_clusters oracle replays on the dup graph. ----
+    Q("q_graph_cc", {
+      // MATERIALIZED for the same reason as the PageRank oracle: each
+      // c_i references c_{i-1} twice; inlining would re-evaluate 2^6×.
+      val iters = (1 to 6).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT c.id, least(c.comp, coalesce(min(cu.comp), c.comp)) AS comp
+           |  FROM c${i - 1} c LEFT JOIN e ON e.src = c.id
+           |  LEFT JOIN c${i - 1} cu ON cu.id = e.dst
+           |  GROUP BY c.id, c.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pp AS MATERIALIZED (
+         |  SELECT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a AS src, b AS dst FROM pp
+         |  UNION SELECT DISTINCT b, a FROM pp),
+         |c0 AS (SELECT p_partkey AS id, p_partkey AS comp FROM part),
+         |$iters
+         |SELECT count(DISTINCT comp) AS n_components, max(sz) AS largest
+         |FROM (SELECT comp, count(*) AS sz FROM c6 GROUP BY comp)""".stripMargin
+    }) { (s, d) =>
       val co = PropertyGraph.coPurchase(s, d)
       val parts = Tables.part(s, d).select(col("p_partkey").as("id"), lit("part").as("label"))
       val undirected = co.select(col("a").as("src"), col("b").as("dst"))

@@ -9,11 +9,26 @@ object Bench {
 
     def freshSession(): SparkSession = {
       val s = GraftSession.build(s"local[$cpus]", cpus, "graft-bench")
-      // Uncounted warm-up: JIT the scan/agg/shuffle codepaths once so the
-      // first query after a session swap doesn't absorb start-up cost.
+      // Uncounted warm-up: JIT the scan/agg/shuffle/join/window/codegen
+      // machinery once so the first query after a session swap doesn't
+      // absorb start-up cost (r6: post-recycle first runs carried a cold
+      // spike of up to 15 s on multi-stage queries). The warm queries are
+      // tiny but touch the expensive-to-JIT executors: sort-merge and
+      // broadcast joins, anti join, window functions, explode, distinct,
+      // string/regex eval and parquet string/decimal readers.
       s.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").count().collect()
       s.range(1000000).agg(sum(col("id"))).collect()
+      val w = s.range(5000).withColumn("k", col("id") % 7)
+        .withColumn("s", concat(lit("v"), col("id")))
+      val w2 = s.range(200).withColumn("k", col("id") % 7)
+      w.join(w2, "k").groupBy("k").agg(count(lit(1))).collect()
+      w.join(broadcast(w2.select(col("id").as("bid"))), col("id") === col("bid"), "left_anti")
+        .limit(5).collect()
+      w.withColumn("r", expr("row_number() over (partition by k order by id)"))
+        .filter(col("r") <= 2).collect()
+      w.select(explode(split(col("s"), "v")), col("id")).distinct().limit(5).collect()
+      w.filter(col("s").rlike("v[0-9]+")).agg(max(length(col("s")))).collect()
       s
     }
 
@@ -59,7 +74,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     val RecycleEvery = 32
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    // Iteration aid: SPARK_GRAFT_ONLY=<regex> restricts the sweep to
+    // matching query names (unset = full sweep, the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val results = selected.zipWithIndex.map {
       case ((name, fn), i) =>
         if (i > 0 && i % RecycleEvery == 0) { spark.stop(); spark = freshSession() }
         val (r1, e1) = once(name, fn); resetState()
@@ -69,8 +89,15 @@ object Bench {
     val ok = results.filter(_._4.isEmpty)
     def jmap(f: ((String, Double, Double, Option[String])) => Double): String =
       ok.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    // Control chars (tabs etc. in exception messages) are illegal unescaped
+    // in JSON strings and would make the whole report unparseable.
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     // Throwing queries are excluded from the timing maps and the total —
     // their fast-fail wall-times are artifacts — and reported by name+cause.
     val errs = results.collect { case (n, _, _, Some(m)) => s"${jstr(n)}:${jstr(m)}" }
@@ -81,7 +108,11 @@ object Bench {
     // back null and only a 65-entry tail survived); persist the full
     // per-query JSON BOTH to /tmp and into the repo so every entry stays
     // recoverable whatever happens to stdout.
-    Seq("/tmp/bench_full.json", "bench_full_latest.json").foreach { p =>
+    // A filtered run (SPARK_GRAFT_ONLY) is an iteration aid — never let it
+    // clobber the committed full-sweep record.
+    val sinks = if (only.isEmpty) Seq("/tmp/bench_full.json", "bench_full_latest.json")
+                else Seq("/tmp/bench_full.json")
+    sinks.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }

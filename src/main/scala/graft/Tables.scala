@@ -62,12 +62,26 @@ object Tables {
 
   /** Streaming twin of [[events]]: probe the directory's physical schema
     * with a footer-only batch read (file streams require an explicit
-    * schema), then apply the same [[normalizeTs]] branch to the stream. */
+    * schema), then apply the same [[normalizeTs]] branch to the stream.
+    *
+    * PRECONDITION: `srcDir` must already contain at least one parquet
+    * file — the probe needs a footer. On the canonical empty-directory
+    * stream start (files arrive only after `start()`), stage one file
+    * first, or pass the layout explicitly via `schema`. */
   def eventsStream(spark: SparkSession, srcDir: String,
-      options: Map[String, String] = Map.empty): DataFrame = {
+      options: Map[String, String] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(srcDir).schema
+    val physical = schema.getOrElse {
+      try spark.read.parquet(srcDir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"eventsStream($srcDir) probes the physical ts layout from an existing " +
+            "parquet file; the directory is empty — stage one file first or pass " +
+            "schema= explicitly", e)
+      }
+    }
     normalizeTs(spark.readStream.schema(physical).options(options).parquet(srcDir))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")

@@ -17,6 +17,7 @@ import org.apache.spark.storage.StorageLevel
   * edges(src: Long, dst: Long, label: String, props...).
   */
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+  import PropertyGraph.UnrollDepth
 
   /** One-hop expansion along OUT edges (reference SQLFunctionOut /
     * GraphEngine.getEdges GraphEngine.java:1320): frontier ⋈ edges.
@@ -44,7 +45,49 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * should checkpoint every few iterations; depth here is bounded small.
     */
   def traverse(seeds: DataFrame, maxDepth: Int, direction: String = "out",
-      edgeLabel: Option[String] = None): DataFrame = {
+      edgeLabel: Option[String] = None): DataFrame =
+    if (maxDepth <= UnrollDepth) traverseUnrolled(seeds, maxDepth, direction, edgeLabel)
+    else traverseIterative(seeds, maxDepth, direction, edgeLabel)
+
+  /** Bounded-depth BFS as ONE lazy DAG: each depth's frontier is
+    * `distinct(expand(prev)) ⟕̸ visited` built without any intermediate
+    * action, and the final union executes as a single job. Catalyst sees
+    * the whole traversal, so the repeated frontier subtrees collapse via
+    * ReuseExchange instead of being re-materialized per depth — the
+    * per-depth persist/isEmpty/localCheckpoint protocol of the iterative
+    * loop costs ~4 scheduler round-trips per hop, which dominates at
+    * small scale and buys nothing when the hop count is a compile-time
+    * bound (TRAVERSE … MAXDEPTH n / `*lo..hi` are both bounded small —
+    * reference grammar SQLParser.g4:220-229 and cypher `RangeLiteral`).
+    * Early exhaustion needs no probe: an empty frontier expands to empty.
+    */
+  private def traverseUnrolled(seeds: DataFrame, maxDepth: Int, direction: String,
+      edgeLabel: Option[String]): DataFrame = {
+    val e = edgeLabel.fold(edges)(l => edges.filter(col("label") === l))
+    val g = copy(edges = e)
+    val f0 = seeds.select(col("id")).distinct()
+    var visited = f0.withColumn("depth", lit(0))
+    var frontier = f0
+    for (d <- 1 to maxDepth) {
+      val next = (direction match {
+          case "in"   => g.expandIn(frontier)
+          case "both" => g.expandOut(frontier).union(g.expandIn(frontier))
+          case _      => g.expandOut(frontier)
+        })
+        .distinct()
+        .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+      visited = visited.union(next.withColumn("depth", lit(d)))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Unbounded/deep traversals keep the materializing frontier loop: the
+    * per-depth persist + early-exit probe that the unrolled form drops is
+    * exactly what bounds lineage and stops work when the frontier dies on
+    * a deep walk. */
+  private def traverseIterative(seeds: DataFrame, maxDepth: Int, direction: String,
+      edgeLabel: Option[String]): DataFrame = {
     // The edge relation is scanned once per depth — cache it for the loop
     // (it is often a derived join, e.g. co-purchase, that would otherwise
     // recompute from source every iteration).
@@ -98,6 +141,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 }
 
 object PropertyGraph {
+  /** Max depth compiled as one lazy unrolled DAG; deeper walks fall back
+    * to the materializing frontier loop (see [[PropertyGraph.traverse]]). */
+  val UnrollDepth = 8
   /** Vertex-id encoding for the TPC-H-derived demo graph: the natural keys
     * of customer/order/part/supplier live in disjoint id spaces via
     * key * 8 + typeTag — the RID-surrogate policy from SURVEY.md §1.1. */

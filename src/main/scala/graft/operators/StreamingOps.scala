@@ -19,10 +19,13 @@ import java.util.concurrent.atomic.AtomicLong
   *     checks against a direct one-shot aggregate: the refresher's core
   *     invariant.
   *   - `q_stream_cagg`: a REAL Structured Streaming job (readStream →
-  *     withWatermark → window agg → memory sink, Trigger.AvailableNow),
-  *     proving the streaming path produces exactly the batch answer on the
-  *     same data (the reference has only tumbling buckets; the watermark
-  *     matches its "late data within the current bucket" recompute window).
+  *     withWatermark → window agg → memory sink, Trigger.AvailableNow) in
+  *     APPEND mode — windows finalize and their state evicts as the
+  *     watermark passes them, so state stays bounded on an unbounded
+  *     stream — proving the streaming path produces exactly the batch
+  *     answer on the same data (the reference has only tumbling buckets;
+  *     the watermark matches its "late data within the current bucket"
+  *     recompute window).
   *   - `q_matview_incremental`: materialized view with INCREMENTAL refresh
   *     (MaterializedViewImpl.java:31, MaterializedViewRefreshMode.java:
   *     21-25) — only groups with new source rows are recomputed.
@@ -35,6 +38,23 @@ object StreamingOps {
   private def slug(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
   private def stateDir(q: String, dir: String): String = s"/tmp/graft_state/${q}_${slug(dir)}"
   private val streamSeq = new AtomicLong(0)
+
+  /** Run `body` with the session's shuffle-partition count (which also
+    * fixes a streaming query's state-store partition count at start)
+    * scoped down for the duration. Stateful operators pay a per-partition
+    * per-micro-batch commit (delta file + snapshot bookkeeping per state
+    * store — a stream-stream join keeps FOUR stores per partition), so a
+    * low-rate stream wants far fewer state partitions than a batch
+    * shuffle; at production rate this knob is sized to throughput, it is
+    * not a fixed small constant. The conf is restored after the stream
+    * has STARTED (planning pins the partition count), so concurrent batch
+    * work in the same session is unaffected long-term. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast(DoubleType)
 
@@ -64,10 +84,62 @@ object StreamingOps {
         col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
     val sinkName = s"stream_join_${streamSeq.incrementAndGet()}"
-    val query = joined.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    val query = withStatePartitions(s, 8) {
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
     (s.table(sinkName), query.recentProgress)
+  }
+
+  /** Hourly windowed aggregate over a staged events directory as a REAL
+    * Structured Streaming job in APPEND mode — the state-bounded shape:
+    * the watermark finalizes (emits + evicts) each window once later
+    * arrivals pass it, so state never grows beyond the in-flight windows.
+    * A finite test feed needs one sentinel event 3 h past the real max so
+    * the final watermark clears every real window (on an unbounded stream
+    * the next arrivals do this); the sentinel's own unfinished window is
+    * cut by the `bucket <= trunc(maxTs)` bound. Returns the finalized
+    * windows plus the run's progress so tests can pin the state bound.
+    * Reference analog: tumbling-bucket continuous aggregates,
+    * ContinuousAggregateRefresher.java:54-96. */
+  def streamHourlyCagg(s: SparkSession, srcDir: String, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val maxTs = Tables.events(s, sfDir).agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // The sentinel depends only on (source data, maxTs) — build it once
+    // per layout and reuse the staged file across runs.
+    val sentinel = java.nio.file.Paths.get(s"$srcDir/zz_sentinel_${maxTs.getTime}.parquet")
+    // drop sentinels from earlier data generations — they would feed the
+    // stream phantom events
+    java.nio.file.Files.list(java.nio.file.Paths.get(srcDir)).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("zz_sentinel_") && n != sentinel.getFileName.toString
+    }.forEach(java.nio.file.Files.delete(_))
+    if (!java.nio.file.Files.exists(sentinel)) {
+      val sentinelDir = stateDir("stream_src_sentinel", sfDir)
+      val one = Tables.events(s, sfDir).limit(1)
+        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)))
+      one.coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(sentinelDir))
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, sentinel,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = Tables.eventsStream(s, srcDir,
+        maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
+    val sinkName = s"stream_cagg_${streamSeq.incrementAndGet()}"
+    val query = withStatePartitions(s, 8) {
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    (s.table(sinkName).filter(col("bucket") <= date_trunc("hour", lit(maxTs))),
+      query.recentProgress)
   }
 
   /** Daily per-type aggregate used by the continuous-aggregate queries. */
@@ -111,16 +183,7 @@ object StreamingOps {
         java.nio.file.Paths.get(s"$d/events.parquet"),
         java.nio.file.Paths.get(s"$srcDir/events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val stream = Tables.eventsStream(s, srcDir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
-        .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
-      val sinkName = s"stream_cagg_${streamSeq.incrementAndGet()}"
-      val query = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      s.table(sinkName).orderBy("bucket", "event_type")
+      streamHourlyCagg(s, srcDir, d)._1.orderBy("bucket", "event_type")
     },
 
     // ---- gap-based session windows, batch (built-in session_window) ----

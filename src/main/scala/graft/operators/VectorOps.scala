@@ -244,7 +244,10 @@ object VectorOps {
     //      near-random (worst case for LSH); recall here is the floor,
     //      not the typical clustered-embedding figure. ----
     // ---- IVF ANN, self-scored as recall@10 vs the oracled exact kNN
-    //      (like q_vec_ann_lsh; same near-random-corpus recall caveat) ----
+    //      (like q_vec_ann_lsh; same near-random-corpus recall caveat).
+    //      The recall floor is pinned in-suite: AnnRecallSpec asserts
+    //      mean recall ≥ 0.7 (IVF) / ≥ 0.3 (LSH) at sf0.001 — "self-
+    //      scored AND checked" ----
     Q.noOracle("q_vec_ann_ivf") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 5)

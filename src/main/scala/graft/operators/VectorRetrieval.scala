@@ -75,65 +75,92 @@ object VectorRetrieval {
     TopK.ranked(scored, k, "rn", col("score").desc, col("vec_id"))
   }
 
-  /** WAND/BMW-style pruned sparse top-k (index/sparsevector/BmwScorer.java
-    * re-expressed for a distributed posting store): identical result to
-    * [[sparseTopK]], but documents that cannot reach the k-th score are
-    * never fully scored.
+  /** Pruned top-k result. `postingsScored` is LAZY — the bench/query path
+    * never pays its count job; the pruning specs invoke it (r5/r6 verdict:
+    * the eager `count()` actions cost more than the pruning saved). */
+  final case class PrunedTopK(topk: DataFrame, postingsScored: () => Long,
+      postingsTotal: Long)
+
+  /** Per-dim stats + θ seed shared by the WAND variants: ONE collect gives
+    * both the upper bounds and the total posting count (≤ query-nnz rows),
+    * one more gives the k-row θ seed. */
+  private final case class WandPrep(
+      ubs: Seq[(Int, Double)], totalPostings: Long, theta: Double)
+
+  private def wandPrep(pq: DataFrame, k: Int): WandPrep = {
+    val stats = pq.groupBy("dim")
+      .agg(max(col("c")).as("ub"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("ub"), r.getAs[Long]("n"))).toSeq
+    val ubs = stats.map(s => s._1 -> s._2)
+    val total = stats.map(_._3).sum
+    if (ubs.isEmpty) return WandPrep(ubs, total, Double.NegativeInfinity)
+    // θ = k-th exact score among the docs of the single highest-impact
+    // dim — any subset's k-th lower-bounds the true k-th
+    val seedDim = ubs.maxBy(u => (u._2, -u._1))._1
+    val seedDocs = pq.filter(col("dim") === seedDim).select("vec_id").distinct()
+    val seed = pq.join(broadcast(seedDocs), Seq("vec_id"))
+      .groupBy("vec_id").agg(sum(col("c")).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(k).collect()
+    val theta = if (seed.length < k) Double.NegativeInfinity
+      else seed.last.getAs[Double]("s")
+    WandPrep(ubs, total, theta)
+  }
+
+  /** WAND's essential-dim set: dims NOT in it can be ignored when looking
+    * for candidate docs. A doc restricted to dim set S has score ≤
+    * Σ_{d∈S, ub_d>0} ub_d; dims with ub ≤ 0 never RAISE a score, so when
+    * θ > 0 they are non-essential for free, and the maximal
+    * ascending-positive-ub prefix with Σub < θ joins them (a doc with
+    * score ≥ θ must hit an essential dim — the exact invariant). */
+  private def essentialDims(ubs: Seq[(Int, Double)], theta: Double): Seq[Int] = {
+    val nonPos = ubs.filter(_._2 <= 0).map(_._1)
+    val pos = ubs.filter(_._2 > 0).sortBy(u => (u._2, u._1))
+    val cum = pos.map(_._2).scanLeft(0.0)(_ + _).drop(1)
+    val posPrefix = pos.zip(cum).takeWhile(_._2 < theta).map(_._1._1)
+    val nonEssential = (if (theta > 0) nonPos ++ posPrefix else Seq.empty[Int]).toSet
+    ubs.map(_._1).filterNot(nonEssential)
+  }
+
+  /** WAND-style pruned sparse top-k (index/sparsevector/BmwScorer.java's
+    * global-bound tier re-expressed for a distributed posting store):
+    * identical result to [[sparseTopK]], but documents that cannot reach
+    * the k-th score are never fully scored.
     *
     * Distributed WAND split: (1) per-dim contribution upper bounds
-    * ub_d = max(w·q_d) — one tiny aggregate, ≤ query-nnz rows to the
-    * driver (the posting-list max-score metadata BMW keeps per block);
-    * (2) a cheap threshold θ = k-th exact score among the docs of the
-    * single highest-impact dim (any subset k-th lower-bounds the true
-    * k-th); (3) the maximal ascending-ub dim prefix with Σub < θ is
-    * non-essential — a doc appearing ONLY there has score ≤ Σub < θ and
-    * is pruned without scoring (WAND's essential-list invariant, exact:
-    * a doc with score ≥ θ must hit an essential dim); (4) full scoring
-    * runs only for candidates with ≥ 1 essential-dim posting.
-    *
-    * Returns (top-k frame, postingsScored, postingsTotal) so callers and
-    * tests can observe the pruning. */
-  def sparseTopKPruned(emb: DataFrame, queryVecId: Long, k: Int): (DataFrame, Long, Long) = {
+    * ub_d = max(w·q_d) — one tiny aggregate to the driver (the
+    * posting-list max-score metadata); (2) the θ seed; (3) full scoring
+    * runs only for candidates with ≥ 1 essential-dim posting
+    * ([[essentialDims]]). */
+  def sparseTopKPruned(emb: DataFrame, queryVecId: Long, k: Int): PrunedTopK = {
     val p = sparsePostings(emb, SparseThreshold)
     val q = p.filter(col("vec_id") === queryVecId).select(col("dim"), col("w").as("qw"))
     val pq = p.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(q), Seq("dim"))
       .select(col("vec_id"), col("dim"), (col("w") * col("qw")).as("c"))
       .persist()
-    val totalPostings = pq.count()
-    val ubs = pq.groupBy("dim").agg(max(col("c")).as("ub")).collect()
-      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("ub")).toSeq
-    val pruned =
-      if (ubs.isEmpty) (pq.select(col("vec_id"), lit(0.0).as("score")).limit(0), 0L)
+    val prep = wandPrep(pq, k)
+    val (scored, scoredCount) =
+      if (prep.ubs.isEmpty)
+        (pq.select(col("vec_id"), lit(0.0).as("score")).limit(0), () => 0L)
       else {
-        val seedDim = ubs.maxBy(u => (u._2, -u._1))._1
-        val seedDocs = pq.filter(col("dim") === seedDim).select("vec_id").distinct()
-        val seed = pq.join(broadcast(seedDocs), Seq("vec_id"))
-          .groupBy("vec_id").agg(sum(col("c")).as("s"))
-          .orderBy(col("s").desc, col("vec_id")).limit(k).collect()
-        val theta = if (seed.length < k) Double.NegativeInfinity
-          else seed.last.getAs[Double]("s")
-        // WAND's prefix bound assumes non-negative per-dim maxima: a doc
-        // restricted to dim set S has score ≤ Σ_{d∈S, ub_d>0} ub_d. Dims
-        // with ub ≤ 0 can never RAISE a score, so when θ > 0 they are
-        // non-essential for free; the ascending-positive-ub prefix below
-        // Σ < θ joins them.
-        val nonPos = ubs.filter(_._2 <= 0).map(_._1)
-        val pos = ubs.filter(_._2 > 0).sortBy(u => (u._2, u._1))
-        val cum = pos.map(_._2).scanLeft(0.0)(_ + _).drop(1)
-        val posPrefix = pos.zip(cum).takeWhile(_._2 < theta).map(_._1._1)
-        val nonEssential =
-          (if (theta > 0) nonPos ++ posPrefix else posPrefix.filter(_ => false)).toSet
-        val essential = ubs.map(_._1).filterNot(nonEssential).map(Integer.valueOf)
+        val essential = essentialDims(prep.ubs, prep.theta).map(Integer.valueOf)
         val cands = pq.filter(col("dim").isin(essential: _*)).select("vec_id").distinct()
         val hit = pq.join(broadcast(cands), Seq("vec_id"))
-        (hit.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")), hit.count())
+        (hit.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")),
+          () => hit.count())
       }
-    val out = TopK.ranked(pruned._1, k, "rn", col("score").desc, col("vec_id"))
+    val out = TopK.ranked(scored, k, "rn", col("score").desc, col("vec_id"))
       .localCheckpoint(eager = true)
     pq.unpersist(blocking = false)
-    (out, pruned._2, totalPostings)
+    PrunedTopK(out, scoredCount, prep.totalPostings)
   }
+
+  /** Postings below this, the per-(dim, block) metadata costs more than
+    * its extra pruning saves (r6 bench: the block bookkeeping dominated at
+    * sf0.1) — [[sparseTopKBlockMax]] then falls back to the global
+    * essential test alone, still exact. Block-max pays off on LONG
+    * posting lists, the 100-TB regime. */
+  val BlockMaxMinPostings = 1000000L
 
   /** Block-max WAND (the full BmwScorer.java idea): on top of
     * [[sparseTopKPruned]]'s one global upper bound per dim, each posting
@@ -150,10 +177,11 @@ object VectorRetrieval {
     * Scale shape: the (dim, block) maxima and the essentiality prefix are
     * computed as DataFrames (groupBy + one window partitioned by block —
     * block count grows with the corpus, so this metadata NEVER collects
-    * to the driver); only θ's k-row seed does.
-    * Returns (top-k frame, postingsScored, postingsTotal). */
+    * to the driver); only θ's k-row seed does. Below `minPostings` the
+    * block tier is skipped entirely (see [[BlockMaxMinPostings]]). */
   def sparseTopKBlockMax(emb: DataFrame, queryVecId: Long, k: Int,
-      blockWidth: Int = 32): (DataFrame, Long, Long) = {
+      blockWidth: Int = 32,
+      minPostings: Long = BlockMaxMinPostings): PrunedTopK = {
     val p = sparsePostings(emb, SparseThreshold)
     val q = p.filter(col("vec_id") === queryVecId).select(col("dim"), col("w").as("qw"))
     val pq = p.filter(col("vec_id") =!= queryVecId)
@@ -161,55 +189,44 @@ object VectorRetrieval {
       .select(col("vec_id"), col("dim"), (col("w") * col("qw")).as("c"),
         floor(col("vec_id") / blockWidth).as("blk"))
       .persist()
-    val totalPostings = pq.count()
-    val gubs = pq.groupBy("dim").agg(max(col("c")).as("ub")).collect()
-      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("ub")).toSeq
-    val pruned =
-      if (gubs.isEmpty) (pq.select(col("vec_id"), lit(0.0).as("score")).limit(0), 0L)
-      else {
-        // θ seed — identical to sparseTopKPruned: the k-th exact score
-        // among the docs of the single highest-impact dim lower-bounds
-        // the true k-th score
-        val seedDim = gubs.maxBy(u => (u._2, -u._1))._1
-        val seedDocs = pq.filter(col("dim") === seedDim).select("vec_id").distinct()
-        val seed = pq.join(broadcast(seedDocs), Seq("vec_id"))
-          .groupBy("vec_id").agg(sum(col("c")).as("s"))
-          .orderBy(col("s").desc, col("vec_id")).limit(k).collect()
-        val theta = if (seed.length < k) Double.NegativeInfinity
-          else seed.last.getAs[Double]("s")
-        if (theta <= 0) {
-          // a non-positive θ prunes nothing (negative contributions can
-          // never be excluded) — score everything, like the global variant
-          (pq.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")), totalPostings)
-        } else {
-          // global essential dims (sparseTopKPruned's criterion)
-          val nonPosG = gubs.filter(_._2 <= 0).map(_._1)
-          val posG = gubs.filter(_._2 > 0).sortBy(u => (u._2, u._1))
-          val cumG = posG.map(_._2).scanLeft(0.0)(_ + _).drop(1)
-          val nonEssG = (nonPosG ++ posG.zip(cumG).takeWhile(_._2 < theta).map(_._1._1)).toSet
-          val essG = gubs.map(_._1).filterNot(nonEssG).map(Integer.valueOf)
-          val candsG = pq.filter(col("dim").isin(essG: _*)).select("vec_id").distinct()
-          // per-block essential (dim, blk) pairs: ub ≤ 0 never raises a
-          // score; positive ubs ascend per block, inclusive cumsum < θ
-          // is the non-essential prefix
-          val bubs = pq.groupBy("blk", "dim").agg(max(col("c")).as("ub"))
-          val w = Window.partitionBy(col("blk"))
-            .orderBy(col("ub").asc, col("dim").asc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val essPairs = bubs
-            .withColumn("cum", sum(when(col("ub") > 0, col("ub")).otherwise(0.0)).over(w))
-            .filter(col("ub") > 0 && col("cum") >= theta)
-            .select("blk", "dim")
-          val candsB = pq.join(essPairs, Seq("blk", "dim")).select("vec_id").distinct()
-          val cands = candsG.join(candsB, Seq("vec_id"))
-          val hit = pq.join(broadcast(cands), Seq("vec_id"))
-          (hit.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")), hit.count())
-        }
+    val prep = wandPrep(pq, k)
+    val theta = prep.theta
+    val (scored, scoredCount) =
+      if (prep.ubs.isEmpty)
+        (pq.select(col("vec_id"), lit(0.0).as("score")).limit(0), () => 0L)
+      else if (theta <= 0) {
+        // a non-positive θ prunes nothing (negative contributions can
+        // never be excluded) — score everything, like the global variant
+        (pq.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")),
+          () => prep.totalPostings)
+      } else {
+        val essG = essentialDims(prep.ubs, theta).map(Integer.valueOf)
+        val candsG = pq.filter(col("dim").isin(essG: _*)).select("vec_id").distinct()
+        val cands =
+          if (prep.totalPostings < minPostings) candsG
+          else {
+            // per-block essential (dim, blk) pairs: ub ≤ 0 never raises a
+            // score; positive ubs ascend per block, inclusive cumsum < θ
+            // is the non-essential prefix
+            val bubs = pq.groupBy("blk", "dim").agg(max(col("c")).as("ub"))
+            val w = Window.partitionBy(col("blk"))
+              .orderBy(col("ub").asc, col("dim").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val essPairs = bubs
+              .withColumn("cum", sum(when(col("ub") > 0, col("ub")).otherwise(0.0)).over(w))
+              .filter(col("ub") > 0 && col("cum") >= theta)
+              .select("blk", "dim")
+            val candsB = pq.join(essPairs, Seq("blk", "dim")).select("vec_id").distinct()
+            candsG.join(candsB, Seq("vec_id"))
+          }
+        val hit = pq.join(broadcast(cands), Seq("vec_id"))
+        (hit.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")),
+          () => hit.count())
       }
-    val out = TopK.ranked(pruned._1, k, "rn", col("score").desc, col("vec_id"))
+    val out = TopK.ranked(scored, k, "rn", col("score").desc, col("vec_id"))
       .localCheckpoint(eager = true)
     pq.unpersist(blocking = false)
-    (out, pruned._2, totalPostings)
+    PrunedTopK(out, scoredCount, prep.totalPostings)
   }
 
   /** Greedy MMR over one query's candidate group. Scores and pairwise
@@ -420,7 +437,7 @@ object VectorRetrieval {
          |  SELECT vec_id, score,
          |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM scored)
          |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
-      sparseTopKBlockMax(Tables.embeddings(s, d), queryVecId = 0, k = 20)._1.orderBy("rn")
+      sparseTopKBlockMax(Tables.embeddings(s, d), queryVecId = 0, k = 20).topk.orderBy("rn")
     },
 
     // ---- reciprocal-rank fusion of cosine + L2 rankings (RRFScore) ----

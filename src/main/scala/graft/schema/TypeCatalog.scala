@@ -85,13 +85,23 @@ final class TypeCatalog(initial: Seq[TypeDef]) {
       .flatMap(t => t +: subtypesOf(t.name))
 
   /** Raw table read (no decoration). `events.ts` layouts drifted across
-    * testdata generations, so any `ts` column is normalized through the
-    * shared layout probe ([[graft.Tables.normalizeTs]]). */
+    * testdata generations, so a `ts` column in a RECOGNIZED event-time
+    * layout is normalized through the shared probe
+    * ([[graft.Tables.normalizeTs]]). Other `ts` types (string, date,
+    * decimal … on user-registered types) pass through unchanged — the
+    * ns/µs contract applies to event-time layouts only, and a hard throw
+    * here would break createType'd tables that happen to name a column
+    * `ts`. */
   private def raw(spark: SparkSession, dir: String, t: TypeDef): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
     val p = t.path.getOrElse(
       throw new IllegalArgumentException(s"type ${t.name} is abstract (no storage)"))
     val df = spark.read.parquet(p(dir))
-    if (df.schema.fieldNames.contains("ts")) graft.Tables.normalizeTs(df) else df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType | IntegerType | TimestampType | TimestampNTZType) =>
+        graft.Tables.normalizeTs(df)
+      case _ => df
+    }
   }
 
   /** Type scan with `@type` discriminator and `_props` dynamic map. */

@@ -142,14 +142,16 @@ object Script {
         last = Translator.executeDml(spark, dir, cat, st, env)
       case TxS("begin") =>
         val tabs = writableTables()
-        graft.sources.Backup.backup(spark, tabs, txDir)
+        // file-level snapshot (Backup.snapshotFiles): a tx checkpoint is
+        // a byte copy, not a distributed re-encode — 0 Spark jobs
+        graft.sources.Backup.snapshotFiles(tabs, txDir)
         txTables = Some(tabs)
       case TxS("commit") =>
         txTables = None // snapshot simply discarded
       case TxS("rollback") =>
         val tabs = txTables.getOrElse(
           throw Translator.TranslateException("ROLLBACK without BEGIN"))
-        graft.sources.Backup.restore(spark, txDir, tabs)
+        graft.sources.Backup.restoreFiles(spark, txDir, tabs)
         txTables = None
       case TxS(other) =>
         throw Translator.TranslateException(s"unknown tx op $other")

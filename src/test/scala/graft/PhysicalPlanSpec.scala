@@ -126,10 +126,10 @@ class PhysicalPlanSpec extends AnyFunSuite {
     def run(emb: org.apache.spark.sql.DataFrame): (Seq[(Long, Double, Int)], Seq[(Long, Double, Int)], Long, Long) = {
       val exact = VectorRetrieval.sparseTopK(emb, 0L, 20)
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
-      val (prunedDf, scored, total) = VectorRetrieval.sparseTopKPruned(emb, 0L, 20)
-      val pruned = prunedDf.orderBy("rn")
+      val pr = VectorRetrieval.sparseTopKPruned(emb, 0L, 20)
+      val pruned = pr.topk.orderBy("rn")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
-      (exact, pruned, scored, total)
+      (exact, pruned, pr.postingsScored(), pr.postingsTotal)
     }
     // identity on the real (dense-ish) corpus — pruning may be a no-op
     // there, but must never change a row
@@ -157,7 +157,7 @@ class PhysicalPlanSpec extends AnyFunSuite {
     val real = Tables.embeddings(spark, sfDir)
     val exactR = VectorRetrieval.sparseTopK(real, 0L, 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
-    val bmR = VectorRetrieval.sparseTopKBlockMax(real, 0L, 20)._1.orderBy("rn")
+    val bmR = VectorRetrieval.sparseTopKBlockMax(real, 0L, 20).topk.orderBy("rn")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
     assert(bmR == exactR, "block-max changed the top-k on the real corpus")
 
@@ -173,11 +173,16 @@ class PhysicalPlanSpec extends AnyFunSuite {
         .as("embedding"))
     val exactS = VectorRetrieval.sparseTopK(corpus, 0L, 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
-    val (prunedDf, scoredG, totalG) = VectorRetrieval.sparseTopKPruned(corpus, 0L, 20)
-    val (bmDf, scoredB, totalB) = VectorRetrieval.sparseTopKBlockMax(corpus, 0L, 20)
-    val prunedS = prunedDf.orderBy("rn")
+    val prG = VectorRetrieval.sparseTopKPruned(corpus, 0L, 20)
+    // minPostings = 0 forces the block tier on this small refinement
+    // corpus (the production default gates it off below
+    // BlockMaxMinPostings, where the metadata costs more than it saves)
+    val prB = VectorRetrieval.sparseTopKBlockMax(corpus, 0L, 20, minPostings = 0L)
+    val (scoredG, totalG) = (prG.postingsScored(), prG.postingsTotal)
+    val (scoredB, totalB) = (prB.postingsScored(), prB.postingsTotal)
+    val prunedS = prG.topk.orderBy("rn")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
-    val bmS = bmDf.orderBy("rn")
+    val bmS = prB.topk.orderBy("rn")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
     assert(prunedS == exactS && bmS == exactS, "pruning changed the top-k")
     assert(totalB == totalG)

@@ -77,7 +77,7 @@ object Cypher {
       yields: Seq[(String, Option[String])]) extends Clause
   final case class WithC(items: Seq[ReturnItem], distinct: Boolean,
       where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
-      skip: Option[Long] = None, limit: Option[Long] = None) extends Clause
+      skip: Option[Expr] = None, limit: Option[Expr] = None) extends Clause
   final case class UnwindC(expr: Expr, alias: String) extends Clause
   /** `LOAD CSV [WITH HEADERS] FROM 'url' AS var [FIELDTERMINATOR 'c']` —
     * streams CSV rows into the pattern pipeline (reference
@@ -114,8 +114,8 @@ object Cypher {
       items: Seq[ReturnItem],
       distinct: Boolean,
       orderBy: Seq[OrderItem],
-      skip: Option[Long],
-      limit: Option[Long],
+      skip: Option[Expr],
+      limit: Option[Expr],
       /** `UNION [ALL] <next query>` — the flag is true for UNION ALL.
         * openCypher's trailing ORDER BY/SKIP/LIMIT (written on the last
         * branch) modify the COMBINED result; compile() hoists them. */
@@ -171,13 +171,35 @@ object Cypher {
       case _ => None
     }
 
+  /** A pattern chain in general boolean position (`… OR (a)-[:T]->(b)`,
+    * TCK MatchWhere4 [2]) desugars to the EXISTS form — `size(pattern
+    * comprehension) > 0` — which the pipeline resolves as one grouped
+    * collect + left join on the anchor variables. Conjunctive top-level
+    * patterns still take the cheaper semi-join path in parseMatchWhere.
+    * The hook is called just past a consumed `(`; a parenthesized
+    * ordinary expression or a rel-less `(a)` backtracks to core parsing. */
+  private val patternPredExt: Parser.P => Option[Expr] = p => {
+    val start = p.pos - 1 // rewind onto the '(' — parseChain expects it
+    p.pos = start
+    try {
+      val chain = parseChain(p, optional = false)
+      if (chain.rels.isEmpty) { p.pos = start + 1; None }
+      else Some(Bin(">",
+        FnCall("size",
+          Seq(Ast.PatternComp(chain, None, NumLit(BigDecimal(1), isIntegral = true)))),
+        NumLit(BigDecimal(0), isIntegral = true)))
+    } catch { case _: ParseException => p.pos = start + 1; None }
+  }
+
   def parse(text: String): CypherQuery = graft.StatementCache.cached("cypher", text) {
     Parser.bracketExt.set(patternCompExt)
     Parser.braceExt.set(existsCountExt)
+    Parser.parenExt.set(patternPredExt)
     Parser.labelTestExt.set(true)
     try parseImpl(text) finally {
       Parser.bracketExt.remove()
       Parser.braceExt.remove()
+      Parser.parenExt.remove()
       Parser.labelTestExt.remove()
     }
   }
@@ -321,14 +343,15 @@ object Cypher {
           var more = true
           while (more) {
             val e = Parser.parseExpr(p)
-            val asc = if (p.kw("DESC")) false else { p.kw("ASC"); true }
+            val asc = if (p.kw("DESC") || p.kw("DESCENDING")) false
+              else { if (!p.kw("ASC")) p.kw("ASCENDING"); true }
             b += OrderItem(e, asc)
             more = p.op(",")
           }
           b.result()
         } else Seq.empty
-        val skip = if (p.kw("SKIP")) Some(Parser.longLit(p)) else None
-        val limit = if (p.kw("LIMIT")) Some(Parser.longLit(p)) else None
+        val skip = if (p.kw("SKIP")) Some(Parser.parseExpr(p)) else None
+        val limit = if (p.kw("LIMIT")) Some(Parser.parseExpr(p)) else None
         val where = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
         clauses += WithC(items.result(), distinct, where, orderBy, skip, limit)
       } else if (p.kw("UNWIND")) {
@@ -390,14 +413,15 @@ object Cypher {
       var more = true
       while (more) {
         val e = Parser.parseExpr(p)
-        val asc = if (p.kw("DESC")) false else { p.kw("ASC"); true }
+        val asc = if (p.kw("DESC") || p.kw("DESCENDING")) false
+          else { if (!p.kw("ASC")) p.kw("ASCENDING"); true }
         b += OrderItem(e, asc)
         more = p.op(",")
       }
       b.result()
     } else Seq.empty
-    val skip = if (p.kw("SKIP")) Some(Parser.longLit(p)) else None
-    val limit = if (p.kw("LIMIT")) Some(Parser.longLit(p)) else None
+    val skip = if (p.kw("SKIP")) Some(Parser.parseExpr(p)) else None
+    val limit = if (p.kw("LIMIT")) Some(Parser.parseExpr(p)) else None
     val union = if (p.kw("UNION")) {
       val all = p.kw("ALL")
       Some((all, parseQuery(p)))
@@ -447,8 +471,14 @@ object Cypher {
     import Parser.{TId, TOp, TEof, Tok}
     val stop = Set("RETURN", "WITH", "MATCH", "OPTIONAL", "UNWIND", "CREATE",
       "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "ON")
-    // 1. slice the WHERE token stream on top-level ANDs
+    // 1. slice the WHERE token stream on top-level ANDs. A top-level OR
+    // disables slicing entirely: `A AND pat1 OR pat2` must parse as
+    // `(A AND pat1) OR pat2` (Cypher precedence), with the patterns
+    // desugared inline by the parenExt hook — conjunct slicing would
+    // silently regroup it (TCK MatchWhere4 [2]).
     val slices = scala.collection.mutable.Buffer[Vector[Tok]]()
+    val all = Vector.newBuilder[Tok]
+    var topLevelOr = false
     var cur = Vector.newBuilder[Tok]
     var depth = 0; var caseDepth = 0; var betweenPending = 0
     var done = false
@@ -463,12 +493,15 @@ object Cypher {
         done = true
       case t =>
         p.next()
+        all += t
         t match {
           case TOp("(") | TOp("[") | TOp("{") => depth += 1; cur += t
           case TOp(")") | TOp("]") | TOp("}") => depth -= 1; cur += t
           case TId(id) if id.equalsIgnoreCase("CASE") => caseDepth += 1; cur += t
           case TId(id) if id.equalsIgnoreCase("END")  => caseDepth -= 1; cur += t
           case TId(id) if id.equalsIgnoreCase("BETWEEN") => betweenPending += 1; cur += t
+          case TId(id) if id.equalsIgnoreCase("OR") && depth == 0 && caseDepth == 0 =>
+            topLevelOr = true; cur += t
           case TId(id) if id.equalsIgnoreCase("AND") && depth == 0 && caseDepth == 0 =>
             if (betweenPending > 0) { betweenPending -= 1; cur += t }
             else { slices += cur.result(); cur = Vector.newBuilder[Tok] }
@@ -477,6 +510,13 @@ object Cypher {
         prevId = t match { case TId(id) => id; case _ => "" }
     }
     slices += cur.result()
+    if (topLevelOr) {
+      val ep = new Parser.P(all.result() :+ TEof)
+      val e = Parser.parseExpr(ep)
+      if (ep.peek != TEof)
+        throw ParseException(s"trailing input in WHERE at ${ep.peek}")
+      return (Some(e), Seq.empty)
+    }
     // 2. classify each conjunct
     val exprs = scala.collection.mutable.Buffer[Expr]()
     val pats = scala.collection.mutable.Buffer[(PatternChain, Boolean)]()
@@ -934,10 +974,32 @@ object Cypher {
     var relVars = Set.empty[String]   // rel vars with r_* prop columns
     var relListVars = Set.empty[String] // var-length rel vars (list columns)
     var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
+    // scalars whose defining expression referenced an entity variable —
+    // only these may re-bind as pattern nodes (`WITH coalesce(b, c) AS x
+    // MATCH (x)-->()` re-matches by identity; `WITH 123 AS n MATCH (n)`
+    // is a VariableTypeConflict, TCK Match1 [11] vs Match3 [30])
+    var nodeRefScalars = Set.empty[String]
+    /** Does `e` reference an entity (bare node/rel var or an
+      * entity-derived scalar)? Property accesses read VALUES, not
+      * references — their targets don't count. */
+    def refsEntity(e0: Expr): Boolean = {
+      val masked = Ast.mapDown(e0) {
+        case PropAccess(Ident(_), _) => Ident("\u0000masked")
+        case x => x }
+      var found = false
+      Ast.mapDown(masked) {
+        case x @ Ident(nm) if nodeVars(nm) || relVars(nm) || nodeRefScalars(nm) =>
+          found = true; x
+        case x => x }
+      found
+    }
     var paths = Map.empty[String, PathInfo] // named plain paths
     // vertex ids allocated by CREATE clauses of THIS statement: a later
     // CREATE in the same statement wires edges to them by variable name
     val createdIds = scala.collection.mutable.Map.empty[String, Long]
+    // their literal property expressions, so a later pattern in the same
+    // statement can reference them (`CREATE (a {id: 0}), (b {n: a.id})`)
+    val createdProps = scala.collection.mutable.Map.empty[String, Map[String, Expr]]
     def toCol(e: Expr): Column =
       graft.sql.Translator.toColumn(typed(flatten(rewriteMetaFns(substParams(e)), scalars, paths)))
 
@@ -1118,6 +1180,18 @@ object Cypher {
               case y => f(y)
             })
           })
+        // a key absent from a WITH-bound literal map's schema is null, as
+        // is any key of a null or untyped-empty map (TCK Null1/Null2 [5]
+        // — openCypher maps are property bags, not fixed records)
+        case pa @ PropAccess(Ident(v), p)
+            if scalars(v) && acc != null && acc.columns.contains(v) =>
+          import org.apache.spark.sql.types._
+          acc.schema(v).dataType match {
+            case st: StructType if !st.fieldNames.contains(p) => NullLit
+            case NullType                                     => NullLit
+            case MapType(NullType, _, _)                      => NullLit
+            case _                                            => pa
+          }
         // a bare rel variable inside an expression (s IS NULL, s = t):
         // its identity column stands in (flatten maps v._eid → v__eid)
         case Ident(v) if relVars(v) && !scalars(v) =>
@@ -1193,7 +1267,49 @@ object Cypher {
     }
 
     def step(clause: Clause): Unit = clause match {
-      case MatchC(chains, where, patternPreds, pathBinds) =>
+      case MatchC(chains0, where0, patternPreds, pathBinds0) =>
+        // inline node/rel props whose values reference earlier bindings
+        // (`MATCH (y:Year {year: event.year})`, TCK Unwind1 [6]) desugar
+        // to WHERE equality conjuncts — the chain frame carries no
+        // horizon columns to filter on. Desugared once per distinct
+        // chain so pathBinds' structural chain references stay aligned.
+        var extraWhere = Vector.empty[Expr]
+        val desugared: Map[PatternChain, PatternChain] = {
+          def horizonRef(e: Expr): Boolean = acc != null && {
+            var found = false
+            Ast.mapDown(e) {
+              case x @ Ident(nm) if scalars(nm) || nodeVars(nm) ||
+                  relVars(nm) || relListVars(nm) => found = true; x
+              case x => x }
+            found
+          }
+          chains0.distinct.map { ch =>
+            val nodes2 = ch.nodes.map { nd =>
+              val (hz, plain) = nd.props.partition { case (_, e) => horizonRef(e) }
+              if (hz.isEmpty) nd
+              else {
+                val nv = nd.varName.getOrElse(freshVar())
+                hz.foreach { case (k, e2) =>
+                  extraWhere :+= Bin("=", PropAccess(Ident(nv), k), e2) }
+                nd.copy(varName = Some(nv), props = plain)
+              }
+            }
+            val rels2 = ch.rels.map { rp =>
+              val (hz, plain) = rp.props.partition { case (_, e) => horizonRef(e) }
+              if (hz.isEmpty) rp
+              else {
+                val rv = rp.varName.getOrElse(freshVar())
+                hz.foreach { case (k, e2) =>
+                  extraWhere :+= Bin("=", PropAccess(Ident(rv), k), e2) }
+                rp.copy(varName = Some(rv), props = plain)
+              }
+            }
+            ch -> ch.copy(nodes = nodes2, rels = rels2)
+          }.toMap
+        }
+        val chains = chains0.map(desugared)
+        val pathBinds = pathBinds0.map { case (pv, ch) => pv -> desugared(ch) }
+        val where = (where0.toSeq ++ extraWhere).reduceOption(Bin("AND", _, _))
         // a path name must not collide with pattern variables
         pathBinds.foreach { case (pv, _) =>
           if (nodeVars(pv) || relVars(pv) || relListVars(pv) || scalars(pv) ||
@@ -1241,19 +1357,45 @@ object Cypher {
             (chainRels.toSet ++ relVars ++ relListVars)
           if (typeClash.nonEmpty)
             throw ParseException(s"VariableTypeConflict: ${typeClash.mkString(", ")}")
+          // a scalar value can never rebind as a relationship variable
+          // (TCK Match2 [13])
+          chain.rels.foreach { rp =>
+            rp.varName.foreach { rv =>
+              if (scalars(rv) && !relListVars(rv)) {
+                // a LIST-valued scalar may drive a variable-length pattern
+                // (pre-bound relationship list, Match9 [7]); anything else
+                // is a type conflict (TCK Match2 [13])
+                val isArr = acc != null && acc.columns.contains(rv) &&
+                  acc.schema(rv).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+                if (!(isArr && rp.hops.isDefined))
+                  throw ParseException(
+                    s"VariableTypeConflict: $rv is not a relationship variable")
+              }
+            }
+          }
           // a WITH/UNWIND scalar re-bound as a pattern node: a node
           // REFERENCE (numeric identity, e.g. `WITH coalesce(b, c) AS x
-          // MATCH (x)-->(d)`) re-matches by identity — null matches
-          // nothing; a list or other non-node value is a type error
-          // (TCK Match3 [30] vs Match7 [22])
+          // MATCH (x)-->(d)`) or a whole-node struct (`UNWIND collect(b)
+          // AS b2`, TCK Unwind1 [12]) re-matches by identity — null
+          // matches nothing; a list, map or other non-node value is a
+          // type error (TCK Match3 [30] vs Match7 [22], Match1 [11])
           val scalarRefs = (chainNodes intersect scalars).toSeq.sorted.map { v =>
             acc.schema(v).dataType match {
+              case st: org.apache.spark.sql.types.StructType
+                  if st.fieldNames.contains("id") && st.fieldNames.contains("label") =>
+                val fresh = freshVar()
+                (v, fresh)
               case _: org.apache.spark.sql.types.ArrayType |
                   _: org.apache.spark.sql.types.MapType |
+                  _: org.apache.spark.sql.types.StructType |
                   org.apache.spark.sql.types.StringType |
                   org.apache.spark.sql.types.BooleanType =>
                 throw ParseException(s"VariableTypeConflict: $v is not a node variable")
-              case _ => // numeric identity reference: rename + identity join
+              case _ =>
+                // numeric identity reference: rename + identity join —
+                // legal only for entity-derived scalars
+                if (!nodeRefScalars(v))
+                  throw ParseException(s"VariableTypeConflict: $v is not a node variable")
                 val fresh = freshVar()
                 (v, fresh)
             }
@@ -1320,9 +1462,17 @@ object Cypher {
           relListVars ++= cr.relListVars
           localRels ++= chainRels
           // close the identity loop for scalar node references (null
-          // reference === anything is null → matches nothing)
+          // reference === anything is null → matches nothing). A scalar
+          // holding a whole-node STRUCT — `UNWIND collect(b) AS b2
+          // MATCH (a)-->(b2)` (TCK Unwind1 [12]) — references by its
+          // embedded identity field.
           scalarRefs.foreach { case (v, fresh) =>
-            acc = acc.filter(col(s"${fresh}_id") === col(v)) }
+            val ref = acc.schema(v).dataType match {
+              case st: org.apache.spark.sql.types.StructType
+                  if st.fieldNames.contains("id") => col(v).getField("id")
+              case _ => col(v)
+            }
+            acc = acc.filter(col(s"${fresh}_id") === ref) }
           chainResults += cr
         }
         val allMarks = chainResults.result().flatMap(_.marks)
@@ -1412,10 +1562,17 @@ object Cypher {
         }
 
       case UnwindC(e, a) =>
+        // UNWIND null produces zero rows (openCypher); a bare NULL has no
+        // array type for explode, so give it one
+        val listCol = substParams(e) match {
+          case NullLit => lit(null).cast("array<int>")
+          case _       => toCol(e)
+        }
         acc =
-          if (acc == null) g.vertices.sparkSession.range(1).select(explode(toCol(e)).as(a))
-          else acc.withColumn(a, explode(toCol(e)))
+          if (acc == null) g.vertices.sparkSession.range(1).select(explode(listCol).as(a))
+          else acc.withColumn(a, explode(listCol))
         scalars += a
+        if (refsEntity(e)) nodeRefScalars += a
 
       case LoadCsvC(url, headers, alias, sep) =>
         val path = url.stripPrefix("file://")
@@ -1452,6 +1609,10 @@ object Cypher {
           else yields.map { case (n, al) => al.getOrElse(n) }.toSet)
 
       case WithC(items0raw, distinct, where, orderBy, skip, limit) =>
+        // a leading WITH (no horizon yet) evaluates its items once — the
+        // same relational dual row standalone RETURN projects from
+        if (acc == null)
+          acc = session.range(1).select(lit(1).as("__dual"))
         // `WITH *` carries every variable in scope
         val items0 = items0raw.flatMap {
           case ReturnItem(Ident("*"), None, _) =>
@@ -1460,20 +1621,129 @@ object Cypher {
           case it => Seq(it)
         }
         val items = items0.map(it => it.copy(expr = resolvePatternComps(it.expr)))
-        // bare pattern/path variables carry all their columns; everything
-        // else projects to a scalar column named by its alias
-        val carried = items.collect {
-          case ReturnItem(Ident(v), None, _)
-              if nodeVars(v) || relVars(v) || paths.contains(v) => v }
+        // pattern/path variables — bare or re-aliased — carry all their
+        // columns under the output name (a WITH alias renames the whole
+        // entity binding: TCK With1 [3], With4 [1], With7 [1]); everything
+        // else projects to a scalar column, which openCypher requires to
+        // be explicitly aliased unless it is itself a bare variable
+        val carried: Seq[(String, String)] = items.collect {
+          case ReturnItem(Ident(v), al, _)
+              if nodeVars(v) || relVars(v) || paths.contains(v) =>
+            v -> al.getOrElse(v)
+        }
         val scalarItems = items.filterNot {
-          case ReturnItem(Ident(v), None, _) =>
+          case ReturnItem(Ident(v), _, _) =>
             nodeVars(v) || relVars(v) || paths.contains(v)
           case _ => false
         }
+        scalarItems.foreach {
+          case ReturnItem(Ident(_), _, _) => ()
+          case it if it.alias.isEmpty =>
+            throw ParseException(
+              s"NoExpressionAlias: WITH item ${exprLabel(it.expr)} must be aliased")
+          case _ => ()
+        }
         def name(it: ReturnItem): String = it.alias.getOrElse(exprLabel(it.expr))
-        val carriedCols = carried.flatMap(v =>
-          acc.columns.filter(_.startsWith(s"${v}_")).map(col))
+        locally { // duplicate output names are a compile error
+          val outs = carried.map(_._2) ++ scalarItems.map(name)
+          outs.groupBy(identity).collect { case (nm, occ) if occ.length > 1 =>
+            throw ParseException(s"ColumnNameConflict: multiple WITH columns named $nm") }
+        }
+        // simultaneous projection: every source column reads the PRE-WITH
+        // frame, so swaps (`WITH a AS b, b AS a`) bind correctly
+        val carriedCols = carried.flatMap { case (v, out) =>
+          acc.columns.filter(_.startsWith(s"${v}_"))
+            .map(c => col(c).as(out + c.stripPrefix(v))) }
         val hasAgg = scalarItems.exists(it => graft.sql.Translator.containsAgg(it.expr))
+        if (hasAgg) validateAggScoping(items)
+        // WITH…WHERE may reference variables the projection DROPS (TCK
+        // WithWhere1 [3]) — with no aggregation and no SKIP/LIMIT the
+        // row-wise projection and the filter commute, so evaluate the
+        // predicate before projecting, substituting each WITH alias by
+        // its defining expression. Two-phase marker rename keeps a
+        // self-referential alias (`WITH x+1 AS x WHERE x > 2`) from
+        // re-substituting inside its own replacement.
+        // alias → defining-expression substitution against the PRE-WITH
+        // frame, marker-staged so a self-referential alias (`WITH x+1 AS
+        // x WHERE x > 2`) never re-substitutes inside its own replacement
+        def substAliases(e0: Expr): Expr = {
+          val subst: Map[String, Expr] =
+            carried.collect { case (v, out) if out != v => out -> Ident(v) }.toMap ++
+              scalarItems.collect { case ReturnItem(e2, Some(al), _) => al -> e2 }.toMap
+          val marker = "\u0000with:"
+          val marked = Ast.mapDown(e0) {
+            case Ident(n) if subst.contains(n) => Ident(marker + n)
+            case x => x }
+          Ast.mapDown(marked) {
+            case Ident(n) if n.startsWith(marker) => subst(n.stripPrefix(marker))
+            case x => x }
+        }
+        val preWhere = where.filter(_ => !hasAgg && skip.isEmpty && limit.isEmpty)
+        preWhere.foreach { w =>
+          // WITH…WHERE may reference variables the projection DROPS (TCK
+          // WithWhere1 [3]) — with no aggregation the row-wise projection
+          // and the filter commute, so filter before projecting.
+          // resolvePatternComps mutates acc (joins comprehension frames) —
+          // resolve FIRST so the filter runs on the extended frame
+          val cond = resolvePatternComps(substAliases(w))
+          acc = acc.filter(toCol(cond))
+        }
+        // the same commuting argument covers ORDER BY (+ its SKIP/LIMIT):
+        // with no aggregation and no DISTINCT, sort the PRE-projection
+        // frame so the sort key may reference dropped variables and
+        // aliases alike (TCK WithOrderBy4)
+        val preSort = orderBy.nonEmpty && !hasAgg && !distinct
+        if (preSort) {
+          acc = acc.orderBy(orderBy.map { o =>
+            // an aggregate in WITH…ORDER BY must itself be projected — a
+            // non-projected aggregation has no grouping to run under
+            // (TCK WithOrderBy4 [13][14])
+            if (graft.sql.Translator.containsAgg(o.expr))
+              throw ParseException(
+                "InvalidAggregation: non-projected aggregation in WITH ORDER BY")
+            val sorted = substAliases(o.expr)
+            // every free variable of the sort key must be in scope —
+            // openCypher UndefinedVariable is a compile error, not an
+            // empty sort (TCK WithOrderBy1 [46])
+            locally {
+              def check(x: Expr, bound: Set[String]): Unit = x match {
+                case Ident(n) =>
+                  if (!n.startsWith("$") && !bound(n) && !nodeVars(n) && !relVars(n) &&
+                      !relListVars(n) && !scalars(n) && !paths.contains(n))
+                    throw ParseException(s"UndefinedVariable: $n in WITH ORDER BY")
+                case ListComp(v, l, w2, m) =>
+                  check(l, bound); (w2.toSeq ++ m.toSeq).foreach(check(_, bound + v))
+                case Quantifier(_, v, l, pr) => check(l, bound); check(pr, bound + v)
+                case PropAccess(t, _)        => check(t, bound)
+                case Bin(_, l, r)            => check(l, bound); check(r, bound)
+                case Neg(y)                  => check(y, bound)
+                case Not(y)                  => check(y, bound)
+                case FnCall(_, args, _)      => args.foreach(check(_, bound))
+                // temporal namespace tokens are not variables
+                case MethodCall(Ident(ns), _, args)
+                    if Set("date", "datetime", "duration", "time", "localtime",
+                      "localdatetime")(ns.toLowerCase) =>
+                  args.foreach(check(_, bound))
+                case MethodCall(t, _, args)  => check(t, bound); args.foreach(check(_, bound))
+                case ArrayLit(xs)            => xs.foreach(check(_, bound))
+                case StructLit(fs)           => fs.foreach(kv => check(kv._2, bound))
+                case InList(y, es, _)        => check(y, bound); es.foreach(check(_, bound))
+                case Between(a2, b2, c2)     => Seq(a2, b2, c2).foreach(check(_, bound))
+                case IsNull(y, _)            => check(y, bound)
+                case CaseExpr(op, bsx, el) =>
+                  op.foreach(check(_, bound))
+                  bsx.foreach { case (w2, t2) => check(w2, bound); check(t2, bound) }
+                  el.foreach(check(_, bound))
+                case _ => ()
+              }
+              check(sorted, Set.empty)
+            }
+            val c = toCol(sorted)
+            if (o.asc) c.asc else c.desc
+          }: _*)
+          skip.foreach(e2 => acc = acc.offset(evalRowCount(e2, "SKIP").toInt))
+          limit.foreach(e2 => acc = acc.limit(evalRowCount(e2, "LIMIT").toInt))
+        }
         acc =
           if (hasAgg) { // implicit grouping: non-aggregates are the keys
             val keys = carriedCols ++ scalarItems.collect {
@@ -1483,23 +1753,54 @@ object Cypher {
             if (keys.isEmpty) acc.agg(aggs.head, aggs.tail: _*)
             else acc.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
           } else acc.select(carriedCols ++ scalarItems.map(it => toCol(it.expr).as(name(it))): _*)
-        nodeVars = carried.filter(nodeVars).toSet
-        relVars = carried.filter(relVars).toSet
+        // republish variable scopes under the output names
+        val aliasedScalars = scalarItems.collect {
+          case ReturnItem(Ident(v), al, _) => v -> al.getOrElse(v) }
+        relListVars = aliasedScalars.collect {
+          case (v, out) if relListVars(v) => out }.toSet
+        val newNodeRefs = scalarItems.collect {
+          case it if refsEntity(it.expr) => name(it) }.toSet
+        val prevNode = nodeVars; val prevRel = relVars; val prevPaths = paths
+        nodeVars = carried.collect { case (v, out) if prevNode(v) => out }.toSet
+        relVars = carried.collect { case (v, out) if prevRel(v) => out }.toSet
+        paths = carried.collect {
+          case (v, out) if prevPaths.contains(v) => out -> prevPaths(v) }.toMap
         scalars = scalarItems.map(name).toSet
-        relListVars = relListVars intersect scalars
-        paths = paths.filter { case (pv, _) => carried.contains(pv) }
+        nodeRefScalars = newNodeRefs
         if (distinct) acc = acc.distinct()
-        if (orderBy.nonEmpty)
+        if (orderBy.nonEmpty && !preSort) {
+          // post-aggregation sort: a sort item may repeat a projected
+          // expression textually (`ORDER BY x + count(*)` with count(*)
+          // projected) — rewrite such sub-expressions to their output
+          // aliases before resolving (TCK WithOrderBy4 [16][17][18])
+          val byExpr: Map[Expr, String] =
+            scalarItems.map(it => (it.expr: Expr) -> name(it)).toMap
+          val aliasKeys: Set[Expr] =
+            (scalarItems.map(it => Ident(name(it)): Expr) ++
+              carried.map(cv => Ident(cv._2): Expr)).toSet
           acc = acc.orderBy(orderBy.map { o =>
-            val c = o.expr match {
+            // same scoping rules as an agg-bearing projection item
+            // (TCK WithOrderBy4 [19][20])
+            if (graft.sql.Translator.containsAgg(o.expr))
+              validateAggScoping(items :+ ReturnItem(o.expr, None), aliasKeys)
+            val rewritten = Ast.mapDown(o.expr) {
+              case x if byExpr.contains(x) => Ident(byExpr(x))
+              case x => x }
+            if (graft.sql.Translator.containsAgg(rewritten))
+              throw ParseException(
+                "InvalidAggregation: non-projected aggregation in WITH ORDER BY")
+            val c = rewritten match {
               case Ident(n) if acc.columns.contains(n) => col(n)
               case other => toCol(other)
             }
             if (o.asc) c.asc else c.desc
           }: _*)
-        skip.foreach(n => acc = acc.offset(n.toInt))
-        limit.foreach(n => acc = acc.limit(n.toInt))
-        where.foreach { w =>
+        }
+        if (!preSort) {
+          skip.foreach(e2 => acc = acc.offset(evalRowCount(e2, "SKIP").toInt))
+          limit.foreach(e2 => acc = acc.limit(evalRowCount(e2, "LIMIT").toInt))
+        }
+        where.filter(_ => preWhere.isEmpty).foreach { w =>
           val cond = resolvePatternComps(w)
           acc = acc.filter(toCol(cond))
         }
@@ -1548,6 +1849,14 @@ object Cypher {
     }
     val bs = branches.result()
     if (bs.length == 1) return compileSingle(g, q)
+    // openCypher forbids mixing UNION and UNION ALL in one query
+    // (TCK Union3 [1][2])
+    locally {
+      val kinds = bs.tail.map(_._2).distinct
+      if (kinds.length > 1)
+        throw ParseException(
+          "InvalidClauseComposition: cannot mix UNION and UNION ALL")
+    }
     val last = bs.last._1
     val dfs = bs.map { case (b, _) =>
       val stripped = if (b eq last)
@@ -1565,8 +1874,8 @@ object Cypher {
         }
         if (o.asc) c.asc else c.desc
       }: _*)
-    last.skip.foreach(n => out = out.offset(n.toInt))
-    last.limit.foreach(n => out = out.limit(n.toInt))
+    last.skip.foreach(e => out = out.offset(evalRowCount(e, "SKIP").toInt))
+    last.limit.foreach(e => out = out.limit(evalRowCount(e, "LIMIT").toInt))
     out
   }
 
@@ -1613,7 +1922,30 @@ object Cypher {
       case it => Seq(it)
     }
     // pattern comprehensions first: they extend the horizon frame
-    val resolved = srcItems.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
+    val resolved0 = srcItems.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
+    // `RETURN nodes(p)` renders whole-node structs, not the id array the
+    // generic path resolution carries (TCK With6 [4]): collect the paths
+    // it names so attachPathNodes below also covers them, and rewrite the
+    // call to the aligned `__pn` struct column (Resolved keeps it opaque
+    // to flatten's name mangling)
+    val nodesFnPvs = resolved0.flatMap { it =>
+      val found = Seq.newBuilder[String]
+      Ast.mapDown(it.expr) {
+        case x @ FnCall(n, Seq(Ident(pv)), _)
+            if n.equalsIgnoreCase("nodes") && pl.paths.contains(pv) =>
+          found += pv; x
+        case x => x
+      }
+      found.result()
+    }.distinct
+    val resolved =
+      if (nodesFnPvs.isEmpty) resolved0
+      else resolved0.map(it => it.copy(expr = Ast.mapDown(it.expr) {
+        case FnCall(n, Seq(Ident(pv)), _)
+            if n.equalsIgnoreCase("nodes") && pl.paths.contains(pv) =>
+          Resolved(col(s"${pv}__pn"))
+        case x => x
+      }))
     // standalone RETURN (no MATCH/UNWIND horizon): openCypher evaluates
     // the items once — a literal one-row frame, the relational dual table
     var acc =
@@ -1622,7 +1954,8 @@ object Cypher {
     // returned path variables need whole-node structs along the path —
     // attach them (one explode + vertex join + positional re-collect per
     // returned path; queries that never return a path pay nothing)
-    resolved.collect { case ReturnItem(Ident(pv), _, _) if pl.paths.contains(pv) => pv }
+    (resolved.collect { case ReturnItem(Ident(pv), _, _) if pl.paths.contains(pv) => pv }
+      ++ nodesFnPvs)
       .distinct.foreach { pv => acc = attachPathNodes(pl.graph, acc, pv) }
     val scalars = pl.scalars
     val items = resolved.map(it =>
@@ -1658,44 +1991,7 @@ object Cypher {
     }
     var out =
       if (hasAgg) {
-        // openCypher: inside an aggregate-bearing item, a reference
-        // outside the aggregate calls must itself BE a grouping item and
-        // a simple variable/property form — anything else is ambiguous
-        // (which group's value?) and a compile-time error (TCK Return6
-        // [20][21]; Neo4j AmbiguousAggregationExpression)
-        locally {
-          // validate on the PRE-flatten AST: flatten resolves absent
-          // properties to null, which would hide the offending reference
-          val keyForms = resolved.collect {
-            case it if !graft.sql.Translator.containsAgg(it.expr) => it.expr
-          }.collect { case e @ (Ident(_) | PropAccess(_, _) | Resolved(_)) => e }.toSet
-          def validate(e: Expr): Unit = e match {
-            case _ if keyForms(e) => ()
-            case FnCall(n, _, _) if graft.sql.Translator.isAggFn(n) => ()
-            case Ident(n) if n.startsWith("$") => () // parameter = constant
-            case Ident(_) | PropAccess(_, _) =>
-              throw ParseException(
-                "AmbiguousAggregationExpression: non-grouped variable inside " +
-                  "an expression containing an aggregation")
-            case Bin(_, l, r)           => validate(l); validate(r)
-            case Neg(x)                 => validate(x)
-            case Not(x)                 => validate(x)
-            case FnCall(_, args, _)     => args.foreach(validate)
-            case MethodCall(t, _, args) => validate(t); args.foreach(validate)
-            case ArrayLit(xs)           => xs.foreach(validate)
-            case StructLit(fs)          => fs.foreach(kv => validate(kv._2))
-            case InList(x, es, _)       => validate(x); es.foreach(validate)
-            case Between(a, b, c)       => Seq(a, b, c).foreach(validate)
-            case IsNull(x, _)           => validate(x)
-            case CaseExpr(op, bs, el) =>
-              op.foreach(validate)
-              bs.foreach { case (w, t) => validate(w); validate(t) }
-              el.foreach(validate)
-            case _ => ()
-          }
-          resolved.filter(it => graft.sql.Translator.containsAgg(it.expr))
-            .foreach(it => validate(it.expr))
-        }
+        validateAggScoping(resolved)
         // Cypher implicit grouping: non-aggregate items are the keys
         val keys = items.zipWithIndex.collect { case (it, i) if !graft.sql.Translator.containsAgg(it.expr) =>
           itemCol(i).as(name(it, i)) }
@@ -1712,18 +2008,121 @@ object Cypher {
           itemCol(i).as(name(it, i)) }: _*)
 
     if (q.distinct) out = out.distinct()
-    if (q.orderBy.nonEmpty)
+    if (q.orderBy.nonEmpty) {
+      // a sort item may repeat a projected expression textually
+      // (`RETURN a, count(*) ORDER BY count(*)`) — after aggregation only
+      // the output column exists, so rewrite such sub-expressions to
+      // their output aliases first (TCK ReturnOrderBy2 [3], ReturnOrderBy6)
+      val byExpr: Map[Expr, String] =
+        srcItems.zipWithIndex.map { case (it, i) => (it.expr: Expr) -> name(it, i) }.toMap
+      val aliasKeys: Set[Expr] =
+        srcItems.zipWithIndex.map { case (it, i) => Ident(name(it, i)): Expr }.toSet
       out = out.orderBy(q.orderBy.map { o =>
-        val c = o.expr match {
-          case Ident(n) if out.columns.contains(n) => col(n)
+        // an agg-bearing sort item follows the same scoping rules as an
+        // agg-bearing projection: outside the aggregate calls only
+        // projected simple keys/aliases may appear (TCK ReturnOrderBy6
+        // [4][5]), and the aggregate itself must be projected
+        if (graft.sql.Translator.containsAgg(o.expr))
+          validateAggScoping(resolved :+ ReturnItem(o.expr, None), aliasKeys)
+        val rewritten = Ast.mapDown(o.expr) {
+          case x if byExpr.contains(x) => Ident(byExpr(x))
+          case x => x }
+        if (graft.sql.Translator.containsAgg(rewritten))
+          throw ParseException(
+            "InvalidAggregation: non-projected aggregation in ORDER BY")
+        // DISTINCT seals the sort scope: only returned columns remain
+        // (TCK ReturnOrderBy2 [13])
+        if (q.distinct) {
+          def checkOut(x: Expr): Unit = x match {
+            case Ident(n) =>
+              if (!n.startsWith("$") && !out.columns.contains(n))
+                throw ParseException(
+                  s"UndefinedVariable: $n not available after RETURN DISTINCT")
+            case PropAccess(t, _)       => checkOut(t)
+            case Bin(_, l, r)           => checkOut(l); checkOut(r)
+            case Neg(y)                 => checkOut(y)
+            case Not(y)                 => checkOut(y)
+            case FnCall(_, args, _)     => args.foreach(checkOut)
+            case MethodCall(t, _, args) => checkOut(t); args.foreach(checkOut)
+            case ArrayLit(xs)           => xs.foreach(checkOut)
+            case InList(y, es, _)       => checkOut(y); es.foreach(checkOut)
+            case IsNull(y, _)           => checkOut(y)
+            case CaseExpr(op, bsx, el) =>
+              op.foreach(checkOut)
+              bsx.foreach { case (w2, t2) => checkOut(w2); checkOut(t2) }
+              el.foreach(checkOut)
+            case _ => ()
+          }
+          checkOut(rewritten)
+        }
+        val c = rewritten match {
+          case Ident(n) if out.columns.contains(n) => col(s"`$n`")
+          // `ORDER BY alias.prop` where the alias is a returned whole
+          // entity: read the struct's field — an absent field is null,
+          // Cypher property-bag semantics (TCK With3 [1], ReturnOrderBy2
+          // [5])
+          case PropAccess(Ident(n), p) if out.columns.contains(n) &&
+              out.schema(n).dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            val st = out.schema(n).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            if (st.fieldNames.contains(p)) col(s"`$n`").getField(p) else lit(null)
           case other =>
-            graft.sql.Translator.toColumn(pl.typed(flatten(other, scalars, pl.paths)))
+            // projected aliases shadow pipeline variables in the sort
+            // scope (ReturnOrderBy5 [1]); the rest resolves like a RETURN
+            // item — params substituted, absent properties null, Spark's
+            // missing-reference resolution reaching pruned child columns
+            val withOut = Ast.mapDown(other) {
+              case Ident(nm) if out.columns.contains(nm) => Resolved(col(s"`$nm`"))
+              case x => x }
+            graft.sql.Translator.toColumn(
+              pl.typed(flatten(pl.rewriteMetaFns(substParams(withOut)), scalars, pl.paths)))
         }
         if (o.asc) c.asc else c.desc
       }: _*)
-    q.skip.foreach(n => out = out.offset(n.toInt))
-    q.limit.foreach(n => out = out.limit(n.toInt))
+    }
+    q.skip.foreach(e => out = out.offset(evalRowCount(e, "SKIP").toInt))
+    q.limit.foreach(e => out = out.limit(evalRowCount(e, "LIMIT").toInt))
     out
+  }
+
+  /** openCypher: inside an aggregate-bearing projection item, a reference
+    * outside the aggregate calls must itself BE a grouping item and a
+    * simple variable/property form — anything else is ambiguous (which
+    * group's value?) and a compile-time error (TCK Return6 [20][21],
+    * With6 [8][9]; Neo4j AmbiguousAggregationExpression). Validated on
+    * the PRE-flatten AST: flatten resolves absent properties to null,
+    * which would hide the offending reference. Shared by RETURN and WITH
+    * implicit grouping. */
+  private def validateAggScoping(resolved: Seq[ReturnItem],
+      extraKeys: Set[Expr] = Set.empty): Unit = {
+    val keyForms = resolved.collect {
+      case it if !graft.sql.Translator.containsAgg(it.expr) => it.expr
+    }.collect { case e @ (Ident(_) | PropAccess(_, _) | Resolved(_)) => e }.toSet ++ extraKeys
+    def validate(e: Expr): Unit = e match {
+      case _ if keyForms(e) => ()
+      case FnCall(n, _, _) if graft.sql.Translator.isAggFn(n) => ()
+      case Ident(n) if n.startsWith("$") => () // parameter = constant
+      case Ident(_) | PropAccess(_, _) =>
+        throw ParseException(
+          "AmbiguousAggregationExpression: non-grouped variable inside " +
+            "an expression containing an aggregation")
+      case Bin(_, l, r)           => validate(l); validate(r)
+      case Neg(x)                 => validate(x)
+      case Not(x)                 => validate(x)
+      case FnCall(_, args, _)     => args.foreach(validate)
+      case MethodCall(t, _, args) => validate(t); args.foreach(validate)
+      case ArrayLit(xs)           => xs.foreach(validate)
+      case StructLit(fs)          => fs.foreach(kv => validate(kv._2))
+      case InList(x, es, _)       => validate(x); es.foreach(validate)
+      case Between(a, b, c)       => Seq(a, b, c).foreach(validate)
+      case IsNull(x, _)           => validate(x)
+      case CaseExpr(op, bs, el) =>
+        op.foreach(validate)
+        bs.foreach { case (w, t) => validate(w); validate(t) }
+        el.foreach(validate)
+      case _ => ()
+    }
+    resolved.filter(it => graft.sql.Translator.containsAgg(it.expr))
+      .foreach(it => validate(it.expr))
   }
 
   /** Default output column name for an unaliased item: the openCypher
@@ -1795,21 +2194,45 @@ object Cypher {
           var idBase: Long = Option(mg.vertices.agg(max(col("id"))).head.get(0))
             .map(_.toString.toLong).getOrElse(-1L) + 1
           val created = pl.createdIds // statement-scoped: CREATE...CREATE chains share vars
+          // a later pattern may reference an earlier created node's
+          // literal property (`CREATE (a {id: 0}), (b {num: a.id})`,
+          // TCK With2 [1]) — substitute the recorded literal; an absent
+          // property is null (openCypher property bags)
+          def resolveCreatedRefs(e: Expr): Expr = Ast.mapDown(e) {
+            case PropAccess(Ident(v), p) if pl.createdProps.contains(v) =>
+              pl.createdProps(v).getOrElse(p, NullLit)
+            case x => x
+          }
+          def createLitCols(props: Seq[(String, Expr)]): Seq[Column] =
+            litCols(props.map { case (k, e) => k -> resolveCreatedRefs(e) })
           val vFrames = scala.collection.mutable.Buffer.empty[DataFrame]
           val eFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+          // identities claimed by explicit `{id: …}` props anywhere in the
+          // statement — the allocator must never hand one of these out
+          // (`CREATE (a), (b {id: 1}), (d)` would otherwise give d the
+          // same identity as b and corrupt every join, TCK MatchWhere2)
+          val claimed: Set[Long] = literalChains.flatMap(_.nodes).flatMap(
+            _.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }).toSet
           def nodeId(n: NodePat): Long = n.varName.flatMap(created.get).getOrElse {
             // an explicit integral `id` prop wins (established convention:
             // graph keys are modelled as ids); otherwise allocate
             val explicit = n.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }
-            val id = explicit.getOrElse { val i = idBase; idBase += 1; i }
+            val id = explicit.getOrElse {
+              while (claimed(idBase)) idBase += 1
+              val i = idBase; idBase += 1; i
+            }
             // `_hasid` marks nodes whose id IS also a user property, so
             // `n.id` can distinguish "property id" from bare identity
             val cols = lit(id).as("id") +:
               lit(n.label.orNull).cast("string").as("label") +:
-              (litCols(n.props.filterNot(_._1 == "id")) ++
+              (createLitCols(n.props.filterNot(_._1 == "id")) ++
                 explicit.map(_ => lit(true).as("_hasid")).toSeq)
             vFrames += mg.spark.range(1).select(cols.toIndexedSeq: _*)
-            n.varName.foreach(v => created(v) = id)
+            n.varName.foreach { v =>
+              created(v) = id
+              pl.createdProps(v) = n.props.map { case (k, e) =>
+                k -> resolveCreatedRefs(e) }.toMap
+            }
             id
           }
           literalChains.foreach { ch =>
@@ -1822,14 +2245,17 @@ object Cypher {
               val (s0, d0) = if (r.direction == "in") (cur, prev) else (prev, cur)
               eFrames += mg.spark.range(1).select(
                 (lit(s0).as("src") +: lit(d0).as("dst") +: lit(t).as("label") +:
-                  litCols(r.props)).toIndexedSeq: _*)
+                  createLitCols(r.props)).toIndexedSeq: _*)
               prev = cur
             }
           }
+          // evolvedUnion, not raw unionByName: a property key may hold
+          // different types across the nodes of ONE create statement
+          // (`{var: 'text'}` and `{var: 0}`, TCK MatchWhere5)
           if (vFrames.nonEmpty)
-            mg.createVertices(vFrames.reduce(_.unionByName(_, allowMissingColumns = true)))
+            mg.createVertices(vFrames.reduce(graft.graph.MutableGraph.evolvedUnion))
           if (eFrames.nonEmpty)
-            mg.createEdges(eFrames.reduce(_.unionByName(_, allowMissingColumns = true)))
+            mg.createEdges(eFrames.reduce(graft.graph.MutableGraph.evolvedUnion))
 
           // bind the created node variables into the horizon so read
           // clauses (WITH/UNWIND/RETURN) can follow a literal CREATE in
@@ -1839,10 +2265,14 @@ object Cypher {
             .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
           if (namedPats.nonEmpty) {
             val cols = namedPats.flatMap { case (v, n) =>
-              lit(created(v)).as(s"${v}_id") +:
-                lit(n.label.orNull).cast("string").as(s"${v}_label") +:
+              Seq(lit(created(v)).as(s"${v}_id"),
+                lit(n.label.orNull).cast("string").as(s"${v}_label")) ++
+                // explicit `{id: …}` prop: mark it so a later `v.id` reads
+                // the property value, not metadata-null (TCK With4 [7])
+                n.props.collectFirst { case ("id", NumLit(_, true)) =>
+                  lit(true).as(s"${v}__hasid") }.toSeq ++
                 n.props.filterNot(_._1 == "id").map { case (k, e) =>
-                  graft.sql.Translator.toColumn(e).as(s"${v}_$k") }
+                  graft.sql.Translator.toColumn(resolveCreatedRefs(e)).as(s"${v}_$k") }
             }
             pl.acc = (if (pl.acc == null) mg.spark.range(1).select(cols: _*)
                       else pl.acc.select(col("*") +: cols: _*))
@@ -1894,6 +2324,97 @@ object Cypher {
           pl.acc = acc2
         }
 
+      case MergeC(ch, onCreate, onMatch)
+          if ch.rels.length == 1 && pl.acc != null &&
+            ch.nodes.forall(nd => nd.varName.exists(pl.nodeVars)) =>
+        // relationship MERGE between two bound endpoints: per horizon row,
+        // keep the edge if present, create it otherwise — one distinct
+        // projection + one anti-join + one append, no driver loop
+        // (TCK Unwind1 [6]; reference MergeStep edge path)
+        val rel = ch.rels.head
+        val t = rel.relType.getOrElse(throw ParseException("MERGE edge needs a :type"))
+        if (rel.direction == "both")
+          throw ParseException("MERGE relationship must be directed")
+        val (srcV, dstV) =
+          if (rel.direction == "in") (ch.nodes(1).varName.get, ch.nodes.head.varName.get)
+          else (ch.nodes.head.varName.get, ch.nodes(1).varName.get)
+        val want = pl.acc.select(
+          col(s"${srcV}_id").as("src"), col(s"${dstV}_id").as("dst"),
+          lit(t).as("label")).distinct().localCheckpoint(true)
+        val existing = mg.edges.filter(col("label") === t)
+          .select(col("src").as("__e_src"), col("dst").as("__e_dst"))
+        val missing = want.join(existing,
+          col("src") === col("__e_src") && col("dst") === col("__e_dst"), "left_anti")
+        if (!missing.isEmpty) mg.createEdges(missing)
+
+      case MergeC(ch, onCreate, onMatch)
+          if ch.rels.isEmpty && pl.acc != null && {
+            def refs(e: Expr): Boolean = {
+              var found = false
+              Ast.mapDown(e) {
+                case x @ Ident(nm) if pl.scalars(nm) || pl.nodeVars(nm) ||
+                    pl.relVars(nm) || pl.relListVars(nm) => found = true; x
+                case x => x }
+              found
+            }
+            ch.nodes.head.props.exists { case (_, e) => refs(e) }
+          } =>
+        // per-row node MERGE: the pattern's property values come from the
+        // horizon (`UNWIND $props AS p MERGE (x:L {k: p.k})`, TCK Unwind1
+        // [14]) — match-or-create once per DISTINCT key, then re-bind the
+        // variable by joining the horizon to the post-merge store. All set
+        // operations: distinct + anti-join + append + join, no driver loop.
+        val n = ch.nodes.head
+        val v = n.varName.getOrElse(freshVar())
+        val propKeys = n.props.map(_._1)
+        val want = pl.acc.select(n.props.map { case (k, e) =>
+          pl.toCol(e).as(s"__mg_$k") }: _*).distinct().localCheckpoint(true)
+        val vtx0 = mg.vertices
+        val matchCond = (n.props.map { case (k, _) =>
+          if (vtx0.columns.contains(k)) col(s"__mg_$k") === vtx0(k) else lit(false) } ++
+          n.label.map(l => labelPred(vtx0("label"), l))).reduce(_ && _)
+        val missing = want.join(vtx0, matchCond, "left_anti").localCheckpoint(true)
+        if (!missing.isEmpty) {
+          val base = Option(mg.vertices.agg(max(col("id"))).head.get(0))
+            .map(_.toString.toLong + 1).getOrElse(0L)
+          // an explicit `id` prop doubles as the identity (`_hasid`
+          // convention, same as literal CREATE)
+          val idCol =
+            if (propKeys.contains("id")) col("__mg_id").cast("long").as("id")
+            else (lit(base) + monotonically_increasing_id()).as("id")
+          var createRows = missing.select(
+            (idCol +:
+              lit(n.label.orNull).cast("string").as("label") +:
+              (propKeys.filterNot(_ == "id").map(k => col(s"__mg_$k").as(k)) ++
+                (if (propKeys.contains("id")) Seq(lit(true).as("_hasid")) else Nil))): _*)
+          onCreate.foreach { it =>
+            if (it.varName != v)
+              throw ParseException(s"ON CREATE SET target ${it.varName} is not the MERGE variable $v")
+            createRows = createRows.withColumn(it.prop,
+              graft.sql.Translator.toColumn(flattenTarget(it.value, v)))
+          }
+          mg.createVertices(createRows)
+        }
+        if (onMatch.nonEmpty) {
+          val matchedIds = want.join(vtx0, matchCond, "inner").select(vtx0("id"))
+          mg.setVertexProps(matchedIds, onMatch.map { it =>
+            if (it.varName != v)
+              throw ParseException(s"ON MATCH SET target ${it.varName} is not the MERGE variable $v")
+            it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v))
+          })
+        }
+        // re-bind: every horizon row now has exactly one merged node
+        locally {
+          val vtx = mg.vertices
+          val renamed = vtx.columns.foldLeft(vtx)((d, c) =>
+            d.withColumnRenamed(c, s"${v}_$c"))
+          val cond = (n.props.map { case (k, e) =>
+            pl.toCol(e) <=> col(s"${v}_$k") } ++
+            n.label.map(l => labelPred(col(s"${v}_label"), l))).reduce(_ && _)
+          pl.acc = pl.acc.join(renamed, cond, "inner")
+          pl.nodeVars += v
+        }
+
       case MergeC(ch, onCreate, onMatch) =>
         if (ch.rels.nonEmpty)
           throw ParseException("MERGE supports a single node pattern")
@@ -1931,15 +2452,48 @@ object Cypher {
           mg.createVertices(row)
         } else if (onMatch.nonEmpty)
           mg.setVertexProps(matched.select(col("id")), sets(onMatch))
+        // bind the merge variable: each row continues with every matching
+        // node — after a create, the created node (openCypher MERGE
+        // continues the horizon like a MATCH; TCK Match8 [2])
+        n.varName.filterNot(pl.nodeVars).foreach { mv =>
+          val bound = mg.vertices.filter(pred)
+          val renamed = bound.columns.foldLeft(bound)((d, c) =>
+            d.withColumnRenamed(c, s"${mv}_$c"))
+          pl.acc = if (pl.acc == null) renamed else pl.acc.crossJoin(renamed)
+          pl.nodeVars += mv
+        }
 
       case SetC(items) =>
         items.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
           if (!pl.nodeVars(v))
             throw ParseException(s"SET target $v is not a bound node variable")
-          val ids = pl.acc.select(col(s"${v}_id").as("id"))
-          val sets = its.map(it =>
-            it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v)))
-          mg.setVertexProps(ids, sets)
+          // a value referencing OTHER horizon bindings (`SET p.name =
+          // prop.name` after UNWIND, TCK Unwind1 [14]) evaluates per
+          // horizon row and updates by id; a value over the target's own
+          // properties stays a one-pass store rewrite
+          def refsOther(e: Expr): Boolean = {
+            var found = false
+            Ast.mapDown(e) {
+              case x @ Ident(nm) if nm != v && (pl.scalars(nm) || pl.nodeVars(nm) ||
+                  pl.relVars(nm) || pl.relListVars(nm)) => found = true; x
+              case x @ PropAccess(Ident(nm), _) if nm != v && (pl.scalars(nm) ||
+                  pl.nodeVars(nm) || pl.relVars(nm)) => found = true; x
+              case x => x }
+            found
+          }
+          if (its.exists(it => refsOther(it.value))) {
+            val upd = pl.acc.select(col(s"${v}_id").as("__set_id") +:
+              its.map(it => pl.toCol(it.value).as(it.prop)): _*)
+            mg.setVertexPropsValues(upd)
+          } else {
+            val ids = pl.acc.select(col(s"${v}_id").as("id"))
+            val sets = its.map(it =>
+              it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v)))
+            mg.setVertexProps(ids, sets)
+          }
+          // the horizon sees the post-SET record through the variable
+          its.foreach(it =>
+            pl.acc = pl.acc.withColumn(s"${v}_${it.prop}", pl.toCol(it.value)))
         }
 
       case DeleteC(vars, detach) =>
@@ -2022,6 +2576,39 @@ object Cypher {
     case xs: Seq[_]    => ArrayLit(xs.map(paramLit))
     case m: Map[_, _]  => StructLit(m.toSeq.map { case (k, x) => k.toString -> paramLit(x) })
     case other => throw ParseException(s"unsupported parameter value: $other")
+  }
+
+  /** SKIP/LIMIT accept any constant expression — literals, `$params`,
+    * arithmetic, `toInteger`/`ceil`/`floor` — folded to a non-negative
+    * row count at compile time (openCypher forbids variable references
+    * in these positions; TCK WithSkipLimit3 [2], ReturnSkipLimit). */
+  private def evalRowCount(e: Expr, what: String): Long = {
+    def fold(x: Expr): BigDecimal = x match {
+      case NumLit(v, _)   => v
+      case StrLit(s)      => BigDecimal(s)
+      case Neg(y)         => -fold(y)
+      case Bin("+", l, r) => fold(l) + fold(r)
+      case Bin("-", l, r) => fold(l) - fold(r)
+      case Bin("*", l, r) => fold(l) * fold(r)
+      case Bin("/", l, r) => fold(l) / fold(r)
+      case Bin("%", l, r) => fold(l) % fold(r)
+      case FnCall(n, Seq(a), _) if Set("tointeger", "toint")(n.toLowerCase) =>
+        fold(a).setScale(0, BigDecimal.RoundingMode.DOWN)
+      case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("ceil") =>
+        fold(a).setScale(0, BigDecimal.RoundingMode.CEILING)
+      case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("floor") =>
+        fold(a).setScale(0, BigDecimal.RoundingMode.FLOOR)
+      // variable-free but non-deterministic: evaluated once, driver-side
+      // (`SKIP toInteger(rand()*9)`, TCK ReturnSkipLimit1 [3])
+      case FnCall(n, Seq(), _) if n.equalsIgnoreCase("rand") =>
+        BigDecimal(java.util.concurrent.ThreadLocalRandom.current().nextDouble())
+      case other =>
+        throw ParseException(s"$what must be a constant expression, got $other")
+    }
+    val v = fold(substParams(e))
+    if (!v.isWhole || v < 0)
+      throw ParseException(s"$what must be a non-negative integer, got $v")
+    v.toLong
   }
 
   /** Substitute `$name` references from the thread's parameter bindings. */

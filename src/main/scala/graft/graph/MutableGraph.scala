@@ -35,7 +35,7 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     * columns that exist on both sides still cast through union's
     * wider-type resolution. */
   private def evolved(base: DataFrame, rows: DataFrame): DataFrame =
-    base.unionByName(rows, allowMissingColumns = true)
+    MutableGraph.evolvedUnion(base, rows)
 
   /** CREATE (n:label {...}) — append vertex rows, evolving the schema. */
   def createVertices(rows: DataFrame): Unit = {
@@ -79,6 +79,23 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     overwriteV(next)
   }
 
+  /** SET v.prop = <per-row value>: `updates` carries `__set_id` plus one
+    * column per property, one row per horizon binding. Rows reduce to one
+    * per id (last wins — openCypher leaves multi-binding SET order
+    * unspecified); untouched vertices keep their values. */
+  def setVertexPropsValues(updates: DataFrame): Unit = {
+    val props = updates.columns.filterNot(_ == "__set_id").toSeq
+    val aggs = props.map(p => last(col(p)).as(s"__upd_$p"))
+    val one = updates.groupBy(col("__set_id")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = true)
+    val marked = vertices.join(broadcast(one), col("id") === col("__set_id"), "left_outer")
+    val next = props.foldLeft(marked) { (d, p) =>
+      val prev = if (d.columns.contains(p)) col(p) else lit(null)
+      d.withColumn(p, when(col("__set_id").isNotNull, col(s"__upd_$p")).otherwise(prev))
+    }.drop("__set_id" +: props.map(p => s"__upd_$p"): _*)
+    overwriteV(next)
+  }
+
   /** DELETE / DETACH DELETE: remove the vertices; with `detach`, incident
     * edges go first (the reference refuses a non-detach delete of a
     * connected vertex — we mirror only the detach path's semantics and
@@ -112,6 +129,29 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
 }
 
 object MutableGraph {
+  /** Schema-evolving union: columns missing on either side become null,
+    * new property keys extend the schema. openCypher properties are
+    * dynamically typed PER RECORD: the same key may hold a string on one
+    * node and a number on another. ANSI union coercion would resolve
+    * string/bigint to bigint and throw a cast error the first time the
+    * string value is read — resolve such conflicts to STRING instead,
+    * the widest lossless carrier (numeric rendering fidelity of the
+    * minority side is the documented trade; cf. the reference's
+    * schema-flexible Document.java property bags). */
+  def evolvedUnion(base: DataFrame, rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val bt = base.schema.map(f => f.name -> f.dataType).toMap
+    val rt = rows.schema.map(f => f.name -> f.dataType).toMap
+    val mixed = (bt.keySet intersect rt.keySet).filter { k =>
+      val (a, b) = (bt(k), rt(k))
+      a != b && (a == StringType || b == StringType) &&
+        a != NullType && b != NullType
+    }
+    def toStr(d: DataFrame) =
+      mixed.foldLeft(d)((acc, k) => acc.withColumn(k, col(k).cast(StringType)))
+    toStr(base).unionByName(toStr(rows), allowMissingColumns = true)
+  }
+
   /** Fresh writable copy of `g` under `dir` (vertices/, edges/). */
   def copyOf(spark: SparkSession, g: PropertyGraph, dir: String): MutableGraph = {
     g.vertices.write.mode("overwrite").parquet(s"$dir/vertices")

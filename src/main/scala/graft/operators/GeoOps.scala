@@ -119,7 +119,7 @@ object GeoOps {
          |WHERE round(${geoDistanceKmSql("lon", "lat", "0.0", "0.0")}, 6) <= 3000.0
          |ORDER BY id""".stripMargin) { (s, d) =>
       val dir = s"/tmp/graft_state/geocells_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.LayoutOnce.ensure(dir, located(s, d).count(), "geocells-r8-v1") {
+      graft.sources.LayoutOnce.ensure(dir, graft.sources.LayoutOnce.srcFingerprint(s"$d/customer.parquet"), "geocells-r8-v1") {
         located(s, d).withColumn("cell", cellOf(col("lon"), col("lat")))
           // cluster rows by cell into few tasks BEFORE partitionBy: otherwise
           // every one of the 32 shuffle tasks opens a writer per cell it

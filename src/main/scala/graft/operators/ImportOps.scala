@@ -203,7 +203,7 @@ object ImportOps {
       val dir = stateDir("tspart", d)
       // build-once: the layout is an ingest-time artifact; per-run queries
       // measure the pruned scan, not the rewrite (LayoutOnce scaladoc)
-      graft.sources.LayoutOnce.ensure(dir, Tables.events(s, d).count(), "tspart-day-v1") {
+      graft.sources.LayoutOnce.ensure(dir, graft.sources.LayoutOnce.srcFingerprint(s"$d/events.parquet"), "tspart-day-v1") {
         TimeSeriesStore.writePartitioned(Tables.events(s, d), dir)
       }
       TimeSeriesStore.readPartitioned(s, dir)
@@ -222,7 +222,7 @@ object ImportOps {
         |  min(value) AS vmin, max(value) AS vmax
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
       val tier = stateDir("tstier", d)
-      graft.sources.LayoutOnce.ensure(tier, Tables.events(s, d).count(), "tstier-hourly-v1") {
+      graft.sources.LayoutOnce.ensure(tier, graft.sources.LayoutOnce.srcFingerprint(s"$d/events.parquet"), "tstier-hourly-v1") {
         TimeSeriesStore.buildHourlyTier(Tables.events(s, d), tier)
       }
       TimeSeriesStore.dailyFromHourlyTier(s, tier)
@@ -238,7 +238,7 @@ object ImportOps {
         |FROM events WHERE user_id BETWEEN 40 AND 49
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val dir = stateDir("statsstore", d)
-      graft.sources.LayoutOnce.ensure(dir, Tables.events(s, d).count(), "stats-user_id-f16-v1") {
+      graft.sources.LayoutOnce.ensure(dir, graft.sources.LayoutOnce.srcFingerprint(s"$d/events.parquet"), "stats-user_id-f16-v1") {
         graft.sources.StatsStore.write(
           Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value"),
           dir, "user_id", numFiles = 16)
@@ -259,7 +259,7 @@ object ImportOps {
         |WHERE user_id BETWEEN 3 AND 5 OR event_id BETWEEN 100 AND 140
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = stateDir("zorder", d)
-      graft.sources.LayoutOnce.ensure(dir, Tables.events(s, d).count(), "zorder-user_id-event_id-f16-v1") {
+      graft.sources.LayoutOnce.ensure(dir, graft.sources.LayoutOnce.srcFingerprint(s"$d/events.parquet"), "zorder-user_id-event_id-f16-v1") {
         graft.sources.StatsStore.writeZOrdered(
           Tables.events(s, d).select("event_id", "user_id", "value"),
           dir, "user_id", "event_id", numFiles = 16)

@@ -34,4 +34,28 @@ object LayoutOnce {
     * exact (srcRows, token) identity; stamp after a successful build. */
   def ensure(dir: String, srcRows: Long, token: String)(build: => Unit): Unit =
     if (!upToDate(dir, srcRows, token)) { build; stamp(dir, srcRows, token) }
+
+  /** Cheap source identity: a filesystem fingerprint (name, size, mtime
+    * of every file under `path`) — metadata reads only, no Spark job.
+    * A per-run `count()` here cost a full source scan per layout-backed
+    * query (~0.5-0.9 s each at sf0.1, r6 verdict item 2's tail); the
+    * test data is regenerated wholesale, so metadata identity implies
+    * content identity, and a false rebuild is only a perf cost. */
+  def srcFingerprint(path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val files =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.walk(p)
+        try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toVector.sortBy(_.toString)
+        finally st.close()
+      } else Vector(p)
+    files.foldLeft(17L) { (h, f) =>
+      val sz = java.nio.file.Files.size(f)
+      val mt = java.nio.file.Files.getLastModifiedTime(f).toMillis
+      ((h * 31 + f.getFileName.toString.hashCode) * 31 + sz) * 31 + mt
+    }
+  }
 }

@@ -99,8 +99,10 @@ object Match {
       }
       b.result()
     } else Seq.empty
-    val skip = if (p.kw("SKIP")) Some(Parser.longLit(p)) else None
-    val limit = if (p.kw("LIMIT")) Some(Parser.longLit(p)) else None
+    val skip = if (p.kw("SKIP"))
+      Some(NumLit(BigDecimal(Parser.longLit(p)), isIntegral = true)) else None
+    val limit = if (p.kw("LIMIT"))
+      Some(NumLit(BigDecimal(Parser.longLit(p)), isIntegral = true)) else None
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     val where = wheres.result().reduceOption((a, b) => Bin("AND", a, b))
     Cypher.CypherQuery(Seq(MatchC(chains.result(), where)),

@@ -38,6 +38,15 @@ object Parser {
       val tokStart = i
       val c = input(i)
       if (c.isWhitespace) i += 1
+      // `//` line and `/* */` block comments (openCypher; the reference's
+      // SQL grammar also accepts the C-style block form)
+      else if (c == '/' && i + 1 < n && input(i + 1) == '/') {
+        while (i < n && input(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && input(i + 1) == '*') {
+        val j = input.indexOf("*/", i + 2)
+        if (j < 0) throw ParseException("unterminated block comment")
+        i = j + 2
+      }
       else if (c.isLetter || c == '_' || c == '@' || c == '$' || c == '`') {
         if (c == '`') { // quoted identifier
           val j = input.indexOf('`', i + 1)
@@ -374,6 +383,14 @@ object Parser {
     * Same backtracking contract as [[bracketExt]]. */
   private[graft] val braceExt = new ThreadLocal[(P, Expr) => Option[Expr]]
 
+  /** Paren-extension hook, consulted right after a `(` is consumed in
+    * primary position, before ordinary parenthesized-expression parsing:
+    * Cypher pattern predicates in general boolean positions
+    * (`… OR (a)-[:T]->(b)`). The handler sees the cursor just past the
+    * `(`; it must restore `p.pos` and return None when the construct
+    * isn't its own. Same backtracking contract as [[bracketExt]]. */
+  private[graft] val parenExt = new ThreadLocal[P => Option[Expr]]
+
   // precedence climbing
   private[graft] def parseExpr(p: P): Expr = parseOr(p)
 
@@ -585,8 +602,12 @@ object Parser {
     case TNum(s) => NumLit(BigDecimal(s), !s.contains('.') && !s.toLowerCase.contains('e'))
     case TStr(s) => StrLit(s)
     case TOp("(") =>
-      if (p.peekKw("SELECT")) { val s = parseSelect(p); p.expectOp(")"); Subquery(s) }
-      else { val e = parseExpr(p); p.expectOp(")"); e }
+      Option(parenExt.get()).flatMap(ext => ext(p)) match {
+        case Some(e) => e
+        case None =>
+          if (p.peekKw("SELECT")) { val s = parseSelect(p); p.expectOp(")"); Subquery(s) }
+          else { val e = parseExpr(p); p.expectOp(")"); e }
+      }
     case TOp("[") => // list literal | list comprehension | front-end ext
       Option(bracketExt.get()).flatMap(ext => ext(p)) match {
         case Some(e) => e

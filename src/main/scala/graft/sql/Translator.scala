@@ -4,7 +4,7 @@ import Ast._
 import graft.schema.TypeCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType}
 
 /** AST → Catalyst translator: the query-language front-end the round-1
   * verdict named as the largest architectural gap.
@@ -28,7 +28,8 @@ object Translator {
   final case class TranslateException(msg: String) extends RuntimeException(msg)
 
   private val AggFns = Set("count", "sum", "sum_int", "avg", "min", "max", "first", "last",
-    "median", "percentile", "stddev", "variance", "list", "set", "collect",
+    "median", "percentile", "percentilecont", "percentile_cont",
+    "percentiledisc", "percentile_disc", "stddev", "variance", "list", "set", "collect",
     "any_value", "count_if", "mode", "corr", "covar_pop", "covar_samp",
     "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor", "string_agg")
 
@@ -239,8 +240,14 @@ object Translator {
       case "sum_int"          => sum(args.head)
       case "sum_int_distinct" => sum_distinct(args.head)
       case "intdiv"           => call_function("div", args(0), args(1))
-      // openCypher `x IN <list-expr>` membership
-      case "list_in"          => array_contains(args(1), args(0))
+      // openCypher `x IN <list-expr>` membership, ternary-logic form
+      // (TCK Null3 [4]): a null element or a null-bearing list yields
+      // null unless a definite match/empty-list answer exists. Spark's
+      // `exists` already follows 3VL (null when no element matched but a
+      // null comparison occurred), so the equality scan IS the semantics.
+      case "list_in" =>
+        if (argEs(1) == NullLit) lit(null).cast(BooleanType)
+        else exists(args(1), e => e === args(0))
       case "avg"        => (sum(args.head.cast(DecimalType(28, 4))) / count(args.head)).cast(DoubleType)
       case "min"        => min(args.head)
       case "max"        => max(args.head)
@@ -249,6 +256,15 @@ object Translator {
       case "median"     => percentile_approx(args.head, lit(0.5), lit(10000))
       case "percentile" | "percentile_cont" | "percentilecont" =>
         percentile(args.head, lit(litToDouble(argEs(1))))
+      // discrete percentile: smallest value whose cumulative position
+      // reaches p — exact, type-preserving (openCypher percentileDisc;
+      // groups collect then index, so per-group cardinality bounds cost)
+      case "percentile_disc" | "percentiledisc" =>
+        val p = litToDouble(argEs(1))
+        if (p < 0.0 || p > 1.0)
+          throw TranslateException(s"percentileDisc argument $p out of [0, 1]")
+        val arr = array_sort(collect_list(args.head))
+        element_at(arr, greatest(ceil(size(arr) * lit(p)), lit(1)).cast(IntegerType))
       case "stddev"     => stddev_samp(args.head)
       case "variance"   => var_samp(args.head)
       case "any_value"  => any_value(args.head)
@@ -383,9 +399,41 @@ object Translator {
       // datetime(s) parse ISO strings; duration('PnDTnHnMnS') folds to
       // total seconds at compile time (calendar-free components only —
       // years/months are calendar-dependent and rejected)
-      case "date"     => to_date(args.head)
-      case "datetime" | "localdatetime" => to_timestamp(args.head)
-      case "duration" => lit(java.time.Duration.parse(litToStr(argEs.head)).getSeconds)
+      // openCypher temporal constructors: the map form (`date({year: …,
+      // month: …, day: …})`) builds from components (reference
+      // function/temporal surface); the string form parses ISO text
+      case "date" => argEs.head match {
+        case StructLit(fs) =>
+          val m = fs.toMap
+          def g(k: String, d: Int) = m.get(k).map(toColumn).getOrElse(lit(d))
+          make_date(g("year", 1), g("month", 1), g("day", 1))
+        case _ => to_date(args.head)
+      }
+      case "datetime" | "localdatetime" => argEs.head match {
+        case StructLit(fs) =>
+          // µs-precision timestamp from components (Spark timestamps
+          // cannot carry nanoseconds — the TCK's nanosecond/offset
+          // rendering scenarios stay expected failures)
+          val m = fs.toMap
+          def g(k: String, d: Int) = m.get(k).map(toColumn).getOrElse(lit(d))
+          val secs = g("second", 0).cast(DoubleType) +
+            m.get("nanosecond").map(e2 => toColumn(e2).cast(DoubleType) / 1e9).getOrElse(lit(0.0)) +
+            m.get("millisecond").map(e2 => toColumn(e2).cast(DoubleType) / 1e3).getOrElse(lit(0.0)) +
+            m.get("microsecond").map(e2 => toColumn(e2).cast(DoubleType) / 1e6).getOrElse(lit(0.0))
+          make_timestamp_ntz(g("year", 1), g("month", 1), g("day", 1),
+            g("hour", 0), g("minute", 0), secs)
+        case _ => to_timestamp(args.head)
+      }
+      case "duration" => argEs.head match {
+        case StructLit(fs) =>
+          // calendar interval from components — composes with date/
+          // timestamp arithmetic (`a.date + duration({months: 1})`)
+          val m = fs.toMap
+          def g(k: String) = m.get(k).map(toColumn(_).cast(IntegerType)).getOrElse(lit(0))
+          make_interval(g("years"), g("months"), g("weeks"), g("days"),
+            g("hours"), g("minutes"), m.get("seconds").map(toColumn(_).cast(DoubleType)).getOrElse(lit(0.0)))
+        case _ => lit(java.time.Duration.parse(litToStr(argEs.head)).getSeconds)
+      }
       case "last_day"   => last_day(args.head)
       case "make_date"  => make_date(args(0).cast("int"), args(1).cast("int"), args(2).cast("int"))
       case "date_part"  => date_part(lit(litToStr(argEs(0))), args(1))

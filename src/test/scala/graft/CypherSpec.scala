@@ -17,7 +17,10 @@ class CypherSpec extends AnyFunSuite {
     assert(matches(1).chains.head.optional)
     assert(matches(1).where.isDefined)
     assert(q.items.map(_.alias) == Seq(Some("k"), Some("n")))
-    assert(q.skip.contains(1L) && q.limit.contains(5L))
+    // SKIP/LIMIT are constant expressions since the TCK extension
+    // (params / toInteger forms) — literals parse to integral NumLits
+    assert(q.skip.contains(graft.sql.Ast.NumLit(BigDecimal(1), isIntegral = true)))
+    assert(q.limit.contains(graft.sql.Ast.NumLit(BigDecimal(5), isIntegral = true)))
   }
 
   test("pattern predicates split from the WHERE conjunction; semi ≡ exists") {

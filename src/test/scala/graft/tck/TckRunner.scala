@@ -53,10 +53,11 @@ object TckRunner {
 
     val dir = s"/tmp/graft_tck/s${counter.incrementAndGet()}"
     val mg = MutableGraph.empty(spark, dir)
-    setups.result().foreach(s => Cypher.execute(mg, s.replace('\n', ' ')))
+    // newlines stay: `//` comments run to end-of-line
+    setups.result().foreach(s => Cypher.execute(mg, s))
 
     def exec(): Array[org.apache.spark.sql.Row] = {
-      val text = query.replace('\n', ' ')
+      val text = query
       val q = Cypher.parse(text)
       val df =
         if (q.clauses.exists(_.isInstanceOf[Cypher.WriteClause])) Cypher.execute(mg, text, params)

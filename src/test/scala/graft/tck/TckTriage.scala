@@ -8,7 +8,12 @@ package graft.tck
   */
 object TckTriage {
   val Root = "/root/reference/engine/src/test/resources/opencypher/tck/features"
-  val DefaultSlice = Seq("clauses/match", "clauses/return", "expressions/literals")
+  val DefaultSlice = Seq(
+    "clauses/match", "clauses/match-where", "clauses/return",
+    "clauses/return-orderby", "clauses/return-skip-limit", "clauses/union",
+    "clauses/unwind", "clauses/with", "clauses/with-orderBy",
+    "clauses/with-skip-limit", "clauses/with-where",
+    "expressions/aggregation", "expressions/literals", "expressions/null")
 
   def featureFiles(slice: Seq[String]): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._

@@ -193,6 +193,13 @@ object TckValues {
     case x: java.math.BigDecimal =>
       if (x.scale <= 0) VInt(x.longValueExact()) else VFloat(x.doubleValue())
     case s: String => VStr(s)
+    // temporal values render as their ISO text — the TCK's expected cells
+    // quote them as strings ('1910-05-06')
+    case d: java.sql.Date => VStr(d.toLocalDate.toString)
+    case d: java.time.LocalDate => VStr(d.toString)
+    case t: java.sql.Timestamp => VStr(t.toLocalDateTime.toString)
+    case t: java.time.LocalDateTime => VStr(t.toString)
+    case t: java.time.Instant => VStr(t.toString)
     case xs: scala.collection.Seq[_] => VList(xs.map(fromSpark).toVector)
     case m: scala.collection.Map[_, _] =>
       VMap(m.map { case (k, x) => k.toString -> fromSpark(x) }.toMap)
@@ -221,9 +228,12 @@ object TckValues {
         }
       } else if (fields.get("_eid").exists(_ != VNull) && names.contains("label")) {
         // rel struct (possibly in a unified node/rel element type where
-        // the node-only `id` field is a typed null)
+        // the node-only `id` field is a typed null). Unlike nodes, a rel's
+        // identity is `_eid` — an `id` field IS a user property (With3
+        // [1]); in the unified element type a rel's node-only `id` is a
+        // typed null and drops with the other null-valued fields.
         val t = fields("label") match { case VStr(l) => l; case _ => "" }
-        VRel(t, props(fields.removedAll(Seq("id", "label"))))
+        VRel(t, props(fields.removed("label")))
       } else if (names.contains("id") && names.contains("label")) {
         // whole-node struct: id is identity, label is the label set,
         // null-valued columns are absent properties

@@ -13,12 +13,31 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, Time
   * and projections into the scan (ScanWithFilterStep.java:43 analog is free).
   */
 object Tables {
+  /** Schema memo for immutable testdata parquet: `spark.read.parquet(p)`
+    * with no explicit schema runs a footer-inference job (~0.05-0.1 s at
+    * local[32]) on EVERY call — across a 231-query sweep that was most of
+    * the residual per-query floor on trivial queries (r6 verdict #2).
+    * A `StructType` is session-independent, so the memo survives the
+    * bench's session recycling. Guarded to the read-only testdata root:
+    * scratch copies under /tmp are rewritten by DML/stream tests and must
+    * keep re-inferring. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Parquet read that skips footer inference when the path's schema is
+    * already known (immutable testdata only — see [[schemaMemo]]). */
+  def readCached(spark: SparkSession, path: String): DataFrame =
+    if (path.startsWith("/root/testdata/")) {
+      val s = schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+      spark.read.schema(s).parquet(path)
+    } else spark.read.parquet(path)
+
   /** Table paths resolve through the [[graft.schema.TypeCatalog]] (the
     * LocalSchema analog) — no caller hard-codes physical locations. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = graft.schema.TypeCatalog.default(name).path
       .getOrElse(throw new IllegalArgumentException(s"abstract type $name"))
-    spark.read.parquet(path(dir))
+    readCached(spark, path(dir))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")

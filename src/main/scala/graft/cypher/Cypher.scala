@@ -98,10 +98,17 @@ object Cypher {
   sealed trait WriteClause extends Clause
   final case class CreateC(chains: Seq[PatternChain]) extends WriteClause
   final case class MergeC(chain: PatternChain,
-      onCreate: Seq[SetItem] = Seq.empty, onMatch: Seq[SetItem] = Seq.empty) extends WriteClause
+      onCreate: SetC = SetC(Seq.empty), onMatch: SetC = SetC(Seq.empty),
+      pathVar: Option[String] = None) extends WriteClause
   final case class SetItem(varName: String, prop: String, value: Expr)
-  final case class SetC(items: Seq[SetItem]) extends WriteClause
-  final case class DeleteC(vars: Seq[String], detach: Boolean) extends WriteClause
+  /** `SET v:A:B` / `REMOVE v:A` — label add/remove on a bound node. */
+  final case class SetLabelItem(varName: String, labels: Seq[String], remove: Boolean)
+  /** `SET v = map` / `SET v += map` — whole-property replace / merge. */
+  final case class SetAllItem(varName: String, value: Expr, additive: Boolean)
+  final case class SetC(items: Seq[SetItem],
+      labelItems: Seq[SetLabelItem] = Seq.empty,
+      allItems: Seq[SetAllItem] = Seq.empty) extends WriteClause
+  final case class DeleteC(targets: Seq[Expr], detach: Boolean) extends WriteClause
   /** `FOREACH (x IN list | SET/CREATE/DELETE …)` — list-driven write
     * clause (openCypher Cypher25Parser.g4 foreach). The list is exploded
     * over the horizon (one distributed frame, no driver loop) and each
@@ -227,51 +234,60 @@ object Cypher {
         while (p.op(",")) chains += parseChain(p, optional = false)
         clauses += CreateC(chains.result())
       } else if (p.kw("MERGE")) {
+        // `MERGE p = (a)-[:R]->(b)` binds the merged pattern as a path
+        // (TCK Merge1 [13], Merge5 [10]) — same `ident =` lookahead as MATCH
+        val mark = p.pos
+        val mergePathVar = p.peek match {
+          case TId(s) =>
+            p.next()
+            if (p.op("=")) Some(s) else { p.pos = mark; None }
+          case _ => None
+        }
         val chain = parseChain(p, optional = false)
-        var onCreate = Seq.empty[SetItem]
-        var onMatch = Seq.empty[SetItem]
+        var onCreate = SetC(Seq.empty)
+        var onMatch = SetC(Seq.empty)
         while (p.kw("ON")) {
           val isCreate = p.kw("CREATE")
           if (!isCreate) p.expectKw("MATCH")
           p.expectKw("SET")
-          val items = Seq.newBuilder[SetItem]
-          var more = true
-          while (more) {
-            val v = Parser.ident(p)
-            p.expectOp(".")
-            val prop = Parser.ident(p)
-            p.expectOp("=")
-            items += SetItem(v, prop, Parser.parseExpr(p))
-            more = p.op(",")
-          }
-          if (isCreate) onCreate = items.result() else onMatch = items.result()
+          val sc = parseSetClause(p)
+          if (isCreate) onCreate = sc else onMatch = sc
         }
-        clauses += MergeC(chain, onCreate, onMatch)
+        clauses += MergeC(chain, onCreate, onMatch, mergePathVar)
       } else if (p.kw("SET")) {
-        clauses += SetC(parseSetItems(p))
+        clauses += parseSetClause(p)
       } else if (p.kw("REMOVE")) {
         // REMOVE n.prop — property removal = SET to null (columnar
-        // storage has no "absent" distinct from null)
+        // storage has no "absent" distinct from null); REMOVE n:Label
+        // drops the label from the node's label set
         val items = Seq.newBuilder[SetItem]
+        val labels = Seq.newBuilder[SetLabelItem]
         var more = true
         while (more) {
           val v = Parser.ident(p)
-          p.expectOp(".")
-          items += SetItem(v, Parser.ident(p), Ast.NullLit)
+          if (p.op(":")) {
+            val ls = Seq.newBuilder[String]
+            ls += Parser.ident(p)
+            while (p.op(":")) ls += Parser.ident(p)
+            labels += SetLabelItem(v, ls.result(), remove = true)
+          } else {
+            p.expectOp(".")
+            items += SetItem(v, Parser.ident(p), Ast.NullLit)
+          }
           more = p.op(",")
         }
-        clauses += SetC(items.result())
+        clauses += SetC(items.result(), labels.result())
       } else if (p.kw("DETACH")) {
         p.expectKw("DELETE")
-        val vars = Seq.newBuilder[String]
-        vars += Parser.ident(p)
-        while (p.op(",")) vars += Parser.ident(p)
-        clauses += DeleteC(vars.result(), detach = true)
+        val ts = Seq.newBuilder[Expr]
+        ts += Parser.parseExpr(p)
+        while (p.op(",")) ts += Parser.parseExpr(p)
+        clauses += DeleteC(ts.result(), detach = true)
       } else if (p.kw("DELETE")) {
-        val vars = Seq.newBuilder[String]
-        vars += Parser.ident(p)
-        while (p.op(",")) vars += Parser.ident(p)
-        clauses += DeleteC(vars.result(), detach = false)
+        val ts = Seq.newBuilder[Expr]
+        ts += Parser.parseExpr(p)
+        while (p.op(",")) ts += Parser.parseExpr(p)
+        clauses += DeleteC(ts.result(), detach = false)
       }
       else if (p.kw("CALL")) {
         // CALL ns.proc(args) [YIELD col [AS alias], ...]
@@ -283,15 +299,18 @@ object Cypher {
             else { val a = Parser.parseExprList(p); p.expectOp(")"); a }
           } else Seq.empty
         val yields = if (p.kw("YIELD")) {
-          val b = Seq.newBuilder[(String, Option[String])]
-          var more = true
-          while (more) {
-            val n = Parser.ident(p)
-            val al = if (p.kw("AS")) Some(Parser.ident(p)) else None
-            b += n -> al
-            more = p.op(",")
+          if (p.op("*")) Seq(("*", None)) // YIELD * — full output surface
+          else {
+            val b = Seq.newBuilder[(String, Option[String])]
+            var more = true
+            while (more) {
+              val n = Parser.ident(p)
+              val al = if (p.kw("AS")) Some(Parser.ident(p)) else None
+              b += n -> al
+              more = p.op(",")
+            }
+            b.result()
           }
-          b.result()
         } else Seq.empty
         clauses += CallC(name.toString, args, yields)
       }
@@ -384,15 +403,15 @@ object Cypher {
             body += CreateC(chains.result())
           } else if (p.kw("DETACH")) {
             p.expectKw("DELETE")
-            val vars = Seq.newBuilder[String]
-            vars += Parser.ident(p)
-            while (p.op(",")) vars += Parser.ident(p)
-            body += DeleteC(vars.result(), detach = true)
+            val ts = Seq.newBuilder[Expr]
+            ts += Ident(Parser.ident(p))
+            while (p.op(",")) ts += Ident(Parser.ident(p))
+            body += DeleteC(ts.result(), detach = true)
           } else if (p.kw("DELETE")) {
-            val vars = Seq.newBuilder[String]
-            vars += Parser.ident(p)
-            while (p.op(",")) vars += Parser.ident(p)
-            body += DeleteC(vars.result(), detach = false)
+            val ts = Seq.newBuilder[Expr]
+            ts += Ident(Parser.ident(p))
+            while (p.op(",")) ts += Ident(Parser.ident(p))
+            body += DeleteC(ts.result(), detach = false)
           } else more = false
         }
         p.expectOp(")")
@@ -432,6 +451,38 @@ object Cypher {
   private def stringTok(p: Parser.P): String = p.next() match {
     case Parser.TStr(s) => s
     case other => throw ParseException(s"expected string literal, found $other")
+  }
+
+  /** Full SET clause: property assignments, label additions, and
+    * whole-map replace/merge forms. */
+  private def parseSetClause(p: Parser.P): SetC = {
+    val items = Seq.newBuilder[SetItem]
+    val labels = Seq.newBuilder[SetLabelItem]
+    val alls = Seq.newBuilder[SetAllItem]
+    var more = true
+    while (more) {
+      // `SET (n).prop = …` — parenthesized target (TCK Set1 [3][4])
+      val paren = p.op("(")
+      val v = Parser.ident(p)
+      if (paren) p.expectOp(")")
+      if (p.op(".")) {
+        val prop = Parser.ident(p)
+        p.expectOp("=")
+        items += SetItem(v, prop, Parser.parseExpr(p))
+      } else if (p.op(":")) {
+        val ls = Seq.newBuilder[String]
+        ls += Parser.ident(p)
+        while (p.op(":")) ls += Parser.ident(p)
+        labels += SetLabelItem(v, ls.result(), remove = false)
+      } else if (p.op("+")) {
+        p.expectOp("=")
+        alls += SetAllItem(v, Parser.parseExpr(p), additive = true)
+      } else if (p.op("=")) {
+        alls += SetAllItem(v, Parser.parseExpr(p), additive = false)
+      } else throw ParseException(s"expected '.', ':', '=' or '+=' after SET $v")
+      more = p.op(",")
+    }
+    SetC(items.result(), labels.result(), alls.result())
   }
 
   private def parseSetItems(p: Parser.P): Seq[SetItem] = {
@@ -979,6 +1030,9 @@ object Cypher {
     // MATCH (x)-->()` re-matches by identity; `WITH 123 AS n MATCH (n)`
     // is a VariableTypeConflict, TCK Match1 [11] vs Match3 [30])
     var nodeRefScalars = Set.empty[String]
+    // set by compileSingle/execute: false only for a standalone CALL,
+    // whose yield surface IS the result (Call1 [12])
+    var requireYield = true
     /** Does `e` reference an entity (bare node/rel var or an
       * entity-derived scalar)? Property accesses read VALUES, not
       * references — their targets don't count. */
@@ -1024,7 +1078,19 @@ object Cypher {
           "id", "sum_int", "sum_int_distinct", "intdiv")(n.toLowerCase) => 'i'
       case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("abs") => typeTag(a)
       case FnCall(n, args, _) if n.equalsIgnoreCase("concat") && args.nonEmpty =>
-        typeTag(args.head)
+        // concat is list-concat when any arg is a list, else string: one
+        // known-string arg is enough to pin the result even when the
+        // others are lambda variables or CASE branches ('?')
+        val tags = args.map(typeTag)
+        if (tags.contains('a')) 'a'
+        else if (tags.contains('s')) 's'
+        else typeTag(args.head)
+      // a CASE whose branches agree on a tag carries it (dynamic property
+      // access `v[k]` compiles to a CASE over the prop columns)
+      case CaseExpr(_, branches, els) =>
+        val tags = (branches.map(_._2) ++ els.toSeq).collect {
+          case x if x != NullLit => typeTag(x) }.distinct
+        if (tags.length == 1) tags.head else '?'
       case Bin(op, l, r) if Set("+", "-", "*", "%")(op) =>
         (typeTag(l), typeTag(r)) match {
           case ('i', 'i')                            => 'i'
@@ -1054,6 +1120,8 @@ object Cypher {
         case IsNull(x, n)           => IsNull(typed(x), n)
         case CaseExpr(op, bs, el) =>
           CaseExpr(op.map(typed), bs.map { case (w, t) => (typed(w), typed(t)) }, el.map(typed))
+        case ListComp(v2, l, w, m)    => ListComp(v2, typed(l), w.map(typed), m.map(typed))
+        case Quantifier(k, v2, l, pr) => Quantifier(k, v2, typed(l), typed(pr))
         case other => other
       }
       e2 match {
@@ -1111,12 +1179,37 @@ object Cypher {
     def rewriteMetaFns(e: Expr): Expr = {
       def propNames(v: String): Seq[String] =
         acc.columns.filter(_.startsWith(s"${v}_")).map(_.stripPrefix(s"${v}_"))
-          .filterNot(Set("id", "label", "_hasid")).sorted.toSeq
+          .filterNot(Set("id", "label"))
+          .filterNot(_.startsWith("_")) // hidden: _eid, _hasid, __plen …
+          .sorted.toSeq
       def f(x: Expr): Expr = rewriteMetaFns(x)
       e match {
         case FnCall(n, Seq(Ident(v)), _)
             if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("keys") =>
-          ArrayLit(propNames(v).map(StrLit))
+          // runtime, per-row: a property set to null no longer has the
+          // key (openCypher property bags; TCK Remove1 [2][7])
+          val names = propNames(v)
+          if (names.isEmpty) Resolved(array().cast("array<string>"))
+          else Resolved(filter(
+            array(names.map(p2 => when(col(s"${v}_$p2").isNotNull, lit(p2))): _*),
+            x => x.isNotNull))
+        // dynamic property access `v[keyExpr]` on an entity: CASE over
+        // the entity's prop columns (TCK Merge6-8 keyValue projections)
+        case FnCall(n2, Seq(Ident(v), keyE), _)
+            if Set("list_index", "map_index")(n2.toLowerCase) &&
+              (nodeVars(v) || relVars(v)) && !scalars(v) && acc != null =>
+          val names = propNames(v)
+          // heterogeneous prop types can't share one CASE result type —
+          // render all branches as strings then (lossy only for the
+          // already-unrepresentable mixed case)
+          val mixed = names.map(p2 => acc.schema(s"${v}_$p2").dataType).distinct.length > 1
+          def branch(p2: String): Expr =
+            if (mixed) MethodCall(PropAccess(Ident(v), p2), "asString", Seq.empty)
+            else PropAccess(Ident(v), p2)
+          if (names.isEmpty) NullLit
+          else CaseExpr(Some(f(keyE)),
+            names.map(p2 => (StrLit(p2): Expr) -> branch(p2)),
+            Some(NullLit))
         case FnCall(n, Seq(Ident(v)), _)
             if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("properties") =>
           // PropAccess (not the flat name): flatten runs after this
@@ -1133,13 +1226,24 @@ object Cypher {
         // the metadata accessors)
         case PropAccess(Ident(v), prop)
             if (nodeVars(v) || relVars(v)) && acc != null &&
-              (Set("id", "label")(prop) || !acc.columns.contains(s"${v}_$prop")) =>
+              ((nodeVars(v) && Set("id", "label")(prop)) ||
+                (relVars(v) && prop == "label") ||
+                !acc.columns.contains(s"${v}_$prop")) =>
           // `n.id` is the PROPERTY id: present only when the node was
           // created with an explicit id prop (identity doubles as the
           // value then, `_hasid` marks it)
           if (prop == "id" && acc.columns.contains(s"${v}__hasid"))
             Resolved(when(col(s"${v}__hasid"), col(s"${v}_id")))
           else NullLit
+        // startNode/endNode over a merged relationship: the bind keeps the
+        // endpoint identities as hidden `__src`/`__dst` columns, and the
+        // store's explicit-id convention makes identity double as the
+        // user-visible id prop (TCK Merge5 [11])
+        case FnCall(n, Seq(Ident(rv)), _)
+            if relVars(rv) && Set("startnode", "endnode")(n.toLowerCase) &&
+              acc != null && acc.columns.contains(s"${rv}__src") =>
+          val c0 = if (n.equalsIgnoreCase("startnode")) s"${rv}__src" else s"${rv}__dst"
+          Resolved(struct(col(c0).as("id")))
         // graph metadata fns take the VARIABLE itself — leave their
         // argument alone for flatten's type()/id()/labels() resolution
         case fc @ FnCall(n, Seq(Ident(_)), _)
@@ -1216,6 +1320,12 @@ object Cypher {
           CaseExpr(op.map(f), bs.map(b => (f(b._1), f(b._2))), els.map(f))
         case IsNull(x, neg)         => IsNull(f(x), neg)
         case StructLit(fs)          => StructLit(fs.map { case (k, x) => k -> f(x) })
+        // the lambda variable shadows pattern variables inside the body
+        case ListComp(v2, l, w, m)  => ListComp(v2, f(l), w.map(f), m.map(f))
+        case Quantifier(k, v2, l, pr) => Quantifier(k, v2, f(l), f(pr))
+        // recurse into non-variable targets (`startNode(r).id`) — the
+        // variable-target PropAccess cases above matched already
+        case PropAccess(t, p) if !t.isInstanceOf[Ident] => PropAccess(f(t), p)
         case other                  => other
       }
     }
@@ -1588,10 +1698,25 @@ object Cypher {
         acc = if (acc == null) csv else acc.crossJoin(csv)
         scalars += alias
 
-      case CallC(name, args, yields) =>
+      case CallC(name, args, yields0) =>
+        if (yields0 == Seq(("*", None)) && requireYield)
+          throw ParseException(
+            "SyntaxError: YIELD * is only valid in a standalone CALL")
         val out0 = Procedures.invoke(g, name, args)
+        val yields = if (yields0 == Seq(("*", None)))
+          out0.columns.toSeq.map(c => c -> (None: Option[String])) else yields0
         val out = if (yields.isEmpty) out0
           else out0.select(yields.map { case (n, al) => col(n).as(al.getOrElse(n)) }: _*)
+        // a void procedure's single hidden-column row: the horizon passes
+        // through unchanged (TCK Call1 [3][4])
+        if (out.columns.sameElements(Array("__void"))) {
+          acc = (if (acc == null) out else acc.crossJoin(out)).drop("__void")
+          return
+        }
+        // an in-query CALL must YIELD its outputs explicitly (Call1 [12])
+        if (yields.isEmpty && requireYield && out.columns.nonEmpty)
+          throw ParseException(
+            s"NoYieldInCallInTransaction: CALL $name outputs must be yielded")
         // a procedure frame is independent of the horizon; standalone CALL
         // starts the horizon, CALL after MATCH cross-joins (openCypher's
         // per-row procedure semantics for row-independent procedures).
@@ -1881,9 +2006,21 @@ object Cypher {
 
   private def compileSingle(g: PropertyGraph, q: CypherQuery): DataFrame = {
     val pl = new Pipeline(g)
+    pl.requireYield = !(q.clauses.length == 1 && q.items.isEmpty &&
+      q.clauses.head.isInstanceOf[CallC])
     q.clauses.foreach(pl.step)
-    if (q.items.isEmpty)
+    if (q.items.isEmpty) {
+      // standalone procedure call: the yield surface IS the result
+      // (openCypher `CALL proc` without RETURN; a void procedure or a
+      // YIELD-consumed horizon yields the empty result)
+      if (q.clauses.lastOption.exists(_.isInstanceOf[CallC])) {
+        val out = pl.acc
+        return if (out == null || out.columns.isEmpty)
+          g.vertices.sparkSession.emptyDataFrame
+        else out
+      }
       throw ParseException("read query requires a RETURN clause")
+    }
     finishReturn(pl, q)
   }
 
@@ -2174,11 +2311,144 @@ object Cypher {
     }
   }
 
+  /** DELETE of an entity-valued expression: a struct with `_eid` is a
+    * relationship, a struct with id+label a node, an array recurses per
+    * element (TCK Delete5 nested map/list forms). */
+  private def deleteByValue(mg: graft.graph.MutableGraph,
+      dt: org.apache.spark.sql.types.DataType,
+      frame: DataFrame, detach: Boolean): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType
+          if st.fieldNames.contains("_pathn") && st.fieldNames.contains("_pathr") =>
+        // whole-path value: relationships first, then nodes
+        mg.deleteEdges(frame.filter(col("__del").isNotNull)
+          .select(explode(col("__del").getField("_pathr")).as("__r"))
+          .select(col("__r").getField("_eid").as("eid")))
+        mg.deleteVertices(frame.filter(col("__del").isNotNull)
+          .select(explode(col("__del").getField("_pathn")).as("__n"))
+          .select(col("__n").getField("id").as("id")), detach)
+      case st: StructType if st.fieldNames.contains("_eid") =>
+        mg.deleteEdges(frame.filter(col("__del").isNotNull)
+          .select(col("__del").getField("_eid").as("eid")))
+      case st: StructType if st.fieldNames.contains("id") =>
+        mg.deleteVertices(frame.filter(col("__del").isNotNull)
+          .select(col("__del").getField("id").as("id")), detach)
+      case at: ArrayType =>
+        deleteByValue(mg, at.elementType,
+          frame.filter(col("__del").isNotNull)
+            .select(explode(col("__del")).as("__del")), detach)
+      case other =>
+        throw ParseException(s"DELETE target must be a node, relationship or path, got $other")
+    }
+  }
+
+  /** Join the horizon to the (post-write) edge store for a merged
+    * relationship pattern: `${rv}__eid` plus `${rv}_*` label/prop
+    * columns, one output row per (horizon row × matching edge).
+    * `onlyEids` restricts the bind to a subset (the ON CREATE / ON MATCH
+    * application frames). */
+  private def bindMergedRel(mg: graft.graph.MutableGraph, pl: Pipeline, rv: String,
+      t: String, props: Seq[(String, Expr)], srcV: String, dstV: String,
+      undirected: Boolean, onlyEids: Option[DataFrame]): DataFrame = {
+    var e = mg.edges.filter(col("label") === t)
+    onlyEids.foreach { ids =>
+      val keyed = ids.select(col(ids.columns.head).as("__only_eid"))
+        .localCheckpoint(true)
+      e = e.join(broadcast(keyed), col("_eid") === col("__only_eid"), "left_semi")
+    }
+    val renamed = e.columns.foldLeft(e)((d, c) => d.withColumnRenamed(c, s"${rv}_$c"))
+    val fwd = col(s"${rv}_src") === col(s"${srcV}_id") &&
+      col(s"${rv}_dst") === col(s"${dstV}_id")
+    // pattern props compare INSIDE the join condition so their values may
+    // be per-horizon-row expressions (`MERGE (a)-[r:FB {foobar: roles}]->
+    // (b)` after WITH — TCK Merge5 [14]), not just literals
+    val propCond = props.map { case (k, e2) =>
+      if (e.columns.contains(k)) col(s"${rv}_$k") === pl.toCol(e2)
+      else lit(false) }
+    val orientCond =
+      if (undirected) fwd || (col(s"${rv}_src") === col(s"${dstV}_id") &&
+        col(s"${rv}_dst") === col(s"${srcV}_id"))
+      else fwd
+    val cond = (orientCond +: propCond).reduce(_ && _)
+    // keep the endpoints as hidden `__src`/`__dst` columns — startNode()/
+    // endNode() resolve from them (TCK Merge5 [11])
+    pl.acc.join(renamed, cond, "inner")
+      .withColumnRenamed(s"${rv}_src", s"${rv}__src")
+      .withColumnRenamed(s"${rv}_dst", s"${rv}__dst")
+  }
+
+  /** Apply a MERGE ON CREATE / ON MATCH SET clause to the relationship
+    * variable over an already-bound frame (values may reference the
+    * endpoints, the rel's own props, or copy whole property maps). */
+  private def applyRelSets(mg: graft.graph.MutableGraph, pl: Pipeline,
+      bound: DataFrame, rv: String, sc: SetC): Unit = {
+    if (sc.labelItems.nonEmpty)
+      throw ParseException("SemanticError: relationships have a type, not labels")
+    val saved = pl.acc
+    val savedRel = pl.relVars
+    pl.acc = bound
+    pl.relVars += rv
+    try {
+      if (sc.items.nonEmpty) {
+        val upd = bound.select(col(s"${rv}__eid").as("__set_eid") +:
+          sc.items.map(it => pl.toCol(it.value).as(it.prop)): _*)
+        mg.setEdgePropsValues(upd)
+      }
+      sc.allItems.foreach { sa =>
+        val fields: Seq[(String, Expr)] = substParams(sa.value) match {
+          case StructLit(fs) => fs
+          case Ident(src) if pl.nodeVars(src) =>
+            bound.columns.filter(_.startsWith(s"${src}_")).toSeq
+              .map(_.stripPrefix(s"${src}_"))
+              .filterNot(c => Set("id", "label", "_hasid")(c) || c.startsWith("_"))
+              .map(k => k -> (PropAccess(Ident(src), k): Expr))
+          case other =>
+            throw ParseException(s"SET $rv = <value> requires a map, got $other")
+        }
+        val newKeys = fields.map(_._1)
+        val cleared: Seq[(String, Expr)] =
+          if (sa.additive) Seq.empty
+          else mg.edges.columns.toSeq
+            .filterNot(c => Set("src", "dst", "label", "_eid")(c))
+            .filterNot(newKeys.contains).map(_ -> (NullLit: Expr))
+        if (fields.nonEmpty || cleared.nonEmpty) {
+          val upd = bound.select(col(s"${rv}__eid").as("__set_eid") +:
+            (fields ++ cleared).map { case (k, e2) => pl.toCol(e2).as(k) }: _*)
+          mg.setEdgePropsValues(upd)
+        }
+      }
+    } finally { pl.acc = saved; pl.relVars = savedRel }
+  }
+
   private def applyWrite(mg: graft.graph.MutableGraph, pl: Pipeline, w: WriteClause): Unit = {
     def litCols(props: Seq[(String, Expr)]): Seq[Column] =
-      props.map { case (k, e) => graft.sql.Translator.toColumn(e).as(k) }
+      props.map { case (k, e) =>
+        graft.sql.Translator.toColumn(pl.typed(substParams(e))).as(k) }
     w match {
       case CreateC(chains) =>
+        // pattern validation (TCK Create1 [13]-[17], Create2 [21][22]):
+        // a CREATE relationship has exactly one type and fixed length; a
+        // bound node variable may only appear as a bare endpoint of a NEW
+        // relationship — re-creating it, or constraining it with labels/
+        // props, is an error
+        chains.foreach { ch =>
+          ch.rels.foreach { r =>
+            if (r.relType.exists(_.contains('|')))
+              throw ParseException("InvalidSyntax: CREATE relationship with more than one type")
+            if (r.hops.isDefined)
+              throw ParseException("InvalidSyntax: variable-length CREATE relationship")
+          }
+          ch.nodes.foreach { nd =>
+            nd.varName.filter(v => pl.nodeVars(v) || pl.scalars(v)).foreach { v =>
+              if (ch.rels.isEmpty)
+                throw ParseException(s"VariableAlreadyBound: CREATE ($v) rebinds $v")
+              if (nd.label.isDefined || nd.props.nonEmpty)
+                throw ParseException(
+                  s"VariableAlreadyBound: CREATE adds predicates to bound variable $v")
+            }
+          }
+        }
         // A chain whose endpoints are bound by a preceding MATCH creates
         // edges per binding row (distributed). A chain of inline node
         // patterns is a LITERAL create: the whole pattern — nodes, their
@@ -2203,17 +2473,63 @@ object Cypher {
               pl.createdProps(v).getOrElse(p, NullLit)
             case x => x
           }
-          def createLitCols(props: Seq[(String, Expr)]): Seq[Column] =
-            litCols(props.map { case (k, e) => k -> resolveCreatedRefs(e) })
-          val vFrames = scala.collection.mutable.Buffer.empty[DataFrame]
-          val eFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+          def createLitPairs(props: Seq[(String, Expr)]): Seq[(String, Column)] =
+            props.map { case (k, e) =>
+              k -> graft.sql.Translator.toColumn(
+                pl.typed(substParams(resolveCreatedRefs(e)))) }
+          // One (name, Column) spec per node/edge row. The specs evaluate
+          // in a SINGLE one-row select (one tiny job for the whole
+          // statement) and materialize as local rows; consecutive
+          // same-schema runs become one LocalRelation each, so a fused
+          // many-CREATE statement (TCK Create4: ~970 clauses) costs a
+          // handful of frames instead of a 400-deep nested union whose
+          // per-step re-analysis was quadratic. Run-length grouping keeps
+          // the store's row order identical to creation order.
+          val vSpecs = scala.collection.mutable.Buffer.empty[Seq[(String, Column)]]
+          val eSpecs = scala.collection.mutable.Buffer.empty[Seq[(String, Column)]]
+          def localBatch(specs: Seq[Seq[(String, Column)]]): DataFrame = {
+            import org.apache.spark.sql.types.{StructField, StructType}
+            val flat = specs.zipWithIndex.flatMap { case (cs, i) =>
+              cs.map { case (n, c) => c.as(s"__b${i}__$n") } }
+            val wide = mg.spark.range(1).select(flat.toIndexedSeq: _*)
+            val row = wide.head()
+            val fieldTypes = wide.schema.fields.map(_.dataType)
+            var off = 0
+            val perSpec = specs.map { cs =>
+              val schema = StructType(cs.zipWithIndex.map { case ((n, _), j) =>
+                StructField(n, fieldTypes(off + j), nullable = true) })
+              val values = cs.indices.map(j => row.get(off + j))
+              off += cs.length
+              (schema, values)
+            }
+            // runs of identical schemas → one local frame per run
+            val runs = scala.collection.mutable.Buffer.empty[(StructType,
+              scala.collection.mutable.Buffer[org.apache.spark.sql.Row])]
+            perSpec.foreach { case (schema, values) =>
+              if (runs.nonEmpty && runs.last._1 == schema)
+                runs.last._2 += org.apache.spark.sql.Row.fromSeq(values)
+              else runs += ((schema,
+                scala.collection.mutable.Buffer(org.apache.spark.sql.Row.fromSeq(values))))
+            }
+            runs.map { case (schema, rows) =>
+              import scala.jdk.CollectionConverters._
+              mg.spark.createDataFrame(rows.toSeq.asJava, schema)
+            }.reduce(graft.graph.MutableGraph.evolvedUnion)
+          }
           // identities claimed by explicit `{id: …}` props anywhere in the
           // statement — the allocator must never hand one of these out
           // (`CREATE (a), (b {id: 1}), (d)` would otherwise give d the
           // same identity as b and corrupt every join, TCK MatchWhere2)
           val claimed: Set[Long] = literalChains.flatMap(_.nodes).flatMap(
             _.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }).toSet
-          def nodeId(n: NodePat): Long = n.varName.flatMap(created.get).getOrElse {
+          def nodeId(n: NodePat): Long = n.varName.flatMap(created.get).map { prior =>
+            // a second occurrence of a created variable may not add
+            // labels or props (TCK Create1 [15][16])
+            if (n.label.isDefined || n.props.nonEmpty)
+              throw ParseException(
+                s"VariableAlreadyBound: CREATE adds predicates to ${n.varName.get}")
+            prior
+          }.getOrElse {
             // an explicit integral `id` prop wins (established convention:
             // graph keys are modelled as ids); otherwise allocate
             val explicit = n.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }
@@ -2223,11 +2539,10 @@ object Cypher {
             }
             // `_hasid` marks nodes whose id IS also a user property, so
             // `n.id` can distinguish "property id" from bare identity
-            val cols = lit(id).as("id") +:
-              lit(n.label.orNull).cast("string").as("label") +:
-              (createLitCols(n.props.filterNot(_._1 == "id")) ++
-                explicit.map(_ => lit(true).as("_hasid")).toSeq)
-            vFrames += mg.spark.range(1).select(cols.toIndexedSeq: _*)
+            vSpecs += ("id" -> lit(id)) +:
+              ("label" -> lit(n.label.orNull).cast("string")) +:
+              (createLitPairs(n.props.filterNot(_._1 == "id")) ++
+                explicit.map(_ => "_hasid" -> lit(true)).toSeq)
             n.varName.foreach { v =>
               created(v) = id
               pl.createdProps(v) = n.props.map { case (k, e) =>
@@ -2235,6 +2550,14 @@ object Cypher {
             }
             id
           }
+          var eidBase: Long =
+            (if (mg.edges.columns.contains("_eid"))
+              Option(mg.edges.agg(max(col("_eid"))).head.get(0))
+                .map(_.toString.toLong + 1)
+            else None).getOrElse(0L)
+          // named rel vars bind into the horizon after the write
+          val createdRels =
+            scala.collection.mutable.Buffer.empty[(String, Long, String, Seq[(String, Expr)])]
           literalChains.foreach { ch =>
             var prev = nodeId(ch.nodes.head)
             ch.rels.zip(ch.nodes.tail).foreach { case (r, n) =>
@@ -2243,19 +2566,20 @@ object Cypher {
                 throw ParseException("CREATE relationship must be directed")
               val cur = nodeId(n)
               val (s0, d0) = if (r.direction == "in") (cur, prev) else (prev, cur)
-              eFrames += mg.spark.range(1).select(
-                (lit(s0).as("src") +: lit(d0).as("dst") +: lit(t).as("label") +:
-                  createLitCols(r.props)).toIndexedSeq: _*)
+              val eid = { val e = eidBase; eidBase += 1; e }
+              eSpecs += ("src" -> lit(s0)) +: ("dst" -> lit(d0)) +:
+                ("label" -> lit(t)) +: ("_eid" -> lit(eid)) +:
+                createLitPairs(r.props)
+              r.varName.foreach(rv => createdRels +=
+                ((rv, eid, t, r.props.map { case (k, e2) => k -> resolveCreatedRefs(e2) })))
               prev = cur
             }
           }
-          // evolvedUnion, not raw unionByName: a property key may hold
-          // different types across the nodes of ONE create statement
-          // (`{var: 'text'}` and `{var: 0}`, TCK MatchWhere5)
-          if (vFrames.nonEmpty)
-            mg.createVertices(vFrames.reduce(graft.graph.MutableGraph.evolvedUnion))
-          if (eFrames.nonEmpty)
-            mg.createEdges(eFrames.reduce(graft.graph.MutableGraph.evolvedUnion))
+          // evolvedUnion across runs, not raw unionByName: a property key
+          // may hold different types across the nodes of ONE create
+          // statement (`{var: 'text'}` and `{var: 0}`, TCK MatchWhere5)
+          if (vSpecs.nonEmpty) mg.createVertices(localBatch(vSpecs.toSeq))
+          if (eSpecs.nonEmpty) mg.createEdges(localBatch(eSpecs.toSeq))
 
           // bind the created node variables into the horizon so read
           // clauses (WITH/UNWIND/RETURN) can follow a literal CREATE in
@@ -2263,6 +2587,16 @@ object Cypher {
           val namedPats: Seq[(String, NodePat)] = literalChains
             .flatMap(_.nodes).flatMap(n => n.varName.map(_ -> n))
             .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+          if (createdRels.nonEmpty) {
+            val relCols = createdRels.toSeq.flatMap { case (rv, eid, t, props) =>
+              lit(eid).as(s"${rv}__eid") +: lit(t).as(s"${rv}_label") +:
+                props.map { case (k, e2) =>
+                  graft.sql.Translator.toColumn(pl.typed(e2)).as(s"${rv}_$k") }
+            }
+            pl.acc = (if (pl.acc == null) mg.spark.range(1).select(relCols: _*)
+                      else pl.acc.select(col("*") +: relCols: _*))
+            pl.relVars ++= createdRels.map(_._1)
+          }
           if (namedPats.nonEmpty) {
             val cols = namedPats.flatMap { case (v, n) =>
               Seq(lit(created(v)).as(s"${v}_id"),
@@ -2314,40 +2648,141 @@ object Cypher {
             if (r.direction == "both")
               throw ParseException("CREATE relationship must be directed")
             val (srcV, dstV) = if (r.direction == "in") (curV, prevV) else (prevV, curV)
+            // per-row edge identity, pinned BEFORE the write so a named
+            // rel variable binds into the horizon (TCK Create6)
+            val eidBase =
+              (if (mg.edges.columns.contains("_eid"))
+                Option(mg.edges.agg(max(col("_eid"))).head.get(0))
+                  .map(_.toString.toLong + 1)
+              else None).getOrElse(0L)
+            val ra = r.varName.getOrElse(freshVar())
+            acc2 = acc2.withColumn(s"${ra}__eid",
+              lit(eidBase) + monotonically_increasing_id())
+            r.props.foreach { case (k, e) =>
+              acc2 = acc2.withColumn(s"${ra}_$k", pl.toCol(e)) }
+            acc2 = acc2.withColumn(s"${ra}_label", lit(t)).localCheckpoint(true)
             val rows = acc2.select(
               (col(s"${srcV}_id").as("src") +: col(s"${dstV}_id").as("dst") +:
-                lit(t).as("label") +:
-                r.props.map { case (k, e) => pl.toCol(e).as(k) }).toIndexedSeq: _*)
+                lit(t).as("label") +: col(s"${ra}__eid").as("_eid") +:
+                r.props.map { case (k, _) => col(s"${ra}_$k").as(k) }).toIndexedSeq: _*)
             mg.createEdges(rows)
+            if (r.varName.isDefined) pl.relVars += ra
+            else acc2 = acc2.drop(s"${ra}__eid", s"${ra}_label")
             prevV = curV
           }
           pl.acc = acc2
         }
 
-      case MergeC(ch, onCreate, onMatch)
+      case MergeC(ch, onCreate, onMatch, mPathVar)
           if ch.rels.length == 1 && pl.acc != null &&
             ch.nodes.forall(nd => nd.varName.exists(pl.nodeVars)) =>
         // relationship MERGE between two bound endpoints: per horizon row,
-        // keep the edge if present, create it otherwise — one distinct
-        // projection + one anti-join + one append, no driver loop
-        // (TCK Unwind1 [6]; reference MergeStep edge path)
+        // bind every matching edge if one exists, create one otherwise —
+        // one distinct projection + anti-join + append + re-bind join, no
+        // driver loop (TCK Unwind1 [6], Merge5-8; reference MergeStep
+        // edge path)
         val rel = ch.rels.head
+        if (rel.hops.isDefined)
+          throw ParseException("InvalidSyntax: variable-length relationship in MERGE")
         val t = rel.relType.getOrElse(throw ParseException("MERGE edge needs a :type"))
-        if (rel.direction == "both")
-          throw ParseException("MERGE relationship must be directed")
+        if (t.contains('|'))
+          throw ParseException("InvalidSyntax: MERGE relationship with more than one type")
+        rel.props.foreach { case (k, e2) =>
+          if (e2 == NullLit)
+            throw ParseException(s"SemanticError: MERGE with null property $k") }
+        // bound rel var would re-bind: predicates on it are an error
+        rel.varName.filter(v => pl.relVars(v) || pl.scalars(v)).foreach(v =>
+          throw ParseException(s"VariableAlreadyBound: MERGE rebinds relationship $v"))
+        ch.nodes.foreach { nd =>
+          if (nd.label.isDefined || nd.props.nonEmpty)
+            throw ParseException(
+              s"VariableAlreadyBound: MERGE adds predicates to bound variable ${nd.varName.get}")
+        }
+        val rv = rel.varName.getOrElse(freshVar())
+        // eager ON CREATE/ON MATCH target validation (TCK Merge3 [5])
+        (onCreate.items ++ onMatch.items ++ (onCreate.allItems ++ onMatch.allItems)
+          .map(sa => SetItem(sa.varName, "", sa.value))).foreach { it =>
+          if (it.varName != rv && !ch.nodes.exists(_.varName.contains(it.varName)))
+            throw ParseException(s"UndefinedVariable: SET target ${it.varName}") }
+        def scNonEmpty(sc: SetC): Boolean =
+          sc.items.nonEmpty || sc.labelItems.nonEmpty || sc.allItems.nonEmpty
+        val undirected = rel.direction == "both" // match either, create ->
         val (srcV, dstV) =
           if (rel.direction == "in") (ch.nodes(1).varName.get, ch.nodes.head.varName.get)
           else (ch.nodes.head.varName.get, ch.nodes(1).varName.get)
-        val want = pl.acc.select(
-          col(s"${srcV}_id").as("src"), col(s"${dstV}_id").as("dst"),
-          lit(t).as("label")).distinct().localCheckpoint(true)
-        val existing = mg.edges.filter(col("label") === t)
-          .select(col("src").as("__e_src"), col("dst").as("__e_dst"))
-        val missing = want.join(existing,
-          col("src") === col("__e_src") && col("dst") === col("__e_dst"), "left_anti")
-        if (!missing.isEmpty) mg.createEdges(missing)
+        // pattern props evaluate PER HORIZON ROW (they may reference WITH/
+        // UNWIND bindings, TCK Merge5 [14]) — carried through `pairs` as
+        // `__mp_*` so match, anti-join and create all see the same values
+        val pairs = pl.acc.select(
+          (col(s"${srcV}_id").as("__m_src") +: col(s"${dstV}_id").as("__m_dst") +:
+            rel.props.map { case (k, e2) => pl.toCol(e2).as(s"__mp_$k") }): _*)
+          .distinct().localCheckpoint(true)
+        def edgesT = mg.edges.filter(col("label") === t)
+        def orientCond(e: DataFrame): Column = {
+          val fwd = e("src") === col("__m_src") && e("dst") === col("__m_dst")
+          val orient =
+            if (undirected) fwd || (e("src") === col("__m_dst") && e("dst") === col("__m_src"))
+            else fwd
+          (orient +: rel.props.map { case (k, _) =>
+            if (e.columns.contains(k)) e(k) === col(s"__mp_$k") else lit(false) })
+            .reduce(_ && _)
+        }
+        val missing = { val e = edgesT
+          pairs.join(e, orientCond(e), "left_anti").localCheckpoint(true) }
+        if (!missing.isEmpty) {
+          val eidBase =
+            (if (mg.edges.columns.contains("_eid"))
+              Option(mg.edges.agg(max(col("_eid"))).head.get(0))
+                .map(_.toString.toLong + 1)
+            else None).getOrElse(0L)
+          val createRows = missing.select(
+            (col("__m_src").as("src") +: col("__m_dst").as("dst") +:
+              lit(t).as("label") +:
+              (lit(eidBase) + monotonically_increasing_id()).as("_eid") +:
+              rel.props.map { case (k, _) => col(s"__mp_$k").as(k) }): _*)
+            .localCheckpoint(true)
+          mg.createEdges(createRows)
+          // ON CREATE SET folds into the created edges
+          if (scNonEmpty(onCreate)) {
+            val accC = bindMergedRel(mg, pl, rv, t, rel.props, srcV, dstV, undirected,
+              onlyEids = Some(createRows.select(col("_eid"))))
+            applyRelSets(mg, pl, accC, rv, onCreate)
+          }
+        }
+        if (scNonEmpty(onMatch)) {
+          val matchedEids = { val e = edgesT
+            pairs.join(e, orientCond(e), "inner").select(e("_eid")) }
+          if (!matchedEids.isEmpty) {
+            val accM = bindMergedRel(mg, pl, rv, t, rel.props, srcV, dstV, undirected,
+              onlyEids = Some(matchedEids))
+            applyRelSets(mg, pl, accM, rv, onMatch)
+          }
+        }
+        // re-bind: each horizon row continues with every merged edge
+        pl.acc = bindMergedRel(mg, pl, rv, t, rel.props, srcV, dstV, undirected, None)
+        pl.relVars += rv
+        // `MERGE p = (a)-[:R]->(b)`: one-hop path over the merged edge.
+        // The rel struct mirrors the match compiler's `__rst` shape
+        // (_src/_dst/_eid + sorted label/props) so RETURN p renders the
+        // same path value (TCK Merge5 [10]).
+        mPathVar.foreach { pv =>
+          val rProps = pl.acc.columns.filter(_.startsWith(s"${rv}_"))
+            .map(_.stripPrefix(s"${rv}_"))
+            .filterNot(c0 => c0 == "_eid" || c0.startsWith("_")).sorted
+          val rStruct = struct((col(s"${srcV}_id").as("_src") +:
+            col(s"${dstV}_id").as("_dst") +:
+            col(s"${rv}__eid").as("_eid") +:
+            rProps.map(c0 => col(s"${rv}_$c0").as(c0))).toIndexedSeq: _*)
+          val n0 = ch.nodes.head.varName.get
+          val n1 = ch.nodes(1).varName.get
+          pl.acc = pl.acc.withColumn(s"${pv}__plen", lit(1L))
+            .withColumn(s"${pv}__pnodes",
+              array(col(s"${n0}_id"), col(s"${n1}_id")))
+            .withColumn(s"${pv}__prels", array(rStruct))
+          pl.paths += pv -> PathInfo(ch, dynamic = false)
+        }
 
-      case MergeC(ch, onCreate, onMatch)
+      case MergeC(ch, onCreate, onMatch, mPathVar)
           if ch.rels.isEmpty && pl.acc != null && {
             def refs(e: Expr): Boolean = {
               var found = false
@@ -2357,7 +2792,15 @@ object Cypher {
                 case x => x }
               found
             }
-            ch.nodes.head.props.exists { case (_, e) => refs(e) }
+            // horizon-dependent pattern props — or horizon-dependent ON
+            // CREATE/ON MATCH set VALUES on a per-row merge (TCK Merge2
+            // [5], Merge4 [2]: `MERGE (city:City) ON CREATE SET city.name
+            // = person.bornIn`); label/whole-entity set items stay on the
+            // plain path, which is the only one that applies them
+            ch.nodes.head.props.exists { case (_, e) => refs(e) } ||
+            ((onCreate.items ++ onMatch.items).exists(it => refs(it.value)) &&
+              onCreate.labelItems.isEmpty && onMatch.labelItems.isEmpty &&
+              onCreate.allItems.isEmpty && onMatch.allItems.isEmpty)
           } =>
         // per-row node MERGE: the pattern's property values come from the
         // horizon (`UNWIND $props AS p MERGE (x:L {k: p.k})`, TCK Unwind1
@@ -2365,15 +2808,37 @@ object Cypher {
         // variable by joining the horizon to the post-merge store. All set
         // operations: distinct + anti-join + append + join, no driver loop.
         val n = ch.nodes.head
+        n.varName.filter(nm => pl.nodeVars(nm) || pl.scalars(nm)).foreach(nm =>
+          throw ParseException(s"VariableAlreadyBound: MERGE ($nm) rebinds $nm"))
+        n.props.foreach { case (k, e2) =>
+          if (substParams(e2) == NullLit)
+            throw ParseException(s"SemanticError: MERGE with null property $k") }
         val v = n.varName.getOrElse(freshVar())
         val propKeys = n.props.map(_._1)
-        val want = pl.acc.select(n.props.map { case (k, e) =>
-          pl.toCol(e).as(s"__mg_$k") }: _*).distinct().localCheckpoint(true)
+        // a prop-less pattern still needs one want-row per statement (the
+        // per-row MERGE collapses to a single match-or-create then)
+        val want = (if (n.props.isEmpty) pl.acc.select(lit(1).as("__mg__any"))
+                    else pl.acc.select(n.props.map { case (k, e) =>
+                      pl.toCol(e).as(s"__mg_$k") }: _*))
+          .distinct().localCheckpoint(true)
         val vtx0 = mg.vertices
         val matchCond = (n.props.map { case (k, _) =>
           if (vtx0.columns.contains(k)) col(s"__mg_$k") === vtx0(k) else lit(false) } ++
-          n.label.map(l => labelPred(vtx0("label"), l))).reduce(_ && _)
+          n.label.map(l => labelPred(vtx0("label"), l)))
+          .reduceOption(_ && _).getOrElse(lit(true))
         val missing = want.join(vtx0, matchCond, "left_anti").localCheckpoint(true)
+        // eager ON CREATE/ON MATCH target validation (TCK Merge3 [5]):
+        // targets must be the merge variable or an in-scope binding
+        (onCreate.items ++ onMatch.items).foreach { it =>
+          if (it.varName != v && !pl.nodeVars(it.varName) && !pl.relVars(it.varName) &&
+              !pl.scalars(it.varName))
+            throw ParseException(s"UndefinedVariable: SET target ${it.varName}")
+        }
+        val matchedIds0 =
+          if (onMatch.items.nonEmpty)
+            Some(want.join(vtx0, matchCond, "inner").select(vtx0("id")).localCheckpoint(true))
+          else None
+        var createdIds0: Option[DataFrame] = None
         if (!missing.isEmpty) {
           val base = Option(mg.vertices.agg(max(col("id"))).head.get(0))
             .map(_.toString.toLong + 1).getOrElse(0L)
@@ -2382,43 +2847,62 @@ object Cypher {
           val idCol =
             if (propKeys.contains("id")) col("__mg_id").cast("long").as("id")
             else (lit(base) + monotonically_increasing_id()).as("id")
-          var createRows = missing.select(
+          val createRows = missing.select(
             (idCol +:
               lit(n.label.orNull).cast("string").as("label") +:
               (propKeys.filterNot(_ == "id").map(k => col(s"__mg_$k").as(k)) ++
                 (if (propKeys.contains("id")) Seq(lit(true).as("_hasid")) else Nil))): _*)
-          onCreate.foreach { it =>
-            if (it.varName != v)
-              throw ParseException(s"ON CREATE SET target ${it.varName} is not the MERGE variable $v")
-            createRows = createRows.withColumn(it.prop,
-              graft.sql.Translator.toColumn(flattenTarget(it.value, v)))
-          }
+            .localCheckpoint(true)
           mg.createVertices(createRows)
+          createdIds0 = Some(createRows.select(col("id")))
         }
-        if (onMatch.nonEmpty) {
-          val matchedIds = want.join(vtx0, matchCond, "inner").select(vtx0("id"))
-          mg.setVertexProps(matchedIds, onMatch.map { it =>
-            if (it.varName != v)
-              throw ParseException(s"ON MATCH SET target ${it.varName} is not the MERGE variable $v")
-            it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v))
-          })
-        }
-        // re-bind: every horizon row now has exactly one merged node
-        locally {
+        // bind, then apply ON CREATE / ON MATCH over the bound frame so
+        // the set values may reference the horizon (TCK Merge2 [5],
+        // Merge4 [2]); re-bind afterwards so the horizon sees the result
+        val accBase = pl.acc
+        def bindNode(): DataFrame = {
           val vtx = mg.vertices
           val renamed = vtx.columns.foldLeft(vtx)((d, c) =>
             d.withColumnRenamed(c, s"${v}_$c"))
           val cond = (n.props.map { case (k, e) =>
             pl.toCol(e) <=> col(s"${v}_$k") } ++
-            n.label.map(l => labelPred(col(s"${v}_label"), l))).reduce(_ && _)
-          pl.acc = pl.acc.join(renamed, cond, "inner")
-          pl.nodeVars += v
+            n.label.map(l => labelPred(col(s"${v}_label"), l)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          accBase.join(renamed, cond, "inner")
+        }
+        pl.acc = bindNode()
+        pl.nodeVars += v
+        def applyOnSets(ids: Option[DataFrame], items: Seq[SetItem]): Boolean =
+          ids.filter(_ => items.nonEmpty).exists { idf =>
+            val keyed = idf.select(col(idf.columns.head).as("__on_id"))
+            val sub = pl.acc.join(broadcast(keyed),
+              col(s"${v}_id") === col("__on_id"), "left_semi")
+            val upd = sub.select(col(s"${v}_id").as("__set_id") +:
+              items.map(it => pl.toCol(it.value).as(it.prop)): _*)
+            mg.setVertexPropsValues(upd)
+            true
+          }
+        val wroteC = applyOnSets(createdIds0, onCreate.items)
+        val wroteM = applyOnSets(matchedIds0, onMatch.items)
+        if (wroteC || wroteM) pl.acc = bindNode() // refresh bound props
+        mPathVar.foreach { pv =>
+          pl.acc = pl.acc.withColumn(s"${pv}__plen", lit(0L))
+            .withColumn(s"${pv}__pnodes", array(col(s"${v}_id")))
+            .withColumn(s"${pv}__prels", emptyRels(mg.graph))
+          pl.paths += pv -> PathInfo(ch, dynamic = false)
         }
 
-      case MergeC(ch, onCreate, onMatch) =>
+      case MergeC(ch, onCreate, onMatch, mPathVar) =>
         if (ch.rels.nonEmpty)
-          throw ParseException("MERGE supports a single node pattern")
+          throw ParseException("MERGE needs every endpoint bound for a relationship pattern")
         val n = ch.nodes.head
+        // a single-node MERGE on an already-bound variable is an error
+        // (TCK Merge1 [15]); so is a null-valued pattern property ([17])
+        n.varName.filter(nm => pl.nodeVars(nm) || pl.scalars(nm)).foreach(nm =>
+          throw ParseException(s"VariableAlreadyBound: MERGE ($nm) rebinds $nm"))
+        n.props.foreach { case (k, e2) =>
+          if (substParams(e2) == NullLit)
+            throw ParseException(s"SemanticError: MERGE with null property $k") }
         val v = n.varName.getOrElse("n")
         // `MERGE (n)` with no label/props matches any node (creates one
         // only into an empty graph)
@@ -2429,10 +2913,17 @@ object Cypher {
             else lit(false) })
           .reduceOption(_ && _)
           .getOrElse(lit(true))
+        // EAGER target validation: an undefined SET target is a compile
+        // error even on the branch that never applies it (TCK Merge3 [5]:
+        // `MERGE (n) ON MATCH SET x.num = 1` into an empty graph)
+        (onCreate.items ++ onMatch.items).foreach { it =>
+          if (it.varName != v && !pl.nodeVars(it.varName) && !pl.scalars(it.varName))
+            throw ParseException(s"UndefinedVariable: SET target ${it.varName}")
+        }
         def sets(items: Seq[SetItem]): Seq[(String, Column)] = items.map { it =>
           if (it.varName != v)
             throw ParseException(s"ON CREATE/MATCH SET target ${it.varName} is not the MERGE variable $v")
-          it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v))
+          it.prop -> graft.sql.Translator.toColumn(pl.typed(flattenTarget(it.value, v)))
         }
         val matched = mg.vertices.filter(pred)
         if (matched.isEmpty) {
@@ -2448,59 +2939,174 @@ object Cypher {
               lit(nextId).as("id") +: base0
             }
           val row0 = mg.spark.range(1).select(base: _*)
-          val row = sets(onCreate).foldLeft(row0) { case (d, (p2, c)) => d.withColumn(p2, c) }
-          mg.createVertices(row)
-        } else if (onMatch.nonEmpty)
-          mg.setVertexProps(matched.select(col("id")), sets(onMatch))
+          val row = sets(onCreate.items).foldLeft(row0) { case (d, (p2, c)) => d.withColumn(p2, c) }
+          val rowL =
+            if (onCreate.labelItems.isEmpty) row
+            else {
+              val withLbl =
+                if (row.columns.contains("label")) row
+                else row.withColumn("label", lit(null).cast("string"))
+              onCreate.labelItems.foldLeft(withLbl) { (d, li) =>
+                d.withColumn("label",
+                  graft.graph.MutableGraph.labelSetCol(col("label"),
+                    if (li.remove) Seq.empty else li.labels,
+                    if (li.remove) li.labels else Seq.empty)) }
+            }
+          mg.createVertices(rowL)
+        } else {
+          if (onMatch.items.nonEmpty)
+            mg.setVertexProps(matched.select(col("id")), sets(onMatch.items))
+          if (onMatch.labelItems.nonEmpty)
+            mg.setVertexLabels(matched.select(col("id")),
+              onMatch.labelItems.filterNot(_.remove).flatMap(_.labels),
+              onMatch.labelItems.filter(_.remove).flatMap(_.labels))
+        }
         // bind the merge variable: each row continues with every matching
         // node — after a create, the created node (openCypher MERGE
-        // continues the horizon like a MATCH; TCK Match8 [2])
-        n.varName.filterNot(pl.nodeVars).foreach { mv =>
-          val bound = mg.vertices.filter(pred)
+        // continues the horizon like a MATCH; TCK Match8 [2]). A path-
+        // bound anonymous node (`MERGE p = ({…})`) binds under a fresh
+        // name so the path columns have an identity to reference.
+        n.varName.orElse(mPathVar.map(_ => freshVar()))
+          .filterNot(pl.nodeVars).foreach { mv =>
+          // recompute the predicate against the POST-write store: a
+          // create that introduced the prop column evolves the schema,
+          // and the pre-write pred pinned those props to lit(false)
+          // (`MERGE p = (a {num: 1}) RETURN p` on an empty store)
+          val vtxNow = mg.vertices
+          val predNow = (n.label.map(l => labelPred(col("label"), l)).toSeq ++
+            n.props.map { case (k, e) =>
+              if (vtxNow.columns.contains(k))
+                col(k) === graft.sql.Translator.toColumn(e)
+              else lit(false) })
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val bound = vtxNow.filter(predNow)
           val renamed = bound.columns.foldLeft(bound)((d, c) =>
             d.withColumnRenamed(c, s"${mv}_$c"))
           pl.acc = if (pl.acc == null) renamed else pl.acc.crossJoin(renamed)
           pl.nodeVars += mv
+          mPathVar.foreach { pv =>
+            pl.acc = pl.acc.withColumn(s"${pv}__plen", lit(0L))
+              .withColumn(s"${pv}__pnodes", array(col(s"${mv}_id")))
+              .withColumn(s"${pv}__prels", emptyRels(mg.graph))
+            pl.paths += pv -> PathInfo(ch, dynamic = false)
+          }
         }
 
-      case SetC(items) =>
+      case SetC(items, labelItems, allItems) =>
         items.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
+          // property values are primitives or lists of primitives —
+          // a list of maps is a type error (TCK Set1 [10])
+          its.foreach { it =>
+            val dt = pl.acc.select(pl.toCol(it.value).as("__probe"))
+              .schema.head.dataType
+            dt match {
+              case org.apache.spark.sql.types.ArrayType(
+                  _: org.apache.spark.sql.types.StructType |
+                  _: org.apache.spark.sql.types.MapType, _) =>
+                throw ParseException(
+                  s"SemanticError: maps are not allowed as elements of a property list")
+              case _ => ()
+            }
+          }
+          if (pl.relVars(v)) {
+            // relationship property SET: per-row values keyed on the
+            // edge identity (TCK clauses/set rel scenarios)
+            val upd = pl.acc.select(col(s"${v}__eid").as("__set_eid") +:
+              its.map(it => pl.toCol(it.value).as(it.prop)): _*)
+            mg.setEdgePropsValues(upd)
+            its.foreach(it =>
+              pl.acc = pl.acc.withColumn(s"${v}_${it.prop}", pl.toCol(it.value)))
+          } else {
+            if (!pl.nodeVars(v))
+              throw ParseException(s"SET target $v is not a bound node variable")
+            // a value referencing OTHER horizon bindings (`SET p.name =
+            // prop.name` after UNWIND, TCK Unwind1 [14]) evaluates per
+            // horizon row and updates by id; a value over the target's own
+            // properties stays a one-pass store rewrite
+            def refsOther(e: Expr): Boolean = {
+              var found = false
+              Ast.mapDown(e) {
+                case x @ Ident(nm) if nm != v && (pl.scalars(nm) || pl.nodeVars(nm) ||
+                    pl.relVars(nm) || pl.relListVars(nm)) => found = true; x
+                case x @ PropAccess(Ident(nm), _) if nm != v && (pl.scalars(nm) ||
+                    pl.nodeVars(nm) || pl.relVars(nm)) => found = true; x
+                case x => x }
+              found
+            }
+            if (its.exists(it => refsOther(it.value))) {
+              val upd = pl.acc.select(col(s"${v}_id").as("__set_id") +:
+                its.map(it => pl.toCol(it.value).as(it.prop)): _*)
+              mg.setVertexPropsValues(upd)
+            } else {
+              val ids = pl.acc.select(col(s"${v}_id").as("id"))
+              val sets = its.map(it =>
+                it.prop -> graft.sql.Translator.toColumn(pl.typed(flattenTarget(it.value, v))))
+              mg.setVertexProps(ids, sets)
+            }
+            // the horizon sees the post-SET record through the variable
+            its.foreach(it =>
+              pl.acc = pl.acc.withColumn(s"${v}_${it.prop}", pl.toCol(it.value)))
+          }
+        }
+        labelItems.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
+          if (!pl.nodeVars(v))
+            throw ParseException(s"SET/REMOVE label target $v is not a bound node variable")
+          val ids = pl.acc.select(col(s"${v}_id").as("id"))
+          val add = its.filterNot(_.remove).flatMap(_.labels).distinct
+          val rem = its.filter(_.remove).flatMap(_.labels).distinct
+          mg.setVertexLabels(ids, add, rem)
+          // refresh the horizon's label column the same way
+          pl.acc = pl.acc.withColumn(s"${v}_label",
+            graft.graph.MutableGraph.labelSetCol(col(s"${v}_label"), add, rem))
+        }
+        allItems.foreach { sa =>
+          val v = sa.varName
           if (!pl.nodeVars(v))
             throw ParseException(s"SET target $v is not a bound node variable")
-          // a value referencing OTHER horizon bindings (`SET p.name =
-          // prop.name` after UNWIND, TCK Unwind1 [14]) evaluates per
-          // horizon row and updates by id; a value over the target's own
-          // properties stays a one-pass store rewrite
-          def refsOther(e: Expr): Boolean = {
-            var found = false
-            Ast.mapDown(e) {
-              case x @ Ident(nm) if nm != v && (pl.scalars(nm) || pl.nodeVars(nm) ||
-                  pl.relVars(nm) || pl.relListVars(nm)) => found = true; x
-              case x @ PropAccess(Ident(nm), _) if nm != v && (pl.scalars(nm) ||
-                  pl.nodeVars(nm) || pl.relVars(nm)) => found = true; x
-              case x => x }
-            found
+          // `v = {…}` / `v += {…}`: the map's keys become property
+          // columns; non-additive form nulls every other property
+          val fields: Seq[(String, Expr)] = substParams(sa.value) match {
+            case StructLit(fs) => fs
+            case Ident(src) if pl.nodeVars(src) =>
+              // copying another node's properties: every src_* prop column
+              pl.acc.columns.filter(_.startsWith(s"${src}_")).toSeq
+                .map(_.stripPrefix(s"${src}_"))
+                .filterNot(c => Set("id", "label", "_hasid")(c) || c.startsWith("_"))
+                .map(k => k -> PropAccess(Ident(src), k))
+            case other =>
+              throw ParseException(s"SET $v = <value> requires a map, got $other")
           }
-          if (its.exists(it => refsOther(it.value))) {
+          val newKeys = fields.map(_._1)
+          val cleared: Seq[(String, Expr)] =
+            if (sa.additive) Seq.empty
+            else mg.vertices.columns.toSeq
+              .filterNot(c => Set("id", "label", "_hasid")(c))
+              .filterNot(newKeys.contains).map(_ -> (NullLit: Expr))
+          if (fields.nonEmpty || cleared.nonEmpty) {
             val upd = pl.acc.select(col(s"${v}_id").as("__set_id") +:
-              its.map(it => pl.toCol(it.value).as(it.prop)): _*)
+              (fields ++ cleared).map { case (k, e2) => pl.toCol(e2).as(k) }: _*)
             mg.setVertexPropsValues(upd)
-          } else {
-            val ids = pl.acc.select(col(s"${v}_id").as("id"))
-            val sets = its.map(it =>
-              it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, v)))
-            mg.setVertexProps(ids, sets)
+            (fields ++ cleared).foreach { case (k, e2) =>
+              pl.acc = pl.acc.withColumn(s"${v}_$k", pl.toCol(e2)) }
           }
-          // the horizon sees the post-SET record through the variable
-          its.foreach(it =>
-            pl.acc = pl.acc.withColumn(s"${v}_${it.prop}", pl.toCol(it.value)))
         }
 
-      case DeleteC(vars, detach) =>
+      case DeleteC(targets, detach) =>
         // DELETE accepts node variables (vertices go, with incident edges
-        // under DETACH) and relationship variables (edges go by identity)
-        val (relTargets, nodeTargets) = vars.partition(v =>
+        // under DETACH), relationship variables (edges go by identity),
+        // path variables (all their nodes and relationships), and
+        // entity-valued EXPRESSIONS — struct/array values holding whole
+        // nodes or rels, e.g. `DELETE nodes[0]` (TCK Delete3, Delete5)
+        val varTargets = targets.collect { case Ident(v)
+          if pl.relVars(v) || pl.relListVars(v) || pl.nodeVars(v) ||
+            pl.paths.contains(v) => v }
+        val exprTargets = targets.filter {
+          case Ident(v) => !varTargets.contains(v)
+          case _        => true
+        }
+        val (relTargets, rest) = varTargets.partition(v =>
           pl.relVars(v) || pl.relListVars(v))
+        val (pathTargets, nodeTargets) = rest.partition(pl.paths.contains)
         relTargets.foreach { v =>
           val eids =
             if (pl.relListVars(v))
@@ -2509,6 +3115,16 @@ object Cypher {
             else pl.acc.select(col(s"${v}__eid").as("eid"))
           mg.deleteEdges(eids)
         }
+        pathTargets.foreach { pv =>
+          // a null path (optional miss) deletes nothing
+          mg.deleteEdges(pl.acc
+            .filter(col(s"${pv}__prels").isNotNull)
+            .select(explode(col(s"${pv}__prels")).as("__r"))
+            .select(col("__r").getField("_eid").as("eid")))
+          mg.deleteVertices(pl.acc
+            .filter(col(s"${pv}__pnodes").isNotNull)
+            .select(explode(col(s"${pv}__pnodes")).as("id")), detach)
+        }
         if (nodeTargets.nonEmpty) {
           val ids = nodeTargets.map { v =>
             if (!pl.nodeVars(v))
@@ -2516,6 +3132,11 @@ object Cypher {
             pl.acc.select(col(s"${v}_id").as("id"))
           }.reduce(_ union _)
           mg.deleteVertices(ids, detach)
+        }
+        exprTargets.foreach { te =>
+          val c = pl.toCol(te)
+          val frame = pl.acc.select(c.as("__del"))
+          deleteByValue(mg, frame.schema("__del").dataType, frame, detach)
         }
 
       case ForeachC(x, list, body) =>
@@ -2527,7 +3148,7 @@ object Cypher {
           else mg.spark.range(1).select(lit(1).as("__dual"))
         val elems = base.select(explode(pl.toCol(list)).as(x)).localCheckpoint(true)
         body.foreach {
-          case SetC(items) =>
+          case SetC(items, _, _) =>
             items.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
               if (v != x)
                 throw ParseException(s"FOREACH SET target $v is not the loop variable $x")
@@ -2546,9 +3167,12 @@ object Cypher {
             if (cols.isEmpty) throw ParseException("CREATE node needs a label or properties")
             mg.createVertices(elems.select(cols.toIndexedSeq: _*))
           }
-          case DeleteC(vars, detach) =>
-            vars.foreach(v => if (v != x)
-              throw ParseException(s"FOREACH DELETE target $v is not the loop variable $x"))
+          case DeleteC(ts, detach) =>
+            ts.foreach {
+              case Ident(v) if v == x => ()
+              case other => throw ParseException(
+                s"FOREACH DELETE target $other is not the loop variable $x")
+            }
             mg.deleteVertices(elems.select(col(x).cast("long").as("id")), detach)
           case other =>
             throw ParseException(s"unsupported clause in FOREACH body: $other")
@@ -2644,7 +3268,23 @@ object Cypher {
   def execute(mg: graft.graph.MutableGraph, text: String): DataFrame = {
     val q = parse(text)
     val pl = new Pipeline(mg.graph) // by-name: re-read after each write
-    q.clauses.foreach {
+    // A LEADING run of CREATE clauses fuses into one clause: each pattern
+    // still sees the variables of the ones before it (openCypher makes
+    // `CREATE (a) CREATE (b)` ≡ `CREATE (a), (b)`), but the whole run now
+    // takes the literal batch path — one id-allocation scan and one store
+    // append TOTAL. Without this, clause 2..n each bind the growing
+    // horizon and pay a per-clause max-id action plus a full store
+    // rewrite: the TCK movie-graph fixture (~970 clauses, Create4) ran
+    // thousands of single-row jobs and never finished. Only the leading
+    // run is safe to fuse mechanically — after MATCH/UNWIND, CREATE runs
+    // once per binding row through the bound path.
+    val leadingCreates = q.clauses.takeWhile(_.isInstanceOf[CreateC])
+    val clauses =
+      if (leadingCreates.length > 1)
+        CreateC(leadingCreates.collect { case CreateC(ch) => ch }.flatten) +:
+          q.clauses.drop(leadingCreates.length)
+      else q.clauses
+    clauses.foreach {
       case wc: WriteClause =>
         if (pl.acc != null) pl.acc = pl.acc.localCheckpoint(true)
         applyWrite(mg, pl, wc)

@@ -96,6 +96,38 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     overwriteV(next)
   }
 
+  /** SET r.prop = <per-row value> on relationships: `updates` carries
+    * `__set_eid` plus one column per property (last wins per edge). */
+  def setEdgePropsValues(updates: DataFrame): Unit = {
+    val props = updates.columns.filterNot(_ == "__set_eid").toSeq
+    val aggs = props.map(p => last(col(p)).as(s"__upd_$p"))
+    val one = updates.groupBy(col("__set_eid")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = true)
+    if (!edges.columns.contains("_eid")) {
+      if (edges.isEmpty) return // nothing to update (null-rel no-op SET)
+      throw new IllegalStateException("edge store has no _eid identity column")
+    }
+    val marked = edges.join(broadcast(one), col("_eid") === col("__set_eid"), "left_outer")
+    val next = props.foldLeft(marked) { (d, p) =>
+      val prev = if (d.columns.contains(p)) col(p) else lit(null)
+      d.withColumn(p, when(col("__set_eid").isNotNull, col(s"__upd_$p")).otherwise(prev))
+    }.drop("__set_eid" +: props.map(p => s"__upd_$p"): _*)
+    overwriteE(next)
+  }
+
+  /** SET v:Label / REMOVE v:Label on the vertices in `ids`: the label
+    * column holds a ":"-joined sorted label set. */
+  def setVertexLabels(ids: DataFrame, add: Seq[String], remove: Seq[String]): Unit = {
+    val keys = ids.select(col("id").as("__lbl_id")).distinct()
+      .localCheckpoint(eager = true)
+    val marked = vertices.join(broadcast(keys), col("id") === col("__lbl_id"), "left_outer")
+    val next = marked.withColumn("label",
+      when(col("__lbl_id").isNotNull,
+        MutableGraph.labelSetCol(col("label"), add, remove))
+        .otherwise(col("label"))).drop("__lbl_id")
+    overwriteV(next)
+  }
+
   /** DELETE / DETACH DELETE: remove the vertices; with `detach`, incident
     * edges go first (the reference refuses a non-detach delete of a
     * connected vertex — we mirror only the detach path's semantics and
@@ -103,6 +135,16 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
   def deleteVertices(ids: DataFrame, detach: Boolean): Unit = {
     val keys = ids.select(col("id").as("__del_id")).distinct()
       .localCheckpoint(eager = true)
+    if (!detach) {
+      // openCypher: plain DELETE of a still-connected node is an error
+      // (ConstraintVerificationFailed; use DETACH DELETE) — TCK Delete1 [7]
+      val touching = edges
+        .join(broadcast(keys),
+          col("src") === col("__del_id") || col("dst") === col("__del_id"), "left_semi")
+      if (!touching.isEmpty)
+        throw new IllegalStateException(
+          "ConstraintVerificationFailed: cannot delete a node with relationships; use DETACH DELETE")
+    }
     if (detach) {
       val kept = edges
         .join(broadcast(keys), col("src") === col("__del_id"), "left_anti")
@@ -112,12 +154,16 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     overwriteV(vertices.join(broadcast(keys), col("id") === col("__del_id"), "left_anti"))
   }
 
-  /** DELETE r — remove relationships by their `_eid` identity. */
+  /** DELETE r — remove relationships by their `_eid` identity. A store
+    * that never saw an edge write has no identity column and nothing to
+    * delete (an optional-match DELETE over an empty graph is a no-op). */
   def deleteEdges(eids: DataFrame): Unit = {
     val keys = eids.select(col("eid").as("__del_eid")).distinct()
       .localCheckpoint(eager = true)
-    if (!edges.columns.contains("_eid"))
+    if (!edges.columns.contains("_eid")) {
+      if (edges.isEmpty) return
       throw new IllegalStateException("edge store has no _eid identity column")
+    }
     overwriteE(edges.join(broadcast(keys), col("_eid") === col("__del_eid"), "left_anti"))
   }
 
@@ -129,6 +175,17 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
 }
 
 object MutableGraph {
+  /** Label-set column arithmetic over the ":"-joined sorted encoding:
+    * add then remove, empty set → null. */
+  def labelSetCol(stored: Column, add: Seq[String], remove: Seq[String]): Column = {
+    val cur = filter(split(coalesce(stored, lit("")), ":"), x => x =!= "")
+    val added =
+      if (add.isEmpty) cur else array_union(cur, array(add.map(lit): _*))
+    val removed = remove.foldLeft(added)((c, l) => array_remove(c, l))
+    val joined = array_join(array_sort(removed), ":")
+    when(joined === "", lit(null)).otherwise(joined)
+  }
+
   /** Schema-evolving union: columns missing on either side become null,
     * new property keys extend the schema. openCypher properties are
     * dynamically typed PER RECORD: the same key may hold a string on one

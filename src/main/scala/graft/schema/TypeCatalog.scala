@@ -96,7 +96,7 @@ final class TypeCatalog(initial: Seq[TypeDef]) {
     import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
     val p = t.path.getOrElse(
       throw new IllegalArgumentException(s"type ${t.name} is abstract (no storage)"))
-    val df = spark.read.parquet(p(dir))
+    val df = graft.Tables.readCached(spark, p(dir))
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType | IntegerType | TimestampType | TimestampNTZType) =>
         graft.Tables.normalizeTs(df)
@@ -133,7 +133,7 @@ final class TypeCatalog(initial: Seq[TypeDef]) {
     import spark.implicits._
     types.map { t =>
       (t.name, t.kind, t.parent.getOrElse(""),
-        t.path.map(p => spark.read.parquet(p(dir)).schema.fields.length).getOrElse(0)
+        t.path.map(p => graft.Tables.readCached(spark, p(dir)).schema.fields.length).getOrElse(0)
           + declaredProps(t.name).length)
     }.toDF("name", "kind", "parent", "n_props")
   }
@@ -143,7 +143,7 @@ final class TypeCatalog(initial: Seq[TypeDef]) {
   def schemaProperties(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     types.flatMap { t =>
-      t.path.toSeq.flatMap(p => spark.read.parquet(p(dir)).schema.fields.map(f =>
+      t.path.toSeq.flatMap(p => graft.Tables.readCached(spark, p(dir)).schema.fields.map(f =>
         (t.name, f.name, f.dataType.simpleString))) ++
         declaredProps(t.name).map { case (prop, dt) => (t.name, prop, dt) }
     }.toDF("type", "prop", "dtype")

@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
 object TckRunner {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
+  // JVM-unique scratch root: the triage main and the sbt test suite both
+  // run scenarios concurrently on this machine; a shared /tmp/graft_tck
+  // with per-JVM counters from 0 had the two JVMs clobbering each other's
+  // vertex/edge parquet mid-scenario.
+  private val scratchRoot =
+    s"/tmp/graft_tck/j${java.lang.ProcessHandle.current().pid()}"
 
   def run(spark: SparkSession, sc: TckScenario): Option[String] =
     try runInner(spark, sc)
@@ -23,59 +29,107 @@ object TckRunner {
         Some(s"error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
-  private def runInner(spark: SparkSession, sc: TckScenario): Option[String] = {
-    val setups = Vector.newBuilder[String]
-    var query: String = null
+  /** One executed query plus the expectations that follow it. A TCK
+    * scenario may hold SEVERAL (main query, then `executing control
+    * query` verification reads) — every one must RUN, in order, each
+    * checked against its own Then-steps; collapsing them to the last
+    * query silently skips the main write and false-passes/fails on the
+    * control read. */
+  private final class Seg(val query: String) {
     var expectError = false
     var expectEmpty = false
     var ordered = false
     var unorderedLists = false
-    var expectTable: Vector[Vector[String]] = null
+    var table: Vector[Vector[String]] = null
+  }
+
+  private def runInner(spark: SparkSession, sc: TckScenario): Option[String] = {
+    val setups = Vector.newBuilder[String]
+    val segs = scala.collection.mutable.Buffer.empty[Seg]
     var params = Map.empty[String, Any]
 
+    val procs = Vector.newBuilder[(String, graft.cypher.Procedures.TableProc)]
     sc.steps.foreach { st =>
       val t = st.text
       if (t.contains("having executed")) setups += st.doc
       else if (t.contains("executing query") || t.contains("executing control query"))
-        query = st.doc
+        segs += new Seg(st.doc)
       else if (t.contains("parameters are"))
         params = st.table.map(r => r(0) -> toAny(TckValues.parse(r(1)))).toMap
-      else if (t.contains("should be raised")) expectError = true
-      else if (t.contains("the result should be empty")) expectEmpty = true
-      else if (t.contains("the result should be")) {
-        ordered = t.contains(", in order") && !t.contains("in any order")
-        unorderedLists = t.contains("ignoring element order for lists")
-        expectTable = st.table
+      else if (t.contains("there exists a procedure")) {
+        // `test.my.proc(name :: STRING?, …) :: (city :: STRING?, …):` plus
+        // a fixture table (header = in+out columns; void procs have none)
+        val sig = t.substring(t.indexOf("procedure") + "procedure".length)
+          .trim.stripSuffix(":")
+        val nameEnd = sig.indexOf('(')
+        val name = sig.substring(0, nameEnd).trim
+        val argsPart = sig.substring(nameEnd + 1, sig.indexOf(')', nameEnd))
+        val outPart = sig.substring(sig.indexOf("::", sig.indexOf(')', nameEnd)) + 2)
+          .trim.stripPrefix("(").stripSuffix(")")
+        def colNames(s0: String): Seq[String] =
+          s0.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.split("::")(0).trim)
+        def colTypes(s0: String): Seq[String] =
+          s0.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(x => x.split("::").lift(1).map(_.trim).getOrElse("ANY?"))
+        val rows = st.table.drop(1).map(_.map(c =>
+          if (c.isEmpty) null else toAny(TckValues.parse(c))))
+        procs += name -> graft.cypher.Procedures.TableProc(
+          colNames(argsPart), colNames(outPart), rows, colTypes(argsPart))
+      }
+      else if (t.contains("should be raised") && segs.nonEmpty)
+        segs.last.expectError = true
+      else if (t.contains("the result should be empty") && segs.nonEmpty)
+        segs.last.expectEmpty = true
+      else if (t.contains("the result should be") && segs.nonEmpty) {
+        segs.last.ordered = t.contains(", in order") && !t.contains("in any order")
+        segs.last.unorderedLists = t.contains("ignoring element order for lists")
+        segs.last.table = st.table
       }
       // side-effect steps intentionally ignored
     }
-    if (query == null) return Some("no query step")
+    if (segs.isEmpty) return Some("no query step")
 
-    val dir = s"/tmp/graft_tck/s${counter.incrementAndGet()}"
+    val dir = s"$scratchRoot/s${counter.incrementAndGet()}"
     val mg = MutableGraph.empty(spark, dir)
+    graft.cypher.Procedures.clearTables()
+    procs.result().foreach { case (n, tp) =>
+      graft.cypher.Procedures.registerTable(n, tp) }
     // newlines stay: `//` comments run to end-of-line
     setups.result().foreach(s => Cypher.execute(mg, s))
 
-    def exec(): Array[org.apache.spark.sql.Row] = {
-      val text = query
+    def exec(text: String): Array[org.apache.spark.sql.Row] = {
       val q = Cypher.parse(text)
-      val df =
-        if (q.clauses.exists(_.isInstanceOf[Cypher.WriteClause])) Cypher.execute(mg, text, params)
-        else Cypher.query(mg.graph, text, params)
-      df.collect()
+      if (q.clauses.exists(_.isInstanceOf[Cypher.WriteClause])) {
+        val df = Cypher.execute(mg, text, params)
+        // a write query without RETURN yields no result rows (openCypher);
+        // execute()'s 1-row ok frame is its API-level acknowledgement
+        if (q.items.isEmpty) Array.empty else df.collect()
+      } else Cypher.query(mg.graph, text, params).collect()
     }
 
-    if (expectError) {
-      try { exec(); Some("expected an error, query succeeded") }
-      catch { case _: Throwable => None }
-    } else {
-      val rows = exec()
-      if (expectEmpty) {
-        if (rows.isEmpty) None else Some(s"expected empty result, got ${rows.length} rows")
-      } else if (expectTable == null) {
-        None // write-only scenario with side-effect assertions: result unchecked
-      } else {
-        compare(rows, expectTable, ordered, unorderedLists)
+    segs.zipWithIndex.foldLeft(None: Option[String]) { case (bad, (seg, i)) =>
+      bad.orElse {
+        def at(msg: String) =
+          if (segs.length == 1) msg else s"[query ${i + 1}/${segs.length}] $msg"
+        if (seg.expectError) {
+          try { exec(seg.query); Some(at("expected an error, query succeeded")) }
+          catch { case _: Throwable => None }
+        } else {
+          try {
+            val rows = exec(seg.query)
+            if (seg.expectEmpty) {
+              if (rows.isEmpty) None
+              else Some(at(s"expected empty result, got ${rows.length} rows"))
+            } else if (seg.table == null) {
+              None // write-only: side-effect assertions unchecked
+            } else {
+              compare(rows, seg.table, seg.ordered, seg.unorderedLists).map(at)
+            }
+          } catch { case e: TckUnsupported => throw e
+            case e: Throwable =>
+              Some(at(s"error: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+        }
       }
     }
   }

@@ -9,10 +9,11 @@ package graft.tck
 object TckTriage {
   val Root = "/root/reference/engine/src/test/resources/opencypher/tck/features"
   val DefaultSlice = Seq(
-    "clauses/match", "clauses/match-where", "clauses/return",
-    "clauses/return-orderby", "clauses/return-skip-limit", "clauses/union",
-    "clauses/unwind", "clauses/with", "clauses/with-orderBy",
-    "clauses/with-skip-limit", "clauses/with-where",
+    "clauses/call", "clauses/create", "clauses/delete", "clauses/match",
+    "clauses/match-where", "clauses/merge", "clauses/remove",
+    "clauses/return", "clauses/return-orderby", "clauses/return-skip-limit",
+    "clauses/set", "clauses/union", "clauses/unwind", "clauses/with",
+    "clauses/with-orderBy", "clauses/with-skip-limit", "clauses/with-where",
     "expressions/aggregation", "expressions/literals", "expressions/null")
 
   def featureFiles(slice: Seq[String]): Seq[java.nio.file.Path] = {

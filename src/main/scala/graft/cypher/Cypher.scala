@@ -1097,6 +1097,14 @@ object Cypher {
           case (a, b) if Set(a, b).subsetOf(Set('i', 'f')) => 'f'
           case _                                     => '?'
         }
+      // boolean-valued shapes tag 'b' so string predicates can null out
+      // non-string operands statically (NullLit stays '?' — null operands
+      // are legal everywhere and propagate)
+      case BoolLit(_) => 'b'
+      case Bin(op, _, _)
+          if Set("AND", "OR", "XOR")(op.toUpperCase) ||
+            Set("=", "<>", "<", ">", "<=", ">=")(op) => 'b'
+      case Not(_) | IsNull(_, _) | InList(_, _, _) | Between(_, _, _) => 'b'
       case _ => '?'
     }
 
@@ -1125,8 +1133,18 @@ object Cypher {
         case other => other
       }
       e2 match {
+        // openCypher rejects statically non-boolean operands to the
+        // logical operators (TCK Boolean1-5 [Fail on …] scenarios);
+        // '?'-tagged operands stay dynamic, Spark's cast rules apply
+        case Bin(op, l, r) if Set("AND", "OR", "XOR")(op.toUpperCase) &&
+            Seq(l, r).exists(x => "ifsa".contains(typeTag(x))) =>
+          throw ParseException(s"SyntaxError: non-boolean operand to $op")
+        case Not(x) if "ifsa".contains(typeTag(x)) =>
+          throw ParseException("SyntaxError: non-boolean operand to NOT")
         case Bin("+", l, r) =>
           (typeTag(l), typeTag(r)) match {
+            // list + scalar appends (TCK Precedence3 [4]: `[1]+2` = [1,2])
+            case ('a', t) if "ifs".contains(t) => FnCall("array_append", Seq(l, r))
             case ('a', _) | (_, 'a') => FnCall("concat", Seq(l, r))
             case (tl, tr) if tl == 's' || tr == 's' =>
               // ANSI concat takes strings: cast a known-numeric side
@@ -1137,6 +1155,15 @@ object Cypher {
           }
         case Bin("/", l, r) if typeTag(l) == 'i' && typeTag(r) == 'i' =>
           FnCall("intdiv", Seq(l, r))
+        // string predicates on a statically non-string operand are null
+        // (openCypher; TCK Precedence4 [4] — `true STARTS WITH 'abc'`)
+        case FnCall(n, args, _)
+            if Set("starts_with", "ends_with")(n.toLowerCase) &&
+              args.exists(a => "bifa".contains(typeTag(a))) =>
+          NullLit
+        case ContainsOp(l, "ONE", r)
+            if Seq(l, r).exists(a => "bifa".contains(typeTag(a))) =>
+          NullLit
         case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("sum") && typeTag(a) == 'i' =>
           FnCall("sum_int", Seq(a), st)
         case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("sum_distinct") && typeTag(a) == 'i' =>

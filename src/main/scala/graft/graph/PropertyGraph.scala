@@ -178,6 +178,25 @@ object PropertyGraph {
     PropertyGraph(cust.union(ords).union(parts), placed.union(contains))
   }
 
+  /** Traversal view of [[fromTpch]]: same vertices and connectivity, but
+    * `contains` edges skip the per-(order, part) qty aggregation — BFS
+    * never reads edge props and dedups targets itself, so the groupBy
+    * shuffle over the whole lineitem table buys nothing. Without the
+    * aggregation barrier the frontier join pushes straight onto the
+    * lineitem scan (broadcast of a small frontier prunes the scan at
+    * 100 TB; an aggregate-first plan always pays the full-table shuffle). */
+  def fromTpchTraversal(spark: SparkSession, dir: String): PropertyGraph = {
+    import graft.Tables
+    val full = fromTpch(spark, dir)
+    val placed = Tables.orders(spark, dir)
+      .select(vid(TCust, col("o_custkey")).as("src"), vid(TOrder, col("o_orderkey")).as("dst"),
+        lit("placed").as("label"))
+    val contains = Tables.lineitem(spark, dir)
+      .select(vid(TOrder, col("l_orderkey")).as("src"), vid(TPart, col("l_partkey")).as("dst"),
+        lit("contains").as("label"))
+    PropertyGraph(full.vertices, placed.union(contains))
+  }
+
   /** Undirected co-purchase graph: parts that appear in the same order,
     * canonical orientation a < b (the reference's GAV projection shape,
     * graph/olap/GraphAnalyticalView.java:84). */

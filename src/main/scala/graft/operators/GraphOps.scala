@@ -102,7 +102,9 @@ object GraphOps {
         |    SELECT DISTINCT l_partkey AS k FROM lineitem
         |    JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey IN (1, 2, 3)))
         |ORDER BY depth, label, key""".stripMargin) { (s, d) =>
-      val g = PropertyGraph.fromTpch(s, d)
+      // traversal view: no contains-qty aggregation barrier, so the tiny
+      // frontier join prunes the lineitem scan (the 100-TB shape)
+      val g = PropertyGraph.fromTpchTraversal(s, d)
       val seeds = g.vertices
         .filter(col("label") === "customer" && col("key").isin(1, 2, 3))
         .select("id")

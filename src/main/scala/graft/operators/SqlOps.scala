@@ -395,7 +395,7 @@ object SqlOps {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE o_custkey <= 3)
         |ORDER BY depth, label, key""".stripMargin) { (s, d) =>
-      graft.sql.Traverse.query(graft.graph.PropertyGraph.fromTpch(s, d),
+      graft.sql.Traverse.query(graft.graph.PropertyGraph.fromTpchTraversal(s, d),
         "TRAVERSE out() FROM customer WHERE key <= 3 MAXDEPTH 2")
     },
 

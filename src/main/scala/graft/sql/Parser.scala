@@ -395,8 +395,16 @@ object Parser {
   private[graft] def parseExpr(p: P): Expr = parseOr(p)
 
   private def parseOr(p: P): Expr = {
+    var l = parseXor(p)
+    while (p.kw("OR")) l = Bin("OR", l, parseXor(p))
+    l
+  }
+
+  /** openCypher XOR: binds between OR and AND (Cypher25Parser.g4
+    * expression10/11; the SQL dialect simply never produces the token). */
+  private def parseXor(p: P): Expr = {
     var l = parseAnd(p)
-    while (p.kw("OR")) l = Bin("OR", l, parseAnd(p))
+    while (p.kw("XOR")) l = Bin("XOR", l, parseAnd(p))
     l
   }
 
@@ -407,49 +415,78 @@ object Parser {
   }
 
   private def parseNot(p: P): Expr =
-    if (p.kw("NOT")) Not(parseNot(p)) else parsePredicate(p)
+    if (p.kw("NOT")) Not(parseNot(p)) else parseComparison(p)
 
+  /** Comparison level. openCypher chains comparisons conjunctively:
+    * `a < b < c` ≡ `a < b AND b < c`, and `x IS NULL = y IS NULL`
+    * compares the two (tighter-binding) null predicates — TCK
+    * Precedence1 [8][21][22], Boolean1 [5][7]. */
+  private def parseComparison(p: P): Expr = {
+    def nextOp(): Option[String] =
+      if (p.op("=")) Some("=")
+      else if (p.op("<>") || p.op("!=")) Some("<>")
+      else if (p.op("<=")) Some("<=")
+      else if (p.op(">=")) Some(">=")
+      else if (p.op("<")) Some("<")
+      else if (p.op(">")) Some(">")
+      else None
+    var prev = parsePredicate(p)
+    var acc: Expr = null
+    var go = true
+    while (go) nextOp() match {
+      case Some(op) =>
+        val r = parsePredicate(p)
+        val cmp = Bin(op, prev, r)
+        acc = if (acc == null) cmp else Bin("AND", acc, cmp)
+        prev = r
+      case None => go = false
+    }
+    if (acc == null) prev else acc
+  }
+
+  /** Postfix predicates — IS [NOT] NULL, IN, BETWEEN, LIKE, STARTS/ENDS
+    * WITH, CONTAINS — bind tighter than comparison (openCypher
+    * nullPredicate/listPredicate precedence, TCK Precedence1 [8][11])
+    * and may stack (`x IS NULL IS NULL`). */
   private def parsePredicate(p: P): Expr = {
-    val l = parseAdditive(p)
-    if (p.op("=")) Bin("=", l, parseAdditive(p))
-    else if (p.op("<>") || p.op("!=")) Bin("<>", l, parseAdditive(p))
-    else if (p.op("<=")) Bin("<=", l, parseAdditive(p))
-    else if (p.op(">=")) Bin(">=", l, parseAdditive(p))
-    else if (p.op("<")) Bin("<", l, parseAdditive(p))
-    else if (p.op(">")) Bin(">", l, parseAdditive(p))
-    else if (p.peekKw("NOT")) { // NOT IN / NOT LIKE / NOT BETWEEN
-      p.pos += 1
-      if (p.kw("IN")) {
-        // `IN (e1, e2)` — SQL value list; `IN <expr>` — openCypher list
-        // membership over any list-valued expression
-        if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = true) }
-        else Not(FnCall("list_in", Seq(l, parseAdditive(p))))
+    var l = parseAdditive(p)
+    var go = true
+    while (go) {
+      if (p.peekKw("NOT")) { // NOT IN / NOT LIKE / NOT BETWEEN
+        p.pos += 1
+        if (p.kw("IN")) {
+          // `IN (e1, e2)` — SQL value list; `IN <expr>` — openCypher list
+          // membership over any list-valued expression
+          if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); l = InList(l, es, negated = true) }
+          else l = Not(FnCall("list_in", Seq(l, parseAdditive(p))))
+        }
+        else if (p.kw("LIKE")) l = Not(LikeOp(l, parseAdditive(p), caseInsensitive = false))
+        else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); l = Not(Between(l, lo, parseAdditive(p))) }
+        else { p.pos -= 1; go = false } // the NOT belongs to an outer level
       }
-      else if (p.kw("LIKE")) Not(LikeOp(l, parseAdditive(p), caseInsensitive = false))
-      else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); Not(Between(l, lo, parseAdditive(p))) }
-      else throw ParseException("expected IN/LIKE/BETWEEN after NOT")
+      else if (p.kw("IN")) {
+        if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); l = InList(l, es, negated = false) }
+        else l = FnCall("list_in", Seq(l, parseAdditive(p)))
+      }
+      else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); l = Between(l, lo, parseAdditive(p)) }
+      else if (p.kw("LIKE")) l = LikeOp(l, parseAdditive(p), caseInsensitive = false)
+      else if (p.kw("ILIKE")) l = LikeOp(l, parseAdditive(p), caseInsensitive = true)
+      else if (p.kw("MATCHES")) l = Matches(l, parseAdditive(p))
+      // openCypher string predicates (Cypher25Parser.g4 stringPredicate) —
+      // desugared to the registered starts_with/ends_with/str_contains fns
+      else if (p.kw("STARTS")) { p.expectKw("WITH"); l = FnCall("starts_with", Seq(l, parseAdditive(p))) }
+      else if (p.kw("ENDS")) { p.expectKw("WITH"); l = FnCall("ends_with", Seq(l, parseAdditive(p))) }
+      else if (p.kw("CONTAINSALL")) l = ContainsOp(l, "ALL", parseAdditive(p))
+      else if (p.kw("CONTAINSANY")) l = ContainsOp(l, "ANY", parseAdditive(p))
+      else if (p.kw("CONTAINS")) l = ContainsOp(l, "ONE", parseAdditive(p))
+      else if (p.kw("IS")) {
+        val neg = p.kw("NOT")
+        p.expectKw("NULL")
+        l = IsNull(l, negated = neg)
+      }
+      else go = false
     }
-    else if (p.kw("IN")) {
-      if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); InList(l, es, negated = false) }
-      else FnCall("list_in", Seq(l, parseAdditive(p)))
-    }
-    else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); Between(l, lo, parseAdditive(p)) }
-    else if (p.kw("LIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = false)
-    else if (p.kw("ILIKE")) LikeOp(l, parseAdditive(p), caseInsensitive = true)
-    else if (p.kw("MATCHES")) Matches(l, parseAdditive(p))
-    // openCypher string predicates (Cypher25Parser.g4 stringPredicate) —
-    // desugared to the registered starts_with/ends_with/str_contains fns
-    else if (p.kw("STARTS")) { p.expectKw("WITH"); FnCall("starts_with", Seq(l, parseAdditive(p))) }
-    else if (p.kw("ENDS")) { p.expectKw("WITH"); FnCall("ends_with", Seq(l, parseAdditive(p))) }
-    else if (p.kw("CONTAINSALL")) ContainsOp(l, "ALL", parseAdditive(p))
-    else if (p.kw("CONTAINSANY")) ContainsOp(l, "ANY", parseAdditive(p))
-    else if (p.kw("CONTAINS")) ContainsOp(l, "ONE", parseAdditive(p))
-    else if (p.kw("IS")) {
-      val neg = p.kw("NOT")
-      p.expectKw("NULL")
-      IsNull(l, negated = neg)
-    }
-    else l
+    l
   }
 
   private def parseAdditive(p: P): Expr = {
@@ -476,11 +513,13 @@ object Parser {
     l
   }
 
-  /** `^` exponentiation — binds tighter than `*`, right-associative
-    * (openCypher powerOfExpression; the SQL dialect has no `^`). */
+  /** `^` exponentiation — binds tighter than `*`, LEFT-associative
+    * (`4 ^ 6 ^ 3` ≡ `(4 ^ 6) ^ 3`, TCK Precedence2 [2][3]; openCypher
+    * powerOfExpression; the SQL dialect has no `^`). */
   private def parsePower(p: P): Expr = {
-    val l = parseUnary(p)
-    if (p.op("^")) Bin("^", l, parsePower(p)) else l
+    var l = parseUnary(p)
+    while (p.op("^")) l = Bin("^", l, parseUnary(p))
+    l
   }
 
   private def parseUnary(p: P): Expr =

@@ -128,6 +128,9 @@ object Translator {
     case Not(x)              => !toColumn(x)
     case Bin("AND", l, r)    => toColumn(l) && toColumn(r)
     case Bin("OR", l, r)     => toColumn(l) || toColumn(r)
+    // openCypher XOR: boolean inequality carries the exact three-valued
+    // truth table (true xor true = false, null propagates)
+    case Bin("XOR", l, r)    => toColumn(l) =!= toColumn(r)
     case Bin("=", l, r)      => toColumn(l) === toColumn(r)
     case Bin("<>", l, r)     => toColumn(l) =!= toColumn(r)
     case Bin("<", l, r)      => toColumn(l) < toColumn(r)

@@ -654,8 +654,6 @@ object Cypher {
       Some(ts.result().mkString("|"))
     } else None
 
-  /** `*`, `*n`, `*lo..hi` (bare `*` defaults to 1..3). The lexer emits
-    * "1..3" as a single numeric token (digits+dots), split here. */
   /** `*`, `*n`, `*lo..hi`, `*lo..`, `*..hi`. Unbounded ends take the
     * compose cap (8) — the TCK graphs and any sane OLAP traversal sit
     * far below it; a true fixpoint expansion is `TRAVERSE`'s job. */
@@ -664,17 +662,17 @@ object Cypher {
       p.peek match {
         case Parser.TNum(s) =>
           p.next()
-          if (s.endsWith("..")) Some((s.dropRight(2).toInt, 8))
-          else if (s.contains("..")) {
-            val parts = s.split("\\.\\.")
-            Some((parts(0).toInt, parts(1).toInt))
+          if (p.op("..")) {
+            p.peek match {
+              case Parser.TNum(h) => p.next(); Some((s.toInt, h.toInt))
+              case _ => Some((s.toInt, 8))
+            }
           } else Some((s.toInt, s.toInt))
-        case TOp(".") => // `*..hi` / bare `*..` — lexed as TOp(.) TNum(.hi) | TOp(.) TOp(.)
+        case TOp("..") =>
           p.next()
           p.peek match {
-            case Parser.TNum(s) if s.startsWith(".") => p.next(); Some((1, s.drop(1).toInt))
-            case TOp(".") => p.next(); Some((1, 8))
-            case other => throw ParseException(s"invalid hop range: $other")
+            case Parser.TNum(h) => p.next(); Some((1, h.toInt))
+            case _ => Some((1, 8))
           }
         case _ => Some((1, 8))
       }
@@ -734,12 +732,18 @@ object Cypher {
           Set("length", "nodes", "relationships")(n.toLowerCase) =>
         val info = paths(pv)
         val ch = info.chain
+        // static resolutions null-guard on the materialized path column:
+        // an OPTIONAL miss nulls the whole path value (TCK Path2 [3],
+        // Path3 [1])
+        def ifBound(x: Expr): Expr =
+          CaseExpr(None, Seq((IsNull(Ident(s"${pv}__pnodes"), negated = false),
+            NullLit: Expr)), Some(x))
         n.toLowerCase match {
           case "length" if info.dynamic => Ident(s"${pv}__plen")
-          case "length" => NumLit(BigDecimal(ch.rels.length), isIntegral = true)
+          case "length" => ifBound(NumLit(BigDecimal(ch.rels.length), isIntegral = true))
           case "nodes" => Ident(s"${pv}__pnodes")
           case "relationships" if info.dynamic => Ident(s"${pv}__prels")
-          case _ => ArrayLit(ch.rels.map(r => StrLit(r.relType.getOrElse(""))))
+          case _ => ifBound(ArrayLit(ch.rels.map(r => StrLit(r.relType.getOrElse("")))))
         }
       // temporal namespaces: `date.truncate(...)`, `duration.between(...)`
       // — the target is a namespace token, not a pattern variable
@@ -1025,6 +1029,12 @@ object Cypher {
     var relVars = Set.empty[String]   // rel vars with r_* prop columns
     var relListVars = Set.empty[String] // var-length rel vars (list columns)
     var scalars = Set.empty[String]   // WITH aliases / UNWIND vars (flat columns)
+    // pure-literal WITH bindings, kept symbolically alongside their
+    // materialized columns: static access (field / subscript / keys)
+    // folds against the literal with exact openCypher semantics where a
+    // Spark column cannot carry the value (heterogeneous lists, map keys
+    // colliding under case-insensitive struct resolution)
+    var litEnv = Map.empty[String, Ast.Expr]
     // scalars whose defining expression referenced an entity variable —
     // only these may re-bind as pattern nodes (`WITH coalesce(b, c) AS x
     // MATCH (x)-->()` re-matches by identity; `WITH 123 AS n MATCH (n)`
@@ -1066,16 +1076,24 @@ object Cypher {
       case NumLit(_, i)                    => if (i) 'i' else 'f'
       case Neg(x)                          => typeTag(x)
       case Ident(c) if acc != null && acc.columns.contains(c) =>
-        import org.apache.spark.sql.types._
+        tagOfDt(acc.schema(c).dataType)
+      case StructLit(_) => 'm'
+      // subscript over a schema-typed list column carries the element
+      // type (TCK Comparison1 [3]: `arr[0]` of a string list is a string)
+      case FnCall(n, Seq(Ident(c), _), _)
+          if Set("list_index", "get")(n.toLowerCase) &&
+            acc != null && acc.columns.contains(c) =>
+        import org.apache.spark.sql.types.ArrayType
         acc.schema(c).dataType match {
-          case StringType                                      => 's'
-          case _: ArrayType                                    => 'a'
-          case LongType | IntegerType | ShortType | ByteType   => 'i'
-          case DoubleType | FloatType | _: DecimalType         => 'f'
-          case _                                               => '?'
+          case ArrayType(et, _) => tagOfDt(et)
+          case _                => '?'
         }
       case FnCall(n, _, _) if Set("count", "count_distinct", "size", "length",
-          "id", "sum_int", "sum_int_distinct", "intdiv")(n.toLowerCase) => 'i'
+          "id", "sum_int", "sum_int_distinct", "intdiv", "tointeger")(n.toLowerCase) => 'i'
+      case FnCall(n, _, _) if Set("fdiv", "tofloat")(n.toLowerCase) => 'f'
+      case FnCall(n, _, _) if Set("tostring", "substr0")(n.toLowerCase) => 's'
+      case FnCall(n, _, _) if Set("toboolean", "nancmp", "str_contains",
+          "starts_with", "ends_with")(n.toLowerCase) => 'b'
       case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("abs") => typeTag(a)
       case FnCall(n, args, _) if n.equalsIgnoreCase("concat") && args.nonEmpty =>
         // concat is list-concat when any arg is a list, else string: one
@@ -1108,13 +1126,258 @@ object Cypher {
       case _ => '?'
     }
 
+    /** Spark DataType → static tag (shared by the Ident and element cases). */
+    def tagOfDt(dt: org.apache.spark.sql.types.DataType): Char = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case StringType                                    => 's'
+        case _: ArrayType                                  => 'a'
+        case LongType | IntegerType | ShortType | ByteType => 'i'
+        case DoubleType | FloatType | _: DecimalType       => 'f'
+        case BooleanType                                   => 'b'
+        case _: MapType | _: StructType                    => 'm'
+        case _                                             => '?'
+      }
+    }
+
+    // openCypher comparability families: numbers compare with numbers,
+    // everything else only within its own kind; cross-family equality is
+    // FALSE and cross-family ordering is NULL (CIP2016 comparability —
+    // the reference expected-fails the dynamic-entity slice of this,
+    // tck/expected-failures.txt "[3] Comparing across types")
+    def tagFamily(t: Char): Char = if (t == 'i' || t == 'f') 'n' else t
+    def knownTag(t: Char): Boolean = "bifsam".contains(t)
+    def crossFamily(l: Expr, r: Expr): Boolean = {
+      val (a, b) = (typeTag(l), typeTag(r))
+      knownTag(a) && knownTag(b) && tagFamily(a) != tagFamily(b)
+    }
+
+    /** Literal-tree predicate for the static three-valued folds below:
+      * heterogeneous or null-holding literal lists/maps cannot become
+      * homogeneous Spark arrays/structs, but their comparisons CAN fold
+      * at compile time with exact openCypher semantics. */
+    def litVal(x: Expr): Boolean = x match {
+      case NullLit | BoolLit(_) | StrLit(_) | NumLit(_, _) => true
+      case Neg(NumLit(_, _)) => true
+      case ArrayLit(es)  => es.forall(litVal)
+      case StructLit(fs) => fs.forall(f => litVal(f._2))
+      case _ => false
+    }
+    /** Can Spark's homogeneous array/struct typing materialize this
+      * literal as a column? Mixed-family lists (and lists of maps with
+      * differing key sets) cannot coerce to one element type. */
+    def sparkSafeLit(x: Expr): Boolean = x match {
+      case ArrayLit(es) =>
+        es.forall(sparkSafeLit) &&
+          es.map(e => tagFamily(typeTag(e))).filter(_ != '?').distinct.length <= 1 &&
+          es.collect { case StructLit(fs) => fs.map(_._1) }.distinct.length <= 1
+      case StructLit(fs) => fs.forall(f => sparkSafeLit(f._2))
+      case _ => true
+    }
+    def litNum(x: Expr): Option[BigDecimal] = x match {
+      case NumLit(v, _)      => Some(v)
+      case Neg(NumLit(v, _)) => Some(-v)
+      case _                 => None
+    }
+    /** openCypher deep equality over literal values: None = null.
+      * Lists: length mismatch is false; else any false element pair
+      * dominates, then any null, else true. Maps: key-set mismatch is
+      * false, then like lists over values. Cross-kind is false. */
+    def litEq(l: Expr, r: Expr): Option[Boolean] = (l, r) match {
+      case (NullLit, _) | (_, NullLit) => None
+      case (a, b) if litNum(a).isDefined && litNum(b).isDefined =>
+        Some(litNum(a).get == litNum(b).get)
+      case (StrLit(a), StrLit(b))   => Some(a == b)
+      case (BoolLit(a), BoolLit(b)) => Some(a == b)
+      case (ArrayLit(as), ArrayLit(bs)) =>
+        if (as.length != bs.length) Some(false)
+        else {
+          val es = as.zip(bs).map { case (a, b) => litEq(a, b) }
+          if (es.contains(Some(false))) Some(false)
+          else if (es.contains(None)) None
+          else Some(true)
+        }
+      case (StructLit(as), StructLit(bs)) =>
+        if (as.map(_._1).toSet != bs.map(_._1).toSet) Some(false)
+        else {
+          val bm = bs.toMap
+          val es = as.map { case (k, v) => litEq(v, bm(k)) }
+          if (es.contains(Some(false))) Some(false)
+          else if (es.contains(None)) None
+          else Some(true)
+        }
+      case _ => Some(false)
+    }
+    /** openCypher ordering over literal values: Some(None) = null,
+      * Some(Some(sign)) = decided. Lists compare lexicographically —
+      * the first non-equal pair decides (a definite inequality wins even
+      * when later elements are null: [1,2] >= [3,null] is false), a
+      * null/incomparable pair yields null, equal prefixes fall back to
+      * length. */
+    def litCmp(l: Expr, r: Expr): Option[Option[Int]] = (l, r) match {
+      case (NullLit, _) | (_, NullLit) => Some(None)
+      case (a, b) if litNum(a).isDefined && litNum(b).isDefined =>
+        Some(Some(litNum(a).get.compare(litNum(b).get)))
+      case (StrLit(a), StrLit(b))   => Some(Some(a.compare(b)))
+      case (BoolLit(a), BoolLit(b)) => Some(Some(a.compare(b)))
+      case (ArrayLit(as), ArrayLit(bs)) =>
+        var res: Option[Option[Int]] = null
+        var i = 0
+        val n = math.min(as.length, bs.length)
+        while (i < n && res == null) {
+          litCmp(as(i), bs(i)) match {
+            case Some(Some(0)) => i += 1
+            case other         => res = other
+          }
+        }
+        if (res != null) res
+        else Some(Some(as.length.compare(bs.length)))
+      case _ => Some(None)
+    }
+
+    /** Dynamic map access as a CASE over the (statically known) key set —
+      * exact string match, so keys stay case-sensitive where Spark's
+      * struct getField is not. Mixed value types render as strings (the
+      * one shape a single-typed column cannot carry). */
+    def mapAccessCase(pairs: Seq[(String, Expr)], k: Expr): Expr = {
+      if (pairs.isEmpty) NullLit
+      else {
+        val tags = pairs.map(p => typeTag(p._2)).filter(_ != '?').distinct
+        val branches: Seq[(Expr, Expr)] =
+          if (tags.length > 1)
+            pairs.map { case (kk, v) =>
+              (StrLit(kk): Expr) -> (MethodCall(v, "asString", Seq.empty): Expr) }
+          else pairs.map { case (kk, v) => (StrLit(kk): Expr) -> v }
+        CaseExpr(Some(k), branches, Some(NullLit))
+      }
+    }
+
     /** openCypher type-polymorphic operators, resolved bottom-up from the
       * static tags: `+` concatenates strings and lists, `/` on integrals
       * is integer division, sum() of integrals stays integral. The SQL
       * dialect keeps its decimal-promoting forms (oracle numeric parity);
       * this rewrite runs only on the Cypher path (reference openCypher
       * runtime arithmetic — cy/CypherFunctions-style type dispatch). */
-    def typed(e: Expr): Expr = {
+    def typed(e: Expr): Expr = e match {
+      // ---- pre-recursion static folds: these match RAW literal operands
+      //      so the dynamic-materialization rewrites below (heterogeneous
+      //      list stringify) don't mask exact openCypher folding ----
+      case Bin("=", l, r) if litVal(l) && litVal(r) =>
+        litEq(l, r).fold(NullLit: Expr)(b => BoolLit(b))
+      case Bin("<>", l, r) if litVal(l) && litVal(r) =>
+        litEq(l, r).fold(NullLit: Expr)(b => BoolLit(!b))
+      case Bin(op0, l, r) if Set("<", "<=", ">", ">=")(op0) &&
+          litVal(l) && litVal(r) =>
+        litCmp(l, r) match {
+          case Some(None) => NullLit
+          case Some(Some(k)) => BoolLit(op0 match {
+            case "<" => k < 0
+            case "<=" => k <= 0
+            case ">" => k > 0
+            case _ => k >= 0
+          })
+          case None => typedRec(e)
+        }
+      case FnCall(n, Seq(ArrayLit(es), ix), _)
+          if n.equalsIgnoreCase("list_index") && litNum(ix).isDefined =>
+        val i0 = litNum(ix).get.toInt
+        val i = if (i0 < 0) es.length + i0 else i0
+        if (i >= 0 && i < es.length) typed(es(i)) else NullLit
+      case PropAccess(StructLit(fs), p) =>
+        fs.find(_._1 == p).map(f => typed(f._2)).getOrElse(NullLit)
+      case ListComp(v2, src, None, m)
+          if (src match {
+            case ArrayLit(es) => es.forall(litVal)
+            case Ident(c) => litEnv.get(c).exists {
+              case ArrayLit(es) => es.forall(litVal); case _ => false }
+            case _ => false
+          }) =>
+        val es = src match {
+          case ArrayLit(es0) => es0
+          case Ident(c) => litEnv(c).asInstanceOf[ArrayLit].items
+        }
+        def subst(body: Expr, el: Expr): Expr = Ast.mapDown(body) {
+          case Ident(`v2`) => el
+          case x => x
+        }
+        ArrayLit(es.map(el => typed(subst(m.getOrElse(Ident(v2)), el))))
+      // quantifiers over a literal list unroll into AND/OR chains — exact
+      // 3VL statically, and each element predicate types independently
+      // (mixed-family literal lists cannot form one Spark array)
+      case Quantifier(kind, v2, src, pred)
+          if (src match {
+            case ArrayLit(es) => es.forall(litVal)
+            case NullLit => true
+            case Ident(c) => litEnv.get(c).exists {
+              case ArrayLit(es) => es.forall(litVal)
+              case NullLit => true
+              case _ => false
+            }
+            case _ => false
+          }) =>
+        val srcLit = src match {
+          case Ident(c) => litEnv(c)
+          case other    => other
+        }
+        srcLit match {
+          case NullLit => NullLit
+          case ArrayLit(es) =>
+            val ps = es.map { el =>
+              typed(Ast.mapDown(pred) {
+                case Ident(`v2`) => el
+                case x => x
+              })
+            }
+            def orAll(xs: Seq[Expr]): Expr =
+              xs.reduceOption((a, b) => Bin("OR", a, b)).getOrElse(BoolLit(false))
+            def andAll(xs: Seq[Expr]): Expr =
+              xs.reduceOption((a, b) => Bin("AND", a, b)).getOrElse(BoolLit(true))
+            kind match {
+              case "all"  => andAll(ps)
+              case "any"  => orAll(ps)
+              case "none" => if (ps.isEmpty) BoolLit(true) else Not(orAll(ps))
+              case _ => // single: >1 true → false; any null → null; else =1
+                def cnt(p0: Expr): Expr =
+                  CaseExpr(None, Seq((p0, NumLit(1, isIntegral = true): Expr)),
+                    Some(NumLit(0, isIntegral = true)))
+                val total = ps.map(cnt)
+                  .reduceOption((a, b) => Bin("+", a, b))
+                  .getOrElse(NumLit(0, isIntegral = true))
+                val anyNull = ps.map(p0 => IsNull(p0, negated = false): Expr)
+                  .reduceOption((a, b) => Bin("OR", a, b)).getOrElse(BoolLit(false))
+                CaseExpr(None, Seq(
+                  (Bin(">", total, NumLit(1, isIntegral = true)), BoolLit(false): Expr),
+                  (anyNull, NullLit: Expr)),
+                  Some(Bin("=", total, NumLit(1, isIntegral = true))))
+            }
+          case _ => typedRec(e)
+        }
+      // IN over a literal list: full fold when the needle is literal too,
+      // else an equality OR-chain so each element gets the cross-family
+      // and NaN rules (Spark's exists() would type-error on mixed lists)
+      case FnCall(n, Seq(x, l), st)
+          if n.equalsIgnoreCase("list_in") && (l match {
+            case ArrayLit(es) => es.forall(litVal)
+            case Ident(c) => litEnv.get(c).exists {
+              case ArrayLit(es) => es.forall(litVal); case _ => false }
+            case _ => false
+          }) =>
+        val es = (l match {
+          case Ident(c) => litEnv(c)
+          case other    => other
+        }).asInstanceOf[ArrayLit].items
+        if (litVal(x)) {
+          val rs = es.map(el => litEq(x, el))
+          if (rs.contains(Some(true))) BoolLit(true)
+          else if (rs.contains(None)) NullLit
+          else BoolLit(false)
+        } else if (es.isEmpty) BoolLit(false)
+        else typed(es.map(el => Bin("=", x, el): Expr)
+          .reduceOption((a, b) => Bin("OR", a, b)).get)
+      case _ => typedRec(e)
+    }
+
+    def typedRec(e: Expr): Expr = {
       val e2 = e match {
         case Bin(op, l, r)          => Bin(op, typed(l), typed(r))
         case Neg(x)                 => Neg(typed(x))
@@ -1130,6 +1393,7 @@ object Cypher {
           CaseExpr(op.map(typed), bs.map { case (w, t) => (typed(w), typed(t)) }, el.map(typed))
         case ListComp(v2, l, w, m)    => ListComp(v2, typed(l), w.map(typed), m.map(typed))
         case Quantifier(k, v2, l, pr) => Quantifier(k, v2, typed(l), typed(pr))
+        case PropAccess(t, p) if !t.isInstanceOf[Ident] => PropAccess(typed(t), p)
         case other => other
       }
       e2 match {
@@ -1137,9 +1401,9 @@ object Cypher {
         // logical operators (TCK Boolean1-5 [Fail on …] scenarios);
         // '?'-tagged operands stay dynamic, Spark's cast rules apply
         case Bin(op, l, r) if Set("AND", "OR", "XOR")(op.toUpperCase) &&
-            Seq(l, r).exists(x => "ifsa".contains(typeTag(x))) =>
+            Seq(l, r).exists(x => "ifsam".contains(typeTag(x))) =>
           throw ParseException(s"SyntaxError: non-boolean operand to $op")
-        case Not(x) if "ifsa".contains(typeTag(x)) =>
+        case Not(x) if "ifsam".contains(typeTag(x)) =>
           throw ParseException("SyntaxError: non-boolean operand to NOT")
         case Bin("+", l, r) =>
           (typeTag(l), typeTag(r)) match {
@@ -1159,11 +1423,146 @@ object Cypher {
         // (openCypher; TCK Precedence4 [4] — `true STARTS WITH 'abc'`)
         case FnCall(n, args, _)
             if Set("starts_with", "ends_with")(n.toLowerCase) &&
-              args.exists(a => "bifa".contains(typeTag(a))) =>
+              args.exists(a => "bifam".contains(typeTag(a))) =>
           NullLit
         case ContainsOp(l, "ONE", r)
-            if Seq(l, r).exists(a => "bifa".contains(typeTag(a))) =>
+            if Seq(l, r).exists(a => "bifam".contains(typeTag(a))) =>
           NullLit
+        // Cypher CONTAINS is string containment (the shared ContainsOp
+        // node carries the SQL dialect's collection semantics otherwise)
+        case ContainsOp(l, "ONE", r) => FnCall("str_contains", Seq(l, r))
+        // ---- static three-valued folds over literal operands ----
+        case Bin("=", l, r) if litVal(l) && litVal(r) =>
+          litEq(l, r).fold(NullLit: Expr)(b => BoolLit(b))
+        case Bin("<>", l, r) if litVal(l) && litVal(r) =>
+          litEq(l, r).fold(NullLit: Expr)(b => BoolLit(!b))
+        case Bin(op, l, r) if Set("<", "<=", ">", ">=")(op) &&
+            litVal(l) && litVal(r) =>
+          litCmp(l, r) match {
+            case Some(None) => NullLit
+            case Some(Some(k)) => BoolLit(op match {
+              case "<" => k < 0
+              case "<=" => k <= 0
+              case ">" => k > 0
+              case _ => k >= 0
+            })
+            case None => e2
+          }
+        // ---- cross-family comparisons: equality false, ordering null ----
+        case Bin("=", l, r) if crossFamily(l, r)  => BoolLit(false)
+        case Bin("<>", l, r) if crossFamily(l, r) => BoolLit(true)
+        case Bin(op, l, r) if Set("<", "<=", ">", ">=")(op) && crossFamily(l, r) =>
+          NullLit
+        // ---- IEEE float division + NaN-false comparisons ----
+        case Bin("/", l, r)
+            if Seq(l, r).forall(x => "if".contains(typeTag(x))) &&
+              Seq(l, r).exists(x => typeTag(x) == 'f') =>
+          FnCall("fdiv", Seq(l, r))
+        case Bin(op, l, r)
+            if Set("<", "<=", ">", ">=", "=", "<>")(op) &&
+              Seq(l, r).forall(x => "if".contains(typeTag(x))) &&
+              Seq(l, r).exists(x => typeTag(x) == 'f') =>
+          FnCall("nancmp", Seq(l, r, StrLit(op)))
+        // simple CASE branches whose when-value is statically another
+        // family can never match — prune them (Spark would raise a
+        // binary-op type mismatch or coerce '0' = 0 to a false match)
+        case CaseExpr(Some(op2), bs, els)
+            if bs.exists(b => crossFamily(op2, b._1)) =>
+          val keep = bs.filterNot(b => crossFamily(op2, b._1))
+          if (keep.nonEmpty) CaseExpr(Some(op2), keep, els)
+          else els.getOrElse(NullLit)
+        // ---- map value access & keys() ----
+        case PropAccess(StructLit(fs), p) =>
+          fs.find(_._1 == p).map(_._2).getOrElse(NullLit)
+        // symbolically-bound literal map/list: exact static resolution
+        case PropAccess(Ident(c), p)
+            if litEnv.get(c).exists(_.isInstanceOf[StructLit]) =>
+          val StructLit(fs) = (litEnv(c): @unchecked)
+          fs.find(_._1 == p).map(f => typed(f._2)).getOrElse(NullLit)
+        case FnCall(n, Seq(Ident(c), k), _)
+            if Set("list_index", "map_index")(n.toLowerCase) && litEnv.contains(c) =>
+          litEnv(c) match {
+            case StructLit(fs) => mapAccessCase(fs.map { case (kk, v) => kk -> typed(v) }, k)
+            case NullLit       => NullLit
+            case ArrayLit(es) if litNum(k).isDefined =>
+              val i0 = litNum(k).get.toInt
+              val i = if (i0 < 0) es.length + i0 else i0
+              if (i >= 0 && i < es.length) typed(es(i)) else NullLit
+            case _ => e2
+          }
+        // conversion functions statically reject openCypher-invalid
+        // operand types (TCK TypeConversion1 [5] / 2 [8] / 3 [6])
+        case FnCall(n, Seq(a), _)
+            if n.equalsIgnoreCase("tointeger") && "am".contains(typeTag(a)) =>
+          throw ParseException("SyntaxError: InvalidArgumentValue — toInteger on collection")
+        case FnCall(n, Seq(a), _)
+            if n.equalsIgnoreCase("tofloat") && "bam".contains(typeTag(a)) =>
+          throw ParseException("SyntaxError: InvalidArgumentValue — toFloat operand")
+        case FnCall(n, Seq(a), _)
+            if n.equalsIgnoreCase("toboolean") && "fam".contains(typeTag(a)) =>
+          throw ParseException("SyntaxError: InvalidArgumentValue — toBoolean operand")
+        case FnCall(n, Seq(a), _)
+            if n.equalsIgnoreCase("tostring") && "am".contains(typeTag(a)) =>
+          throw ParseException("SyntaxError: InvalidArgumentValue — toString operand")
+        // a mixed-family SCALAR literal list in a dynamic position (inside
+        // collect(), UNWIND, …) materializes as a string array: Spark's
+        // ANSI coercion would otherwise pick a numeric element type and
+        // make '0' equal 0 (TCK Comparison1 [3]). Static accesses fold
+        // before this, so only genuinely dynamic uses stringify.
+        case al @ ArrayLit(es)
+            if es.length > 1 && litVal(al) && !sparkSafeLit(al) &&
+              es.forall(x => "sifb?".contains(typeTag(x))) =>
+          ArrayLit(es.map {
+            case s @ StrLit(_) => s
+            case NullLit       => NullLit
+            case x             => MethodCall(x, "asString", Seq.empty)
+          })
+        case FnCall(n, Seq(NullLit, _), _)
+            if Set("list_index", "map_index")(n.toLowerCase) => NullLit
+        case FnCall(n, Seq(StructLit(fs), k), _)
+            if Set("list_index", "map_index")(n.toLowerCase) =>
+          mapAccessCase(fs, k)
+        case FnCall(n, Seq(Ident(c), k), _)
+            if Set("list_index", "map_index")(n.toLowerCase) &&
+              acc != null && acc.columns.contains(c) =>
+          import org.apache.spark.sql.types.{NullType, StructType}
+          acc.schema(c).dataType match {
+            case st: StructType =>
+              val pairs = st.fields.toSeq.map { f =>
+                val v: Expr = PropAccess(Ident(c), f.name)
+                val tagged = tagOfDt(f.dataType)
+                (f.name, if (st.fields.map(_.dataType).distinct.length > 1 && tagged != 's')
+                  MethodCall(v, "asString", Seq.empty) else v)
+              }
+              mapAccessCase(pairs.map { case (kk, v) => kk -> v }, k)
+            case NullType => NullLit
+            case _        => e2
+          }
+        case FnCall(n, Seq(NullLit), _)
+            if Set("nodes", "relationships", "keys", "labels", "properties")(n.toLowerCase) =>
+          NullLit
+        case FnCall(n, Seq(m), _) if n.equalsIgnoreCase("keys") =>
+          m match {
+            case StructLit(fs) => ArrayLit(fs.map(f => StrLit(f._1)))
+            case Ident(c) if litEnv.get(c).exists(_.isInstanceOf[StructLit]) =>
+              val StructLit(fs) = (litEnv(c): @unchecked)
+              ArrayLit(fs.map(f => StrLit(f._1)))
+            case Ident(c) if acc != null && acc.columns.contains(c) =>
+              import org.apache.spark.sql.types.{NullType, StructType}
+              acc.schema(c).dataType match {
+                case st: StructType => ArrayLit(st.fieldNames.toSeq.map(StrLit(_)))
+                case NullType       => NullLit
+                case _              => FnCall("map_keys", Seq(m))
+              }
+            case _ => FnCall("map_keys", Seq(m))
+          }
+        // Cypher substring is 0-based (SQL's is 1-based ANSI)
+        case FnCall(n, args, st) if n.equalsIgnoreCase("substring") =>
+          FnCall("substr0", args, st)
+        // Cypher size() measures strings too; Spark's size() is
+        // collections-only (TCK Quantifier* `size(x) = 3` over strings)
+        case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("size") && typeTag(a) == 's' =>
+          FnCall("length", Seq(a), st)
         case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("sum") && typeTag(a) == 'i' =>
           FnCall("sum_int", Seq(a), st)
         case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("sum_distinct") && typeTag(a) == 'i' =>
@@ -1211,6 +1610,13 @@ object Cypher {
           .sorted.toSeq
       def f(x: Expr): Expr = rewriteMetaFns(x)
       e match {
+        // length() is defined on paths (and, as an extension, strings and
+        // lists) — a node or relationship operand is a type error (TCK
+        // Path3 [2])
+        case FnCall(n, Seq(Ident(v)), _)
+            if (nodeVars(v) || relVars(v)) && !scalars(v) &&
+              n.equalsIgnoreCase("length") =>
+          throw ParseException(s"SyntaxError: InvalidArgumentType — length() on entity $v")
         case FnCall(n, Seq(Ident(v)), _)
             if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("keys") =>
           // runtime, per-row: a property set to null no longer has the
@@ -1317,6 +1723,16 @@ object Cypher {
         case pa @ PropAccess(Ident(v), p)
             if scalars(v) && acc != null && acc.columns.contains(v) =>
           import org.apache.spark.sql.types._
+          // property access on a non-map literal binding is a compile-time
+          // type error (TCK Map1 [6]) — including bindings whose column is
+          // a null placeholder because the literal couldn't materialize
+          litEnv.get(v) match {
+            case Some(NullLit) | None => ()
+            case Some(StructLit(_))   => ()
+            case Some(_) =>
+              throw ParseException(
+                s"SyntaxError: InvalidArgumentType — property access on non-map $v")
+          }
           acc.schema(v).dataType match {
             case st: StructType if !st.fieldNames.contains(p) => NullLit
             case NullType                                     => NullLit
@@ -1528,6 +1944,13 @@ object Cypher {
                   org.apache.spark.sql.types.StringType |
                   org.apache.spark.sql.types.BooleanType =>
                 throw ParseException(s"VariableTypeConflict: $v is not a node variable")
+              case org.apache.spark.sql.types.NullType =>
+                // a null scalar in node position is legal and matches
+                // nothing — OPTIONAL MATCH leaves the pattern unbound
+                // (TCK Path1 [1] / Path2 [3]: `WITH null AS a OPTIONAL
+                // MATCH p = (a)-->()`)
+                val fresh = freshVar()
+                (v, fresh)
               case _ =>
                 // numeric identity reference: rename + identity join —
                 // legal only for entity-derived scalars
@@ -1583,7 +2006,20 @@ object Cypher {
                 try { whereConsumed = true; Some(toCol(where.get)) }
                 finally acc = saved
               }
-            (nodeConds ++ reuseConds ++ optWhere).reduceOption(_ && _) match {
+            // identity conditions for scalar node references belong in
+            // the JOIN condition (null reference === anything is null →
+            // matches nothing) — as a post-join filter they would also
+            // kill the all-null row an OPTIONAL chain must keep (TCK
+            // Path1 [1]: `WITH null AS a OPTIONAL MATCH p = (a)-[r]->()`)
+            val refConds = scalarRefs.toSeq.sortBy(_._1).map { case (v, fresh) =>
+              val ref = acc.schema(v).dataType match {
+                case st: org.apache.spark.sql.types.StructType
+                    if st.fieldNames.contains("id") => acc(v).getField("id")
+                case _ => acc(v)
+              }
+              renamed(s"${fresh}_id") === ref
+            }
+            (nodeConds ++ reuseConds ++ refConds ++ optWhere).reduceOption(_ && _) match {
               case Some(cond) =>
                 acc = acc.join(renamed, cond, joinType)
                   .drop(dup.map(c => s"__dup_$c").toIndexedSeq: _*)
@@ -1598,18 +2034,9 @@ object Cypher {
           relVars ++= cr.relVars
           relListVars ++= cr.relListVars
           localRels ++= chainRels
-          // close the identity loop for scalar node references (null
-          // reference === anything is null → matches nothing). A scalar
-          // holding a whole-node STRUCT — `UNWIND collect(b) AS b2
-          // MATCH (a)-->(b2)` (TCK Unwind1 [12]) — references by its
-          // embedded identity field.
-          scalarRefs.foreach { case (v, fresh) =>
-            val ref = acc.schema(v).dataType match {
-              case st: org.apache.spark.sql.types.StructType
-                  if st.fieldNames.contains("id") => col(v).getField("id")
-              case _ => col(v)
-            }
-            acc = acc.filter(col(s"${fresh}_id") === ref) }
+          // (scalar node references — `UNWIND collect(b) AS b2
+          // MATCH (a)-->(b2)`, TCK Unwind1 [12] — close their identity
+          // loop inside the join condition above)
           chainResults += cr
         }
         val allMarks = chainResults.result().flatMap(_.marks)
@@ -1904,7 +2331,13 @@ object Cypher {
               case it if graft.sql.Translator.containsAgg(it.expr) => toCol(it.expr).as(name(it)) }
             if (keys.isEmpty) acc.agg(aggs.head, aggs.tail: _*)
             else acc.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-          } else acc.select(carriedCols ++ scalarItems.map(it => toCol(it.expr).as(name(it))): _*)
+          } else acc.select(carriedCols ++ scalarItems.map { it =>
+            val se = substParams(it.expr)
+            // a literal Spark cannot type (heterogeneous list) projects a
+            // null placeholder; the symbolic binding below carries the value
+            if (litVal(se) && !sparkSafeLit(se)) lit(null).as(name(it))
+            else toCol(it.expr).as(name(it))
+          }: _*)
         // republish variable scopes under the output names
         val aliasedScalars = scalarItems.collect {
           case ReturnItem(Ident(v), al, _) => v -> al.getOrElse(v) }
@@ -1917,6 +2350,19 @@ object Cypher {
         relVars = carried.collect { case (v, out) if prevRel(v) => out }.toSet
         paths = carried.collect {
           case (v, out) if prevPaths.contains(v) => out -> prevPaths(v) }.toMap
+        litEnv = {
+          val fromItems = scalarItems.flatMap { it =>
+            val se = substParams(it.expr)
+            if (litVal(se)) Some(name(it) -> se)
+            else se match {
+              case Ident(v) => litEnv.get(v).map(name(it) -> _)
+              case _        => None
+            }
+          }
+          val fromCarried = carried.collect {
+            case (v, out) if litEnv.contains(v) => out -> litEnv(v) }
+          (fromCarried ++ fromItems).toMap
+        }
         scalars = scalarItems.map(name).toSet
         nodeRefScalars = newNodeRefs
         if (distinct) acc = acc.distinct()

@@ -74,7 +74,9 @@ object Parser {
           out += TNum(BigInt(input.substring(i + 2, j), 8).toString); i = j
         } else {
           var j = i + 1
-          while (j < n && (input(j).isDigit || input(j) == '.')) j += 1
+          // a `..` pair is the range operator, not part of the number
+          while (j < n && (input(j).isDigit ||
+            (input(j) == '.' && !(j + 1 < n && input(j + 1) == '.')))) j += 1
           // scientific exponent: 1e5 / 2.5E-3 — consumed only when a
           // well-formed exponent actually follows, so `1 eq` still lexes
           // as number + identifier
@@ -134,7 +136,7 @@ object Parser {
         out += TNum(input.substring(i, j)); i = j
       } else {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
-        if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
+        if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~", "..").contains(two)) { out += TOp(two); i += 2 }
         else { out += TOp(c.toString); i += 1 }
       }
       while (offs.length < out.length) offs += tokStart
@@ -559,42 +561,21 @@ object Parser {
       } else if (p.peek == TOp("[")) {
         // subscript `e[i]` (0-based, openCypher) / slice `e[lo..hi]`
         // (end-exclusive; negatives count from the end; open ends default
-        // to 0/size). The lexer fuses `1..3` into one numeric token and
-        // `..3` into TOp(.) TNum(.3) — unpick both here.
+        // to 0/size; any expression can bound a slice — `l[$from..$to]`)
         p.expectOp("[")
         val sizeE = FnCall("size", Seq(e))
         def sliceOf(lo: Expr, hi: Expr): Expr = FnCall("list_slice", Seq(e, lo, hi))
         def hiOrEnd(): Expr = if (p.peek == TOp("]")) sizeE else parseExpr(p)
-        val out = p.peek match {
-          case TNum(s) if s.matches("-?\\d+\\.\\.\\d*") =>
-            p.next()
-            val parts = s.split("\\.\\.", -1)
-            val lo = NumLit(BigDecimal(parts(0)), isIntegral = true)
-            val hi =
-              if (parts(1).nonEmpty) NumLit(BigDecimal(parts(1)), isIntegral = true)
-              else hiOrEnd()
-            sliceOf(lo, hi)
-          case TOp(".") => // `[..hi]`
-            p.next()
-            p.peek match {
-              case TNum(s) if s.startsWith(".") =>
-                p.next()
-                sliceOf(NumLit(0, isIntegral = true),
-                  NumLit(BigDecimal(s.drop(1)), isIntegral = true))
-              case TOp(".") =>
-                p.next(); sliceOf(NumLit(0, isIntegral = true), hiOrEnd())
-              case other => throw ParseException(s"invalid slice bound: $other")
-            }
-          case _ =>
+        val out =
+          if (p.op("..")) sliceOf(NumLit(0, isIntegral = true), hiOrEnd())
+          else {
             val ix = parseExpr(p)
-            if (p.op(".")) { // `lo..hi` with expression bounds
-              p.expectOp(".")
-              sliceOf(ix, hiOrEnd())
-            } else ix match {
+            if (p.op("..")) sliceOf(ix, hiOrEnd())
+            else ix match {
               case s: StrLit => FnCall("map_index", Seq(e, s))
               case _ => FnCall("list_index", Seq(e, ix))
             }
-        }
+          }
         p.expectOp("]")
         e = out
       } else {

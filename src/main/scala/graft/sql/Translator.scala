@@ -4,7 +4,7 @@ import Ast._
 import graft.schema.TypeCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType}
 
 /** AST → Catalyst translator: the query-language front-end the round-1
   * verdict named as the largest architectural gap.
@@ -188,7 +188,15 @@ object Translator {
         case "all"    => forall(base, x => bind(x))
         case "any"    => exists(base, x => bind(x))
         case "none"   => !exists(base, x => bind(x))
-        case "single" => size(filter(base, x => bind(x))) === 1
+        case "single" =>
+          // openCypher 3VL: >1 matches is definitely false even with null
+          // predicates elsewhere; otherwise any null predicate makes the
+          // answer unknown (filter() would silently drop the nulls)
+          val trues = size(filter(base, x => bind(x)))
+          val anyNull = exists(base, x => bind(x).isNull)
+          when(trues > 1, lit(false))
+            .when(anyNull, lit(null).cast(BooleanType))
+            .otherwise(trues === 1)
         case other    => throw TranslateException(s"unknown quantifier $other")
       }
     case StructLit(fields) =>
@@ -366,12 +374,47 @@ object Translator {
       case "str_contains" => args(0).contains(args(1)) // Cypher string CONTAINS
       case "exists"       => args.head.isNotNull       // Cypher exists(n.prop)
       case "array"        => array(args: _*)
-      // Cypher conversion functions (toInteger/toFloat/toString/toBoolean)
-      case "tointeger"    => args.head.cast("long")
-      case "tofloat"      => args.head.cast("double")
+      // Cypher conversion functions (toInteger/toFloat/toString/toBoolean):
+      // invalid input is null, not an ANSI cast error (openCypher TCK
+      // TypeConversion1-3). toInteger parses numeric text through double
+      // first so '2.9' truncates to 2; the long-first branch keeps full
+      // 64-bit precision for integral inputs.
+      case "tointeger"    => coalesce(args.head.try_cast(LongType),
+        args.head.try_cast(DoubleType).try_cast(LongType))
+      case "tofloat"      => args.head.try_cast(DoubleType)
       case "tostring"     => args.head.cast("string")
-      case "toboolean"    => args.head.cast("boolean")
+      case "toboolean"    => args.head.try_cast(BooleanType)
       case "substr"     => substring(args.head, litToInt(argEs(1)), litToInt(argEs(2)))
+      // Cypher substring(s, from[, len]) — 0-based start (openCypher),
+      // unlike the 1-based ANSI form above; typed() routes the Cypher
+      // path here
+      case "substr0"    =>
+        if (args.length >= 3) args(0).substr(args(1).cast("int") + lit(1), args(2).cast("int"))
+        else args(0).substr(args(1).cast("int") + lit(1), length(args(0)))
+      // IEEE-754 float division (openCypher): 0.0/0 is NaN, x/0 is ±Inf —
+      // Spark ANSI double division raises DIVIDE_BY_ZERO instead. Lazy
+      // CaseWhen branches keep the raising division off the zero path.
+      case "fdiv"       =>
+        val l = args(0).cast(DoubleType); val r = args(1).cast(DoubleType)
+        when(r === lit(0.0),
+          when(l === lit(0.0) || isnan(l), lit(Double.NaN))
+            .otherwise(signum(l) * lit(Double.PositiveInfinity)))
+          .otherwise(l / r)
+      // numeric comparison where a side may be NaN: every comparison with
+      // NaN is false ('<>' true) in openCypher, while Spark orders NaN
+      // greater than every double
+      case "nancmp"     =>
+        val l = args(0).cast(DoubleType); val r = args(1).cast(DoubleType)
+        val op = litToStr(argEs(2))
+        val base = op match {
+          case "<" => l < r
+          case "<=" => l <= r
+          case ">" => l > r
+          case ">=" => l >= r
+          case "=" => l === r
+          case _ => l =!= r
+        }
+        when(isnan(l) || isnan(r), lit(op == "<>")).otherwise(base)
       case "regexp_replace" => regexp_replace(args.head, litToStr(argEs(1)), litToStr(argEs(2)))
       case "regexp_extract" => regexp_extract(args.head, litToStr(argEs(1)), litToInt(argEs(2)))
       case "split_str"  => split(args.head, java.util.regex.Pattern.quote(litToStr(argEs(1))))
@@ -458,7 +501,7 @@ object Translator {
       case "sequence"       => sequence(args(0), args(1))
 
       // ---- maps ----
-      case "map_keys"   => map_keys(args.head)
+      case "map_keys" | "keys" => map_keys(args.head)
       case "map_values" => map_values(args.head)
 
       // ---- json ----
@@ -575,13 +618,25 @@ object Translator {
       case "map_index"  => try_element_at(args(0), args(1))
       case "list_slice" =>
         val arr = args(0)
-        val lo = when(args(1) >= lit(0), args(1)).otherwise(size(arr) + args(1))
-        val hi = when(args(2) >= lit(0), args(2)).otherwise(size(arr) + args(2))
-        slice(arr, (lo + lit(1)).cast("int"), greatest(hi - lo, lit(0)).cast("int"))
+        // a null bound nulls the whole slice (openCypher; TCK List2 [9])
+        val lo0 = when(args(1) >= lit(0), args(1)).otherwise(size(arr) + args(1))
+        val hi0 = when(args(2) >= lit(0), args(2)).otherwise(size(arr) + args(2))
+        // clamp to [0, size] so exceeding ranges truncate instead of erroring
+        val lo = greatest(least(lo0, size(arr)), lit(0))
+        val hi = greatest(least(hi0, size(arr)), lit(0))
+        when(args(1).isNull || args(2).isNull, lit(null))
+          .otherwise(slice(arr, (lo + lit(1)).cast("int"), greatest(hi - lo, lit(0)).cast("int")))
       case "head"       => element_at(args.head, 1)
       case "tail"       => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))
       case "range"      => // inclusive, like Cypher's range()
-        if (argEs.size > 2) sequence(args(0), args(1), args(2)) else sequence(args(0), args(1))
+        // openCypher: an inconsistent direction yields an EMPTY list,
+        // and the default step is +1 even when end < start — Spark's
+        // sequence() would auto-reverse or raise (TCK List11)
+        val a = args(0).cast(LongType); val b = args(1).cast(LongType)
+        val st = if (argEs.size > 2) args(2).cast(LongType) else lit(1L)
+        when(((b - a) >= 0 && st > 0) || ((b - a) <= 0 && st < 0),
+          sequence(a, b, st))
+          .otherwise(array().cast("array<bigint>"))
 
       case other        => throw TranslateException(s"unknown function $other")
     }

@@ -14,7 +14,10 @@ object TckTriage {
     "clauses/return", "clauses/return-orderby", "clauses/return-skip-limit",
     "clauses/set", "clauses/union", "clauses/unwind", "clauses/with",
     "clauses/with-orderBy", "clauses/with-skip-limit", "clauses/with-where",
-    "expressions/aggregation", "expressions/literals", "expressions/null")
+    "expressions/aggregation", "expressions/boolean", "expressions/comparison",
+    "expressions/conditional", "expressions/literals", "expressions/map",
+    "expressions/mathematical", "expressions/null", "expressions/path",
+    "expressions/string", "expressions/typeConversion")
 
   def featureFiles(slice: Seq[String]): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._

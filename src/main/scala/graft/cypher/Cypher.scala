@@ -1337,9 +1337,16 @@ object Cypher {
               case "any"  => orAll(ps)
               case "none" => if (ps.isEmpty) BoolLit(true) else Not(orAll(ps))
               case _ => // single: >1 true → false; any null → null; else =1
-                def cnt(p0: Expr): Expr =
-                  CaseExpr(None, Seq((p0, NumLit(1, isIntegral = true): Expr)),
-                    Some(NumLit(0, isIntegral = true)))
+                def cnt(p0: Expr): Expr = p0 match {
+                  // fold literal predicates — `CASE WHEN NULL` is a Spark
+                  // type error (VOID condition), and the typed() pass has
+                  // already folded `null = 2`-style terms to NullLit
+                  case NullLit | BoolLit(false) => NumLit(0, isIntegral = true)
+                  case BoolLit(true)            => NumLit(1, isIntegral = true)
+                  case _ =>
+                    CaseExpr(None, Seq((p0, NumLit(1, isIntegral = true): Expr)),
+                      Some(NumLit(0, isIntegral = true)))
+                }
                 val total = ps.map(cnt)
                   .reduceOption((a, b) => Bin("+", a, b))
                   .getOrElse(NumLit(0, isIntegral = true))
@@ -2199,7 +2206,30 @@ object Cypher {
               .map(v => ReturnItem(Ident(v), None))
           case it => Seq(it)
         }
-        val items = items0.map(it => it.copy(expr = resolvePatternComps(it.expr)))
+        val items1 = items0.map(it => it.copy(expr = resolvePatternComps(it.expr)))
+        // `WITH … nodes(p) …` carries whole-node structs, exactly like the
+        // RETURN path (finishReturn): attach the aligned `__pn` column and
+        // rewrite the call so downstream predicates can access properties
+        // of the list elements (TCK Quantifier2/3/4 [8])
+        val withNodesPvs = items1.flatMap { it =>
+          val found = Seq.newBuilder[String]
+          Ast.mapDown(it.expr) {
+            case x @ FnCall(n, Seq(Ident(pv)), _)
+                if n.equalsIgnoreCase("nodes") && paths.contains(pv) =>
+              found += pv; x
+            case x => x
+          }
+          found.result()
+        }.distinct
+        withNodesPvs.foreach { pv => acc = attachPathNodes(graph, acc, pv) }
+        val items =
+          if (withNodesPvs.isEmpty) items1
+          else items1.map(it => it.copy(expr = Ast.mapDown(it.expr) {
+            case FnCall(n, Seq(Ident(pv)), _)
+                if n.equalsIgnoreCase("nodes") && paths.contains(pv) =>
+              Resolved(col(s"${pv}__pn"))
+            case x => x
+          }))
         // pattern/path variables — bare or re-aliased — carry all their
         // columns under the output name (a WITH alias renames the whole
         // entity binding: TCK With1 [3], With4 [1], With7 [1]); everything

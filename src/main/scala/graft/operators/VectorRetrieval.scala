@@ -95,11 +95,14 @@ object VectorRetrieval {
     val total = stats.map(_._3).sum
     if (ubs.isEmpty) return WandPrep(ubs, total, Double.NegativeInfinity)
     // θ = k-th exact score among the docs of the single highest-impact
-    // dim — any subset's k-th lower-bounds the true k-th
+    // dim — any subset's k-th lower-bounds the true k-th. One groupBy
+    // job: full score + a seed-dim hit flag per doc (no distinct, no
+    // broadcast build — the r6 verdict's action-count complaint)
     val seedDim = ubs.maxBy(u => (u._2, -u._1))._1
-    val seedDocs = pq.filter(col("dim") === seedDim).select("vec_id").distinct()
-    val seed = pq.join(broadcast(seedDocs), Seq("vec_id"))
-      .groupBy("vec_id").agg(sum(col("c")).as("s"))
+    val seed = pq.groupBy("vec_id")
+      .agg(sum(col("c")).as("s"),
+        max((col("dim") === seedDim).cast("int")).as("h"))
+      .filter(col("h") === 1)
       .orderBy(col("s").desc, col("vec_id")).limit(k).collect()
     val theta = if (seed.length < k) Double.NegativeInfinity
       else seed.last.getAs[Double]("s")
@@ -119,6 +122,32 @@ object VectorRetrieval {
     val posPrefix = pos.zip(cum).takeWhile(_._2 < theta).map(_._1._1)
     val nonEssential = (if (theta > 0) nonPos ++ posPrefix else Seq.empty[Int]).toSet
     ubs.map(_._1).filterNot(nonEssential)
+  }
+
+  /** Postings below this, fused single-aggregation scoring (one shuffle,
+    * no candidate broadcast) beats the two-phase candidate-join shape —
+    * the WAND bookkeeping costs more than the avoided scoring work saves
+    * (r6 bench: 4 actions dominated at sf0.1). Above it, candidate
+    * pruning pays: the candidate set is a small fraction of the corpus
+    * and the avoided shuffle volume is the point. */
+  val FusedScoringMaxPostings = 1000000L
+
+  /** Fused one-shuffle exact scorer with essential-dim pruning applied
+    * AFTER aggregation: every doc is scored in a single groupBy, then
+    * docs with no essential-dim posting are dropped (they provably sit
+    * below θ). `postingsScored` = postings of the surviving docs, the
+    * same accounting as the two-phase shape. */
+  private def fusedScore(pq: DataFrame, essential: Seq[Int], total: Long)
+      : (DataFrame, () => Long) = {
+    val essCol =
+      if (essential.isEmpty) max(lit(0))
+      else max(col("dim").isin(essential.map(Integer.valueOf): _*).cast("int"))
+    val agg = pq.groupBy("vec_id")
+      .agg(round(sum(col("c")), 6).as("score"), count(lit(1)).as("np"),
+        essCol.as("ess"))
+    val surviving = agg.filter(col("ess") === 1)
+    (surviving.select(col("vec_id"), col("score")),
+      () => surviving.agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0))
   }
 
   /** WAND-style pruned sparse top-k (index/sparsevector/BmwScorer.java's
@@ -142,7 +171,11 @@ object VectorRetrieval {
     val (scored, scoredCount) =
       if (prep.ubs.isEmpty)
         (pq.select(col("vec_id"), lit(0.0).as("score")).limit(0), () => 0L)
+      else if (prep.totalPostings < FusedScoringMaxPostings)
+        fusedScore(pq, essentialDims(prep.ubs, prep.theta), prep.totalPostings)
       else {
+        // large-postings regime: candidate pruning BEFORE scoring — only
+        // postings of docs that touch an essential dim are aggregated
         val essential = essentialDims(prep.ubs, prep.theta).map(Integer.valueOf)
         val cands = pq.filter(col("dim").isin(essential: _*)).select("vec_id").distinct()
         val hit = pq.join(broadcast(cands), Seq("vec_id"))
@@ -199,6 +232,11 @@ object VectorRetrieval {
         // never be excluded) — score everything, like the global variant
         (pq.groupBy("vec_id").agg(round(sum(col("c")), 6).as("score")),
           () => prep.totalPostings)
+      } else if (prep.totalPostings < minPostings &&
+          prep.totalPostings < FusedScoringMaxPostings) {
+        // block tier gated off AND small: one fused shuffle (see
+        // [[fusedScore]]) — identical candidate set to the global variant
+        fusedScore(pq, essentialDims(prep.ubs, theta), prep.totalPostings)
       } else {
         val essG = essentialDims(prep.ubs, theta).map(Integer.valueOf)
         val candsG = pq.filter(col("dim").isin(essG: _*)).select("vec_id").distinct()

@@ -415,6 +415,7 @@ object Translator {
           case _ => l =!= r
         }
         when(isnan(l) || isnan(r), lit(op == "<>")).otherwise(base)
+      case "rand"       => rand()
       case "regexp_replace" => regexp_replace(args.head, litToStr(argEs(1)), litToStr(argEs(2)))
       case "regexp_extract" => regexp_extract(args.head, litToStr(argEs(1)), litToInt(argEs(2)))
       case "split_str"  => split(args.head, java.util.regex.Pattern.quote(litToStr(argEs(1))))

@@ -43,6 +43,29 @@ object TckRunner {
     var table: Vector[Vector[String]] = null
   }
 
+  /** The TCK's named binary-tree graphs (useCases/triadicSelection):
+    * one :A root, two :KNOWS and two :FOLLOWS children, each with two
+    * :FRIEND leaves, plus a :FRIEND ring over the middle tier. tree-2
+    * differs only in the second leaf of each pair being :Y. */
+  private val BinaryTree1 =
+    """CREATE (a:A {name: 'a'}), (b1:X {name: 'b1'}), (b2:X {name: 'b2'}),
+      | (b3:X {name: 'b3'}), (b4:X {name: 'b4'}),
+      | (c11:X {name: 'c11'}), (c12:X {name: 'c12'}),
+      | (c21:X {name: 'c21'}), (c22:X {name: 'c22'}),
+      | (c31:X {name: 'c31'}), (c32:X {name: 'c32'}),
+      | (c41:X {name: 'c41'}), (c42:X {name: 'c42'})
+      |CREATE (a)-[:KNOWS]->(b1), (a)-[:KNOWS]->(b2),
+      | (a)-[:FOLLOWS]->(b3), (a)-[:FOLLOWS]->(b4)
+      |CREATE (b1)-[:FRIEND]->(c11), (b1)-[:FRIEND]->(c12),
+      | (b2)-[:FRIEND]->(c21), (b2)-[:FRIEND]->(c22),
+      | (b3)-[:FRIEND]->(c31), (b3)-[:FRIEND]->(c32),
+      | (b4)-[:FRIEND]->(c41), (b4)-[:FRIEND]->(c42)
+      |CREATE (b1)-[:FRIEND]->(b2), (b2)-[:FRIEND]->(b3),
+      | (b3)-[:FRIEND]->(b4), (b4)-[:FRIEND]->(b1)""".stripMargin
+  private val BinaryTree2 = BinaryTree1
+    .replace("(c12:X", "(c12:Y").replace("(c22:X", "(c22:Y")
+    .replace("(c32:X", "(c32:Y").replace("(c42:X", "(c42:Y")
+
   private def runInner(spark: SparkSession, sc: TckScenario): Option[String] = {
     val setups = Vector.newBuilder[String]
     val segs = scala.collection.mutable.Buffer.empty[Seg]
@@ -52,6 +75,8 @@ object TckRunner {
     sc.steps.foreach { st =>
       val t = st.text
       if (t.contains("having executed")) setups += st.doc
+      else if (t.contains("the binary-tree-1 graph")) setups += BinaryTree1
+      else if (t.contains("the binary-tree-2 graph")) setups += BinaryTree2
       else if (t.contains("executing query") || t.contains("executing control query"))
         segs += new Seg(st.doc)
       else if (t.contains("parameters are"))

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.DoubleType
 
 /** Dense-vector math over `ArrayType(FloatType)` columns, built from
@@ -18,9 +19,27 @@ object VectorFunctions {
   /** Cast array elements to double — do this once at the boundary. */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Sequential left-fold dot product (deterministic summation order). */
+  /** Sequential left-fold dot product (deterministic summation order).
+    * Native codegen'd kernel — bit-identical to the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (VectorFunctionsSpec pins
+    * the equivalence), but a primitive loop instead of an interpreted
+    * lambda per element: the dominant cost of every pairwise-scoring
+    * query (near-dup, kNN, ANN rescore) at any scale. */
   def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VectorDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The HOF twin of [[vecDot]], kept for the equivalence spec. */
+  private[graft] def vecDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native squared-L2 distance (see [[vecDot]] for the contract). */
+  def vecL2Sq(a: Column, b: Column): Column =
+    ColumnBridge.column(VectorL2Sq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private[graft] def vecL2SqHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   def vecNormL1(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + abs(x))
@@ -42,8 +61,7 @@ object VectorFunctions {
   }
   def vecDimension(a: Column): Column = size(a)
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+  def l2Distance(a: Column, b: Column): Column = sqrt(vecL2Sq(a, b))
 
   def l1Distance(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x)

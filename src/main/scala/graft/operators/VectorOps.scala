@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector / similarity-search surface over `ArrayType(FloatType)`
@@ -37,18 +37,40 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucketing: `bits` sign bits from fixed
     * deterministic pseudo-planes (plane[j][k] = sin(j*131 + k*7), no
-    * runtime randomness), multi-table to recover recall. */
-  def lshBuckets(emb: DataFrame, bits: Int, table: Int): DataFrame = {
-    val planeExprs = (0 until bits).map { j =>
-      val terms = s"aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), " +
-        s"k -> sin(cast(${table * 7919 + j} * 131 + k * 7 as double))), (x, p) -> x * p), " +
-        s"0D, (acc, x) -> acc + x)"
-      s"CASE WHEN $terms > 0 THEN ${1L << j}L ELSE 0L END"
-    }.mkString(" + ")
+    * runtime randomness), multi-table to recover recall. The planes are
+    * data-independent, so they are materialized driver-side as literal
+    * arrays and each projection is one native [[VectorFunctions.vecDot]]
+    * against a constant — the same sign bits as the previous
+    * per-element-HOF form (java.lang.Math.sin both ways, same left-fold
+    * sum order), minus the interpreted lambda per element. Assumes the
+    * corpus embedding dimension is uniform (it is — a mixed-dim corpus
+    * would bucket by the literal plane's length mismatch → null dot →
+    * no bucket, failing closed). */
+  private def bucketCol(bits: Int, table: Int, dim: Int): Column =
+    (0 until bits).map { j =>
+      val plane = typedlit((0 until dim).map(k =>
+        math.sin(((table * 7919 + j) * 131 + k * 7).toDouble)))
+      when(vecDot(col("ev"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBuckets(emb: DataFrame, bits: Int, table: Int, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+              else emb.select(size(col("embedding"))).head().getInt(0)
     emb.withColumn("ev", asDouble(col("embedding")))
-      .withColumn("bucket", expr(planeExprs))
+      .withColumn("bucket", bucketCol(bits, table, dim))
       .drop("ev")
   }
+
+  /** All `tables` hash tables in ONE corpus pass: (id, table, bucket) rows
+    * via a T-wide array + posexplode — the multi-table candidate join is
+    * then a single equi-join on (table, bucket) instead of T separate
+    * join+union branches (T× fewer broadcasts, scans and plan nodes). */
+  private def lshBucketsAll(emb: DataFrame, idCol: String, bits: Int,
+      tables: Int, dim: Int): DataFrame =
+    emb.withColumn("ev", asDouble(col("embedding")))
+      .select(col("vec_id").as(idCol),
+        posexplode(array((0 until tables).map(bucketCol(bits, _, dim)): _*))
+          .as(Seq("table", "bucket")))
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing a
     * bucket with the query in ANY of `tables` hash tables, exact-rescored
@@ -58,11 +80,13 @@ object VectorOps {
     * distributed analog). */
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int, tables: Int, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = (0 until tables).map { t =>
-      val c = lshBuckets(emb, bits, t).select(col("vec_id").as("neighbor_id"), col("bucket"))
-      val q = lshBuckets(queries, bits, t).select(col("vec_id").as("query_id"), col("bucket"))
-      c.join(broadcast(q), Seq("bucket")).select("query_id", "neighbor_id")
-    }.reduce(_ union _).filter(col("query_id") =!= col("neighbor_id")).distinct()
+    // one dim probe for both bucketing passes (planes are literals)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val c = lshBucketsAll(emb, "neighbor_id", bits, tables, dim)
+    val q = lshBucketsAll(queries, "query_id", bits, tables, dim)
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
     val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val cv = emb.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val scored = cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
@@ -98,8 +122,13 @@ object VectorOps {
         .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
         .select(col("cid"), expr("transform(s, p -> p.cx)").as("cv"))
     }
-    val lists = assignClusters(corpus, centroids)
-    (centroids, lists)
+    // The k-row centroid table is referenced by BOTH return values (probe
+    // routing and list assignment) — materialize it once so the Lloyd
+    // lineage (iters levels of crossJoin+agg) isn't recomputed per branch.
+    // k rows: bounded at any corpus scale.
+    val finalCentroids = centroids.localCheckpoint(eager = true)
+    val lists = assignClusters(corpus, finalCentroids)
+    (finalCentroids, lists)
   }
 
   def ivfCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame =
@@ -111,8 +140,7 @@ object VectorOps {
     * window form, but with no shuffle-and-sort per Lloyd iteration). */
   private def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     corpus.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("d2", graft.functions.VectorFunctions.vecL2Sq(col("v"), col("cv")))
       .groupBy("vec_id")
       .agg(min_by(struct(col("cid"), col("v")), struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
@@ -129,8 +157,7 @@ object VectorOps {
     val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid"))
     val probes = qv.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("d2", graft.functions.VectorFunctions.vecL2Sq(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -251,8 +278,11 @@ object VectorOps {
     Q.noOracle("q_vec_ann_ivf") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 5)
+      // `exact` feeds three branches of the recall join (semi, hit-count,
+      // exact-count) — materialize its ≤ |queries|·k rows once instead of
+      // recomputing the broadcast-scan-window subtree per branch
       val exact = knnExact(e, queries, 10)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(eager = true)
       val approx = annIvf(e, queries, k = 10, nClusters = 16, nprobe = 6, iters = 3)
         .select(col("query_id"), col("neighbor_id"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
@@ -268,7 +298,7 @@ object VectorOps {
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 5)
       val exact = knnExact(e, queries, 10)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(eager = true)
       val approx = annLsh(e, queries, k = 10, tables = 8, bits = 4)
         .select(col("query_id"), col("neighbor_id"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")

@@ -135,9 +135,15 @@ object Cypher {
     * | m]` and backtracks (returning None) on anything else so ordinary
     * list literals/comprehensions still parse. */
   private val patternCompExt: Parser.P => Option[Expr] = p => {
-    if (p.peek != TOp("(")) None
+    val mark = p.pos
+    // optional comprehension-local path binding `[p = (a)-->(b) | …]`
+    // (Cypher25Parser.g4 patternComprehension's pathAssignment)
+    val pathVar = (p.peek, p.peekAt(1)) match {
+      case (TId(v), TOp("=")) => p.next(); p.next(); Some(v)
+      case _ => None
+    }
+    if (p.peek != TOp("(")) { p.pos = mark; None }
     else {
-      val mark = p.pos
       try {
         val chain = parseChain(p, optional = false)
         if (chain.rels.isEmpty) { p.pos = mark; None }
@@ -146,7 +152,7 @@ object Cypher {
           if (p.op("|")) {
             val m = Parser.parseExpr(p)
             p.expectOp("]")
-            Some(Ast.PatternComp(chain, w, m))
+            Some(Ast.PatternComp(chain, w, m, pathVar))
           } else { p.pos = mark; None }
         }
       } catch { case _: ParseException => p.pos = mark; None }
@@ -164,10 +170,18 @@ object Cypher {
         val mark = p.pos
         try {
           p.expectOp("{")
+          // full existential subquery form (TCK ExistentialSubquery2):
+          // `EXISTS { MATCH <pattern> [WHERE w] [RETURN expr] }` — the
+          // MATCH keyword and a constant RETURN tail are surface sugar
+          // over the pattern-comprehension desugaring (existence is
+          // match-list non-emptiness either way). Multi-clause bodies
+          // (WITH pipelines) are not expressible as one comprehension.
+          val hadMatch = p.kw("MATCH")
           val chain = parseChain(p, optional = false)
           if (chain.rels.isEmpty) { p.pos = mark; None }
           else {
             val w = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
+            if (hadMatch && p.kw("RETURN")) Parser.parseExpr(p)
             p.expectOp("}")
             val sizeE = FnCall("size",
               Seq(Ast.PatternComp(chain, w, NumLit(BigDecimal(1), isIntegral = true))))
@@ -193,7 +207,8 @@ object Cypher {
       if (chain.rels.isEmpty) { p.pos = start + 1; None }
       else Some(Bin(">",
         FnCall("size",
-          Seq(Ast.PatternComp(chain, None, NumLit(BigDecimal(1), isIntegral = true)))),
+          Seq(Ast.PatternComp(chain, None, NumLit(BigDecimal(1), isIntegral = true),
+            pathVar = None, bare = true))),
         NumLit(BigDecimal(0), isIntegral = true)))
     } catch { case _: ParseException => p.pos = start + 1; None }
   }
@@ -748,7 +763,8 @@ object Cypher {
       // temporal namespaces: `date.truncate(...)`, `duration.between(...)`
       // — the target is a namespace token, not a pattern variable
       case MethodCall(t @ Ident(ns), m, args)
-          if Set("date", "datetime", "duration")(ns.toLowerCase) && !passThrough(ns) =>
+          if Set("date", "datetime", "localdatetime", "time", "localtime",
+            "duration")(ns.toLowerCase) && !passThrough(ns) =>
         MethodCall(t, m, args.map(f))
       // list comprehension / quantifier: the lambda variable shadows
       // pattern variables
@@ -767,9 +783,14 @@ object Cypher {
       // columns; labels() is a one-element list (single-label model)
       case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("id") && !passThrough(v) =>
         Ident(s"${v}_id")
-      // labels() splits the ":"-joined label set (single-label → [label])
+      // labels() splits the ":"-joined label set (single-label → [label]);
+      // an existing-but-unlabeled node has [] — only a NULL node (optional
+      // miss) yields null (TCK Graph3 [1][5])
       case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("labels") && !passThrough(v) =>
-        FnCall("split", Seq(Ident(s"${v}_label"), StrLit(":")))
+        CaseExpr(None, Seq(
+          (IsNull(Ident(s"${v}_id"), negated = false): Expr) -> NullLit,
+          (IsNull(Ident(s"${v}_label"), negated = false): Expr) -> ArrayLit(Seq.empty)),
+          Some(FnCall("split", Seq(Ident(s"${v}_label"), StrLit(":")))))
       case FnCall(n, Seq(Ident(v)), _) if n.equalsIgnoreCase("type") && !passThrough(v) =>
         Ident(s"${v}_label")
       case PropAccess(Ident(v), prop) if !passThrough(v) => Ident(s"${v}_$prop")
@@ -798,6 +819,20 @@ object Cypher {
 
   private var anon = 0
   private def freshVar(): String = synchronized { anon += 1; s"_anon$anon" }
+
+  /** A BARE pattern (`RETURN (n)-->()`) is not an expression in openCypher
+    * projections — only comprehensions/EXISTS blocks are (TCK Pattern1
+    * [22][23]). Bare patterns desugar with `bare = true`; reject them in
+    * projection position. */
+  private def rejectBarePatterns(e: Expr, where: String): Unit = {
+    Ast.mapDown(e) {
+      case x @ PatternComp(_, _, _, _, true) =>
+        throw ParseException(
+          s"SyntaxError: UnexpectedSyntax — bare pattern in $where projection")
+      case x => x
+    }
+    ()
+  }
 
   /** Bookkeeping for one relationship occurrence of a chain. `alias` keys
     * the hidden columns left on the frame:
@@ -1094,7 +1129,8 @@ object Cypher {
       case FnCall(n, _, _) if Set("tostring", "substr0")(n.toLowerCase) => 's'
       case FnCall(n, _, _) if Set("toboolean", "nancmp", "str_contains",
           "starts_with", "ends_with")(n.toLowerCase) => 'b'
-      case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("abs") => typeTag(a)
+      case FnCall(n, Seq(a), _) if Set("abs", "reverse", "tail",
+          "array_distinct", "sort_array")(n.toLowerCase) => typeTag(a)
       case FnCall(n, args, _) if n.equalsIgnoreCase("concat") && args.nonEmpty =>
         // concat is list-concat when any arg is a list, else string: one
         // known-string arg is enough to pin the result even when the
@@ -1104,10 +1140,14 @@ object Cypher {
         else if (tags.contains('s')) 's'
         else typeTag(args.head)
       // a CASE whose branches agree on a tag carries it (dynamic property
-      // access `v[k]` compiles to a CASE over the prop columns)
+      // access `v[k]` compiles to a CASE over the prop columns). Unknown
+      // ('?') branches don't block agreement: Spark's analyzer will
+      // coerce or reject them anyway, and the KNOWN tag is what decides
+      // list-vs-numeric '+' (TCK Quantifier invariants build
+      // `CASE WHEN rand()<0.5 THEN reverse(list) ELSE list END + x`)
       case CaseExpr(_, branches, els) =>
         val tags = (branches.map(_._2) ++ els.toSeq).collect {
-          case x if x != NullLit => typeTag(x) }.distinct
+          case x if x != NullLit => typeTag(x) }.distinct.filter(_ != '?')
         if (tags.length == 1) tags.head else '?'
       case Bin(op, l, r) if Set("+", "-", "*", "%")(op) =>
         (typeTag(l), typeTag(r)) match {
@@ -1135,6 +1175,9 @@ object Cypher {
         case LongType | IntegerType | ShortType | ByteType => 'i'
         case DoubleType | FloatType | _: DecimalType       => 'f'
         case BooleanType                                   => 'b'
+        // a stored temporal struct is NOT a map value: its own tag keeps
+        // it out of the map/collection argument checks
+        case st: StructType if st.fieldNames.contains("_tkind") => 't'
         case _: MapType | _: StructType                    => 'm'
         case _                                             => '?'
       }
@@ -1159,6 +1202,7 @@ object Cypher {
     def litVal(x: Expr): Boolean = x match {
       case NullLit | BoolLit(_) | StrLit(_) | NumLit(_, _) => true
       case Neg(NumLit(_, _)) => true
+      case TemporalLit(_) => true
       case ArrayLit(es)  => es.forall(litVal)
       case StructLit(fs) => fs.forall(f => litVal(f._2))
       case _ => false
@@ -1189,6 +1233,13 @@ object Cypher {
         Some(litNum(a).get == litNum(b).get)
       case (StrLit(a), StrLit(b))   => Some(a == b)
       case (BoolLit(a), BoolLit(b)) => Some(a == b)
+      case (TemporalLit(a), TemporalLit(b)) => (a, b) match {
+        // durations are equal by exact (months, days, seconds, nanos)
+        // components — P1D ≠ PT24H; point-in-time kinds by their order
+        case (x: graft.sql.Temporals.DDuration, y: graft.sql.Temporals.DDuration) =>
+          Some(x == y)
+        case _ => Some(graft.sql.Temporals.cmp(a, b).contains(0))
+      }
       case (ArrayLit(as), ArrayLit(bs)) =>
         if (as.length != bs.length) Some(false)
         else {
@@ -1220,6 +1271,8 @@ object Cypher {
         Some(Some(litNum(a).get.compare(litNum(b).get)))
       case (StrLit(a), StrLit(b))   => Some(Some(a.compare(b)))
       case (BoolLit(a), BoolLit(b)) => Some(Some(a.compare(b)))
+      case (TemporalLit(a), TemporalLit(b)) =>
+        Some(graft.sql.Temporals.cmp(a, b))
       case (ArrayLit(as), ArrayLit(bs)) =>
         var res: Option[Option[Int]] = null
         var i = 0
@@ -1285,6 +1338,12 @@ object Cypher {
         if (i >= 0 && i < es.length) typed(es(i)) else NullLit
       case PropAccess(StructLit(fs), p) =>
         fs.find(_._1 == p).map(f => typed(f._2)).getOrElse(NullLit)
+      // aggregates can't run inside a per-element lambda — checked BEFORE
+      // the literal unroll below, which would otherwise splice count(*)
+      // into the projection (TCK List12 [7])
+      case ListComp(_, _, w0, m0)
+          if (w0.toSeq ++ m0.toSeq).exists(graft.sql.Translator.containsAgg) =>
+        throw ParseException("SyntaxError: InvalidAggregation — aggregation in list comprehension")
       case ListComp(v2, src, None, m)
           if (src match {
             case ArrayLit(es) => es.forall(litVal)
@@ -1384,8 +1443,344 @@ object Cypher {
       case _ => typedRec(e)
     }
 
+    // ---- exact compile-time temporal interpreter ----
+    // openCypher temporal values (TIME, zoned datetimes, nanosecond
+    // precision, calendar durations) exceed Spark's type system; almost
+    // every temporal expression in practice is literal-rooted, so the
+    // front-end evaluates those exactly with java.time
+    // ([[graft.sql.Temporals]]) and only the RESULT becomes a column —
+    // the same static-fold tier as litEq/quantifier unrolling above.
+    private val TemporalCtorNames =
+      Set("date", "datetime", "localdatetime", "time", "localtime", "duration")
+
+    /** The statement clock: every zero-arg constructor and clock method
+      * in ONE query reads the same instant (openCypher statement-scoped
+      * current time — duration.inSeconds(localtime(), localtime()) is
+      * exactly PT0S). */
+    private lazy val statementClock: java.time.ZonedDateTime =
+      java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+
+    private def clockValue(kind: String): graft.sql.Temporals.TVal = {
+      import graft.sql.Temporals._
+      kind match {
+        case "date"          => DDate(statementClock.toLocalDate)
+        case "localdatetime" => DLocalDT(statementClock.toLocalDateTime)
+        case "datetime"      => DZonedDT(statementClock)
+        case "localtime"     => DLocalTime(statementClock.toLocalTime)
+        case "time"          => DZonedTime(statementClock.toOffsetDateTime.toOffsetTime)
+        case _ => throw ParseException("SyntaxError: duration() needs an argument")
+      }
+    }
+
+    def tval(e: Expr): Option[graft.sql.Temporals.TVal] = e match {
+      case TemporalLit(v) => Some(v)
+      case Ident(c)       => litEnv.get(c).collect { case TemporalLit(v) => v }
+      case _              => None
+    }
+    private def litAny(e: Expr): Option[Any] = e match {
+      case NumLit(v, isInt) =>
+        Some(if (isInt) java.lang.Long.valueOf(v.toLongExact)
+             else java.lang.Double.valueOf(v.toDouble))
+      case Neg(NumLit(v, isInt)) =>
+        Some(if (isInt) java.lang.Long.valueOf(-v.toLongExact)
+             else java.lang.Double.valueOf(-v.toDouble))
+      case StrLit(s)      => Some(s)
+      case TemporalLit(v) => Some(v)
+      case Ident(c)       => litEnv.get(c).flatMap(litAny)
+      case _              => None
+    }
+    private def litTemporalMap(e: Expr): Option[Map[String, Any]] = e match {
+      case StructLit(fs) =>
+        val vals = fs.map { case (k, x) => k -> litAny(x) }
+        if (vals.forall(_._2.isDefined)) Some(vals.map { case (k, o) => k -> o.get }.toMap)
+        else None
+      case Ident(c) => litEnv.get(c).flatMap(litTemporalMap)
+      case _        => None
+    }
+
+    private def temporalCtor(kind: String, arg: Expr): Option[graft.sql.Temporals.TVal] = {
+      import graft.sql.Temporals._
+      import java.time._
+      arg match {
+        case StrLit(s) => Some(kind match {
+          case "date" => DDate(parseDate(s))
+          case "localdatetime" => parseDateTimeText(s) match {
+            case DZonedDT(z) => DLocalDT(z.toLocalDateTime)
+            case other       => other
+          }
+          case "datetime" => parseDateTimeText(s) match {
+            case DLocalDT(l) => DZonedDT(l.atZone(ZoneOffset.UTC))
+            case other       => other
+          }
+          case "localtime" => parseTimeText(s) match {
+            case Left(lt)  => DLocalTime(lt)
+            case Right(ot) => DLocalTime(ot.toLocalTime)
+          }
+          case "time" => parseTimeText(s) match {
+            case Right(ot) => DZonedTime(ot)
+            case Left(lt)  => DZonedTime(OffsetTime.of(lt, ZoneOffset.UTC))
+          }
+          case _ => parseDuration(s)
+        })
+        case _ if tval(arg).isDefined =>
+          // projection between kinds: date(dt), localtime(t), …
+          val v = tval(arg).get
+          Some(kind match {
+            case "date"          => DDate(dateOf(v))
+            case "localdatetime" => DLocalDT(LocalDateTime.of(dateOf(v), timeOf(v)))
+            case "datetime" => v match {
+              case z: DZonedDT => z
+              case _ => DZonedDT(LocalDateTime.of(dateOf(v), timeOf(v)).atZone(
+                offsetOf(v).getOrElse(ZoneOffset.UTC)))
+            }
+            case "localtime" => DLocalTime(timeOf(v))
+            case "time" =>
+              DZonedTime(OffsetTime.of(timeOf(v), offsetOf(v).getOrElse(ZoneOffset.UTC)))
+            case _ => v match {
+              case d: DDuration => d
+              case _ => throw ParseException("SyntaxError: duration() of a non-duration")
+            }
+          })
+        case _ => litTemporalMap(arg).map { m =>
+          def offsetFor(zi: ZoneId): ZoneOffset = zi match {
+            case zo: ZoneOffset => zo
+            case z => z.getRules.getStandardOffset(java.time.Instant.EPOCH)
+          }
+          kind match {
+            case "date" => DDate(buildDate(m))
+            case "localdatetime" =>
+              DLocalDT(LocalDateTime.of(buildDate(dateKeys(m)), buildTime(timeKeys(m))))
+            case "datetime" =>
+              if (m.contains("epochSeconds") || m.contains("epochMillis")) {
+                val inst =
+                  if (m.contains("epochSeconds"))
+                    Instant.ofEpochSecond(m("epochSeconds").asInstanceOf[Number].longValue,
+                      m.get("nanosecond").map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+                  else Instant.ofEpochMilli(m("epochMillis").asInstanceOf[Number].longValue)
+                DZonedDT(inst.atZone(zoneOf(m).getOrElse(ZoneOffset.UTC)))
+              } else {
+                // a timezone override on a ZONED base converts the
+                // INSTANT first; remaining component overrides then apply
+                // to the converted wall clock (TCK Temporal3 [11]-[13]).
+                // A zoned TIME component converts the same way, and its
+                // offset is the zone default when none is given.
+                val zone0 = zoneOf(m)
+                var m2 = (m.get("datetime"), zone0) match {
+                  case (Some(DZonedDT(z)), Some(zn)) =>
+                    m + ("datetime" -> DZonedDT(z.withZoneSameInstant(zn)))
+                  case _ => m
+                }
+                m2 = (m2.get("time"), zone0) match {
+                  case (Some(DZonedTime(t)), Some(zn)) =>
+                    m2 + ("time" -> DZonedTime(t.withOffsetSameInstant(offsetFor(zn))))
+                  case _ => m2
+                }
+                val zone = zone0
+                  .orElse(m2.get("datetime").collect { case DZonedDT(z) => z.getZone })
+                  .orElse(m2.get("time").collect { case DZonedTime(t) => t.getOffset })
+                  .getOrElse(ZoneOffset.UTC)
+                DZonedDT(LocalDateTime.of(buildDate(dateKeys(m2)), buildTime(timeKeys(m2)))
+                  .atZone(zone))
+              }
+            case "localtime" => DLocalTime(buildTime(m))
+            case "time" =>
+              val zOpt = zoneOf(m).map(offsetFor)
+              val m2 = (m.get("time"), zOpt) match {
+                case (Some(DZonedTime(t)), Some(off)) =>
+                  m + ("time" -> DZonedTime(t.withOffsetSameInstant(off)))
+                case _ => m
+              }
+              val off = zOpt.orElse(
+                m2.get("time").flatMap(v => offsetOf(v.asInstanceOf[graft.sql.Temporals.TVal])))
+                .getOrElse(ZoneOffset.UTC)
+              DZonedTime(OffsetTime.of(buildTime(m2), off))
+            case _ => buildDuration(m)
+          }
+        }
+      }
+    }
+
+    /** A folded point-in-time value as a PLAIN castable literal column
+      * (date/timestamp), for mixing with the runtime seconds-based
+      * temporal paths (duration.between over stored columns). */
+    private def castableTemporal(v: graft.sql.Temporals.TVal): org.apache.spark.sql.Column = {
+      import graft.sql.Temporals._
+      v match {
+        case DDate(d)    => lit(java.sql.Date.valueOf(d))
+        case DLocalDT(l) => lit(java.sql.Timestamp.valueOf(l))
+        case DZonedDT(z) => lit(java.sql.Timestamp.from(z.toInstant))
+        case other       => graft.sql.Temporals.column(other)
+      }
+    }
+
+    /** A literal duration as a CalendarInterval literal — the form
+      * Spark's native date/timestamp ± interval arithmetic accepts
+      * (runtime-column arithmetic; sub-µs precision truncates). */
+    private def intervalCol(d: graft.sql.Temporals.DDuration): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          new org.apache.spark.unsafe.types.CalendarInterval(
+            d.months.toInt, d.days.toInt, d.seconds * 1000000L + d.nanos / 1000L),
+          org.apache.spark.sql.types.CalendarIntervalType))
+
+    /** Engine-portable total seconds of a literal duration (months at the
+      * Gregorian average) — the runtime duration encoding is seconds, so
+      * a literal duration meeting a RUNTIME duration/number in comparison
+      * or arithmetic materializes as seconds. */
+    private def durationSeconds(d: graft.sql.Temporals.DDuration): BigDecimal =
+      BigDecimal(d.months) * 2629746 + BigDecimal(d.days) * 86400 +
+        BigDecimal(d.seconds) + BigDecimal(d.nanos) / 1000000000L
+
+    /** Fold a fully-typed expression tree over temporal literals; None =
+      * not a (foldable) temporal expression. Invalid temporal values
+      * raise (the TCK's invalid-date/zone scenarios expect errors). */
+    def foldTemporal(e: Expr): Option[Expr] = {
+      import graft.sql.Temporals
+      import graft.sql.Temporals._
+      try e match {
+        // null in, null out — constructors and their clock variants
+        // (TCK Temporal4 [13])
+        case FnCall(n, Seq(NullLit), _) if TemporalCtorNames(n.toLowerCase) =>
+          Some(NullLit)
+        case MethodCall(Ident(ns), m, Seq(NullLit))
+            if TemporalCtorNames(ns.toLowerCase) &&
+              Set("transaction", "statement", "realtime")(m.toLowerCase) =>
+          Some(NullLit)
+        case FnCall(n, Seq(arg), _) if TemporalCtorNames(n.toLowerCase) =>
+          temporalCtor(n.toLowerCase, arg).map(TemporalLit)
+        // statement clock: zero-arg constructors and the three named
+        // clocks (transaction/statement scope to the query; realtime
+        // approximated by the same capture)
+        case FnCall(n, Seq(), false)
+            if TemporalCtorNames(n.toLowerCase) && !n.equalsIgnoreCase("duration") =>
+          Some(TemporalLit(clockValue(n.toLowerCase)))
+        case MethodCall(Ident(ns), m, Seq())
+            if TemporalCtorNames(ns.toLowerCase) && !ns.equalsIgnoreCase("duration") &&
+              Set("transaction", "statement", "realtime")(m.toLowerCase) =>
+          Some(TemporalLit(clockValue(ns.toLowerCase)))
+        case MethodCall(Ident(ns), m, args)
+            if m.equalsIgnoreCase("truncate") && args.lengthIs >= 2 &&
+              TemporalCtorNames(ns.toLowerCase) =>
+          for {
+            unit <- args.head match { case StrLit(u) => Some(u); case x => litAny(x).collect { case s: String => s } }
+            v <- tval(args(1))
+          } yield TemporalLit(Temporals.truncate(ns.toLowerCase, unit, v,
+            args.lift(2).flatMap(litTemporalMap).getOrElse(Map.empty)))
+        case MethodCall(Ident(ns), m, Seq(a, b))
+            if ns.equalsIgnoreCase("duration") &&
+              Set("between", "inmonths", "indays", "inseconds")(m.toLowerCase) =>
+          (tval(a), tval(b)) match {
+            case (Some(va), Some(vb)) => Some(TemporalLit(
+              if (m.equalsIgnoreCase("between")) Temporals.between(va, vb)
+              else Temporals.betweenIn(m.toLowerCase match {
+                case "inmonths" => "inMonths"
+                case "indays"   => "inDays"
+                case _          => "inSeconds"
+              }, va, vb)))
+            // one runtime side: keep the runtime (seconds-based) between,
+            // materializing the folded side as a CASTABLE timestamp/date
+            // literal instead of a tagged struct
+            case (Some(va), None) =>
+              Some(MethodCall(Ident(ns), m, Seq(Resolved(castableTemporal(va)), b)))
+            case (None, Some(vb)) =>
+              Some(MethodCall(Ident(ns), m, Seq(a, Resolved(castableTemporal(vb)))))
+            case _ => None
+          }
+        case PropAccess(t, name) if tval(t).isDefined =>
+          Some(Temporals.component(tval(t).get, name) match {
+            case Some(l: java.lang.Long) => NumLit(BigDecimal(l), isIntegral = true)
+            case Some(l: Long)           => NumLit(BigDecimal(l), isIntegral = true)
+            case Some(s: String)         => StrLit(s)
+            case Some(other)             => StrLit(other.toString)
+            case None                    => NullLit
+          })
+        case Bin("+", a, b) => (tval(a), tval(b)) match {
+          case (Some(x), Some(d: DDuration)) => Some(TemporalLit(Temporals.plus(x, d)))
+          case (Some(d: DDuration), Some(x)) => Some(TemporalLit(Temporals.plus(x, d)))
+          // literal duration + RUNTIME temporal column: materialize the
+          // duration as a CalendarInterval literal so Spark's native
+          // date/timestamp interval arithmetic applies
+          case (None, Some(d: DDuration)) if !litVal(a) =>
+            Some(Bin("+", a, Resolved(intervalCol(d))))
+          case (Some(d: DDuration), None) if !litVal(b) =>
+            Some(Bin("+", b, Resolved(intervalCol(d))))
+          case _ => None
+        }
+        case Bin("-", a, b) => (tval(a), tval(b)) match {
+          case (Some(x), Some(d: DDuration)) => Some(TemporalLit(Temporals.minus(x, d)))
+          case (Some(x), Some(y)) if x.isInstanceOf[DDuration] == y.isInstanceOf[DDuration] =>
+            // temporal - temporal = duration.between(b, a)… only defined
+            // point-to-point; leave cross shapes unfolded
+            None
+          case (None, Some(d: DDuration)) if !litVal(a) =>
+            Some(Bin("-", a, Resolved(intervalCol(d))))
+          case _ => None
+        }
+        case Bin("*", a, b) => (tval(a), tval(b)) match {
+          case (Some(d: DDuration), None) => litNum(b).map(k => TemporalLit(Temporals.scale(d, k)))
+          case (None, Some(d: DDuration)) => litNum(a).map(k => TemporalLit(Temporals.scale(d, k)))
+          case _ => None
+        }
+        case Bin("/", a, b) => tval(a) match {
+          case Some(d: DDuration) =>
+            litNum(b).filter(_ != 0).map(k => TemporalLit(Temporals.scale(d, BigDecimal(1) / k)))
+          case _ => None
+        }
+        case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("tostring") && tval(a).isDefined =>
+          Some(StrLit(Temporals.render(tval(a).get)))
+        // a literal duration meeting a RUNTIME value in comparison: the
+        // engine's runtime duration encoding is total seconds, so the
+        // literal materializes as seconds (q_cypher_temporal's
+        // `duration.between(col, …) > duration('P1460D')` shape)
+        case Bin(op, l, r) if Set("<", "<=", ">", ">=", "=", "<>")(op) =>
+          def secsLit(d: DDuration): Expr = {
+            val s = durationSeconds(d)
+            NumLit(s, s.isWhole)
+          }
+          (tval(l), tval(r)) match {
+            case (Some(d: DDuration), None) if !litVal(r) => Some(Bin(op, secsLit(d), r))
+            case (None, Some(d: DDuration)) if !litVal(l) => Some(Bin(op, l, secsLit(d)))
+            case _ => None
+          }
+        // component access on a RUNTIME DateType / TimestampNTZ column
+        // (a stored temporal property): extract with native functions
+        case PropAccess(Ident(c), p) if acc != null && acc.columns.contains(c) &&
+            (acc.schema(c).dataType == org.apache.spark.sql.types.DateType ||
+             acc.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+          val cc = col(c)
+          def iso(x: org.apache.spark.sql.Column) = Some(Resolved(x.cast("long")))
+          p match {
+            case "year"    => iso(year(cc))
+            case "quarter" => iso(quarter(cc))
+            case "month"   => iso(month(cc))
+            case "week"    => iso(weekofyear(cc))
+            case "weekYear" => iso(expr(s"date_part('YEAROFWEEK', $c)"))
+            case "day"     => iso(dayofmonth(cc))
+            case "ordinalDay" => iso(dayofyear(cc))
+            case "dayOfWeek" | "weekDay" => iso(((dayofweek(cc) + 5) % 7) + 1)
+            case "dayOfQuarter" | "quarterDay" =>
+              iso(datediff(cc, date_trunc("quarter", cc).cast("date")) + 1)
+            case "hour" if acc.schema(c).dataType != org.apache.spark.sql.types.DateType =>
+              iso(hour(cc))
+            case "minute" if acc.schema(c).dataType != org.apache.spark.sql.types.DateType =>
+              iso(minute(cc))
+            case "second" if acc.schema(c).dataType != org.apache.spark.sql.types.DateType =>
+              iso(second(cc))
+            case "millisecond" => iso(expr(s"date_part('MICROSECONDS', $c)") % 1000000 / 1000)
+            case "microsecond" => iso(expr(s"date_part('MICROSECONDS', $c)") % 1000000)
+            case "nanosecond"  => iso(expr(s"date_part('MICROSECONDS', $c)") % 1000000 * 1000)
+            case _ => None
+          }
+        case _ => None
+      } catch {
+        case pe: ParseException => throw pe
+        case ex: Exception =>
+          throw ParseException(s"TemporalError: ${ex.getClass.getSimpleName}: ${ex.getMessage}")
+      }
+    }
+
     def typedRec(e: Expr): Expr = {
-      val e2 = e match {
+      val e2pre = e match {
         case Bin(op, l, r)          => Bin(op, typed(l), typed(r))
         case Neg(x)                 => Neg(typed(x))
         case Not(x)                 => Not(typed(x))
@@ -1403,6 +1798,9 @@ object Cypher {
         case PropAccess(t, p) if !t.isInstanceOf[Ident] => PropAccess(typed(t), p)
         case other => other
       }
+      // exact temporal folding first: date('…') + duration('…') must fold
+      // BEFORE the generic '+' typing below sees it
+      val e2 = foldTemporal(e2pre).getOrElse(e2pre)
       e2 match {
         // openCypher rejects statically non-boolean operands to the
         // logical operators (TCK Boolean1-5 [Fail on …] scenarios);
@@ -1415,7 +1813,7 @@ object Cypher {
         case Bin("+", l, r) =>
           (typeTag(l), typeTag(r)) match {
             // list + scalar appends (TCK Precedence3 [4]: `[1]+2` = [1,2])
-            case ('a', t) if "ifs".contains(t) => FnCall("array_append", Seq(l, r))
+            case ('a', t) if "ifsb".contains(t) => FnCall("array_append", Seq(l, r))
             case ('a', _) | (_, 'a') => FnCall("concat", Seq(l, r))
             case (tl, tr) if tl == 's' || tr == 's' =>
               // ANSI concat takes strings: cast a known-numeric side
@@ -1426,6 +1824,37 @@ object Cypher {
           }
         case Bin("/", l, r) if typeTag(l) == 'i' && typeTag(r) == 'i' =>
           FnCall("intdiv", Seq(l, r))
+        // range() argument discipline: integer arguments only, step ≠ 0
+        // (TCK List11 [4][5] — the reference raises ArgumentError at
+        // runtime; literal arguments let us raise at compile time)
+        case FnCall(n, args, _) if n.equalsIgnoreCase("range") && args.length >= 2 =>
+          def nonInt(x: Expr): Boolean = x match {
+            case NumLit(_, false) | BoolLit(_) | StrLit(_) | ArrayLit(_) |
+                StructLit(_) => true
+            case Neg(y) => nonInt(y)
+            case _ => false
+          }
+          if (args.exists(nonInt))
+            throw ParseException("ArgumentError: InvalidArgumentType — range() takes integer arguments")
+          if (args.length >= 3 && litNum(args(2)).contains(BigDecimal(0)))
+            throw ParseException("ArgumentError: NumberOutOfRange — range() step must not be zero")
+          e2
+        // list subscript discipline: a non-integer literal index on a
+        // known list is a type error (TCK List1 [8][9])
+        case FnCall(n, Seq(t, ix), _)
+            if n.equalsIgnoreCase("list_index") && typeTag(t) == 'a' &&
+              (ix match {
+                case NumLit(_, false) | BoolLit(_) | StrLit(_) => true
+                case Neg(NumLit(_, false)) => true
+                // statically-typed non-integer index column (a WITH-bound
+                // float/string/bool — TCK List1 [8][9])
+                case _ => "fsb".contains(typeTag(ix))
+              }) =>
+          throw ParseException("TypeError: InvalidArgumentType — list subscript must be an integer")
+        // aggregates can't run inside a per-element lambda (TCK List12 [7])
+        case ListComp(_, _, w, m)
+            if (w.toSeq ++ m.toSeq).exists(graft.sql.Translator.containsAgg) =>
+          throw ParseException("SyntaxError: InvalidAggregation — aggregation in list comprehension")
         // string predicates on a statically non-string operand are null
         // (openCypher; TCK Precedence4 [4] — `true STARTS WITH 'abc'`)
         case FnCall(n, args, _)
@@ -1624,6 +2053,11 @@ object Cypher {
             if (nodeVars(v) || relVars(v)) && !scalars(v) &&
               n.equalsIgnoreCase("length") =>
           throw ParseException(s"SyntaxError: InvalidArgumentType — length() on entity $v")
+        // size() is defined on lists and strings, NOT paths — length() is
+        // the path accessor (TCK List6 [5])
+        case FnCall(n, Seq(Ident(pv)), _)
+            if n.equalsIgnoreCase("size") && paths.contains(pv) =>
+          throw ParseException(s"SyntaxError: InvalidArgumentType — size() on path $pv")
         case FnCall(n, Seq(Ident(v)), _)
             if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("keys") =>
           // runtime, per-row: a property set to null no longer has the
@@ -1653,8 +2087,19 @@ object Cypher {
         case FnCall(n, Seq(Ident(v)), _)
             if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("properties") =>
           // PropAccess (not the flat name): flatten runs after this
-          // rewrite and maps v.p → v_p itself
-          StructLit(propNames(v).map(p => p -> PropAccess(Ident(v), p)))
+          // rewrite and maps v.p → v_p itself. A NULL entity (optional
+          // miss) has null properties, not {} (TCK Graph9 [3])
+          val idCol = if (nodeVars(v)) col(s"${v}_id") else col(s"${v}__eid")
+          CaseExpr(None, Seq((Resolved(idCol.isNull): Expr) -> NullLit),
+            Some(StructLit(propNames(v).map(p => p -> PropAccess(Ident(v), p)))))
+        // properties()/labels()/type() of a literal null are null; and
+        // properties() of a map value is the map itself (TCK Graph4 [3],
+        // Graph9 [3][4])
+        case FnCall(n, Seq(NullLit), _)
+            if Set("properties", "labels", "type")(n.toLowerCase) =>
+          NullLit
+        case FnCall(n, Seq(m: StructLit), _) if n.equalsIgnoreCase("properties") =>
+          m
         // a property the schema has never seen is null, not an error —
         // openCypher records are schema-flexible property bags. The check
         // is case-SENSITIVE (n.aGe ≠ n.age) although Spark columns are
@@ -1684,6 +2129,10 @@ object Cypher {
               acc != null && acc.columns.contains(s"${rv}__src") =>
           val c0 = if (n.equalsIgnoreCase("startnode")) s"${rv}__src" else s"${rv}__dst"
           Resolved(struct(col(c0).as("id")))
+        // type() is defined on relationships only (TCK Graph4 [7])
+        case FnCall(n, Seq(Ident(v)), _)
+            if n.equalsIgnoreCase("type") && nodeVars(v) && !scalars(v) =>
+          throw ParseException(s"SyntaxError: InvalidArgumentType — type() on node $v")
         // graph metadata fns take the VARIABLE itself — leave their
         // argument alone for flatten's type()/id()/labels() resolution
         case fc @ FnCall(n, Seq(Ident(_)), _)
@@ -1736,6 +2185,9 @@ object Cypher {
           litEnv.get(v) match {
             case Some(NullLit) | None => ()
             case Some(StructLit(_))   => ()
+            // temporal values expose components via property access —
+            // typed()'s foldTemporal resolves them exactly
+            case Some(TemporalLit(_)) => ()
             case Some(_) =>
               throw ParseException(
                 s"SyntaxError: InvalidArgumentType — property access on non-map $v")
@@ -1789,9 +2241,22 @@ object Cypher {
       * sorted for determinism (openCypher leaves their order unspecified).
       * Mutates `acc`; returns the rewritten expression. */
     def resolvePatternComps(e: Expr): Expr = e match {
-      case PatternComp(chainRef, whereE, mapE) =>
+      case PatternComp(chainRef, whereE, mapE, pathVar, bare) =>
         val chain = chainRef.asInstanceOf[PatternChain]
-        val cr = chainFrame(g, chain)
+        // a bare pattern predicate may not bind NEW named variables —
+        // only comprehensions and EXISTS/COUNT blocks introduce scope
+        // (TCK Pattern1 [10]: SyntaxError UndefinedVariable)
+        if (bare) {
+          val newNamed = (chain.nodes.flatMap(_.varName) ++ chain.rels.flatMap(_.varName))
+            .filterNot(v => v.startsWith("_anon") || nodeVars(v) || relVars(v) ||
+              relListVars(v) || scalars(v))
+          if (newNamed.nonEmpty)
+            throw ParseException(
+              s"SyntaxError: UndefinedVariable — pattern predicate introduces ${newNamed.mkString(", ")}")
+        }
+        // a path-valued element needs the whole-rel structs carried along
+        val cr = chainFrame(g, chain,
+          structs = pathVar.exists(pv => mapE == Ident(pv)))
         val (pf0, pvars) = (cr.df, cr.nodeVars)
         val pf = whereE.fold(pf0)(w =>
           pf0.filter(graft.sql.Translator.toColumn(flatten(w, Set.empty))))
@@ -1799,10 +2264,40 @@ object Cypher {
         if (anchors.isEmpty)
           throw ParseException("pattern comprehension must reference a bound variable")
         val tmp = freshVar()
-        val mapCol = graft.sql.Translator.toColumn(flatten(mapE, Set.empty))
+        // `[p = <pattern> | p]`: the element is the whole path VALUE —
+        // aligned whole-node structs + rel structs, the same shape a
+        // returned path variable renders (TCK Pattern2). Fixed-length
+        // chains only: a var-length hop stores interior node IDS, whose
+        // whole-struct expansion needs the attachPathNodes join.
+        val mapCol = pathVar match {
+          case Some(pv) if mapE == Ident(pv) =>
+            if (cr.marks.exists(_.isList))
+              throw ParseException(
+                "variable-length path value in pattern comprehension is unsupported")
+            def nodeStruct(v: String) = {
+              val fields = pf.columns.filter(_.startsWith(s"${v}_")).sorted
+                .map(c => col(c).as(c.stripPrefix(s"${v}_")))
+              struct(fields.toIndexedSeq: _*)
+            }
+            struct(
+              array(cr.nodeSeq.map(nodeStruct): _*).as("_pathn"),
+              array(cr.marks.map(mk => col(s"${mk.alias}__rst")): _*).as("_pathr"))
+          case Some(pv) =>
+            var refs = false
+            Ast.mapDown(mapE) { case x @ Ident(`pv`) => refs = true; x; case x => x }
+            if (refs) throw ParseException(
+              s"path variable $pv in a comprehension map must be the bare variable")
+            graft.sql.Translator.toColumn(flatten(mapE, Set.empty))
+          case None =>
+            graft.sql.Translator.toColumn(flatten(mapE, Set.empty))
+        }
+        // collect through a 1-field struct: collect_list drops bare nulls,
+        // but a map expression CAN produce null elements (TCK Pattern2
+        // [4][5] expect [null])
         val grouped = pf
           .groupBy(anchors.map(v => col(s"${v}_id").as(s"__pc_${v}_id")): _*)
-          .agg(sort_array(collect_list(mapCol)).as(tmp))
+          .agg(transform(sort_array(collect_list(struct(mapCol.as("v")))),
+            x => x.getField("v")).as(tmp))
         val elemType = grouped.schema(tmp).dataType
         val cond = anchors.map(v => acc(s"${v}_id") === grouped(s"__pc_${v}_id")).reduce(_ && _)
         acc = acc.join(grouped, cond, "left_outer")
@@ -2122,6 +2617,16 @@ object Cypher {
         // pattern predicates → semi/anti join on the bound vars' identity
         // (the reference's ExpandInto/anti-join rewrite of WHERE patterns)
         patternPreds.foreach { case (chain, neg) =>
+          // same discipline as the bare-PatternComp path: a WHERE pattern
+          // may not bind new named variables (TCK Pattern1 [10])
+          locally {
+            val newNamed = (chain.nodes.flatMap(_.varName) ++ chain.rels.flatMap(_.varName))
+              .filterNot(v => v.startsWith("_anon") || nodeVars(v) || relVars(v) ||
+                relListVars(v) || scalars(v))
+            if (newNamed.nonEmpty)
+              throw ParseException(
+                s"SyntaxError: UndefinedVariable — pattern predicate introduces ${newNamed.mkString(", ")}")
+          }
           val pcr = chainFrame(g, chain)
           val (pf, pvars) = (pcr.df, pcr.nodeVars)
           val shared = (nodeVars intersect pvars).toSeq.sorted
@@ -2206,6 +2711,7 @@ object Cypher {
               .map(v => ReturnItem(Ident(v), None))
           case it => Seq(it)
         }
+        items0.foreach(it => rejectBarePatterns(it.expr, "WITH"))
         val items1 = items0.map(it => it.copy(expr = resolvePatternComps(it.expr)))
         // `WITH … nodes(p) …` carries whole-node structs, exactly like the
         // RETURN path (finishReturn): attach the aligned `__pn` column and
@@ -2386,7 +2892,14 @@ object Cypher {
             if (litVal(se)) Some(name(it) -> se)
             else se match {
               case Ident(v) => litEnv.get(v).map(name(it) -> _)
-              case _        => None
+              case _ =>
+                // `WITH date({…}) AS d`: the constructor folds to an exact
+                // temporal literal — carry it so downstream truncate/
+                // between/component expressions keep folding
+                (try typed(se) catch { case _: Exception => se }) match {
+                  case t @ TemporalLit(_) => Some(name(it) -> t)
+                  case _                  => None
+                }
             }
           }
           val fromCarried = carried.collect {
@@ -2562,6 +3075,7 @@ object Cypher {
       case it => Seq(it)
     }
     // pattern comprehensions first: they extend the horizon frame
+    srcItems.foreach(it => rejectBarePatterns(it.expr, "RETURN"))
     val resolved0 = srcItems.map(it => it.copy(expr = pl.resolvePatternComps(it.expr)))
     // `RETURN nodes(p)` renders whole-node structs, not the id array the
     // generic path resolution carries (TCK With6 [4]): collect the paths

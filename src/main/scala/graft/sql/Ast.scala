@@ -71,7 +71,15 @@ object Ast {
     * pipeline can resolve it against a graph (it becomes a grouped
     * collect over the pattern's join frame). */
   final case class PatternComp(chain: AnyRef, where: Option[Expr],
-      map: Expr)                                                extends Expr
+      map: Expr,
+      /** `[p = (a)-->(b) | …]`: the comprehension's own path variable —
+        * the map expression may return the whole path value through it. */
+      pathVar: Option[String] = None,
+      /** A BARE pattern in expression position (`WHERE (n)-->(a)`), not a
+        * comprehension or EXISTS/COUNT block: openCypher forbids it from
+        * introducing new named variables and from appearing in a
+        * projection (TCK Pattern1 [10][22][23]). */
+      bare: Boolean = false)                                    extends Expr
 
   /** Scalar subquery `(SELECT …)` — resolved to a [[Resolved]] literal at
     * compile time (the reference evaluates global LET subqueries once,
@@ -79,6 +87,10 @@ object Ast {
   final case class Subquery(sel: Select)                        extends Expr
   /** Engine-internal: a pre-evaluated scalar (never produced by the parser). */
   final case class Resolved(value: Any)                         extends Expr
+  /** Engine-internal: a compile-time-folded temporal value
+    * ([[Temporals.TVal]]) — the Cypher front-end's exact temporal
+    * interpreter produces these; [[Temporals.column]] materializes them. */
+  final case class TemporalLit(v: Temporals.TVal)               extends Expr
 
   final case class Projection(expr: Expr, alias: Option[String])
   final case class OrderItem(expr: Expr, asc: Boolean)
@@ -91,7 +103,7 @@ object Ast {
     def go(x: Expr): Expr = mapDown(x)(f)
     f(e) match {
       case x @ (Ident(_) | NumLit(_, _) | StrLit(_) | BoolLit(_) | NullLit |
-                Resolved(_) | Subquery(_)) => x
+                Resolved(_) | TemporalLit(_) | Subquery(_)) => x
       case FnCall(n, args, st)    => FnCall(n, args.map(go), st)
       case MethodCall(t, n, args) => MethodCall(go(t), n, args.map(go))
       case PropAccess(t, n)       => PropAccess(go(t), n)
@@ -111,7 +123,7 @@ object Ast {
       case NestedProj(t, inc, exc, st) => NestedProj(go(t), inc, exc, st)
       case Quantifier(k, v, l, p) => Quantifier(k, v, go(l), go(p))
       case ListComp(v, l, w, m)   => ListComp(v, go(l), w.map(go), m.map(go))
-      case PatternComp(ch, w, m)  => PatternComp(ch, w.map(go), go(m))
+      case PatternComp(ch, w, m, pv, bare) => PatternComp(ch, w.map(go), go(m), pv, bare)
       case other                  => other
     }
   }

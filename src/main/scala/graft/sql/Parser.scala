@@ -158,6 +158,8 @@ object Parser {
     def spanFrom(startTok: Int): String =
       src.substring(offs(startTok), offs(pos)).trim
     def peek: Tok = toks(pos)
+    /** Lookahead without consuming; clamped to EOF. */
+    def peekAt(n: Int): Tok = toks(math.min(pos + n, toks.length - 1))
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def kw(s: String): Boolean = peek match {
       case TId(id) if id.equalsIgnoreCase(s) => pos += 1; true
@@ -605,7 +607,17 @@ object Parser {
             (p.peek match { case TId(_) => true; case _ => false })) {
           // Cypher label-test `v:Label` (expression position — WHERE
           // `n:Foo`, RETURN `(n:Foo)`; Cypher25Parser.g4 labelExpression)
-          e = FnCall("__labeltest", Seq(e, StrLit(ident(p))))
+          val labelVar = e
+          e = FnCall("__labeltest", Seq(labelVar, StrLit(ident(p))))
+          // conjunctive chain `v:A:B` — every label must match (TCK
+          // Graph5 [3][4]; repeated labels collapse under AND)
+          var chain = true
+          while (chain) {
+            val m2 = p.pos
+            if (p.op(":") && (p.peek match { case TId(_) => true; case _ => false }))
+              e = Bin("AND", e, FnCall("__labeltest", Seq(labelVar, StrLit(ident(p)))))
+            else { p.pos = m2; chain = false }
+          }
         } else { p.pos = mark; go = false }
       }
     }

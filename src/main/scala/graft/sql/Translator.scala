@@ -96,7 +96,7 @@ object Translator {
         ListComp(v, r(l), w.map(ri), m.map(ri))
       case Quantifier(k, v, l, p) =>
         Quantifier(k, v, r(l), resolve(p, env - v, evalSub, fns))
-      case PatternComp(c, w, m)   => PatternComp(c, w.map(r), r(m))
+      case PatternComp(c, w, m, pv, bare) => PatternComp(c, w.map(r), r(m), pv, bare)
       case StructLit(fs)          => StructLit(fs.map { case (k, e2) => k -> r(e2) })
       case NestedProj(t, i, x, s) => NestedProj(r(t), i, x, s)
       case other                  => other
@@ -177,7 +177,7 @@ object Translator {
       val base = toColumn(listE)
       val filtered = whereE.fold(base)(w => filter(base, x => bind(w, x)))
       mapE.fold(filtered)(m => transform(filtered, x => bind(m, x)))
-    case PatternComp(_, _, _) =>
+    case PatternComp(_, _, _, _, _) =>
       throw TranslateException("pattern comprehension is only valid inside a Cypher query")
     case Quantifier(kind, v, listE, pred) =>
       def bind(x: Column): Column =
@@ -230,6 +230,7 @@ object Translator {
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access
     case Resolved(v)         => lit(v)
+    case TemporalLit(v)      => Temporals.column(v)
     case Subquery(_)         => throw TranslateException("unresolved scalar subquery (compile() resolves these)")
   }
 

@@ -164,12 +164,16 @@ class CypherSpec extends AnyFunSuite {
 
   test("temporal namespace: truncation and duration comparison") {
     val g = PropertyGraph.fromTpch(spark, sfDir)
+    // literal-rooted temporals fold to EXACT openCypher values (the
+    // round-7 Temporals interpreter): durations carry calendar
+    // components and render as ISO text, not a seconds count
     val row = Cypher.query(g,
       "UNWIND [1] AS x RETURN " +
         "toString(date.truncate('month', date('2020-03-17'))) AS mo, " +
-        "duration.between(datetime('2020-01-01 00:00:00'), datetime('2020-01-02 06:00:00')) AS s, " +
-        "duration('P1DT6H') AS d").collect().head
+        "toString(duration.between(datetime('2020-01-01 00:00:00'), datetime('2020-01-02 06:00:00'))) AS s, " +
+        "duration('P1DT6H').days AS dd, duration('P1DT6H').seconds AS ds").collect().head
     assert(row.getString(0) == "2020-03-01")
-    assert(row.getLong(1) == 108000L && row.getLong(2) == 108000L)
+    assert(row.getString(1) == "P1DT6H")
+    assert(row.getLong(2) == 1L && row.getLong(3) == 21600L)
   }
 }

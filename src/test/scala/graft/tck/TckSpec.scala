@@ -24,7 +24,7 @@ class TckSpec extends AnyFunSuite {
     TckTriage.featureFiles(TckTriage.DefaultSlice).flatMap(TckFeatureParser.parseFile)
 
   test("TCK slice covers a real corpus") {
-    assert(scenarios.length >= 1400, s"only ${scenarios.length} scenarios found")
+    assert(scenarios.length >= 3800, s"only ${scenarios.length} scenarios found")
   }
 
   // one ScalaTest test per feature file keeps the report readable while

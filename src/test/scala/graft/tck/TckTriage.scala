@@ -15,9 +15,13 @@ object TckTriage {
     "clauses/set", "clauses/union", "clauses/unwind", "clauses/with",
     "clauses/with-orderBy", "clauses/with-skip-limit", "clauses/with-where",
     "expressions/aggregation", "expressions/boolean", "expressions/comparison",
-    "expressions/conditional", "expressions/literals", "expressions/map",
-    "expressions/mathematical", "expressions/null", "expressions/path",
-    "expressions/string", "expressions/typeConversion")
+    "expressions/conditional", "expressions/existentialSubqueries",
+    "expressions/graph", "expressions/list", "expressions/literals",
+    "expressions/map", "expressions/mathematical", "expressions/null",
+    "expressions/path", "expressions/pattern", "expressions/precedence",
+    "expressions/quantifier", "expressions/string", "expressions/temporal",
+    "expressions/typeConversion",
+    "useCases/countingSubgraphMatches", "useCases/triadicSelection")
 
   def featureFiles(slice: Seq[String]): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._

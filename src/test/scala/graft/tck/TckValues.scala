@@ -210,7 +210,12 @@ object TckValues {
       // user-visible properties
       def props(m: Map[String, TV]): Map[String, TV] =
         m.filter { case (k, v) => !k.startsWith("_") && v != VNull }
-      if (names.contains("_pathn") && names.contains("_pathr")) {
+      if (names.contains("_tkind") && names.contains("_iso")) {
+        // tagged temporal struct (zoned datetime/time/duration — kinds
+        // Spark types can't carry): renders as its ISO text, exactly how
+        // the TCK quotes temporal expectations
+        VStr(r.getAs[String]("_iso"))
+      } else if (names.contains("_pathn") && names.contains("_pathr")) {
         // whole-path struct: aligned node structs + rel structs; per-step
         // direction recovered from the rel's true _src vs the node order
         val nodes = fields("_pathn") match { case VList(xs) => xs; case _ => Vector.empty }

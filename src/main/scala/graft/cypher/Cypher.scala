@@ -1738,6 +1738,24 @@ object Cypher {
             NumLit(s, s.isWhole)
           }
           (tval(l), tval(r)) match {
+            // both literal (possibly via WITH-bound idents): exact fold —
+            // cross-kind equality is false, cross-kind ordering null
+            case (Some(va), Some(vb)) =>
+              val (tl, tr) = (TemporalLit(va): Expr, TemporalLit(vb): Expr)
+              op match {
+                case "="  => Some(litEq(tl, tr).fold(NullLit: Expr)(b => BoolLit(b)))
+                case "<>" => Some(litEq(tl, tr).fold(NullLit: Expr)(b => BoolLit(!b)))
+                case _ => litCmp(tl, tr) match {
+                  case Some(None) => Some(NullLit)
+                  case Some(Some(k)) => Some(BoolLit(op match {
+                    case "<"  => k < 0
+                    case "<=" => k <= 0
+                    case ">"  => k > 0
+                    case _    => k >= 0
+                  }))
+                  case None => None
+                }
+              }
             case (Some(d: DDuration), None) if !litVal(r) => Some(Bin(op, secsLit(d), r))
             case (None, Some(d: DDuration)) if !litVal(l) => Some(Bin(op, l, secsLit(d)))
             case _ => None

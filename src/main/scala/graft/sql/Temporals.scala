@@ -680,7 +680,24 @@ object Temporals {
           case _: DDuration  => "duration"
           case _: DDate      => "date"
         }
-        val fields = Seq(f("_tkind", kind), f("_iso", render(v))) ++ (v match {
+        // struct comparison is field-by-field: `_sortus`/`_sortns` right
+        // after the kind make ORDER BY chronological (instant order for
+        // zoned values — lexicographic _iso order is NOT, e.g.
+        // '12:35+05:00' precedes '10:35-08:00'); micros + nano remainder
+        // keep year-9999 instants inside Long range
+        val sortNanos: BigInt = v match {
+          case DZonedDT(z)   => BigInt(z.toEpochSecond) * 1000000000L + z.getNano
+          case DLocalDT(l)   => BigInt(l.toEpochSecond(ZoneOffset.UTC)) * 1000000000L + l.getNano
+          case DZonedTime(t) =>
+            BigInt(t.toLocalTime.toNanoOfDay) - BigInt(t.getOffset.getTotalSeconds) * 1000000000L
+          case DLocalTime(t) => BigInt(t.toNanoOfDay)
+          case d: DDuration  =>
+            d.totalNanos + (BigInt(d.months) * 2629746 + BigInt(d.days) * 86400) * 1000000000L
+          case DDate(d)      => BigInt(d.toEpochDay) * 86400000000000L
+        }
+        val fields = Seq(f("_tkind", kind),
+          f("_sortus", (sortNanos / 1000).toLong), f("_sortns", (sortNanos % 1000).toLong),
+          f("_iso", render(v))) ++ (v match {
           case _: DDuration =>
             comps(Seq("months", "days", "seconds", "nanosecondsOfSecond",
               "years", "quarters", "weeks", "hours", "minutes",

@@ -181,7 +181,16 @@ object Cypher {
           if (chain.rels.isEmpty) { p.pos = mark; None }
           else {
             val w = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
-            if (hadMatch && p.kw("RETURN")) Parser.parseExpr(p)
+            // consume the whole projection list (`RETURN a, b` / `RETURN *`)
+            // — only non-emptiness matters for EXISTS/COUNT, but leaving a
+            // comma/star unconsumed would make expectOp("}") throw and the
+            // whole block silently backtrack into an unrelated parse error
+            if (hadMatch && p.kw("RETURN")) {
+              if (!p.op("*")) {
+                Parser.parseExpr(p)
+                while (p.op(",")) Parser.parseExpr(p)
+              }
+            }
             p.expectOp("}")
             val sizeE = FnCall("size",
               Seq(Ast.PatternComp(chain, w, NumLit(BigDecimal(1), isIntegral = true))))
@@ -1559,28 +1568,37 @@ object Cypher {
                   else Instant.ofEpochMilli(m("epochMillis").asInstanceOf[Number].longValue)
                 DZonedDT(inst.atZone(zoneOf(m).getOrElse(ZoneOffset.UTC)))
               } else {
-                // a timezone override on a ZONED base converts the
-                // INSTANT first; remaining component overrides then apply
-                // to the converted wall clock (TCK Temporal3 [11]-[13]).
-                // A zoned TIME component converts the same way, and its
-                // offset is the zone default when none is given.
+                // a timezone override on a ZONED `datetime` base converts
+                // the INSTANT first; remaining component overrides then
+                // apply to the converted wall clock (TCK Temporal3
+                // [11]-[13]). A zoned TIME-selection source instead
+                // composes FIRST: local date+time built with overrides,
+                // resolved in the SOURCE zone (named-zone DST rules apply
+                // to the COMPOSED date), and only then instant-converted
+                // to an overriding zone (Temporal3 [9][10] — Stockholm
+                // 12:00 selected onto a March date is +02:00/CEST even
+                // though the source sat in October/+01:00).
                 val zone0 = zoneOf(m)
-                var m2 = (m.get("datetime"), zone0) match {
+                val m2 = (m.get("datetime"), zone0) match {
                   case (Some(DZonedDT(z)), Some(zn)) =>
                     m + ("datetime" -> DZonedDT(z.withZoneSameInstant(zn)))
                   case _ => m
                 }
-                m2 = (m2.get("time"), zone0) match {
-                  case (Some(DZonedTime(t)), Some(zn)) =>
-                    m2 + ("time" -> DZonedTime(t.withOffsetSameInstant(offsetFor(zn))))
-                  case _ => m2
+                val timeSrcZone: Option[ZoneId] = m2.get("time").collect {
+                  case DZonedTime(t) => t.getOffset
+                  case DZonedDT(z)   => z.getZone
                 }
-                val zone = zone0
-                  .orElse(m2.get("datetime").collect { case DZonedDT(z) => z.getZone })
-                  .orElse(m2.get("time").collect { case DZonedTime(t) => t.getOffset })
-                  .getOrElse(ZoneOffset.UTC)
-                DZonedDT(LocalDateTime.of(buildDate(dateKeys(m2)), buildTime(timeKeys(m2)))
-                  .atZone(zone))
+                val ldt = LocalDateTime.of(buildDate(dateKeys(m2)), buildTime(timeKeys(m2)))
+                timeSrcZone match {
+                  case Some(srcZone) =>
+                    val composed = ldt.atZone(srcZone)
+                    DZonedDT(zone0.fold(composed)(composed.withZoneSameInstant))
+                  case None =>
+                    val zone = zone0
+                      .orElse(m2.get("datetime").collect { case DZonedDT(z) => z.getZone })
+                      .getOrElse(ZoneOffset.UTC)
+                    DZonedDT(ldt.atZone(zone))
+                }
               }
             case "localtime" => DLocalTime(buildTime(m))
             case "time" =>
@@ -1588,6 +1606,11 @@ object Cypher {
               val m2 = (m.get("time"), zOpt) match {
                 case (Some(DZonedTime(t)), Some(off)) =>
                   m + ("time" -> DZonedTime(t.withOffsetSameInstant(off)))
+                // zoned datetime in time-position: instant-convert its
+                // time-of-day (TCK Temporal3 [3] #18/#20)
+                case (Some(DZonedDT(z)), Some(off)) =>
+                  m + ("time" -> DZonedTime(
+                    z.toOffsetDateTime.toOffsetTime.withOffsetSameInstant(off)))
                 case _ => m
               }
               val off = zOpt.orElse(
@@ -1631,6 +1654,35 @@ object Cypher {
       BigDecimal(d.months) * 2629746 + BigDecimal(d.days) * 86400 +
         BigDecimal(d.seconds) + BigDecimal(d.nanos) / 1000000000L
 
+    /** A runtime temporal operand: a frame column whose Spark type is a
+      * temporal encoding (tagged struct, DateType, TimestampNTZ). Operands
+      * are flattened by this point, so stored properties are plain Idents. */
+    private def runtimeTemporal(e: Expr): Option[(String, Column)] = e match {
+      case Ident(c) if acc != null && acc.columns.contains(c) =>
+        graft.sql.TemporalRuntime.kindOf(acc.schema(c).dataType)
+          .map(k => (k, col(s"`$c`")))
+      case _ => None
+    }
+
+    /** A runtime numeric operand (for duration scaling). */
+    private def runtimeNum(e: Expr): Option[Column] = e match {
+      case Ident(c) if acc != null && acc.columns.contains(c) =>
+        acc.schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+            Some(col(s"`$c`"))
+          case _: org.apache.spark.sql.types.DecimalType => Some(col(s"`$c`"))
+          case _ => None
+        }
+      case _ => None
+    }
+
+    /** One side of a runtime temporal op: a folded literal TVal or a
+      * (kind, column) runtime operand. */
+    private def rtSide(litv: Option[graft.sql.Temporals.TVal], e: Expr)
+        : Option[Either[graft.sql.Temporals.TVal, (String, Column)]] =
+      litv.map(Left(_)).orElse(runtimeTemporal(e).map(Right(_)))
+
     /** Fold a fully-typed expression tree over temporal literals; None =
       * not a (foldable) temporal expression. Invalid temporal values
       * raise (the TCK's invalid-date/zone scenarios expect errors). */
@@ -1658,6 +1710,20 @@ object Cypher {
             if TemporalCtorNames(ns.toLowerCase) && !ns.equalsIgnoreCase("duration") &&
               Set("transaction", "statement", "realtime")(m.toLowerCase) =>
           Some(TemporalLit(clockValue(ns.toLowerCase)))
+        // datetime.fromepoch(sec, ns) / datetime.fromepochmillis(ms) —
+        // UTC-zoned instants (TCK Temporal1 [11])
+        case MethodCall(Ident(ns), m, args)
+            if ns.equalsIgnoreCase("datetime") &&
+              Set("fromepoch", "fromepochmillis")(m.toLowerCase) &&
+              args.forall(litNum(_).isDefined) =>
+          val ns0 = args.map(a => litNum(a).get)
+          val inst =
+            if (m.equalsIgnoreCase("fromepoch"))
+              java.time.Instant.ofEpochSecond(ns0.head.toLongExact,
+                ns0.lift(1).map(_.toLongExact).getOrElse(0L))
+            else java.time.Instant.ofEpochMilli(ns0.head.toLongExact)
+          Some(TemporalLit(graft.sql.Temporals.DZonedDT(
+            inst.atZone(java.time.ZoneOffset.UTC))))
         case MethodCall(Ident(ns), m, args)
             if m.equalsIgnoreCase("truncate") && args.lengthIs >= 2 &&
               TemporalCtorNames(ns.toLowerCase) =>
@@ -1666,6 +1732,11 @@ object Cypher {
             v <- tval(args(1))
           } yield TemporalLit(Temporals.truncate(ns.toLowerCase, unit, v,
             args.lift(2).flatMap(litTemporalMap).getOrElse(Map.empty)))
+        case MethodCall(Ident(ns), m, Seq(a, b))
+            if ns.equalsIgnoreCase("duration") &&
+              Set("between", "inmonths", "indays", "inseconds")(m.toLowerCase) &&
+              (a == NullLit || b == NullLit) =>
+          Some(NullLit) // null in, null out (TCK Temporal10 [13])
         case MethodCall(Ident(ns), m, Seq(a, b))
             if ns.equalsIgnoreCase("duration") &&
               Set("between", "inmonths", "indays", "inseconds")(m.toLowerCase) =>
@@ -1697,6 +1768,18 @@ object Cypher {
         case Bin("+", a, b) => (tval(a), tval(b)) match {
           case (Some(x), Some(d: DDuration)) => Some(TemporalLit(Temporals.plus(x, d)))
           case (Some(d: DDuration), Some(x)) => Some(TemporalLit(Temporals.plus(x, d)))
+          // a STORED temporal operand (struct or native column): exact
+          // runtime calculus — decode/compute/re-encode with the same
+          // calendar code the compile-time fold uses (TemporalRuntime)
+          case (la, lb) if rtSide(la, a).isDefined && rtSide(lb, b).isDefined &&
+              (runtimeTemporal(a).isDefined || runtimeTemporal(b).isDefined) =>
+            graft.sql.TemporalRuntime.plusMinus(rtSide(la, a).get, rtSide(lb, b).get, 1)
+              .map(Resolved(_))
+              .orElse((la, lb) match { // not a temporal shape: fall through
+                case (None, Some(d: DDuration)) if !litVal(a) =>
+                  Some(Bin("+", a, Resolved(intervalCol(d))))
+                case _ => None
+              })
           // literal duration + RUNTIME temporal column: materialize the
           // duration as a CalendarInterval literal so Spark's native
           // date/timestamp interval arithmetic applies
@@ -1712,19 +1795,53 @@ object Cypher {
             // temporal - temporal = duration.between(b, a)… only defined
             // point-to-point; leave cross shapes unfolded
             None
+          case (la, lb) if rtSide(la, a).isDefined && rtSide(lb, b).isDefined &&
+              (runtimeTemporal(a).isDefined || runtimeTemporal(b).isDefined) =>
+            graft.sql.TemporalRuntime.plusMinus(rtSide(la, a).get, rtSide(lb, b).get, -1)
+              .map(Resolved(_))
+              .orElse((la, lb) match {
+                case (None, Some(d: DDuration)) if !litVal(a) =>
+                  Some(Bin("-", a, Resolved(intervalCol(d))))
+                case _ => None
+              })
           case (None, Some(d: DDuration)) if !litVal(a) =>
             Some(Bin("-", a, Resolved(intervalCol(d))))
           case _ => None
         }
         case Bin("*", a, b) => (tval(a), tval(b)) match {
           case (Some(d: DDuration), None) => litNum(b).map(k => TemporalLit(Temporals.scale(d, k)))
+            .orElse(runtimeNum(b).map(kc =>
+              Resolved(graft.sql.TemporalRuntime.scaleOp(Left(d), Right(kc), invert = false))))
           case (None, Some(d: DDuration)) => litNum(a).map(k => TemporalLit(Temporals.scale(d, k)))
-          case _ => None
+            .orElse(runtimeNum(a).map(kc =>
+              Resolved(graft.sql.TemporalRuntime.scaleOp(Left(d), Right(kc), invert = false))))
+          case _ =>
+            def rtDur(e: Expr) = runtimeTemporal(e).collect { case ("duration", c) => c }
+            (rtDur(a), rtDur(b)) match {
+              case (Some(dc), _) =>
+                litNum(b).map(k => Resolved(graft.sql.TemporalRuntime.scaleOp(
+                    Right(dc), Left(k), invert = false)): Expr)
+                  .orElse(runtimeNum(b).map(kc =>
+                    Resolved(graft.sql.TemporalRuntime.scaleOp(Right(dc), Right(kc), invert = false))))
+              case (_, Some(dc)) =>
+                litNum(a).map(k => Resolved(graft.sql.TemporalRuntime.scaleOp(
+                    Right(dc), Left(k), invert = false)): Expr)
+                  .orElse(runtimeNum(a).map(kc =>
+                    Resolved(graft.sql.TemporalRuntime.scaleOp(Right(dc), Right(kc), invert = false))))
+              case _ => None
+            }
         }
         case Bin("/", a, b) => tval(a) match {
           case Some(d: DDuration) =>
             litNum(b).filter(_ != 0).map(k => TemporalLit(Temporals.scale(d, BigDecimal(1) / k)))
-          case _ => None
+              .orElse(runtimeNum(b).map(kc =>
+                Resolved(graft.sql.TemporalRuntime.scaleOp(Left(d), Right(kc), invert = true))))
+          case _ => runtimeTemporal(a).collect { case ("duration", dc) =>
+            litNum(b).filter(_ != 0).map(k => Resolved(graft.sql.TemporalRuntime.scaleOp(
+                Right(dc), Left(k), invert = true)): Expr)
+              .orElse(runtimeNum(b).map(kc =>
+                Resolved(graft.sql.TemporalRuntime.scaleOp(Right(dc), Right(kc), invert = true))))
+          }.flatten
         }
         case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("tostring") && tval(a).isDefined =>
           Some(StrLit(Temporals.render(tval(a).get)))

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Primitive-loop kernels for the dense-vector hot path.
   *
@@ -69,6 +70,19 @@ abstract class VectorBinaryKernelExpression extends BinaryExpression {
   protected def kernel(a: ArrayData, b: ArrayData): java.lang.Double
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  // analysis-time guard: ArrayData.getDouble on an array<float> would read
+  // 4-byte floats as 8-byte doubles and return silent garbage — reject
+  // anything but array<double> instead (callers cast via asDouble)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

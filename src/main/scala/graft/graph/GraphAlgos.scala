@@ -20,14 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
+  /** Iterations between lineage-truncating checkpoints inside the pinned
+    * loops. The rank/label recurrence references its previous value ONCE
+    * per level, so the un-checkpointed plan grows linearly — a ~8-deep
+    * plan is cheaper to analyze than 8 checkpoint-materialization jobs'
+    * worth of scheduler round-trips (the r7 bench showed ~5 tiny stages ×
+    * iteration of pure overhead on a 25-node graph). */
+  private val CheckpointEvery = 8
+
   /** Static PageRank, GraphX formulation (rank0 = 1.0; rank' = reset +
     * (1−reset)·Σ rank/outdeg over in-edges), fixed iteration count.
-    * `edges` = (src, dst) directed. Reference GraphAlgorithms.java:164. */
+    * `edges` = (src, dst) directed. Reference GraphAlgorithms.java:164.
+    * The degree-annotated edge relation is loop-invariant: persisted once,
+    * reused by every iteration, released after the final rank (an eager
+    * localCheckpoint) is materialized. */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int, reset: Double): DataFrame = {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(outDeg, Seq("src"))
+    // Eager localCheckpoint, NOT persist(): a cached plan is planned with
+    // AQE disabled (canChangeCachedPlanOutputPartitioning=false), so a
+    // derived edge relation (e.g. a self-join) would lose its runtime
+    // broadcast/coalesce — measured 4-25x slower. The checkpoint runs one
+    // AQE-planned job and iterations reuse the materialized blocks;
+    // ContextCleaner reclaims them once the result drops the reference.
+    val e = edges.join(outDeg, Seq("src")).localCheckpoint()
     var rank = vertices.select(col("id"), lit(1.0).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val msgs = e.join(rank.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outdeg")).as("msum"))
@@ -35,31 +52,32 @@ object GraphAlgos {
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(reset) + lit(1.0 - reset) * coalesce(col("msum"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = false)
+      if (i % CheckpointEvery == 0 && i < iters) rank = rank.localCheckpoint(eager = false)
     }
-    rank
+    rank.localCheckpoint()
   }
 
   /** Connected components by iterative min-id propagation (HashMin), the
     * set-oriented form of GraphAlgorithms.java:309. `edges` must contain
     * both directions for undirected graphs. Converges in O(diameter). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIters: Int): DataFrame = {
+    val e = edges.localCheckpoint() // see pageRank: AQE-planned once, not persist()
     var comp = vertices.select(col("id"), col("id").as("comp"))
     var changed = true
     var i = 0
     while (changed && i < maxIters) {
       i += 1
-      val nbrMin = edges.join(comp.withColumnRenamed("id", "src"), Seq("src"))
+      val nbrMin = e.join(comp.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr"))
+      // carry the previous label through the update so the convergence
+      // sentinel is a filter over the checkpointed rows, not a self-join
       val next = comp.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
         .localCheckpoint() // eager: also settles `changed` below
-      changed = next.alias("n")
-        .join(comp.alias("c"), col("n.id") === col("c.id"))
-        .filter(col("n.comp") =!= col("c.comp"))
-        .limit(1).count() > 0
-      comp = next
+      changed = next.filter(col("comp") =!= col("prev")).limit(1).count() > 0
+      comp = next.select("id", "comp")
     }
     comp
   }
@@ -69,11 +87,14 @@ object GraphAlgos {
     * GraphAlgorithms.java:1118 with the tie order pinned so every engine
     * replays the same communities. `edges` both directions. */
   def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint() // loop-invariant (often a derived join —
+    // e.g. a co-purchase self-join): one AQE-planned materialization instead
+    // of `iters` recomputes; see pageRank for why persist() is wrong here
     var lab = vertices.select(col("id"), col("id").as("lab"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val byCount = Window.partitionBy(col("id"))
         .orderBy(col("c").desc, col("lab"))
-      val best = edges.join(lab.withColumnRenamed("id", "src"), Seq("src"))
+      val best = e.join(lab.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(byCount))
@@ -81,9 +102,9 @@ object GraphAlgos {
         .select(col("id"), col("lab").as("best"))
       lab = lab.join(best, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("best"), col("lab")).as("lab"))
-        .localCheckpoint(eager = false)
+      if (i % CheckpointEvery == 0 && i < iters) lab = lab.localCheckpoint(eager = false)
     }
-    lab
+    lab.localCheckpoint()
   }
 
   /** Local clustering coefficient cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))

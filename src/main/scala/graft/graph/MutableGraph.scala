@@ -204,9 +204,32 @@ object MutableGraph {
       a != b && (a == StringType || b == StringType) &&
         a != NullType && b != NullType
     }
-    def toStr(d: DataFrame) =
-      mixed.foldLeft(d)((acc, k) => acc.withColumn(k, col(k).cast(StringType)))
-    toStr(base).unionByName(toStr(rows), allowMissingColumns = true)
+    // the same property key holding a native temporal (µs-clean
+    // TimestampNTZ / DateType) on one side and the tagged temporal struct
+    // of the SAME kind on the other (mixed precision across records):
+    // promote the native side to the struct encoding so the union keeps
+    // full fidelity (TCK WithOrderBy1 [39] — sub-µs and µs-clean
+    // localdatetime properties in one CREATE)
+    def isNativeTemporal(dt: DataType) = dt == DateType || dt == TimestampNTZType
+    def isTemporalStruct(dt: DataType, nativeOther: DataType) = dt match {
+      case st: StructType if st.fieldNames.contains("_tkind") =>
+        graft.sql.TemporalRuntime.kindOf(nativeOther)
+          .contains(graft.sql.TemporalRuntime.structKind(st))
+      case _ => false
+    }
+    val promote = (bt.keySet intersect rt.keySet).filter { k =>
+      (isNativeTemporal(bt(k)) && isTemporalStruct(rt(k), bt(k))) ||
+      (isNativeTemporal(rt(k)) && isTemporalStruct(bt(k), rt(k)))
+    }
+    def coerce(d: DataFrame, t: Map[String, DataType]) = {
+      val s = mixed.foldLeft(d)((acc, k) => acc.withColumn(k, col(k).cast(StringType)))
+      promote.foldLeft(s) { (acc, k) =>
+        if (isNativeTemporal(t(k)))
+          acc.withColumn(k, graft.sql.TemporalRuntime.promoteToStruct(col(k), t(k)))
+        else acc
+      }
+    }
+    coerce(base, bt).unionByName(coerce(rows, rt), allowMissingColumns = true)
   }
 
   /** Fresh writable copy of `g` under `dir` (vertices/, edges/). */

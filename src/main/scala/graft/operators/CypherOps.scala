@@ -225,7 +225,7 @@ object CypherOps {
     // ---- CASE inside an aggregate (conditional counting) ----
     Q("q_cypher_case",
       """SELECT c_custkey AS key,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS nf
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS nf
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |WHERE c_custkey < 100 GROUP BY 1 ORDER BY key""".stripMargin)(
       cy("""MATCH (c:customer)-[:placed]->(o:order)

@@ -41,6 +41,19 @@ object GraphAlgoOps {
     canon.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(canon.select(col("b").as("src"), col("a").as("dst"), col("w")))
 
+  /** Scope `spark.sql.shuffle.partitions` down while building (and, for
+    * the eager-checkpointing loops in [[GraphAlgos]], executing) a query
+    * over a constant-size graph: a 25-node chain wants a handful of
+    * reducers per iteration, not the session's batch default. The conf is
+    * restored afterwards so concurrent batch work is unaffected — the same
+    * discipline StreamingOps.withStatePartitions applies to state stores. */
+  private def withSmallShuffle[T](s: SparkSession, n: Int = 1)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private val ChainEdgesSql =
     """ce AS (
       |  SELECT a.n_nationkey AS a, min(b.n_nationkey) AS b
@@ -80,8 +93,9 @@ object GraphAlgoOps {
          |SELECT id, round(rank, 6) AS rank FROM pr10 ORDER BY id""".stripMargin
     }) { (s, d) =>
       val (verts, canon) = nationChain(s, d)
-      GraphAlgos.pageRank(verts, undirected(canon).select("src", "dst"), iters = 10, reset = 0.15)
-        .select(col("id"), round(col("rank"), 6).as("rank"))
+      withSmallShuffle(s) {
+        GraphAlgos.pageRank(verts, undirected(canon).select("src", "dst"), iters = 10, reset = 0.15)
+      }.select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy("id")
     },
 
@@ -97,8 +111,9 @@ object GraphAlgoOps {
          |  WHERE reach.depth < 6)
          |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
       val (verts, canon) = nationChain(s, d)
-      GraphAlgos.connectedComponents(verts, undirected(canon).select("src", "dst"), maxIters = 10)
-        .orderBy("id")
+      withSmallShuffle(s) {
+        GraphAlgos.connectedComponents(verts, undirected(canon).select("src", "dst"), maxIters = 10)
+      }.orderBy("id")
     },
 
     // ---- weighted SSSP: Bellman-Ford rounds ≡ bounded-path enumeration ----
@@ -178,6 +193,9 @@ object GraphAlgoOps {
       val canon = coSub(s, d)
       val e = canon.select(col("a").as("src"), col("b").as("dst"))
         .union(canon.select(col("b").as("src"), col("a").as("dst")))
+      // NOT small-shuffle-scoped: the co-purchase edge derivation is a
+      // lineitem self-join that wants the session's full parallelism; the
+      // 3 pinned iterations over the ~300-node result are already cheap.
       GraphAlgos.labelPropagation(verts, e, iters = 3).orderBy("id")
     },
 

@@ -43,9 +43,11 @@ object VectorOps {
     * against a constant — the same sign bits as the previous
     * per-element-HOF form (java.lang.Math.sin both ways, same left-fold
     * sum order), minus the interpreted lambda per element. Assumes the
-    * corpus embedding dimension is uniform (it is — a mixed-dim corpus
-    * would bucket by the literal plane's length mismatch → null dot →
-    * no bucket, failing closed). */
+    * corpus embedding dimension is uniform: a vector whose length differs
+    * from the probed dimension gets a null dot from every plane, so every
+    * sign test fails and it lands in bucket 0 — a legal bucket — and can
+    * join spuriously (the exact cosine rescore still orders candidates
+    * correctly, so a mismatch costs candidates, not wrong results). */
   private def bucketCol(bits: Int, table: Int, dim: Int): Column =
     (0 until bits).map { j =>
       val plane = typedlit((0 until dim).map(k =>
@@ -53,12 +55,21 @@ object VectorOps {
       when(vecDot(col("ev"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** One-row dimension probe; None on an empty corpus (callers return an
+    * empty/unchanged result instead of throwing NoSuchElementException). */
+  private def probeDim(emb: DataFrame): Option[Int] =
+    emb.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+
   def lshBuckets(emb: DataFrame, bits: Int, table: Int, dimHint: Int = -1): DataFrame = {
-    val dim = if (dimHint > 0) dimHint
-              else emb.select(size(col("embedding"))).head().getInt(0)
-    emb.withColumn("ev", asDouble(col("embedding")))
-      .withColumn("bucket", bucketCol(bits, table, dim))
-      .drop("ev")
+    val dim = if (dimHint > 0) Some(dimHint) else probeDim(emb)
+    dim match {
+      case None => emb.withColumn("bucket", lit(0L)).limit(0) // empty corpus
+      case Some(d) =>
+        emb.withColumn("ev", asDouble(col("embedding")))
+          .withColumn("bucket", bucketCol(bits, table, d))
+          .drop("ev")
+    }
   }
 
   /** All `tables` hash tables in ONE corpus pass: (id, table, bucket) rows
@@ -80,8 +91,11 @@ object VectorOps {
     * distributed analog). */
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int, tables: Int, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one dim probe for both bucketing passes (planes are literals)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // one dim probe for both bucketing passes (planes are literals); an
+    // empty corpus has no neighbors for any query — return the empty shape
+    val dim = probeDim(emb).getOrElse(
+      return emb.select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("cos"), lit(0).as("rn")).limit(0))
     val c = lshBucketsAll(emb, "neighbor_id", bits, tables, dim)
     val q = lshBucketsAll(queries, "query_id", bits, tables, dim)
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
@@ -273,7 +287,7 @@ object VectorOps {
     // ---- IVF ANN, self-scored as recall@10 vs the oracled exact kNN
     //      (like q_vec_ann_lsh; same near-random-corpus recall caveat).
     //      The recall floor is pinned in-suite: AnnRecallSpec asserts
-    //      mean recall ≥ 0.7 (IVF) / ≥ 0.3 (LSH) at sf0.001 — "self-
+    //      mean recall ≥ 0.7 (IVF and LSH) at sf0.001 — "self-
     //      scored AND checked" ----
     Q.noOracle("q_vec_ann_ivf") { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -299,7 +313,12 @@ object VectorOps {
       val queries = e.filter(col("vec_id") < 5)
       val exact = knnExact(e, queries, 10)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(eager = true)
-      val approx = annLsh(e, queries, k = 10, tables = 8, bits = 4)
+      // 16 tables × 3 bits: on this near-random corpus (the adversarial
+      // case — no cluster structure) bucket coverage ≈ 1-(7/8)^16 ≈ 0.88,
+      // which holds mean recall@10 ≥ 0.7 (AnnRecallSpec floor); r7's 8×4
+      // config covered ≈ 0.40 and measured ≈ 0.46. Still one corpus pass:
+      // all tables bucket via a single posexplode (lshBucketsAll).
+      val approx = annLsh(e, queries, k = 10, tables = 16, bits = 3)
         .select(col("query_id"), col("neighbor_id"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))

@@ -202,6 +202,7 @@ object Temporals {
     val ymdC = "(\\d{4})(\\d{2})(\\d{2})".r
     val ordC = "(\\d{4})(\\d{3})".r // compact ordinal yyyyDDD
     val ym = "(\\d{4})-(\\d{2})".r
+    val ymC = "(\\d{4})(\\d{2})".r // compact yyyyMM (TCK Temporal2 [1] '201507')
     val y = "(\\d{4})".r
     t match {
       case wk(yy, ww, dd) =>
@@ -216,6 +217,7 @@ object Temporals {
       case ymdC(yy, mm, dd) => LocalDate.of(yy.toInt, mm.toInt, dd.toInt)
       case ordC(yy, ddd)    => LocalDate.ofYearDay(yy.toInt, ddd.toInt)
       case ym(yy, mm)       => LocalDate.of(yy.toInt, mm.toInt, 1)
+      case ymC(yy, mm)      => LocalDate.of(yy.toInt, mm.toInt, 1)
       case y(yy)            => LocalDate.of(yy.toInt, 1, 1)
       case _                => LocalDate.parse(t)
     }
@@ -302,6 +304,24 @@ object Temporals {
     val (datePart, timePart) = body.indexOf('T') match {
       case -1 => (body, "")
       case i  => (body.substring(0, i), body.substring(i + 1))
+    }
+    // ISO-8601 alternative format P<yyyy>-<MM>-<dd>T<hh>:<mm>:<ss[.f]> —
+    // each calendar position is a duration component (TCK Temporal2 [7]:
+    // 'P2012-02-02T14:37:21.545' = P2012Y2M2DT14H37M21.545S)
+    val alt = "(\\d{4})-(\\d{2})-(\\d{2})".r
+    datePart match {
+      case alt(yy, mo, dd) =>
+        val hmsf = "(\\d{2}):(\\d{2}):(\\d{2}(?:\\.\\d+)?)".r
+        val (h, mi, se) = timePart match {
+          case hmsf(a, b, c) => (BigDecimal(a), BigDecimal(b), BigDecimal(c))
+          case ""            => (BigDecimal(0), BigDecimal(0), BigDecimal(0))
+          case other => throw new IllegalArgumentException(s"bad duration time $other")
+        }
+        val sign = if (neg) -1 else 1
+        val totN = ((h * 3600 + mi * 60 + se) * 1000000000L).toBigInt
+        return mkDuration(sign * (yy.toLong * 12 + mo.toLong), sign * dd.toLong,
+          sign * (totN / 1000000000L).toLong, sign * (totN % 1000000000L).toLong)
+      case _ => ()
     }
     var months = BigDecimal(0); var days = BigDecimal(0); var secs = BigDecimal(0)
     val unit = "(-?\\d+(?:\\.\\d+)?)([A-Z])".r
@@ -407,15 +427,10 @@ object Temporals {
     * `kind` decides the RESULT type; v supplies the components. */
   def truncate(kind: String, unitRaw: String, v0: TVal, over: Map[String, Any]): TVal = {
     val unit = unitRaw.toLowerCase
-    // kind datetime: a timezone override on a zoned input converts the
-    // INSTANT before truncation (TCK Temporal9 [2] Honolulu rows); the
-    // time kinds keep their local clock and merely swap the attached
-    // offset ([5] '12:00+01:00')
-    val v = (kind, v0, over.get("timezone")) match {
-      case ("datetime", DZonedDT(z), Some(tz: String)) =>
-        DZonedDT(z.withZoneSameInstant(parseZone(tz)))
-      case _ => v0
-    }
+    // a timezone override REPLACES the zone on the truncated local clock —
+    // no instant conversion (TCK Temporal9 [2]: 'hour' of 12:31-01:00 with
+    // {timezone: Europe/Stockholm} is 12:00+01:00[Stockholm], not 14:00)
+    val v = v0
     def dPart: LocalDate =
       if (DateUnits(unit) || unit == "day") truncDate(dateOf(v), unit)
       else dateOf(v)
@@ -532,24 +547,51 @@ object Temporals {
     }
   }
 
+  /** A time-only value paired with a date-carrying one anchors onto the
+    * other side's DATE (and zone, for a local time) so the difference is
+    * instant-based — DST-aware on a zoned partner (TCK Temporal10 [8]:
+    * inSeconds(datetime(Oct 29 00:00 Stockholm), localtime 04:00) is PT5H,
+    * not the 4-hour wall difference). */
+  private def anchorTimeOnly(t: TVal, other: TVal): TVal = {
+    val d = dateOf(other)
+    (t, other) match {
+      case (DLocalTime(lt), DZonedDT(z)) => DZonedDT(d.atTime(lt).atZone(z.getZone))
+      case (DZonedTime(ot), _) =>
+        DZonedDT(d.atTime(ot.toLocalTime).atZone(ot.getOffset))
+      case (DLocalTime(lt), _) => DLocalDT(d.atTime(lt))
+      case _ => t
+    }
+  }
+
   def betweenIn(unit: String, a: TVal, b: TVal): DDuration = {
     if (isTimeOnly(a) || isTimeOnly(b)) {
-      val nanos = timeOnlyNanos(a, b)
+      def hasDate(v: TVal) = v match {
+        case DDate(_) | DLocalDT(_) | DZonedDT(_) => true; case _ => false }
       unit match {
         case "inMonths" => DDuration(0, 0, 0, 0)
         case "inDays"   => DDuration(0, 0, 0, 0)
-        case _          => mkDuration(0, 0, 0, nanos)
+        case _ if isTimeOnly(a) && hasDate(b) =>
+          betweenIn(unit, anchorTimeOnly(a, b), b)
+        case _ if isTimeOnly(b) && hasDate(a) =>
+          betweenIn(unit, a, anchorTimeOnly(b, a))
+        case _ => mkDuration(0, 0, 0, timeOnlyNanos(a, b))
       }
     } else anchorPair(a, b) match {
       case Right((za, zb)) => unit match {
         case "inMonths" => DDuration(ChronoUnit.MONTHS.between(za, zb), 0, 0, 0)
         case "inDays"   => DDuration(0, ChronoUnit.DAYS.between(za, zb), 0, 0)
-        case _          => mkDuration(0, 0, 0, ChronoUnit.NANOS.between(za, zb))
+        case _ =>
+          // seconds+nanos, not total nanos: NANOS.between overflows Long
+          // past ~292 years (TCK Temporal10 [10])
+          val d = java.time.Duration.between(za, zb)
+          mkDuration(0, 0, d.getSeconds, d.getNano.toLong)
       }
       case Left((la, lb)) => unit match {
         case "inMonths" => DDuration(ChronoUnit.MONTHS.between(la, lb), 0, 0, 0)
         case "inDays"   => DDuration(0, ChronoUnit.DAYS.between(la, lb), 0, 0)
-        case _          => mkDuration(0, 0, 0, ChronoUnit.NANOS.between(la, lb))
+        case _ =>
+          val d = java.time.Duration.between(la, lb)
+          mkDuration(0, 0, d.getSeconds, d.getNano.toLong)
       }
     }
   }
@@ -558,9 +600,12 @@ object Temporals {
 
   def plus(v: TVal, d: DDuration): TVal = v match {
     case DDate(x) =>
-      // a date absorbs month/day components only; time parts truncate
-      // (openCypher temporal arithmetic on DATE)
-      DDate(x.plusMonths(d.months).plusDays(d.days))
+      // a date absorbs months, days, AND whole days from the time part
+      // (⌊seconds/86400⌋, symmetric toward zero — TCK Temporal8 [1]: a
+      // 33.97-hour time component moves the date one day each direction);
+      // the sub-day remainder truncates
+      val extraDays = (d.totalNanos / BigInt(86400000000000L)).toLong
+      DDate(x.plusMonths(d.months).plusDays(d.days + extraDays))
     case DLocalDT(x)   => DLocalDT(x.plusMonths(d.months).plusDays(d.days)
       .plusSeconds(d.seconds).plusNanos(d.nanos))
     case DZonedDT(x)   => DZonedDT(x.plusMonths(d.months).plusDays(d.days)
@@ -579,11 +624,16 @@ object Temporals {
   def scale(d: DDuration, k: BigDecimal): DDuration = {
     val months = BigDecimal(d.months) * k
     val wm = months.setScale(0, BigDecimal.RoundingMode.DOWN)
-    val days = BigDecimal(d.days) * k + (months - wm) * 30
+    // fractional month → Gregorian average days (365.2425/12 = 30.436875,
+    // exactly 2629746 s) — same calendar constant parseDuration/
+    // buildDuration use; a plain 30 silently drops 0.436875 d/month
+    val days = BigDecimal(d.days) * k + (months - wm) * BigDecimal("30.436875")
     val wd = days.setScale(0, BigDecimal.RoundingMode.DOWN)
     val secs = (BigDecimal(d.seconds) + BigDecimal(d.nanos) / 1000000000L) * k +
       (days - wd) * 86400
-    val tn = (secs * 1000000000L).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    // truncate (not round) the sub-nano remainder — the reference's long
+    // cast drops it: 1 ns × 0.5 is 0, not 1 (TCK Temporal8 [7])
+    val tn = (secs * 1000000000L).setScale(0, BigDecimal.RoundingMode.DOWN).toBigInt
     mkDuration(wm.toLong, wd.toLong, (tn / 1000000000L).toLong, (tn % 1000000000L).toLong)
   }
 
@@ -620,11 +670,13 @@ object Temporals {
       case DDate(d)      => dc(d)
       case DLocalDT(d)   => dc(d.toLocalDate) orElse tc(d.toLocalTime)
       case DZonedDT(d)   => dc(d.toLocalDate) orElse tc(d.toLocalTime) orElse
-        oc(d.getOffset) orElse {
+        // zone name BEFORE oc: oc also answers "timezone" (as the offset),
+        // which would shadow a named zone like Europe/Stockholm
+        ({
           case "timezone"     => d.getZone.toString
           case "epochSeconds" => d.toEpochSecond
           case "epochMillis"  => d.toInstant.toEpochMilli
-        }
+        }: PartialFunction[String, Any]) orElse oc(d.getOffset)
       case DLocalTime(t) => tc(t)
       case DZonedTime(t) => tc(t.toLocalTime) orElse oc(t.getOffset)
       case dd: DDuration => {
@@ -663,56 +715,75 @@ object Temporals {
     * a tagged `{_tkind, _iso, components…}` struct literal otherwise.
     * The struct is parquet-storable (property writes) and component
     * fields keep `stored.year`-style access working at runtime. */
-  def column(v: TVal): org.apache.spark.sql.Column = {
+  def kindName(v: TVal): String = v match {
+    case _: DLocalDT   => "localdatetime"
+    case _: DZonedDT   => "datetime"
+    case _: DLocalTime => "localtime"
+    case _: DZonedTime => "time"
+    case _: DDuration  => "duration"
+    case _: DDate      => "date"
+  }
+
+  /** Sort key: total nanos on the kind's chronological axis (instant for
+    * zoned values; average-length for durations). Split `/1000` + `%1000`
+    * into `_sortus`/`_sortns` so year-9999 instants stay in Long range. */
+  def sortNanos(v: TVal): BigInt = v match {
+    case DZonedDT(z)   => BigInt(z.toEpochSecond) * 1000000000L + z.getNano
+    case DLocalDT(l)   => BigInt(l.toEpochSecond(ZoneOffset.UTC)) * 1000000000L + l.getNano
+    case DZonedTime(t) =>
+      BigInt(t.toLocalTime.toNanoOfDay) - BigInt(t.getOffset.getTotalSeconds) * 1000000000L
+    case DLocalTime(t) => BigInt(t.toNanoOfDay)
+    case d: DDuration  =>
+      d.totalNanos + (BigInt(d.months) * 2629746 + BigInt(d.days) * 86400) * 1000000000L
+    case DDate(d)      => BigInt(d.toEpochDay) * 86400000000000L
+  }
+
+  /** The component-name order of the tagged struct encoding, per kind
+    * family. Shared by the literal `column` builder and the runtime
+    * encoder ([[TemporalRuntime]]) so both produce identical structs. */
+  def componentOrder(v: TVal): Seq[String] = v match {
+    case _: DDuration =>
+      Seq("months", "days", "seconds", "nanosecondsOfSecond",
+        "years", "quarters", "weeks", "hours", "minutes",
+        "milliseconds", "microseconds", "nanoseconds",
+        "quartersOfYear", "monthsOfYear", "monthsOfQuarter",
+        "daysOfWeek", "minutesOfHour", "secondsOfMinute",
+        "millisecondsOfSecond", "microsecondsOfSecond")
+    case _ =>
+      Seq("year", "quarter", "month", "week", "weekYear", "day",
+        "ordinalDay", "dayOfWeek", "weekDay", "dayOfQuarter",
+        "quarterDay", "hour", "minute", "second", "millisecond",
+        "microsecond", "nanosecond", "timezone", "offset",
+        "offsetMinutes", "offsetSeconds", "epochSeconds", "epochMillis")
+  }
+
+  /** The full (name, value) field list of the tagged struct encoding —
+    * `_tkind`, `_sortus`/`_sortns`, `_iso`, then the kind's defined
+    * components in [[componentOrder]]. */
+  def structFields(v: TVal): Seq[(String, Any)] = {
+    val sn = sortNanos(v)
+    Seq("_tkind" -> (kindName(v): Any),
+      "_sortus" -> (sn / 1000).toLong, "_sortns" -> (sn % 1000).toLong,
+      "_iso" -> render(v)) ++
+      componentOrder(v).flatMap(n => component(v, n).map(n -> _))
+  }
+
+  def column(v: TVal): org.apache.spark.sql.Column = column(v, forceStruct = false)
+
+  /** `forceStruct = true` skips the native fast paths — used when a value
+    * must type-match sibling struct-encoded values (mixed-precision
+    * literal lists, runtime-computed results). */
+  def column(v: TVal, forceStruct: Boolean): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    def f(name: String, value: Any) = lit(value).as(name)
-    def comps(names: Seq[String]): Seq[org.apache.spark.sql.Column] =
-      names.flatMap(n => component(v, n).map(x => f(n, x)))
     v match {
-      case DDate(d) => lit(java.sql.Date.valueOf(d))
-      case DLocalDT(d) if d.getNano % 1000 == 0 => lit(d)
+      case DDate(d) if !forceStruct => lit(java.sql.Date.valueOf(d))
+      case DLocalDT(d) if !forceStruct && d.getNano % 1000 == 0 => lit(d)
       case _ =>
-        val kind = v match {
-          case _: DLocalDT   => "localdatetime"
-          case _: DZonedDT   => "datetime"
-          case _: DLocalTime => "localtime"
-          case _: DZonedTime => "time"
-          case _: DDuration  => "duration"
-          case _: DDate      => "date"
-        }
         // struct comparison is field-by-field: `_sortus`/`_sortns` right
         // after the kind make ORDER BY chronological (instant order for
         // zoned values — lexicographic _iso order is NOT, e.g.
-        // '12:35+05:00' precedes '10:35-08:00'); micros + nano remainder
-        // keep year-9999 instants inside Long range
-        val sortNanos: BigInt = v match {
-          case DZonedDT(z)   => BigInt(z.toEpochSecond) * 1000000000L + z.getNano
-          case DLocalDT(l)   => BigInt(l.toEpochSecond(ZoneOffset.UTC)) * 1000000000L + l.getNano
-          case DZonedTime(t) =>
-            BigInt(t.toLocalTime.toNanoOfDay) - BigInt(t.getOffset.getTotalSeconds) * 1000000000L
-          case DLocalTime(t) => BigInt(t.toNanoOfDay)
-          case d: DDuration  =>
-            d.totalNanos + (BigInt(d.months) * 2629746 + BigInt(d.days) * 86400) * 1000000000L
-          case DDate(d)      => BigInt(d.toEpochDay) * 86400000000000L
-        }
-        val fields = Seq(f("_tkind", kind),
-          f("_sortus", (sortNanos / 1000).toLong), f("_sortns", (sortNanos % 1000).toLong),
-          f("_iso", render(v))) ++ (v match {
-          case _: DDuration =>
-            comps(Seq("months", "days", "seconds", "nanosecondsOfSecond",
-              "years", "quarters", "weeks", "hours", "minutes",
-              "milliseconds", "microseconds", "nanoseconds",
-              "quartersOfYear", "monthsOfYear", "monthsOfQuarter",
-              "daysOfWeek", "minutesOfHour", "secondsOfMinute",
-              "millisecondsOfSecond", "microsecondsOfSecond"))
-          case _ =>
-            comps(Seq("year", "quarter", "month", "week", "weekYear", "day",
-              "ordinalDay", "dayOfWeek", "weekDay", "dayOfQuarter",
-              "quarterDay", "hour", "minute", "second", "millisecond",
-              "microsecond", "nanosecond", "timezone", "offset",
-              "offsetMinutes", "offsetSeconds", "epochSeconds", "epochMillis"))
-        })
-        struct(fields: _*)
+        // '12:35+05:00' precedes '10:35-08:00')
+        struct(structFields(v).map { case (n, x) => lit(x).as(n) }: _*)
     }
   }
 

@@ -104,6 +104,21 @@ object Translator {
   }
 
   /** Expression → Column. */
+  /** True when a literal list mixes native-encodable temporal values with
+    * struct-encoded ones OF THE SAME KIND (so forcing all to struct makes
+    * the array element type uniform). */
+  private def mixedTemporalEncodings(es: Seq[Expr]): Boolean = {
+    val ts = es.collect { case TemporalLit(v) => v }
+    def native(v: Temporals.TVal): Boolean = v match {
+      case Temporals.DDate(_)    => true
+      case Temporals.DLocalDT(d) => d.getNano % 1000 == 0
+      case _                     => false
+    }
+    ts.length == es.length && ts.nonEmpty &&
+      ts.map(Temporals.kindName).distinct.length == 1 &&
+      ts.exists(native) && ts.exists(!native(_))
+  }
+
   def toColumn(e: Expr): Column = e match {
     case Ident(n)            => col(n)
     case NumLit(v, true)     =>
@@ -158,6 +173,15 @@ object Translator {
     case ContainsOp(x, "ALL", a) => forall(toColumn(a), v => array_contains(toColumn(x), v))
     case ContainsOp(x, "ANY", a) => exists(toColumn(a), v => array_contains(toColumn(x), v))
     case ContainsOp(_, k, _)     => throw TranslateException(s"unknown CONTAINS kind $k")
+    case ArrayLit(es) if mixedTemporalEncodings(es) =>
+      // same-kind temporal literals of mixed precision would materialize
+      // as native TimestampNTZ alongside tagged structs — force the
+      // struct encoding on all of them so array() type-checks (TCK
+      // WithOrderBy1 [17]: sub-µs and µs-clean localdatetimes in one list)
+      array(es.map {
+        case TemporalLit(v) => Temporals.column(v, forceStruct = true)
+        case other          => toColumn(other)
+      }: _*)
     case ArrayLit(es)        => array(es.map(toColumn): _*)
     case CaseExpr(operand, branches, els) =>
       val conds = operand match {

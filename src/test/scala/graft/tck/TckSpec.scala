@@ -27,6 +27,15 @@ class TckSpec extends AnyFunSuite {
     assert(scenarios.length >= 3800, s"only ${scenarios.length} scenarios found")
   }
 
+  test("expected-failures list stays tight") {
+    // silent growth of the pin list is a conformance regression even when
+    // every entry is "expected" — hard-assert the ceiling (the reference's
+    // own list is 45 entries; ours is 59 after round 8's burn-down)
+    assert(expectedFailures.size <= 59,
+      s"expected-failures grew to ${expectedFailures.size} entries (ceiling 59) — " +
+        "fix the regressions or justify and raise the ceiling")
+  }
+
   // one ScalaTest test per feature file keeps the report readable while
   // still pinning every scenario
   for ((feature, scs) <- scenarios.groupBy(_.feature).toSeq.sortBy(_._1)) {

@@ -47,6 +47,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols got={list(gs.columns)} exp={list(es.columns)}"); fail += 1; continue
         if len(gs) != len(es):
             print(f"FAIL {name}: rows got={len(gs)} exp={len(es)}"); fail += 1; continue
+        # Driver gate hashes *rendered* values, so an integer column vs a
+        # float column (4 vs 4.0) is a mismatch even when values are equal.
+        # Mirror that: numeric kind (int vs float) must agree per column.
+        kind_drift = [c for c in gs.columns
+                      if {gs[c].dtype.kind, es[c].dtype.kind} == {"i", "f"}
+                      or {gs[c].dtype.kind, es[c].dtype.kind} == {"u", "f"}]
+        if kind_drift:
+            print(f"FAIL {name}: numeric dtype drift (int vs float) in cols "
+                  f"{[(c, str(gs[c].dtype), str(es[c].dtype)) for c in kind_drift]}")
+            fail += 1; continue
         try:
             pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
             print(f"ok   {name} ({len(gs)} rows)"); ok += 1

@@ -43,7 +43,11 @@ import org.apache.spark.sql.functions._
 object Cypher {
 
   final case class NodePat(varName: Option[String], label: Option[String],
-      props: Seq[(String, Expr)] = Seq.empty)
+      props: Seq[(String, Expr)] = Seq.empty,
+      /** an inline `{…}` was present even if empty — `CREATE (n {})` on a
+        * bound variable is VariableAlreadyBound like any other predicate
+        * (TCK Create1 [19]), while plain `(n)` is a legal reuse. */
+      bracedProps: Boolean = false)
   /** `hops = None` → single edge; `Some((lo, hi))` → variable-length
     * `*lo..hi` (walk semantics: edge composition, matching a recursive-CTE
     * oracle; openCypher's relationship-uniqueness is not enforced).
@@ -164,6 +168,36 @@ object Cypher {
     * a pattern comprehension: COUNT = size of the per-anchor match list,
     * EXISTS = that size > 0. The pipeline turns the comprehension into one
     * grouped collect + one left join on the anchor variables. */
+  /** Fallback for a MULTI-CLAUSE subquery body (`EXISTS { MATCH … WITH …
+    * RETURN … }`): capture the balanced-brace span VERBATIM — it is a
+    * standalone query with its own scope, compiled later by the pipeline
+    * correlated on the outer variables it references (ExistsSub). */
+  private def captureBraceBody(p: Parser.P, mark: Int, isCount: Boolean): Option[Expr] = {
+    if (p.src == null) return None
+    p.pos = mark
+    if (!p.op("{")) return None
+    val startTok = p.pos
+    // body must be a clause pipeline (reject plain map literals `{a: 1}`)
+    val headOk = p.peek match {
+      case Parser.TId(id) =>
+        Set("MATCH", "OPTIONAL", "WITH", "UNWIND")(id.toUpperCase)
+      case _ => false
+    }
+    if (!headOk) { p.pos = mark; return None }
+    var depth = 1
+    while (depth > 0) {
+      p.peek match {
+        case Parser.TEof => p.pos = mark; return None
+        case Parser.TOp("{") => depth += 1; p.next()
+        case Parser.TOp("}") => depth -= 1; if (depth > 0) p.next()
+        case _ => p.next()
+      }
+    }
+    val body = p.spanFrom(startTok)
+    p.next() // the closing '}'
+    Some(Ast.ExistsSub(body, isCount))
+  }
+
   private val existsCountExt: (Parser.P, Expr) => Option[Expr] = (p, target) =>
     target match {
       case Ident(n) if n.equalsIgnoreCase("EXISTS") || n.equalsIgnoreCase("COUNT") =>
@@ -178,7 +212,9 @@ object Cypher {
           // (WITH pipelines) are not expressible as one comprehension.
           val hadMatch = p.kw("MATCH")
           val chain = parseChain(p, optional = false)
-          if (chain.rels.isEmpty) { p.pos = mark; None }
+          if (chain.rels.isEmpty)
+            captureBraceBody(p, mark, n.equalsIgnoreCase("COUNT"))
+              .orElse { p.pos = mark; None }
           else {
             val w = if (p.kw("WHERE")) Some(Parser.parseExpr(p)) else None
             // consume the whole projection list (`RETURN a, b` / `RETURN *`)
@@ -197,7 +233,10 @@ object Cypher {
             Some(if (n.equalsIgnoreCase("COUNT")) sizeE
               else Bin(">", sizeE, NumLit(BigDecimal(0), isIntegral = true)))
           }
-        } catch { case _: ParseException => p.pos = mark; None }
+        } catch { case _: ParseException =>
+          captureBraceBody(p, mark, n.equalsIgnoreCase("COUNT"))
+            .orElse { p.pos = mark; None }
+        }
       case _ => None
     }
 
@@ -551,12 +590,15 @@ object Cypher {
     // `(A AND pat1) OR pat2` (Cypher precedence), with the patterns
     // desugared inline by the parenExt hook — conjunct slicing would
     // silently regroup it (TCK MatchWhere4 [2]).
-    val slices = scala.collection.mutable.Buffer[Vector[Tok]]()
+    val slices = scala.collection.mutable.Buffer[(Vector[Tok], Vector[Int])]()
     val all = Vector.newBuilder[Tok]
+    val allOffs = Vector.newBuilder[Int]
     var topLevelOr = false
     var cur = Vector.newBuilder[Tok]
+    var curOffs = Vector.newBuilder[Int]
     var depth = 0; var caseDepth = 0; var betweenPending = 0
     var done = false
+    def off: Int = if (p.offs == null) 0 else p.offs(p.pos)
     // `STARTS WITH` / `ENDS WITH`: the WITH belongs to the predicate, not
     // to a following WITH clause — track the previous significant token
     var prevId = ""
@@ -567,26 +609,42 @@ object Cypher {
             (prevId.equalsIgnoreCase("STARTS") || prevId.equalsIgnoreCase("ENDS"))) =>
         done = true
       case t =>
+        val o = off
         p.next()
-        all += t
+        all += t; allOffs += o
+        def keep(): Unit = { cur += t; curOffs += o }
         t match {
-          case TOp("(") | TOp("[") | TOp("{") => depth += 1; cur += t
-          case TOp(")") | TOp("]") | TOp("}") => depth -= 1; cur += t
-          case TId(id) if id.equalsIgnoreCase("CASE") => caseDepth += 1; cur += t
-          case TId(id) if id.equalsIgnoreCase("END")  => caseDepth -= 1; cur += t
-          case TId(id) if id.equalsIgnoreCase("BETWEEN") => betweenPending += 1; cur += t
+          case TOp("(") | TOp("[") | TOp("{") => depth += 1; keep()
+          case TOp(")") | TOp("]") | TOp("}") => depth -= 1; keep()
+          case TId(id) if id.equalsIgnoreCase("CASE") => caseDepth += 1; keep()
+          case TId(id) if id.equalsIgnoreCase("END")  => caseDepth -= 1; keep()
+          case TId(id) if id.equalsIgnoreCase("BETWEEN") => betweenPending += 1; keep()
           case TId(id) if id.equalsIgnoreCase("OR") && depth == 0 && caseDepth == 0 =>
-            topLevelOr = true; cur += t
+            topLevelOr = true; keep()
           case TId(id) if id.equalsIgnoreCase("AND") && depth == 0 && caseDepth == 0 =>
-            if (betweenPending > 0) { betweenPending -= 1; cur += t }
-            else { slices += cur.result(); cur = Vector.newBuilder[Tok] }
-          case _ => cur += t
+            if (betweenPending > 0) { betweenPending -= 1; keep() }
+            else {
+              slices += ((cur.result(), curOffs.result()))
+              cur = Vector.newBuilder[Tok]; curOffs = Vector.newBuilder[Int]
+            }
+          case _ => keep()
         }
         prevId = t match { case TId(id) => id; case _ => "" }
     }
-    slices += cur.result()
+    slices += ((cur.result(), curOffs.result()))
+    val endOff = off
+    // slice parsers carry the ORIGINAL source + per-token offsets so
+    // verbatim-span capture (multi-clause EXISTS bodies) keeps working
+    def sliceP(toks: Vector[Tok], offs: Vector[Int]): Parser.P = {
+      val sp = new Parser.P(toks :+ TEof)
+      if (p.src != null && p.offs != null) {
+        sp.src = p.src
+        sp.offs = offs :+ endOff
+      }
+      sp
+    }
     if (topLevelOr) {
-      val ep = new Parser.P(all.result() :+ TEof)
+      val ep = sliceP(all.result(), allOffs.result())
       val e = Parser.parseExpr(ep)
       if (ep.peek != TEof)
         throw ParseException(s"trailing input in WHERE at ${ep.peek}")
@@ -595,8 +653,8 @@ object Cypher {
     // 2. classify each conjunct
     val exprs = scala.collection.mutable.Buffer[Expr]()
     val pats = scala.collection.mutable.Buffer[(PatternChain, Boolean)]()
-    for (slice <- slices) {
-      val sp = new Parser.P(slice :+ TEof)
+    for ((slice, offs) <- slices) {
+      val sp = sliceP(slice, offs)
       val neg = sp.kw("NOT")
       val asPattern =
         if (sp.peek == TOp("(")) {
@@ -608,7 +666,7 @@ object Cypher {
           } catch { case _: Parser.ParseException => sp.pos = mark; false }
         } else false
       if (!asPattern) {
-        val ep = new Parser.P(slice :+ TEof) // reparse incl. any NOT
+        val ep = sliceP(slice, offs) // reparse incl. any NOT
         exprs += Parser.parseExpr(ep)
         if (ep.peek != TEof)
           throw ParseException(s"trailing input in WHERE conjunct at ${ep.peek}")
@@ -635,7 +693,7 @@ object Cypher {
           val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
           val t = parseRelTypes(p)
           val hops = parseHops(p)
-          val props = parseProps(p)
+          val props = parseProps(p)._1
           p.expectOp("]")
           p.expectOp("-")
           val dir = if (p.op(">")) "out" else "both"
@@ -655,7 +713,7 @@ object Cypher {
           val v = p.peek match { case TId(s) => p.next(); Some(s); case _ => None }
           val t = parseRelTypes(p)
           val hops = parseHops(p)
-          val props = parseProps(p)
+          val props = parseProps(p)._1
           p.expectOp("]")
           p.expectOp("-")
           // `<-[r]->` — arrows on both ends match either orientation
@@ -703,19 +761,28 @@ object Cypher {
     } else None
 
   /** Inline property map `{k: expr, ...}` (empty when absent). */
-  private def parseProps(p: Parser.P): Seq[(String, Expr)] =
+  /** Inline `{k: v, …}` props; the Boolean reports whether braces were
+    * PRESENT — `{}` is a legal (vacuous) prop filter, consumed here so
+    * `(a {})` stays a NODE PATTERN (e.g. `size((a)<--(a {}))` reaches the
+    * bare-pattern rejection instead of backtracking into a comparison
+    * parse that silently succeeds — TCK List6 [6] #4), yet distinguishable
+    * from plain `(a)` for CREATE's rebind discipline (Create1 [19]). */
+  private def parseProps(p: Parser.P): (Seq[(String, Expr)], Boolean) =
     if (p.op("{")) {
-      val b = Seq.newBuilder[(String, Expr)]
-      var more = true
-      while (more) {
-        val k = Parser.ident(p)
-        p.expectOp(":")
-        b += k -> Parser.parseExpr(p)
-        more = p.op(",")
+      if (p.op("}")) (Seq.empty, true)
+      else {
+        val b = Seq.newBuilder[(String, Expr)]
+        var more = true
+        while (more) {
+          val k = Parser.ident(p)
+          p.expectOp(":")
+          b += k -> Parser.parseExpr(p)
+          more = p.op(",")
+        }
+        p.expectOp("}")
+        (b.result(), true)
       }
-      p.expectOp("}")
-      b.result()
-    } else Seq.empty
+    } else (Seq.empty, false)
 
   private def parseNode(p: Parser.P): NodePat = {
     p.expectOp("(")
@@ -730,9 +797,9 @@ object Cypher {
     while (p.op(":")) labels += Parser.ident(p)
     val ls = labels.result()
     val label = if (ls.isEmpty) None else Some(ls.sorted.mkString(":"))
-    val props = parseProps(p)
+    val (props, braced) = parseProps(p)
     p.expectOp(")")
-    NodePat(v, label, props)
+    NodePat(v, label, props, bracedProps = braced)
   }
 
   // ---------------- translator ----------------
@@ -2292,6 +2359,13 @@ object Cypher {
             if Set("collect", "collect_distinct")(n.toLowerCase) &&
               isEntity(v) && acc != null =>
           FnCall(n, Seq(Resolved(entityCol(v))), st)
+        // collect() of a fixed-chain PATH variable: the whole-path value
+        // ({_pathn, _pathr}) materialized at MATCH time stands in for the
+        // id array, so nodes()/relationships() on collected elements work
+        case FnCall(n, Seq(Ident(pv)), st)
+            if Set("collect", "collect_distinct")(n.toLowerCase) &&
+              acc != null && acc.columns.contains(s"${pv}__pstruct") =>
+          FnCall(n, Seq(Resolved(col(s"`${pv}__pstruct`"))), st)
         case ArrayLit(es) if acc != null && es.exists {
               case Ident(v) => isEntity(v); case _ => false } =>
           val evs = es.collect { case Ident(v) if isEntity(v) => v }
@@ -2442,6 +2516,49 @@ object Cypher {
           .withColumn(tmp, coalesce(col(tmp), array().cast(elemType)))
         scalars += tmp
         Ident(tmp)
+      // multi-clause existential/count subquery: compile the body as a
+      // standalone query CORRELATED on the outer node variables it
+      // references — prepend `MATCH (v)` per anchor (name unification
+      // binds them to the same store), project DISTINCT anchor ids, and
+      // left-join the boolean/count back onto the horizon. One aggregation
+      // + one join, the same set-oriented shape as pattern comprehensions
+      // (reference: opencypher ExistsSubqueryStep per-row evaluation).
+      case Ast.ExistsSub(body, isCount) =>
+        val toks = graft.sql.Parser.lex(body).collect {
+          case graft.sql.Parser.TId(s) => s }.toSet
+        val anchors = nodeVars.toSeq.sorted.filter(toks.contains)
+        val synth =
+          if (anchors.isEmpty) body
+          else s"MATCH ${anchors.map(v => s"($v)").mkString(", ")} $body"
+        val q0 = parse(synth)
+        if (q0.clauses.exists(_.isInstanceOf[WriteClause]))
+          throw ParseException(
+            "SyntaxError: InvalidClauseComposition — update clause inside an existential subquery")
+        if (anchors.isEmpty) {
+          val df = compile(g, q0)
+          if (isCount) NumLit(BigDecimal(df.count()), isIntegral = true)
+          else BoolLit(!df.isEmpty)
+        } else {
+          val proj = anchors.map(v =>
+            ReturnItem(FnCall("id", Seq(Ident(v))), Some(s"__es_${v}_id")))
+          val q2 = q0.copy(items = proj, distinct = !isCount,
+            orderBy = Seq.empty, skip = None, limit = None, union = None)
+          val sub = compile(g, q2)
+          val tmp = freshVar()
+          val subA =
+            if (isCount)
+              sub.groupBy(anchors.map(v => col(s"__es_${v}_id")): _*)
+                .agg(count(lit(1)).as(tmp))
+            else sub.withColumn(tmp, lit(true))
+          val cond = anchors.map(v =>
+            acc(s"${v}_id") === subA(s"__es_${v}_id")).reduce(_ && _)
+          acc = acc.join(subA, cond, "left_outer")
+            .drop(anchors.map(v => s"__es_${v}_id"): _*)
+            .withColumn(tmp,
+              coalesce(col(tmp), if (isCount) lit(0L) else lit(false)))
+          scalars += tmp
+          Ident(tmp)
+        }
       case Bin(op, l, r)          => Bin(op, resolvePatternComps(l), resolvePatternComps(r))
       case Neg(x)                 => Neg(resolvePatternComps(x))
       case Not(x)                 => Not(resolvePatternComps(x))
@@ -2724,6 +2841,17 @@ object Cypher {
           acc = acc.withColumn(s"${pv}__plen", when(pnull, lit(null)).otherwise(len))
             .withColumn(s"${pv}__pnodes", when(pnull, lit(null)).otherwise(nodesC))
             .withColumn(s"${pv}__prels", when(pnull, lit(null)).otherwise(relsC))
+          // fixed chains also carry the whole-path VALUE ({_pathn, _pathr}
+          // — the same shape pattern-comprehension path elements use), so
+          // `collect(p)` / `nodes(x)` over collected paths resolve (TCK
+          // List12 [4][5]). Node fields are unified across chain positions
+          // (absent props become typed nulls) to give array() one type.
+          if (!cr.marks.exists(_.isList)) {
+            val unified = cr.nodeSeq.flatMap(entityFieldTypes).distinctBy(_._1).sortBy(_._1)
+            val nstructs = array(cr.nodeSeq.map(v => entityCol(v, unified)): _*)
+            acc = acc.withColumn(s"${pv}__pstruct", when(pnull, lit(null))
+              .otherwise(struct(nstructs.as("_pathn"), relsC.as("_pathr"))))
+          }
           paths += pv -> PathInfo(ch, dynamic = ch.rels.exists(_.hops.isDefined))
         }
         // publish variable-length rel variables as list columns; drop the
@@ -2782,8 +2910,25 @@ object Cypher {
         acc =
           if (acc == null) g.vertices.sparkSession.range(1).select(explode(listCol).as(a))
           else acc.withColumn(a, explode(listCol))
-        scalars += a
-        if (refsEntity(e)) nodeRefScalars += a
+        if (refsEntity(e)) {
+          import org.apache.spark.sql.types.StructType
+          acc.schema(a).dataType match {
+            case st: StructType if st.fieldNames.contains("id") &&
+                st.fieldNames.contains("label") && !st.fieldNames.contains("_eid") =>
+              // UNWIND of a collected whole-NODE list: rebind the element
+              // as a full node variable — its struct fields become the
+              // same `${a}_<field>` columns a MATCH binding carries, so
+              // SET n.prop / n.prop reads / id(n) all work on the unwound
+              // entity (TCK List12 [1][2]: collect → UNWIND → SET)
+              val fields = st.fieldNames.toSeq
+              acc = fields.foldLeft(acc)((d, fn) =>
+                d.withColumn(s"${a}_$fn", col(a).getField(fn))).drop(a)
+              nodeVars += a
+            case _ =>
+              scalars += a
+              nodeRefScalars += a
+          }
+        } else scalars += a
 
       case LoadCsvC(url, headers, alias, sep) =>
         val path = url.stripPrefix("file://")
@@ -3595,7 +3740,7 @@ object Cypher {
             nd.varName.filter(v => pl.nodeVars(v) || pl.scalars(v)).foreach { v =>
               if (ch.rels.isEmpty)
                 throw ParseException(s"VariableAlreadyBound: CREATE ($v) rebinds $v")
-              if (nd.label.isDefined || nd.props.nonEmpty)
+              if (nd.label.isDefined || nd.props.nonEmpty || nd.bracedProps)
                 throw ParseException(
                   s"VariableAlreadyBound: CREATE adds predicates to bound variable $v")
             }
@@ -3677,7 +3822,7 @@ object Cypher {
           def nodeId(n: NodePat): Long = n.varName.flatMap(created.get).map { prior =>
             // a second occurrence of a created variable may not add
             // labels or props (TCK Create1 [15][16])
-            if (n.label.isDefined || n.props.nonEmpty)
+            if (n.label.isDefined || n.props.nonEmpty || n.bracedProps)
               throw ParseException(
                 s"VariableAlreadyBound: CREATE adds predicates to ${n.varName.get}")
             prior

@@ -313,12 +313,15 @@ object VectorOps {
       val queries = e.filter(col("vec_id") < 5)
       val exact = knnExact(e, queries, 10)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(eager = true)
-      // 16 tables × 3 bits: on this near-random corpus (the adversarial
-      // case — no cluster structure) bucket coverage ≈ 1-(7/8)^16 ≈ 0.88,
-      // which holds mean recall@10 ≥ 0.7 (AnnRecallSpec floor); r7's 8×4
-      // config covered ≈ 0.40 and measured ≈ 0.46. Still one corpus pass:
-      // all tables bucket via a single posexplode (lshBucketsAll).
-      val approx = annLsh(e, queries, k = 10, tables = 16, bits = 3)
+      // 16 tables × 2 bits: on this near-random corpus (the adversarial
+      // case — no cluster structure, true neighbors sit near 90°) a
+      // same-bucket hit costs ~(1/2)^bits per table, so recall tracks
+      // bucket coverage ≈ 1-(3/4)^16 ≈ 0.99; measured ≥ 0.7 at sf0.001
+      // (AnnRecallSpec floor — r7's 8×4 config measured ≈ 0.46, 16×3
+      // ≈ 0.58). Still one corpus pass: all tables bucket via a single
+      // posexplode (lshBucketsAll); clustered real-world embeddings reach
+      // the same recall with far fewer tables.
+      val approx = annLsh(e, queries, k = 10, tables = 16, bits = 2)
         .select(col("query_id"), col("neighbor_id"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))

@@ -85,6 +85,11 @@ object Ast {
     * compile time (the reference evaluates global LET subqueries once,
     * SelectExecutionPlanner.splitLet :745). */
   final case class Subquery(sel: Select)                        extends Expr
+  /** Multi-clause existential/count subquery `EXISTS { MATCH … WITH …
+    * RETURN … }` — the body is kept as VERBATIM SOURCE (its own variable
+    * scope, parsed and compiled by the Cypher pipeline as a standalone
+    * query correlated on the outer variables it references). */
+  final case class ExistsSub(body: String, isCount: Boolean)    extends Expr
   /** Engine-internal: a pre-evaluated scalar (never produced by the parser). */
   final case class Resolved(value: Any)                         extends Expr
   /** Engine-internal: a compile-time-folded temporal value
@@ -103,7 +108,7 @@ object Ast {
     def go(x: Expr): Expr = mapDown(x)(f)
     f(e) match {
       case x @ (Ident(_) | NumLit(_, _) | StrLit(_) | BoolLit(_) | NullLit |
-                Resolved(_) | TemporalLit(_) | Subquery(_)) => x
+                Resolved(_) | TemporalLit(_) | Subquery(_) | ExistsSub(_, _)) => x
       case FnCall(n, args, st)    => FnCall(n, args.map(go), st)
       case MethodCall(t, n, args) => MethodCall(go(t), n, args.map(go))
       case PropAccess(t, n)       => PropAccess(go(t), n)

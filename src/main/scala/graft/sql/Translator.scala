@@ -653,6 +653,11 @@ object Translator {
         when(args(1).isNull || args(2).isNull, lit(null))
           .otherwise(slice(arr, (lo + lit(1)).cast("int"), greatest(hi - lo, lit(0)).cast("int")))
       case "head"       => element_at(args.head, 1)
+      // path accessors over a path VALUE ({_pathn, _pathr} struct — e.g. a
+      // collected path element inside a list-comprehension lambda); the
+      // Cypher front-end resolves path VARIABLES statically before this
+      case "nodes"         => args.head.getField("_pathn")
+      case "relationships" => args.head.getField("_pathr")
       case "tail"       => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))
       case "range"      => // inclusive, like Cypher's range()
         // openCypher: an inconsistent direction yields an EMPTY list,

@@ -30,9 +30,10 @@ class TckSpec extends AnyFunSuite {
   test("expected-failures list stays tight") {
     // silent growth of the pin list is a conformance regression even when
     // every entry is "expected" — hard-assert the ceiling (the reference's
-    // own list is 45 entries; ours is 59 after round 8's burn-down)
-    assert(expectedFailures.size <= 59,
-      s"expected-failures grew to ${expectedFailures.size} entries (ceiling 59) — " +
+    // own list is 45 entries; ours is 50 after round 8's burn-down, all
+    // justified in-file as dynamic-typing classes Spark columns can't hold)
+    assert(expectedFailures.size <= 50,
+      s"expected-failures grew to ${expectedFailures.size} entries (ceiling 50) — " +
         "fix the regressions or justify and raise the ceiling")
   }
 

@@ -18,7 +18,8 @@ object SparkEntry {
       Multimodal.all ++ FullText.all ++ StreamingOps.all ++ DmlOps.all ++
       SchemaOps.all ++ MiscOps.all ++ ImportOps.all ++ SqlOps.all ++ CypherOps.all ++
       CypherWriteOps.all ++ PromQLOps.all ++ SkewJoin.all ++ SamplingOps.all ++
-      AsOfJoin.all ++ GremlinOps.all ++ MongoOps.all ++ KvOps.all ++ GraphQLOps.all
+      AsOfJoin.all ++ GremlinOps.all ++ MongoOps.all ++ KvOps.all ++ GraphQLOps.all ++
+      SequencePack.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

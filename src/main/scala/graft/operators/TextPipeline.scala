@@ -281,6 +281,42 @@ object TextPipeline {
       jaccardPairs(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")
     },
 
+    // ---- benchmark decontamination: training docs sharing any 8-gram
+    //      with the eval set (the pre-training hygiene pass that drops
+    //      documents contaminated by benchmark data). Scale shape: the
+    //      eval set is SMALL by definition — its distinct grams broadcast;
+    //      the training corpus explodes grams once and the only shuffle
+    //      is the per-doc distinct-hit count. Docs under 8 tokens have no
+    //      gram and cannot be contaminated. ----
+    Q("q_decontaminate",
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |trg AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM tok, UNNEST(generate_series(1, greatest(len(t)-7, 0))) AS u(i)
+        |  WHERE source <> 'src0'),
+        |evg AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+        |  FROM tok, UNNEST(generate_series(1, greatest(len(t)-7, 0))) AS u(i)
+        |  WHERE source = 'src0')
+        |SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+        |FROM trg JOIN evg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("i", explode(
+          when(size(col("t")) >= 8, sequence(lit(1), size(col("t")) - 7))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), array_join(slice(col("t"), col("i"), lit(8)), " ").as("g"))
+      val evalGrams = grams(docs.filter(col("source") === "src0"))
+        .select("g").distinct()
+      grams(docs.filter(col("source") =!= "src0"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash + LSH with exact verification ----
     Q("q_dedup_minhash",
       s"""${shingleCte(None)}

@@ -739,6 +739,9 @@ object Cypher {
   /** `*`, `*n`, `*lo..hi`, `*lo..`, `*..hi`. Unbounded ends take the
     * compose cap (8) — the TCK graphs and any sane OLAP traversal sit
     * far below it; a true fixpoint expansion is `TRAVERSE`'s job. */
+  /** Open upper bound (`*`, `*2..`): Int.MaxValue — the expansion layer
+    * walks adaptively until the frontier dies (edge-distinctness bounds
+    * every walk by |E|, so termination is structural). */
   private def parseHops(p: Parser.P): Option[(Int, Int)] =
     if (p.op("*")) {
       p.peek match {
@@ -747,16 +750,16 @@ object Cypher {
           if (p.op("..")) {
             p.peek match {
               case Parser.TNum(h) => p.next(); Some((s.toInt, h.toInt))
-              case _ => Some((s.toInt, 8))
+              case _ => Some((s.toInt, Int.MaxValue))
             }
           } else Some((s.toInt, s.toInt))
         case TOp("..") =>
           p.next()
           p.peek match {
             case Parser.TNum(h) => p.next(); Some((1, h.toInt))
-            case _ => Some((1, 8))
+            case _ => Some((1, Int.MaxValue))
           }
-        case _ => Some((1, 8))
+        case _ => Some((1, Int.MaxValue))
       }
     } else None
 
@@ -975,6 +978,20 @@ object Cypher {
     * bound by earlier clauses (a new occurrence is a reuse, not a new
     * binding); `structs` additionally carries whole-rel structs for
     * named-path materialization. */
+  /** Inline `{k: v}` pattern predicate against a possibly variant-typed
+    * store column (schema evolution widens per-record mixed-type props
+    * to the [[Variant]] encoding — equality must dispatch, not coerce). */
+  private def inlinePropPred(d: DataFrame, k: String, lv: Expr): Column = {
+    val c = graft.sql.Translator.toColumn(lv)
+    if (Variant.isVariantType(d.schema(k).dataType)) {
+      val vlit = Variant.ofLiteral(lv).map(Variant.litCol).getOrElse {
+        val dt = d.select(c).schema.head.dataType
+        Variant.ofDataType(c, dt)
+      }
+      coalesce(Variant.vEq(col(k), vlit), lit(false))
+    } else col(k) === c
+  }
+
   private def chainFrame(g: PropertyGraph, chain: PatternChain,
       boundRels: Set[String] = Set.empty, structs: Boolean = false): ChainResult = {
     // every edge occurrence carries a relationship identity: the store's
@@ -995,7 +1012,7 @@ object Cypher {
       // a property the schema has never seen matches nothing (openCypher
       // property bags — no node carries it, so the pattern is empty)
       val base = n.props.foldLeft(labeled) { case (d, (k, lv)) =>
-        if (d.columns.contains(k)) d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+        if (d.columns.contains(k)) d.filter(inlinePropPred(d, k, lv))
         else d.filter(lit(false))
       }
       val renamed = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"${v}_$c"))
@@ -1016,7 +1033,7 @@ object Cypher {
       // inline rel props `{k: v}` filter the edge before the join; a
       // never-seen property matches nothing (same rule as nodeFrame)
       val e0 = rel.props.foldLeft(typed) { case (d, (k, lv)) =>
-        if (d.columns.contains(k)) d.filter(col(k) === graft.sql.Translator.toColumn(lv))
+        if (d.columns.contains(k)) d.filter(inlinePropPred(d, k, lv))
         else d.filter(lit(false))
       }
       val eAlias = freshVar()
@@ -1055,7 +1072,7 @@ object Cypher {
           val base = e0.select(keep: _*)
           if (rel.direction == "both") bothOriented(base) else base
         case Some((lo, hi)) =>
-          require(lo >= 0 && hi <= 8, s"unsupported hop range $lo..$hi")
+          require(lo >= 0, s"unsupported hop range $lo..$hi")
           if (reused)
             throw ParseException(
               s"variable-length pattern over an already-bound relationship variable")
@@ -1068,21 +1085,44 @@ object Cypher {
           val firstHop = one.select(col("src"), col("dst"),
             array(col("__r")).as("__rs"), array(col("src"), col("dst")).as("__ns"))
           // each extension step refuses relationships already on the walk
+          def extend(accF: DataFrame): DataFrame =
+            accF.alias("l").join(one.alias("rr"),
+                col("l.dst") === col("rr.src") &&
+                  !exists(col("l.__rs"),
+                    x => x.getField("_eid") === col("rr.__r").getField("_eid")))
+              .select(col("l.src").as("src"), col("rr.dst").as("dst"),
+                concat(col("l.__rs"), array(col("rr.__r"))).as("__rs"),
+                concat(col("l.__ns"), array(col("rr.dst"))).as("__ns"))
           def compose(h: Int): DataFrame =
-            (1 until h).foldLeft(firstHop)((accF, _) =>
-              accF.alias("l").join(one.alias("rr"),
-                  col("l.dst") === col("rr.src") &&
-                    !exists(col("l.__rs"),
-                      x => x.getField("_eid") === col("rr.__r").getField("_eid")))
-                .select(col("l.src").as("src"), col("rr.dst").as("dst"),
-                  concat(col("l.__rs"), array(col("rr.__r"))).as("__rs"),
-                  concat(col("l.__ns"), array(col("rr.dst"))).as("__ns")))
+            (1 until h).foldLeft(firstHop)((accF, _) => extend(accF))
           // `*0..`: the zero-length walk — endpoint equals start, no rels
           val zero =
             if (lo == 0 && hi >= 0) Seq(g.vertices.select(col("id").as("src"),
               col("id").as("dst"), emptyRels(g).as("__rs"), array(col("id")).as("__ns")))
             else Seq.empty
-          val parts = zero ++ (math.max(lo, 1) to hi).map(compose)
+          // bounded-small ranges unroll into one lazy union (Catalyst sees
+          // the whole expansion, ReuseExchange collapses the shared walk
+          // prefixes); open/deep upper bounds walk ADAPTIVELY — extend
+          // depth by depth with an eager checkpoint + emptiness probe, and
+          // stop when the frontier dies (edge-distinct walks are bounded
+          // by |E|, so this terminates on any graph; enumeration at this
+          // depth is a correctness tier — TRAVERSE's frontier-dedup BFS
+          // stays the scale path for deep reachability)
+          val parts: Seq[DataFrame] =
+            if (hi <= 8) zero ++ (math.max(lo, 1) to hi).map(compose)
+            else {
+              val walks = Seq.newBuilder[DataFrame]
+              walks ++= zero
+              var cur = firstHop.localCheckpoint(true)
+              var depth = 1
+              if (depth >= lo) walks += cur
+              while (depth < hi && !cur.isEmpty) {
+                cur = extend(cur).localCheckpoint(true)
+                depth += 1
+                if (depth >= lo && !cur.isEmpty) walks += cur
+              }
+              walks.result()
+            }
           // an empty interval (`*2..1`) matches nothing, it is not an error
           val unioned =
             if (parts.isEmpty) firstHop.filter(lit(false))
@@ -1169,6 +1209,10 @@ object Cypher {
       found
     }
     var paths = Map.empty[String, PathInfo] // named plain paths
+    // variables whose entities a DELETE clause of THIS statement removed:
+    // later property/label access on them must raise (openCypher
+    // DeletedEntityAccess — TCK Return2 [15][16][17])
+    var deletedVars = Set.empty[String]
     // vertex ids allocated by CREATE clauses of THIS statement: a later
     // CREATE in the same statement wires edges to them by variable name
     val createdIds = scala.collection.mutable.Map.empty[String, Long]
@@ -1177,6 +1221,17 @@ object Cypher {
     val createdProps = scala.collection.mutable.Map.empty[String, Map[String, Expr]]
     def toCol(e: Expr): Column =
       graft.sql.Translator.toColumn(typed(flatten(rewriteMetaFns(substParams(e)), scalars, paths)))
+
+    /** ORDER BY column: a variant-typed sort item sorts on its
+      * total-orderability key (openCypher cross-type ORDER BY —
+      * map < node < rel < list < path < string < boolean < number <
+      * NaN < null); everything else sorts natively. */
+    def sortColOf(e0: Expr): Column = {
+      val c = toCol(e0)
+      val isV = acc != null && scala.util.Try(
+        Variant.isVariantType(acc.select(c).schema.head.dataType)).getOrElse(false)
+      if (isV) Variant.sortKey(c) else c
+    }
 
     /** Static type tag of a flattened expression against the horizon's
       * schema: 's' string, 'a' list, 'i' integral, 'f' fractional,
@@ -1239,6 +1294,7 @@ object Cypher {
           if Set("AND", "OR", "XOR")(op.toUpperCase) ||
             Set("=", "<>", "<", ">", "<=", ">=")(op) => 'b'
       case Not(_) | IsNull(_, _) | InList(_, _, _) | Between(_, _, _) => 'b'
+      case ColRef(_, t, _, _) => t
       case _ => '?'
     }
 
@@ -1254,6 +1310,8 @@ object Cypher {
         // a stored temporal struct is NOT a map value: its own tag keeps
         // it out of the map/collection argument checks
         case st: StructType if st.fieldNames.contains("_tkind") => 't'
+        // dynamic-typed (variant) struct — [[Variant]]
+        case dt if Variant.isVariantType(dt) => 'v'
         case _: MapType | _: StructType                    => 'm'
         case _                                             => '?'
       }
@@ -1269,6 +1327,155 @@ object Cypher {
     def crossFamily(l: Expr, r: Expr): Boolean = {
       val (a, b) = (typeTag(l), typeTag(r))
       knownTag(a) && knownTag(b) && tagFamily(a) != tagFamily(b)
+    }
+
+    // ---- dynamic-typing (variant) support: [[Variant]] ----
+    def isVariantE(e: Expr): Boolean = typeTag(e) == 'v'
+    /** Column of an ALREADY-typed/flattened subtree. */
+    def colOfTyped(e: Expr): Column = graft.sql.Translator.toColumn(e)
+    /** Static data type of a typed subtree against the horizon (None when
+      * it references lambda variables or there is no horizon yet). */
+    def dtOf(e: Expr): Option[org.apache.spark.sql.types.DataType] = e match {
+      case ColRef(_, _, Some(dt), _) => Some(dt)
+      case _ =>
+        if (acc == null) None
+        else scala.util.Try(acc.select(colOfTyped(e)).schema.head.dataType).toOption
+    }
+    /** Wrap a typed subtree as a variant column: variant passes through,
+      * literal trees evaluate at compile time, everything else wraps by
+      * its static schema type. */
+    def asVariantCol(e: Expr): Column =
+      if (isVariantE(e)) colOfTyped(e)
+      else Variant.ofLiteral(e) match {
+        case Some(vl) => Variant.litCol(vl)
+        case None => dtOf(e) match {
+          case Some(dt) => Variant.ofDataType(colOfTyped(e), dt)
+          case None => typeTag(e) match {
+            case 'i' => Variant.ofDataType(colOfTyped(e), org.apache.spark.sql.types.LongType)
+            case 'f' => Variant.ofDataType(colOfTyped(e), org.apache.spark.sql.types.DoubleType)
+            case 's' => Variant.ofDataType(colOfTyped(e), org.apache.spark.sql.types.StringType)
+            case 'b' => Variant.ofDataType(colOfTyped(e), org.apache.spark.sql.types.BooleanType)
+            case _ => throw ParseException(
+              s"TypeError: cannot mix value of unknown static type into a dynamic position: $e")
+          }
+        }
+      }
+    /** Variant of an UNWIND-list element: entities wrap as whole-value
+      * variants (node/rel/path), everything else through [[asVariantCol]]
+      * after the usual typing pipeline. */
+    def variantElem(x0: Expr): Column = x0 match {
+      case Ident(v) if nodeVars(v) && !scalars(v) =>
+        Variant.ofNode(entityCol(v), entityFieldTypes(v))
+      case Ident(v) if relVars(v) && !scalars(v) =>
+        Variant.ofRel(entityCol(v), entityFieldTypes(v))
+      case Ident(pv) if paths.contains(pv) && acc != null &&
+          acc.columns.contains(s"${pv}__pstruct") =>
+        import org.apache.spark.sql.types.{ArrayType, StructType}
+        val ps = col(s"${pv}__pstruct")
+        val st = acc.schema(s"${pv}__pstruct").dataType.asInstanceOf[StructType]
+        val nodeSt = st("_pathn").dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[StructType]
+        val relSt = st("_pathr").dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[StructType]
+        Variant.ofPath(ps.getField("_pathn"), ps.getField("_pathr"),
+          nodeSt.fields.toSeq.map(f => f.name -> f.dataType),
+          relSt.fields.toSeq.map(f => f.name -> f.dataType))
+      case _ => asVariantCol(typed(flatten(rewriteMetaFns(x0), scalars, paths)))
+    }
+    /** Concatenating two entity-struct arrays whose element types drifted
+      * (the same prop key holding different types on different nodes —
+      * TCK Match4 [4]: `[a] + collect(n)` where a.var is a string and
+      * n.var an integer): unify the field set, widening conflicting
+      * fields to the variant encoding, so concat sees ONE element type. */
+    def unifyEntityArrays(le: Expr, re: Expr): Option[(Column, Column)] = {
+      import org.apache.spark.sql.types._
+      (dtOf(le), dtOf(re)) match {
+        case (Some(ArrayType(ls: StructType, _)), Some(ArrayType(rs: StructType, _)))
+            if ls != rs && ls.fieldNames.contains("id") && rs.fieldNames.contains("id") &&
+              !Variant.isVariantType(ls) && !Variant.isVariantType(rs) =>
+          val byName = (ls.fields ++ rs.fields).groupBy(_.name)
+          val target: Seq[(String, DataType)] = byName.toSeq.sortBy(_._1).map {
+            case (n2, fs) =>
+              val dts = fs.map(_.dataType).distinct
+              n2 -> (if (dts.length == 1) dts.head else Variant.fullType)
+          }
+          def conv(c: Column, st: StructType): Column = transform(c, s =>
+            when(s.isNull, lit(null)).otherwise(struct(target.map { case (n2, dt) =>
+              if (st.fieldNames.contains(n2)) {
+                val f = s.getField(n2)
+                if (st(n2).dataType == dt) f.as(n2)
+                else Variant.ofDataType(f, st(n2).dataType).as(n2)
+              } else lit(null).cast(dt).as(n2)
+            }: _*)))
+          Some((conv(colOfTyped(le), ls), conv(colOfTyped(re), rs)))
+        case _ => None
+      }
+    }
+    /** Element type of the unified array (for the ColRef dt marker, so a
+      * chained `+` can keep unifying without re-probing the horizon). */
+    def unifiedElemType(le: Expr, re: Expr): org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      (dtOf(le), dtOf(re)) match {
+        case (Some(ArrayType(ls: StructType, _)), Some(ArrayType(rs: StructType, _))) =>
+          val byName = (ls.fields ++ rs.fields).groupBy(_.name)
+          ArrayType(StructType(byName.toSeq.sortBy(_._1).map { case (n2, fs) =>
+            val dts = fs.map(_.dataType).distinct
+            StructField(n2, if (dts.length == 1) dts.head else Variant.fullType)
+          }))
+        case _ => NullType
+      }
+    }
+
+    /** Is this an Ident carrying a symbolic literal binding? Static
+      * folds resolve those exactly — runtime variant dispatch defers. */
+    def litEnvIdent(x: Expr): Boolean = x match {
+      case Ident(c) => litEnv.contains(c)
+      case _        => false
+    }
+    /** A native array whose elements are variant structs (the shape the
+      * entity-mixing ArrayLit rewrite produces). */
+    def isVariantArrayE(e: Expr): Boolean = dtOf(e) match {
+      case Some(org.apache.spark.sql.types.ArrayType(et, _)) => Variant.isVariantType(et)
+      case _ => false
+    }
+    /** Coerce either variant-list form to the canonical LIST VARIANT:
+      * an array<variant> demotes its elements to element form (their
+      * string encodings keep the nested structure). */
+    def variantListOf(e: Expr): Column =
+      if (isVariantArrayE(e))
+        Variant.ofElems(transform(colOfTyped(e), x => Variant.asElem(x)))
+      else colOfTyped(e)
+
+    /** Container-nesting depth of an expression (ArrayLit/StructLit
+      * levels) — bounds the variant wrap rules (see their guard). */
+    def nestDepth(x: Expr): Int = x match {
+      case ArrayLit(es)  => 1 + es.map(nestDepth).maxOption.getOrElse(0)
+      case StructLit(fs) => 1 + fs.map(f => nestDepth(f._2)).maxOption.getOrElse(0)
+      case _             => 0
+    }
+
+    /** Should this list run through the variant encoding? Mixed value
+      * families, or entities/paths alongside scalars — the single-typed
+      * Spark column cannot hold the union. Node+rel mixing stays native
+      * (entityCol's unified-field structs already cover it); nulls and
+      * unknown-tag elements never force the encoding by themselves. */
+    def needsVariantList(es: Seq[Expr]): Boolean = {
+      def cat(x: Expr): Char = x match {
+        case Ident(v) if (nodeVars(v) || relVars(v)) && !scalars(v) => 'e'
+        case Ident(v) if paths.contains(v) => 'p'
+        case NullLit => '0'
+        case _ => tagFamily(typeTag(x))
+      }
+      val cats = es.map(cat).filter(c => c != '?' && c != '0').distinct
+      // integer/float mixing ALSO needs the encoding: min()/max() must
+      // hand back the ORIGINAL value (TCK Aggregation2 [5][6]: max over
+      // [1, 2.0, 5] is the integer 5, not 5.0)
+      val numTags = es.map(typeTag).filter(t => t == 'i' || t == 'f').distinct
+      // so does a NESTED mixed literal ([['a'], ['a', 1], [1]]): its
+      // element would become a variant struct while homogeneous siblings
+      // stay native arrays — one type per column
+      val nestedMixed = es.exists { x => litVal(x) && !sparkSafeLit(x) }
+      cats.length > 1 || numTags.length > 1 || nestedMixed
     }
 
     /** Literal-tree predicate for the static three-valued folds below:
@@ -1412,6 +1619,31 @@ object Cypher {
         val i0 = litNum(ix).get.toInt
         val i = if (i0 < 0) es.length + i0 else i0
         if (i >= 0 && i < es.length) typed(es(i)) else NullLit
+      // literal list algebra folds exactly (heterogeneous results then
+      // render as variants — TCK Precedence3): list+list concatenates,
+      // list+scalar appends, scalar+list prepends
+      case Bin("+", l, r) if litVal(l) && litVal(r) &&
+          (l.isInstanceOf[ArrayLit] || r.isInstanceOf[ArrayLit]) =>
+        (l, r) match {
+          case (ArrayLit(a), ArrayLit(b)) => typed(ArrayLit(a ++ b))
+          case (ArrayLit(a), x)           => typed(ArrayLit(a :+ x))
+          case (x, ArrayLit(b))           => typed(ArrayLit(x +: b))
+        }
+      case FnCall(n, Seq(al @ ArrayLit(es)), _)
+          if n.equalsIgnoreCase("size") && litVal(al) =>
+        NumLit(es.length, isIntegral = true)
+      // literal slice `[lo..hi]` (end-exclusive, negatives from the end,
+      // clamped — openCypher list slicing)
+      case FnCall(n, Seq(al @ ArrayLit(es), lo0, hi0), _)
+          if n.equalsIgnoreCase("list_slice") && litVal(al) && {
+            val lt = typed(lo0); val ht = typed(hi0)
+            litNum(lt).isDefined && litNum(ht).isDefined
+          } =>
+        val len = es.length
+        def clamp(x: Int): Int = math.max(0, math.min(len, if (x < 0) len + x else x))
+        val lo = clamp(litNum(typed(lo0)).get.toInt)
+        val hi = clamp(litNum(typed(hi0)).get.toInt)
+        typed(ArrayLit(es.slice(lo, hi)))
       case PropAccess(StructLit(fs), p) =>
         fs.find(_._1 == p).map(f => typed(f._2)).getOrElse(NullLit)
       // aggregates can't run inside a per-element lambda — checked BEFORE
@@ -2012,10 +2244,157 @@ object Cypher {
           throw ParseException(s"SyntaxError: non-boolean operand to $op")
         case Not(x) if "ifsam".contains(typeTag(x)) =>
           throw ParseException("SyntaxError: non-boolean operand to NOT")
+        // ---- dynamic-typed (variant) operand dispatch: one operand is a
+        //      runtime mixed-kind value; ops dispatch per-row on its rank
+        //      ([[Variant]]) ----
+        case Bin(op, l, r) if Set("=", "<>", "<", "<=", ">", ">=")(op) &&
+            (isVariantE(l) || isVariantE(r)) =>
+          val c = op match {
+            case "="  => Variant.vEq(asVariantCol(l), asVariantCol(r))
+            case "<>" => !Variant.vEq(asVariantCol(l), asVariantCol(r))
+            case o    => Variant.vCmp(o, asVariantCol(l), asVariantCol(r))
+          }
+          ColRef(c, 'b')
+        case Bin("+", l, r) if isVariantE(l) || isVariantE(r) =>
+          ColRef(Variant.vPlus(asVariantCol(l), asVariantCol(r)), 'v')
+        case Bin(op, l, r) if Set("-", "*", "/", "%")(op) &&
+            (isVariantE(l) || isVariantE(r)) =>
+          ColRef(Variant.vArith(op, asVariantCol(l), asVariantCol(r)), 'v')
+        case Neg(x) if isVariantE(x) =>
+          ColRef(Variant.vNeg(colOfTyped(x)), 'v')
+        case IsNull(x, neg) if isVariantE(x) =>
+          val n = Variant.isNullV(colOfTyped(x))
+          ColRef(if (neg) !n else n, 'b')
+        case FnCall(n, Seq(l, r), _)
+            if Set("starts_with", "ends_with")(n.toLowerCase) &&
+              (isVariantE(l) || isVariantE(r)) =>
+          ColRef(Variant.vStringPred(
+            if (n.equalsIgnoreCase("starts_with")) "starts" else "ends",
+            asVariantCol(l), asVariantCol(r)), 'b')
+        case ContainsOp(l, "ONE", r) if isVariantE(l) || isVariantE(r) =>
+          ColRef(Variant.vStringPred("contains", asVariantCol(l), asVariantCol(r)), 'b')
+        case FnCall(n, Seq(l, r), _)
+            if n.equalsIgnoreCase("str_contains") && (isVariantE(l) || isVariantE(r)) =>
+          ColRef(Variant.vStringPred("contains", asVariantCol(l), asVariantCol(r)), 'b')
+        case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("size") && isVariantE(a) =>
+          ColRef(Variant.vSize(colOfTyped(a)), 'i')
+        case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("reverse") && isVariantE(a) =>
+          ColRef(Variant.vReverse(colOfTyped(a)), 'v')
+        case FnCall(n, Seq(a), _) if Set("min", "max")(n.toLowerCase) && isVariantE(a) =>
+          ColRef(if (n.equalsIgnoreCase("min")) Variant.vMin(colOfTyped(a))
+            else Variant.vMax(colOfTyped(a)), 'v', agg = true)
+        // count(x) skips openCypher nulls; a null VARIANT is a rank-8
+        // struct, not a SQL null, so count it out explicitly
+        case FnCall(n, Seq(a), st) if n.equalsIgnoreCase("count") && isVariantE(a) && !st =>
+          ColRef(count(when(!Variant.isNullV(colOfTyped(a)), lit(1))), 'i', agg = true)
+        // count(DISTINCT x) over a variant: distinct by the EQUIVALENCE
+        // key (1 ≡ 1.0, deep over lists/maps), nulls skipped
+        case FnCall(n, Seq(a), _)
+            if n.equalsIgnoreCase("count_distinct") && isVariantE(a) =>
+          val c = colOfTyped(a)
+          ColRef(countDistinct(when(!Variant.isNullV(c), c.getField("_veq"))), 'i',
+            agg = true)
+        // maps with per-row value kinds, or a list of maps whose KEY SETS
+        // differ — one struct type cannot hold them. Depth-bounded: each
+        // wrap level re-projects the inner when-tree into every slot, so
+        // composition is multiplicative; past depth 2 the expression tree
+        // outgrows codegen (maps-in-lists-in-maps stays an expected
+        // failure, now failing FAST instead of exhausting the heap)
+        case StructLit(fs) if fs.exists(f => isVariantE(f._2)) =>
+          // depth measured on the RAW tree (children are already typed
+          // here, so their container depth is no longer visible)
+          if (nestDepth(e) > 2)
+            throw ParseException(
+              "UnsupportedDynamicNesting: heterogeneous value nested deeper than 2 levels")
+          ColRef(Variant.ofMapFields(fs.map { case (k, v) =>
+            k -> Variant.asElem(asVariantCol(v)) }), 'v')
+        case ArrayLit(es)
+            if es.length > 1 && es.forall(_.isInstanceOf[StructLit]) &&
+              es.map { case StructLit(fs) => fs.map(_._1); case _ => Nil }
+                .distinct.length > 1 =>
+          if (nestDepth(e) > 2)
+            throw ParseException(
+              "UnsupportedDynamicNesting: heterogeneous value nested deeper than 2 levels")
+          ColRef(Variant.ofElems(array(es.map { e3 =>
+            Variant.asElem(asVariantCol(e3))
+          }: _*)), 'v')
+        // (litEnv-bound idents skip the runtime dispatch: the symbolic
+        // static folds below resolve them EXACTLY, including nested
+        // structure the one-level element encoding cannot carry — TCK
+        // Map1 [3])
+        case FnCall(n, Seq(t, ix), _)
+            if n.equalsIgnoreCase("list_index") && isVariantE(t) &&
+              !litEnvIdent(t) =>
+          ColRef(Variant.vIndex(colOfTyped(t), colOfTyped(ix)), 'v')
+        case FnCall(n, Seq(t, lo, hi), _)
+            if n.equalsIgnoreCase("list_slice") && isVariantE(t) =>
+          ColRef(Variant.vSlice(colOfTyped(t), colOfTyped(lo), colOfTyped(hi)), 'v')
+        case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("tostring") && isVariantE(a) =>
+          ColRef(Variant.vToString(colOfTyped(a)), 's')
+        case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("labels") && isVariantE(a) =>
+          ColRef(Variant.vLabels(colOfTyped(a)), 'a')
+        case FnCall(n, Seq(a), _) if n.equalsIgnoreCase("type") && isVariantE(a) =>
+          ColRef(Variant.vType(colOfTyped(a)), 's')
+        case PropAccess(t, p) if isVariantE(t) && !litEnvIdent(t) =>
+          ColRef(Variant.vProp(colOfTyped(t), p), 'v')
+        case FnCall(n, Seq(t, k), _)
+            if n.equalsIgnoreCase("map_index") && isVariantE(t) && !litEnvIdent(t) =>
+          k match {
+            case StrLit(kk) => ColRef(Variant.vProp(colOfTyped(t), kk), 'v')
+            case _ => e2
+          }
+        // ---- post-recursion re-dispatch: a child fold exposed a literal
+        //      list (`[3]+4` → `[3, 4]`) — re-enter typed() so the static
+        //      literal rules see the folded shape (their guards replicate
+        //      the pre-recursion ones exactly, so this terminates) ----
+        case Bin("+", l, r) if litVal(l) && litVal(r) &&
+            (l.isInstanceOf[ArrayLit] || r.isInstanceOf[ArrayLit]) =>
+          typed(Bin("+", l, r))
+        case FnCall(n, Seq(x, ArrayLit(es)), st)
+            if n.equalsIgnoreCase("list_in") && es.forall(litVal) =>
+          typed(FnCall(n, Seq(x, ArrayLit(es)), st))
+        case FnCall(n, Seq(x, l), _)
+            if n.equalsIgnoreCase("list_in") && isVariantE(l) =>
+          ColRef(Variant.vIn(asVariantCol(x), colOfTyped(l)), 'b')
+        case Quantifier(kind, v2, src, pred)
+            if isVariantE(src) || isVariantArrayE(src) =>
+          val predF: Column => Column = el => {
+            val p = typed(Ast.mapDown(pred) {
+              case Ident(`v2`) => ColRef(Variant.ofElemValue(el), 'v')
+              case x => x
+            })
+            colOfTyped(p)
+          }
+          ColRef(Variant.vQuantifier(kind, variantListOf(src), predF), 'b')
+        case ListComp(v2, src, w, m) if isVariantE(src) || isVariantArrayE(src) =>
+          def substEl(body: Expr, el: Column): Column =
+            colOfTyped(typed(Ast.mapDown(body) {
+              case Ident(`v2`) => ColRef(Variant.ofElemValue(el), 'v')
+              case x => x
+            }))
+          val filtered = w match {
+            case Some(p) => Variant.vFilter(variantListOf(src), el => substEl(p, el))
+            case None    => variantListOf(src)
+          }
+          val mapped = m match {
+            case Some(mx) if mx != Ident(v2) =>
+              Variant.vTransform(filtered, el => {
+                val te = typed(Ast.mapDown(mx) {
+                  case Ident(`v2`) => ColRef(Variant.ofElemValue(el), 'v')
+                  case x => x
+                })
+                Variant.asElem(asVariantCol(te))
+              })
+            case _ => filtered
+          }
+          ColRef(mapped, 'v')
         case Bin("+", l, r) =>
           (typeTag(l), typeTag(r)) match {
             // list + scalar appends (TCK Precedence3 [4]: `[1]+2` = [1,2])
             case ('a', t) if "ifsb".contains(t) => FnCall("array_append", Seq(l, r))
+            case ('a', _) | (_, 'a') if unifyEntityArrays(l, r).isDefined =>
+              val (lc, rc) = unifyEntityArrays(l, r).get
+              ColRef(concat(lc, rc), 'a', Some(unifiedElemType(l, r)))
             case ('a', _) | (_, 'a') => FnCall("concat", Seq(l, r))
             case (tl, tr) if tl == 's' || tr == 's' =>
               // ANSI concat takes strings: cast a known-numeric side
@@ -2142,19 +2521,16 @@ object Cypher {
         case FnCall(n, Seq(a), _)
             if n.equalsIgnoreCase("tostring") && "am".contains(typeTag(a)) =>
           throw ParseException("SyntaxError: InvalidArgumentValue — toString operand")
-        // a mixed-family SCALAR literal list in a dynamic position (inside
-        // collect(), UNWIND, …) materializes as a string array: Spark's
-        // ANSI coercion would otherwise pick a numeric element type and
-        // make '0' equal 0 (TCK Comparison1 [3]). Static accesses fold
-        // before this, so only genuinely dynamic uses stringify.
+        // a mixed-family literal list in a dynamic position (inside
+        // collect(), a projection, …) materializes as a VARIANT list —
+        // each element keeps its exact kind for comparison, ordering and
+        // rendering ([[Variant]]; TCK Literals7 [16][17], Comparison1
+        // [3]). Static accesses fold before this, so only genuinely
+        // dynamic uses pay the encoding.
         case al @ ArrayLit(es)
             if es.length > 1 && litVal(al) && !sparkSafeLit(al) &&
-              es.forall(x => "sifb?".contains(typeTag(x))) =>
-          ArrayLit(es.map {
-            case s @ StrLit(_) => s
-            case NullLit       => NullLit
-            case x             => MethodCall(x, "asString", Seq.empty)
-          })
+              Variant.ofLiteral(al).isDefined =>
+          ColRef(Variant.litCol(Variant.ofLiteral(al).get), 'v')
         case FnCall(n, Seq(NullLit, _), _)
             if Set("list_index", "map_index")(n.toLowerCase) => NullLit
         case FnCall(n, Seq(StructLit(fs), k), _)
@@ -2366,6 +2742,13 @@ object Cypher {
             if Set("collect", "collect_distinct")(n.toLowerCase) &&
               acc != null && acc.columns.contains(s"${pv}__pstruct") =>
           FnCall(n, Seq(Resolved(col(s"`${pv}__pstruct`"))), st)
+        // entities (or paths) mixed with OTHER kinds in one list: a
+        // single struct type cannot hold the union — go through the
+        // variant encoding, element-wise with static kinds ([[Variant]];
+        // TCK Comparison2 [3], WithOrderBy1 [21][22])
+        case ArrayLit(es) if acc != null && needsVariantList(es) && es.exists {
+              case Ident(v) => isEntity(v) || paths.contains(v); case _ => false } =>
+          ColRef(array(es.map(variantElem): _*), 'a')
         case ArrayLit(es) if acc != null && es.exists {
               case Ident(v) => isEntity(v); case _ => false } =>
           val evs = es.collect { case Ident(v) if isEntity(v) => v }
@@ -2901,6 +3284,42 @@ object Cypher {
         }
 
       case UnwindC(e, a) =>
+        // a mixed-kind list (literal elements of different families, or
+        // entities/paths alongside scalars) explodes through the variant
+        // encoding — each element is constructed with its STATIC kind,
+        // the exploded column dispatches per-row ([[Variant]])
+        val eRes = substParams(e) match {
+          case Ident(c) if litEnv.contains(c) => litEnv(c)
+          case x => x
+        }
+        eRes match {
+          case ArrayLit(es) if needsVariantList(es) =>
+            val elems = array(es.map(variantElem): _*)
+            acc = if (acc == null)
+              g.vertices.sparkSession.range(1).select(explode(elems).as(a))
+            else acc.withColumn(a, explode(elems))
+            scalars += a
+            return
+          case _ =>
+            // UNWIND over a variant LIST column: explode the element
+            // array, promote elements back to full variant form
+            val te = try typed(flatten(rewriteMetaFns(eRes), scalars, paths))
+              catch { case _: Exception => null }
+            if (te != null && isVariantE(te)) {
+              val src = colOfTyped(te)
+              val el = explode(
+                when(Variant.rank(src) === Variant.RList, src.getField("_velems"))
+                  .otherwise(lit(null).cast(
+                    org.apache.spark.sql.types.ArrayType(Variant.elemType))))
+              acc = if (acc == null)
+                g.vertices.sparkSession.range(1).select(el.as(s"${a}__ve"))
+              else acc.withColumn(s"${a}__ve", el)
+              acc = acc.withColumn(a, Variant.ofElemValue(col(s"${a}__ve")))
+                .drop(s"${a}__ve")
+              scalars += a
+              return
+            }
+        }
         // UNWIND null produces zero rows (openCypher); a bare NULL has no
         // array type for explode, so give it one
         val listCol = substParams(e) match {
@@ -3133,7 +3552,7 @@ object Cypher {
               }
               check(sorted, Set.empty)
             }
-            val c = toCol(sorted)
+            val c = sortColOf(sorted)
             if (o.asc) c.asc else c.desc
           }: _*)
           skip.foreach(e2 => acc = acc.offset(evalRowCount(e2, "SKIP").toInt))
@@ -3149,9 +3568,12 @@ object Cypher {
             else acc.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
           } else acc.select(carriedCols ++ scalarItems.map { it =>
             val se = substParams(it.expr)
-            // a literal Spark cannot type (heterogeneous list) projects a
-            // null placeholder; the symbolic binding below carries the value
-            if (litVal(se) && !sparkSafeLit(se)) lit(null).as(name(it))
+            // a literal Spark cannot type (heterogeneous list) projects as
+            // a VARIANT struct (render/sort/compare all work); the symbolic
+            // binding below still carries the exact value for static folds
+            if (litVal(se) && !sparkSafeLit(se))
+              Variant.ofLiteral(se).map(vl => Variant.litCol(vl).as(name(it)))
+                .getOrElse(lit(null).as(name(it)))
             else toCol(it.expr).as(name(it))
           }: _*)
         // republish variable scopes under the output names
@@ -3211,8 +3633,11 @@ object Cypher {
               throw ParseException(
                 "InvalidAggregation: non-projected aggregation in WITH ORDER BY")
             val c = rewritten match {
+              case Ident(n) if acc.columns.contains(n) &&
+                  Variant.isVariantType(acc.schema(n).dataType) =>
+                Variant.sortKey(col(n))
               case Ident(n) if acc.columns.contains(n) => col(n)
-              case other => toCol(other)
+              case other => sortColOf(other)
             }
             if (o.asc) c.asc else c.desc
           }: _*)
@@ -3224,6 +3649,29 @@ object Cypher {
         where.filter(_ => preWhere.isEmpty).foreach { w =>
           val cond = resolvePatternComps(w)
           acc = acc.filter(toCol(cond))
+        }
+        // an entity-derived scalar that materialized as a whole-NODE
+        // struct (nodeList[i] AS n1) re-expands into a full node binding
+        // — the same `${v}_<field>` columns a MATCH binding carries — so
+        // a later CREATE/MATCH/SET wires the EXISTING node instead of
+        // minting a new one (TCK Match4 [4]'s setup pipeline)
+        locally {
+          import org.apache.spark.sql.types.StructType
+          scalarItems.map(name).filter(newNodeRefs).foreach { nm =>
+            if (acc.columns.contains(nm)) acc.schema(nm).dataType match {
+              case st: StructType
+                  if st.fieldNames.contains("id") && st.fieldNames.contains("label") &&
+                    !st.fieldNames.contains("_eid") && !st.fieldNames.contains("_vrank") &&
+                    !st.fieldNames.contains("_pathn") =>
+                st.fieldNames.foreach(fn =>
+                  acc = acc.withColumn(s"${nm}_$fn", col(nm).getField(fn)))
+                acc = acc.drop(nm)
+                scalars -= nm
+                nodeRefScalars -= nm
+                nodeVars += nm
+              case _ => ()
+            }
+          }
         }
 
       case ShortestPathC(pv, chain) =>
@@ -3353,6 +3801,24 @@ object Cypher {
           throw ParseException("NoVariablesInScope: RETURN * requires at least one variable")
         inScope.map(v => ReturnItem(Ident(v), None))
       case it => Seq(it)
+    }
+    // property/label access on an entity a DELETE of this statement
+    // removed raises (openCypher DeletedEntityAccess; returning the
+    // whole deleted entity itself stays legal — snapshot view)
+    if (pl.deletedVars.nonEmpty) srcItems.foreach { it =>
+      Ast.mapDown(it.expr) {
+        case x @ PropAccess(Ident(v), p) if pl.deletedVars(v) =>
+          throw ParseException(
+            s"EntityNotFound: DeletedEntityAccess — property $p of deleted $v")
+        // type() of a deleted relationship stays readable (TCK Return2
+        // [14]) — only property/label access is a DeletedEntityAccess
+        case x @ FnCall(n, Seq(Ident(v)), _)
+            if pl.deletedVars(v) &&
+              Set("labels", "keys", "properties")(n.toLowerCase) =>
+          throw ParseException(
+            s"EntityNotFound: DeletedEntityAccess — $n() on deleted $v")
+        case x => x
+      }
     }
     // pattern comprehensions first: they extend the horizon frame
     srcItems.foreach(it => rejectBarePatterns(it.expr, "RETURN"))
@@ -3490,6 +3956,9 @@ object Cypher {
           checkOut(rewritten)
         }
         val c = rewritten match {
+          case Ident(n) if out.columns.contains(n) &&
+              Variant.isVariantType(out.schema(n).dataType) =>
+            Variant.sortKey(col(s"`$n`"))
           case Ident(n) if out.columns.contains(n) => col(s"`$n`")
           // `ORDER BY alias.prop` where the alias is a returned whole
           // entity: read the struct's field — an absent field is null,
@@ -3610,31 +4079,33 @@ object Cypher {
 
   /** DELETE of an entity-valued expression: a struct with `_eid` is a
     * relationship, a struct with id+label a node, an array recurses per
-    * element (TCK Delete5 nested map/list forms). */
-  private def deleteByValue(mg: graft.graph.MutableGraph,
-      dt: org.apache.spark.sql.types.DataType,
-      frame: DataFrame, detach: Boolean): Unit = {
+    * element (TCK Delete5 nested map/list forms). Returns the edge-eid
+    * and node-id frames WITHOUT executing — openCypher DELETE applies
+    * all of a clause's targets together, relationships before nodes, so
+    * two path targets sharing endpoints don't trip the dangling-edge
+    * constraint between each other (Delete5 [7]). */
+  private def deleteByValue(dt: org.apache.spark.sql.types.DataType,
+      frame: DataFrame): (Seq[DataFrame], Seq[DataFrame]) = {
     import org.apache.spark.sql.types._
     dt match {
       case st: StructType
           if st.fieldNames.contains("_pathn") && st.fieldNames.contains("_pathr") =>
-        // whole-path value: relationships first, then nodes
-        mg.deleteEdges(frame.filter(col("__del").isNotNull)
+        (Seq(frame.filter(col("__del").isNotNull)
           .select(explode(col("__del").getField("_pathr")).as("__r"))
-          .select(col("__r").getField("_eid").as("eid")))
-        mg.deleteVertices(frame.filter(col("__del").isNotNull)
-          .select(explode(col("__del").getField("_pathn")).as("__n"))
-          .select(col("__n").getField("id").as("id")), detach)
+          .select(col("__r").getField("_eid").as("eid"))),
+          Seq(frame.filter(col("__del").isNotNull)
+            .select(explode(col("__del").getField("_pathn")).as("__n"))
+            .select(col("__n").getField("id").as("id"))))
       case st: StructType if st.fieldNames.contains("_eid") =>
-        mg.deleteEdges(frame.filter(col("__del").isNotNull)
-          .select(col("__del").getField("_eid").as("eid")))
+        (Seq(frame.filter(col("__del").isNotNull)
+          .select(col("__del").getField("_eid").as("eid"))), Seq.empty)
       case st: StructType if st.fieldNames.contains("id") =>
-        mg.deleteVertices(frame.filter(col("__del").isNotNull)
-          .select(col("__del").getField("id").as("id")), detach)
+        (Seq.empty, Seq(frame.filter(col("__del").isNotNull)
+          .select(col("__del").getField("id").as("id"))))
       case at: ArrayType =>
-        deleteByValue(mg, at.elementType,
+        deleteByValue(at.elementType,
           frame.filter(col("__del").isNotNull)
-            .select(explode(col("__del")).as("__del")), detach)
+            .select(explode(col("__del")).as("__del")))
       case other =>
         throw ParseException(s"DELETE target must be a node, relationship or path, got $other")
     }
@@ -4120,7 +4591,14 @@ object Cypher {
           .distinct().localCheckpoint(true)
         val vtx0 = mg.vertices
         val matchCond = (n.props.map { case (k, _) =>
-          if (vtx0.columns.contains(k)) col(s"__mg_$k") === vtx0(k) else lit(false) } ++
+          if (vtx0.columns.contains(k)) {
+            // a schema-evolved variant prop column matches by dispatch,
+            // not coercion (same rule as the inline pattern predicate)
+            if (Variant.isVariantType(vtx0.schema(k).dataType))
+              coalesce(Variant.vEq(vtx0(k), Variant.ofDataType(
+                col(s"__mg_$k"), want.schema(s"__mg_$k").dataType)), lit(false))
+            else col(s"__mg_$k") === vtx0(k)
+          } else lit(false) } ++
           n.label.map(l => labelPred(vtx0("label"), l)))
           .reduceOption(_ && _).getOrElse(lit(true))
         val missing = want.join(vtx0, matchCond, "left_anti").localCheckpoint(true)
@@ -4162,7 +4640,14 @@ object Cypher {
           val renamed = vtx.columns.foldLeft(vtx)((d, c) =>
             d.withColumnRenamed(c, s"${v}_$c"))
           val cond = (n.props.map { case (k, e) =>
-            pl.toCol(e) <=> col(s"${v}_$k") } ++
+            // a schema-evolved variant prop column re-binds by dispatch
+            if (vtx.columns.contains(k) &&
+                Variant.isVariantType(vtx.schema(k).dataType)) {
+              val c = pl.toCol(e)
+              val dt2 = accBase.select(c).schema.head.dataType
+              coalesce(Variant.vEq(col(s"${v}_$k"), Variant.ofDataType(c, dt2)),
+                lit(false))
+            } else pl.toCol(e) <=> col(s"${v}_$k") } ++
             n.label.map(l => labelPred(col(s"${v}_label"), l)))
             .reduceOption(_ && _).getOrElse(lit(true))
           accBase.join(renamed, cond, "inner")
@@ -4401,6 +4886,7 @@ object Cypher {
           case Ident(v) => !varTargets.contains(v)
           case _        => true
         }
+        pl.deletedVars ++= varTargets
         val (relTargets, rest) = varTargets.partition(v =>
           pl.relVars(v) || pl.relListVars(v))
         val (pathTargets, nodeTargets) = rest.partition(pl.paths.contains)
@@ -4430,10 +4916,15 @@ object Cypher {
           }.reduce(_ union _)
           mg.deleteVertices(ids, detach)
         }
-        exprTargets.foreach { te =>
-          val c = pl.toCol(te)
-          val frame = pl.acc.select(c.as("__del"))
-          deleteByValue(mg, frame.schema("__del").dataType, frame, detach)
+        locally {
+          val parts = exprTargets.map { te =>
+            val c = pl.toCol(te)
+            val frame = pl.acc.select(c.as("__del"))
+            deleteByValue(frame.schema("__del").dataType, frame)
+          }
+          // all edge deletes across the clause's targets BEFORE any node
+          parts.flatMap(_._1).foreach(mg.deleteEdges)
+          parts.flatMap(_._2).foreach(f => mg.deleteVertices(f, detach))
         }
 
       case ForeachC(x, list, body) =>

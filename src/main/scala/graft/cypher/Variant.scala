@@ -1,0 +1,721 @@
+package graft.cypher
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sql.Ast._
+
+/** Runtime dynamic-value ("variant") calculus for openCypher.
+  *
+  * openCypher is dynamically typed: one column position may hold an
+  * integer on one row and a string, list, map, node, relationship or
+  * path on another (`UNWIND [1, 'a', [2], {k: 1}, n] AS x`). A Spark
+  * column has exactly one data type, so mixed-kind values are encoded
+  * as a uniform struct — per-kind scalar slots plus three canonical
+  * string encodings that carry arbitrarily nested structure:
+  *
+  *   _vrank : orderability rank (CIP2016 comparability/orderability —
+  *            map 0 < node 1 < rel 2 < list 3 < path 4 < string 5 <
+  *            boolean 6 < number 7 (NaN greatest) < null 8); the
+  *            reference implements the same total order in its TCK
+  *            glue (cy/steps/... result comparator)
+  *   _vnan  : value is or contains NaN (poisons equality)
+  *   _vnull : value is or contains null (3VL unknowns in deep equality)
+  *   _vint  : integer scalar slot (null otherwise)
+  *   _vnum  : numeric scalar slot, ints widened (null otherwise)
+  *   _vbool : boolean scalar slot
+  *   _vstr  : string scalar slot
+  *   _vkey  : prefix-free total-orderability key — rank char + body +
+  *            terminator; list body = concat of element keys, so
+  *            lexicographic string order IS element-wise list order
+  *   _veq   : equivalence key (numeric-normalized: 1 ≡ 1.0; null ≡
+  *            null; NaN ≡ NaN) — grouping/DISTINCT semantics
+  *   _vtck  : canonical openCypher literal rendering (`[1, 'a']`,
+  *            `(:L {k: 1})`) — the render layer parses this back
+  *   _velems: list elements, one level unpacked (each element is the
+  *            same struct minus _velems; deeper nesting lives in the
+  *            encoded strings)
+  *
+  * Construction always happens where the per-element static type IS
+  * known (literal elements, schema-typed columns, entity structs), so
+  * no runtime type dispatch is needed to build one; operations
+  * (comparison, string predicates, list algebra, quantifiers) dispatch
+  * on `_vrank` with plain `when` chains — all codegen-friendly, no
+  * UDFs. Scale: a variant is a fixed-width row fragment; every op is a
+  * per-row projection (no shuffle, no driver work).
+  */
+object Variant {
+
+  // orderability ranks
+  val RMap = 0; val RNode = 1; val RRel = 2; val RList = 3; val RPath = 4
+  val RStr = 5; val RBool = 6; val RNum = 7; val RNull = 8
+
+  private val Term = ""
+
+  /** Element struct: every field but _velems. */
+  val elemFields: Seq[StructField] = Seq(
+    StructField("_vrank", IntegerType, nullable = false),
+    StructField("_vnan", BooleanType, nullable = false),
+    StructField("_vnull", BooleanType, nullable = false),
+    StructField("_vint", LongType),
+    StructField("_vnum", DoubleType),
+    StructField("_vbool", BooleanType),
+    StructField("_vstr", StringType),
+    StructField("_vkey", StringType, nullable = false),
+    StructField("_veq", StringType, nullable = false),
+    StructField("_vtck", StringType, nullable = false))
+  val elemType: StructType = StructType(elemFields)
+  val fullType: StructType =
+    StructType(elemFields :+ StructField("_velems", ArrayType(elemType))
+      :+ StructField("_vprops", MapType(StringType, elemType)))
+
+  def isVariantType(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fieldNames.contains("_vrank") && st.fieldNames.contains("_vtck")
+    case _ => false
+  }
+
+  // ---------------- compile-time literal evaluation ----------------
+
+  /** A fully-evaluated literal variant (everything computed in Scala). */
+  final case class VLit(rank: Int, i: Option[Long], d: Option[Double],
+      b: Option[Boolean], s: Option[String], key: String, eq: String,
+      nan: Boolean, hasNull: Boolean, tck: String, elems: Option[Vector[VLit]],
+      props: Option[Vector[(String, VLit)]] = None)
+
+  /** Bounded order-preserving decimal encoding for numbers inside key
+    * strings (nested-list elements — top-level numbers sort on the
+    * native double slot). Exact for |v| ≤ 1e12 at 1e-6 resolution — the
+    * TCK value domain; NaN sorts after every number. */
+  private def numKey(v: Double): String =
+    if (v.isNaN) "~" * 20
+    else {
+      val clamped = math.max(-1e12, math.min(1e12, v))
+      f"${((clamped + 1e12) * 1e6).toLong}%020d"
+    }
+
+  /** Canonical numeric text for equivalence: 1 and 1.0 both “1”. */
+  private def numEq(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  private def quote(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  def ofLiteral(e: Expr): Option[VLit] = e match {
+    case NullLit => Some(VLit(RNull, None, None, None, None,
+      RNull.toString + Term, "z" + Term, nan = false, hasNull = true, "null", None))
+    case BoolLit(v) => Some(VLit(RBool, None, None, Some(v), None,
+      RBool.toString + (if (v) "1" else "0") + Term, "b" + (if (v) "1" else "0") + Term,
+      nan = false, hasNull = false, if (v) "true" else "false", None))
+    case StrLit(v) => Some(VLit(RStr, None, None, None, Some(v),
+      RStr.toString + v + Term, "s" + v + Term, nan = false, hasNull = false, quote(v), None))
+    case NumLit(v, true) => Some(VLit(RNum, Some(v.toLong), Some(v.toDouble), None, None,
+      RNum.toString + numKey(v.toDouble) + Term, "n" + numEq(v.toDouble) + Term,
+      nan = false, hasNull = false, v.toLong.toString, None))
+    case NumLit(v, false) => Some(VLit(RNum, None, Some(v.toDouble), None, None,
+      RNum.toString + numKey(v.toDouble) + Term, "n" + numEq(v.toDouble) + Term,
+      nan = false, hasNull = false, v.toDouble.toString, None))
+    case Neg(x) => ofLiteral(x).flatMap {
+      case l if l.rank == RNum =>
+        val d = -l.d.get
+        Some(l.copy(i = l.i.map(-_), d = Some(d),
+          key = RNum.toString + numKey(d) + Term, eq = "n" + numEq(d) + Term,
+          tck = l.i.map(i => (-i).toString).getOrElse(d.toString)))
+      case _ => None
+    }
+    case ArrayLit(es) =>
+      val vs = es.map(ofLiteral)
+      if (vs.exists(_.isEmpty)) None
+      else {
+        val xs = vs.map(_.get).toVector
+        Some(VLit(RList, None, None, None, None,
+          RList.toString + xs.map(_.key).mkString + Term,
+          "l" + xs.map(_.eq).mkString + Term,
+          nan = xs.exists(_.nan), hasNull = xs.exists(_.hasNull),
+          "[" + xs.map(_.tck).mkString(", ") + "]", Some(xs)))
+      }
+    case StructLit(fs) =>
+      val vs = fs.map { case (k, v) => ofLiteral(v).map(k -> _) }
+      if (vs.exists(_.isEmpty)) None
+      else {
+        val xs = vs.map(_.get)
+        val sorted = xs.sortBy(_._1)
+        Some(VLit(RMap, None, None, None, None,
+          RMap.toString + sorted.map { case (k, v) => k + "=" + v.key }.mkString + Term,
+          "m" + sorted.map { case (k, v) => k + "=" + v.eq }.mkString + Term,
+          nan = xs.exists(_._2.nan), hasNull = xs.exists(_._2.hasNull),
+          "{" + xs.map { case (k, v) => k + ": " + v.tck }.mkString(", ") + "}", None,
+          props = Some(xs.toVector)))
+      }
+    case _ => None
+  }
+
+  /** Literal variant → Column (a fully-constant struct). */
+  def litCol(v: VLit): Column = mk(
+    lit(v.rank), lit(v.nan), lit(v.hasNull),
+    v.i.map(lit(_)).getOrElse(nullLong), v.d.map(lit(_)).getOrElse(nullDouble),
+    v.b.map(lit(_)).getOrElse(nullBool), v.s.map(lit(_)).getOrElse(nullStr),
+    lit(v.key), lit(v.eq), lit(v.tck),
+    v.elems.map(es =>
+      if (es.isEmpty) array().cast(ArrayType(elemType))
+      else array(es.map(litElemCol): _*)),
+    v.props.filter(_.nonEmpty).map(ps =>
+      map(ps.flatMap { case (k, pv) => Seq(lit(k), litElemCol(pv)) }: _*)))
+
+  private def litElemCol(v: VLit): Column = mkElem(
+    lit(v.rank), lit(v.nan), lit(v.hasNull),
+    v.i.map(lit(_)).getOrElse(nullLong), v.d.map(lit(_)).getOrElse(nullDouble),
+    v.b.map(lit(_)).getOrElse(nullBool), v.s.map(lit(_)).getOrElse(nullStr),
+    lit(v.key), lit(v.eq), lit(v.tck))
+
+  private def nullLong = lit(null).cast(LongType)
+  private def nullDouble = lit(null).cast(DoubleType)
+  private def nullBool = lit(null).cast(BooleanType)
+  private def nullStr = lit(null).cast(StringType)
+
+  private def mkElem(rank: Column, nan: Column, hasNull: Column, i: Column,
+      d: Column, b: Column, s: Column, key: Column, eq: Column, tck: Column): Column =
+    struct(
+      rank.cast(IntegerType).as("_vrank"), nan.as("_vnan"), hasNull.as("_vnull"),
+      i.cast(LongType).as("_vint"), d.cast(DoubleType).as("_vnum"),
+      b.cast(BooleanType).as("_vbool"), s.cast(StringType).as("_vstr"),
+      key.as("_vkey"), eq.as("_veq"), tck.as("_vtck"))
+
+  private def mk(rank: Column, nan: Column, hasNull: Column, i: Column,
+      d: Column, b: Column, s: Column, key: Column, eq: Column, tck: Column,
+      elems: Option[Column], props: Option[Column] = None): Column =
+    struct(
+      rank.cast(IntegerType).as("_vrank"), nan.as("_vnan"), hasNull.as("_vnull"),
+      i.cast(LongType).as("_vint"), d.cast(DoubleType).as("_vnum"),
+      b.cast(BooleanType).as("_vbool"), s.cast(StringType).as("_vstr"),
+      key.as("_vkey"), eq.as("_veq"), tck.as("_vtck"),
+      elems.getOrElse(lit(null).cast(ArrayType(elemType))).as("_velems"),
+      props.getOrElse(lit(null).cast(MapType(StringType, elemType))).as("_vprops"))
+
+  // ---------------- runtime constructors (static kind known) ----------------
+
+  /** The null variant as a constant. */
+  def nullV: Column = litCol(ofLiteral(NullLit).get)
+
+  /** Wrap a schema-typed column. Null inputs become the null variant,
+    * so a variant struct itself is never SQL-null on construction. */
+  def ofDataType(c: Column, dt: DataType): Column = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      val l = c.cast(LongType)
+      whenNull(c, mk(lit(RNum), lit(false), lit(false), l, l.cast(DoubleType),
+        nullBool, nullStr,
+        concat(lit(RNum.toString), numKeyCol(l.cast(DoubleType)), lit(Term)),
+        concat(lit("n"), numEqCol(l.cast(DoubleType)), lit(Term)),
+        l.cast(StringType), None))
+    case DoubleType | FloatType | _: DecimalType =>
+      val d = c.cast(DoubleType)
+      whenNull(c, mk(lit(RNum), isnan(d), lit(false), nullLong, d,
+        nullBool, nullStr,
+        concat(lit(RNum.toString), numKeyCol(d), lit(Term)),
+        concat(lit("n"), numEqCol(d), lit(Term)),
+        floatTck(d), None))
+    case BooleanType =>
+      whenNull(c, mk(lit(RBool), lit(false), lit(false), nullLong, nullDouble,
+        c, nullStr,
+        concat(lit(RBool.toString), when(c, "1").otherwise("0"), lit(Term)),
+        concat(lit("b"), when(c, "1").otherwise("0"), lit(Term)),
+        when(c, "true").otherwise("false"), None))
+    case StringType =>
+      whenNull(c, mk(lit(RStr), lit(false), lit(false), nullLong, nullDouble,
+        nullBool, c,
+        concat(lit(RStr.toString), c, lit(Term)),
+        concat(lit("s"), c, lit(Term)),
+        strTck(c), None))
+    case ArrayType(et, _) if !isVariantType(et) =>
+      // homogeneous schema-typed list → variant list (elements wrapped)
+      whenNull(c, ofElems(transform(c, x => asElem(ofDataType(x, et)))))
+    case ArrayType(et, _) /* array of variant elements */ =>
+      whenNull(c, ofElems(c))
+    case st: StructType if isVariantType(st) =>
+      // already a variant (top-level or element form)
+      if (st.fieldNames.contains("_velems")) coalesce(c, nullV)
+      else coalesce(ofElemValue(c), nullV)
+    case st: StructType =>
+      // a generic struct column is an openCypher MAP value
+      whenNull(c, ofMapFields(st.fields.toSeq.map(f =>
+        f.name -> asElem(ofDataType(c.getField(f.name), f.dataType)))))
+    case _: NullType => nullV
+    case other =>
+      throw new IllegalArgumentException(s"cannot build a variant from type $other")
+  }
+
+  /** Map variant from statically-known keys and element-form variant
+    * values (runtime map construction — `{name2: n.list}` where the
+    * value kinds come from columns). Key order: source order renders,
+    * sorted order keys (order-insensitive equivalence). */
+  def ofMapFields(fields: Seq[(String, Column)]): Column = {
+    val sorted = fields.sortBy(_._1)
+    def orAll(cs: Seq[Column]): Column =
+      cs.reduceOption(_ || _).getOrElse(lit(false))
+    mk(lit(RMap),
+      orAll(fields.map(_._2.getField("_vnan"))),
+      orAll(fields.map(_._2.getField("_vnull"))),
+      nullLong, nullDouble, nullBool, nullStr,
+      concat((lit(RMap.toString) +: sorted.flatMap { case (k, v) =>
+        Seq(lit(k + "="), v.getField("_vkey")) }) :+ lit(Term): _*),
+      concat((lit("m") +: sorted.flatMap { case (k, v) =>
+        Seq(lit(k + "="), v.getField("_veq")) }) :+ lit(Term): _*),
+      concat(lit("{"),
+        concat_ws(", ", fields.map { case (k, v) =>
+          concat(lit(k + ": "), v.getField("_vtck")) }: _*), lit("}")),
+      None,
+      if (fields.isEmpty) None
+      else Some(map(fields.flatMap { case (k, v) => Seq(lit(k), v) }: _*)))
+  }
+
+  /** Promote an element-form variant (no _velems) back to full form.
+    * A rank-3 element's own elements are NOT recoverable (one-level
+    * encoding) — operations that need them guard on rank. */
+  def ofElemValue(c: Column): Column = mk(
+    c.getField("_vrank"), c.getField("_vnan"), c.getField("_vnull"),
+    c.getField("_vint"), c.getField("_vnum"), c.getField("_vbool"),
+    c.getField("_vstr"), c.getField("_vkey"), c.getField("_veq"),
+    c.getField("_vtck"), None)
+
+  /** Demote a full variant to element form (drops _velems — the encoded
+    * strings still carry the nested structure). */
+  def asElem(c: Column): Column = mkElem(
+    c.getField("_vrank"), c.getField("_vnan"), c.getField("_vnull"),
+    c.getField("_vint"), c.getField("_vnum"), c.getField("_vbool"),
+    c.getField("_vstr"), c.getField("_vkey"), c.getField("_veq"), c.getField("_vtck"))
+
+  /** Build a list variant from an array<elem> column (derives the
+    * aggregate keys/render from the elements). */
+  def ofElems(elems: Column): Column = mk(
+    lit(RList),
+    coalesce(exists(elems, _.getField("_vnan")), lit(false)),
+    coalesce(exists(elems, _.getField("_vnull")), lit(false)),
+    nullLong, nullDouble, nullBool, nullStr,
+    concat(lit(RList.toString),
+      coalesce(array_join(transform(elems, _.getField("_vkey")), ""), lit("")), lit(Term)),
+    concat(lit("l"),
+      coalesce(array_join(transform(elems, _.getField("_veq")), ""), lit("")), lit(Term)),
+    concat(lit("["),
+      coalesce(array_join(transform(elems, _.getField("_vtck")), ", "), lit("")), lit("]")),
+    Some(elems))
+
+  private def whenNull(src: Column, v: Column): Column =
+    when(src.isNull, nullV).otherwise(v)
+
+  /** Order-preserving numeric key (see [[numKey]]) as a Column. */
+  private def numKeyCol(d: Column): Column =
+    when(isnan(d), lit("~" * 20)).otherwise(
+      lpad(((greatest(lit(-1e12), least(lit(1e12), d)) + lit(1e12)) * lit(1e6))
+        .cast(LongType).cast(StringType), 20, "0"))
+
+  private def numEqCol(d: Column): Column =
+    when(isnan(d), lit("NaN"))
+      .when(d === floor(d) && abs(d) < lit(1e15), d.cast(LongType).cast(StringType))
+      .otherwise(d.cast(StringType))
+
+  /** Double → openCypher literal text (Spark's double→string cast keeps
+    * the trailing .0 — exactly the TCK float form). */
+  private def floatTck(d: Column): Column =
+    when(isnan(d), lit("NaN")).otherwise(d.cast(StringType))
+
+  private def strTck(s: Column): Column =
+    concat(lit("'"),
+      regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "'", "\\\\'"), lit("'"))
+
+  // ---------------- entity constructors ----------------
+
+  /** Node variant from a whole-node struct column ({id, label, props…} —
+    * the shape [[Cypher]]'s entityCol builds). `fields` is the struct's
+    * static schema; `_`-prefixed metadata fields are skipped; the label
+    * field renders as the label set. */
+  def ofNode(node: Column, fields: Seq[(String, DataType)]): Column = {
+    val id = node.getField("id")
+    val labelTxt = labelRender(node.getField("label"))
+    val propFields = fields.filterNot { case (n, _) =>
+      n == "id" || n == "label" || n.startsWith("_") }
+    val propsPart =
+      if (propFields.isEmpty) lit("")
+      else {
+        val t = propsRender(node, propFields)
+        when(length(t) === 0, lit("")).otherwise(concat(lit(" "), t))
+      }
+    whenNull(id, mk(lit(RNode), lit(false), lit(false), nullLong, nullDouble,
+      nullBool, node.getField("label"),
+      concat(lit(RNode.toString), lpad(id.cast(StringType), 19, "0"), lit(Term)),
+      concat(lit("N"), id.cast(StringType), lit(Term)),
+      concat(lit("("), labelTxt, propsPart, lit(")")), None,
+      propsMap(node, propFields)))
+  }
+
+  /** Relationship variant from a rel struct ({_eid, label, _src, _dst, props…}). */
+  def ofRel(rel: Column, fields: Seq[(String, DataType)]): Column = {
+    val eid = rel.getField("_eid")
+    // unlike nodes, a rel's `id` field IS a user property (identity is
+    // _eid) — keep it in the prop set
+    val propFields = fields.filterNot { case (n, _) =>
+      n == "label" || n.startsWith("_") }
+    val propsPart =
+      if (propFields.isEmpty) lit("")
+      else {
+        val t = propsRender(rel, propFields)
+        when(length(t) === 0, lit("")).otherwise(concat(lit(" "), t))
+      }
+    whenNull(eid, mk(lit(RRel), lit(false), lit(false), nullLong, nullDouble,
+      nullBool, rel.getField("label"),
+      concat(lit(RRel.toString), lpad(eid.cast(StringType), 19, "0"), lit(Term)),
+      concat(lit("E"), eid.cast(StringType), lit(Term)),
+      concat(lit("[:"), rel.getField("label"), propsPart, lit("]")), None,
+      propsMap(rel, propFields)))
+  }
+
+  /** Entity props as map<name, element-variant> — property access on a
+    * variant entity dispatches through this, keeping each value's exact
+    * kind ((list[1]).existing is the integer 42, not "42"). */
+  private def propsMap(ent: Column, fields: Seq[(String, DataType)]): Option[Column] =
+    if (fields.isEmpty) None
+    else Some(map(fields.flatMap { case (n, dt) =>
+      Seq(lit(n), asElem(ofDataType(ent.getField(n), dt)))
+    }: _*))
+
+  /** Path variant from aligned whole-node + rel struct arrays (the
+    * `_pathn`/`_pathr` shape the path machinery carries); direction per
+    * step is recovered from the rel's _src against the node order —
+    * exactly how the result layer renders paths. */
+  def ofPath(pathN: Column, pathR: Column,
+      nodeFields: Seq[(String, DataType)], relFields: Seq[(String, DataType)]): Column = {
+    val nTxts = transform(pathN, n =>
+      asElem(ofNode(n, nodeFields)))
+    val rV = transform(pathR, r => asElem(ofRel(r, relFields)))
+    // step i: node(i) -rel(i)-> node(i+1), reversed when _src ≠ node(i).id
+    val stepTxt = transform(pathR, (r, i) => concat(
+      when(r.getField("_src") === element_at(pathN, i + 1).getField("id"), "-")
+        .otherwise("<-"),
+      element_at(rV, i + 1).getField("_vtck"),
+      when(r.getField("_src") === element_at(pathN, i + 1).getField("id"), "->")
+        .otherwise("-"),
+      element_at(nTxts, i + 2).getField("_vtck")))
+    val tck = concat(lit("<"), element_at(nTxts, 1).getField("_vtck"),
+      coalesce(array_join(stepTxt, ""), lit("")), lit(">"))
+    val key = concat(lit(RPath.toString),
+      coalesce(array_join(transform(nTxts, _.getField("_vkey")), ""), lit("")),
+      coalesce(array_join(transform(rV, _.getField("_vkey")), ""), lit("")), lit(Term))
+    whenNull(pathN, mk(lit(RPath), lit(false), lit(false), nullLong, nullDouble,
+      nullBool, nullStr, key,
+      concat(lit("P"), key), tck, None))
+  }
+
+  /** Render a label-set string ("A:B" or "") as openCypher `:A:B`. */
+  private def labelRender(label: Column): Column =
+    when(label.isNull || label === "", lit(""))
+      .otherwise(concat(lit(":"), regexp_replace(label, ":", "\\:")))
+
+  /** Render non-null props as `{k: v, …}`; "" when none. Values render
+    * by their STATIC field type. */
+  private def propsRender(ent: Column, fields: Seq[(String, DataType)]): Column = {
+    if (fields.isEmpty) lit("")
+    else {
+      val parts = fields.map { case (n, dt) =>
+        val v = ent.getField(n)
+        when(v.isNull, lit(null).cast(StringType))
+          .otherwise(concat(lit(n + ": "), valueTck(v, dt)))
+      }
+      val joined = array_join(filter(array(parts: _*), _.isNotNull), ", ")
+      when(joined === "", lit("")).otherwise(concat(lit("{"), joined, lit("}")))
+    }
+  }
+
+  /** Static-typed value → openCypher literal text (for prop rendering). */
+  def valueTck(v: Column, dt: DataType): Column = dt match {
+    case LongType | IntegerType | ShortType | ByteType => v.cast(StringType)
+    case DoubleType | FloatType | _: DecimalType => floatTck(v.cast(DoubleType))
+    case BooleanType => when(v, "true").otherwise("false")
+    case StringType => strTck(v)
+    case ArrayType(et, _) =>
+      concat(lit("["),
+        coalesce(array_join(transform(v, x => valueTck(x, et)), ", "), lit("")), lit("]"))
+    case st: StructType if isVariantType(st) => v.getField("_vtck")
+    case _ => v.cast(StringType)
+  }
+
+  // ---------------- accessors ----------------
+
+  def rank(c: Column): Column = coalesce(c.getField("_vrank"), lit(RNull))
+  def isNullV(c: Column): Column = c.isNull || c.getField("_vrank") === RNull
+
+  /** Total-orderability sort key: struct comparison is field-by-field,
+    * numbers sort on the native double (NaN greatest — Spark's double
+    * ordering), everything else on the prefix-free key string. */
+  def sortKey(c: Column): Column = struct(
+    rank(c).as("r"),
+    coalesce(c.getField("_vnum"), lit(0.0)).as("num"),
+    coalesce(c.getField("_vkey"), lit(RNull.toString + Term)).as("s"))
+
+  /** min()/max() ordering over mixed values differs from ORDER BY
+    * orderability (TCK Aggregation2 [11][12]: max over [1,'a',[1,2]] is
+    * 1, min is [1,2]): lists < strings < booleans < numbers, nulls
+    * skipped. Entity kinds keep their relative orderability below
+    * lists. Null ordering key → the row is ignored by min_by/max_by. */
+  private def aggKey(c: Column): Column = {
+    val r = c.getField("_vrank")
+    val remap = when(r === RList, 3).when(r === RStr, 4)
+      .when(r === RBool, 5).when(r === RNum, 6).otherwise(r - 3) // map/node/rel/path → -3..1
+    when(isNullV(c), lit(null).cast(elemSortType)).otherwise(struct(
+      remap.cast(IntegerType).as("r"),
+      coalesce(c.getField("_vnum"), lit(0.0)).as("num"),
+      coalesce(c.getField("_vkey"), lit("")).as("s")))
+  }
+  private val elemSortType = StructType(Seq(
+    StructField("r", IntegerType), StructField("num", DoubleType),
+    StructField("s", StringType)))
+
+  /** min/max aggregate over a variant column (skips nulls; returns the
+    * null variant only when every input is null — min_by/max_by ignore
+    * null keys). */
+  def vMin(c: Column): Column = coalesce(min_by(c, aggKey(c)), nullV)
+  def vMax(c: Column): Column = coalesce(max_by(c, aggKey(c)), nullV)
+
+  // ---------------- comparison / predicates ----------------
+
+  private def bothNum(a: Column, b: Column): Column =
+    rank(a) === RNum && rank(b) === RNum
+
+  /** openCypher 3VL equality. Cross-kind (except numbers): false.
+    * NaN never equals anything. Deep values compare on the equivalence
+    * key; a null buried inside an otherwise-equal pair is unknown.
+    * (Conservative corner: two DIFFERENT null-holding lists report
+    * null where element-wise comparison could decide false — the
+    * unknown-leaning side of 3VL; document-level TCK pins don't hit
+    * it.) */
+  def vEq(a: Column, b: Column): Column =
+    when(isNullV(a) || isNullV(b), lit(null).cast(BooleanType))
+      .when(a.getField("_vnan") || b.getField("_vnan"), lit(false))
+      .when(bothNum(a, b), a.getField("_vnum") === b.getField("_vnum"))
+      .when(rank(a) =!= rank(b), lit(false))
+      .when(a.getField("_vnull") || b.getField("_vnull"), lit(null).cast(BooleanType))
+      .otherwise(a.getField("_veq") === b.getField("_veq"))
+
+  /** openCypher 3VL ordering: numbers compare with numbers; same-kind
+    * values compare within the kind; everything else is null
+    * (comparability, CIP2016). */
+  def vCmp(op: String, a: Column, b: Column): Column = {
+    val cmpable = bothNum(a, b) ||
+      (rank(a) === rank(b) && rank(a).isin(RStr, RBool, RList))
+    val ka = sortKey(a); val kb = sortKey(b)
+    val r = op match {
+      case "<"  => ka < kb
+      case "<=" => ka <= kb
+      case ">"  => ka > kb
+      case _    => ka >= kb
+    }
+    when(isNullV(a) || isNullV(b), lit(null).cast(BooleanType))
+      .when(a.getField("_vnan") || b.getField("_vnan"), lit(false))
+      .when(!cmpable, lit(null).cast(BooleanType))
+      // lists holding nulls or mixed families: element-wise comparability
+      // is undecidable from the key alone — unknown
+      .when(rank(a) === RList && (a.getField("_vnull") || b.getField("_vnull")),
+        lit(null).cast(BooleanType))
+      .otherwise(r)
+  }
+
+  /** STARTS WITH / ENDS WITH / CONTAINS: null unless BOTH operands are
+    * strings (openCypher string predicates on non-strings are null). */
+  def vStringPred(kind: String, a: Column, b: Column): Column = {
+    val sa = a.getField("_vstr"); val sb = b.getField("_vstr")
+    val r = kind match {
+      case "starts" => sa.startsWith(sb)
+      case "ends"   => sa.endsWith(sb)
+      case _        => sa.contains(sb)
+    }
+    when(rank(a) === RStr && rank(b) === RStr, r)
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  // ---------------- list algebra ----------------
+
+  /** size() on a variant: list → element count; string → length; other
+    * kinds (incl. null) → null. */
+  def vSize(c: Column): Column =
+    when(rank(c) === RList, size(c.getField("_velems")).cast(LongType))
+      .when(rank(c) === RStr, length(c.getField("_vstr")).cast(LongType))
+      .otherwise(lit(null).cast(LongType))
+
+  /** reverse() on a variant list (string reverses too). */
+  def vReverse(c: Column): Column =
+    when(rank(c) === RList, ofElems(reverse(c.getField("_velems"))))
+      .when(rank(c) === RStr, ofDataType(reverse(c.getField("_vstr")), StringType))
+      .otherwise(nullV)
+
+  /** openCypher `+` on variants: list + list concatenates, list +
+    * scalar appends, null propagates. (Scalar + scalar arithmetic on
+    * variants shows up only via mixed lists — route through _vnum when
+    * both numeric.) */
+  def vPlus(a: Column, b: Column): Column =
+    when(isNullV(a) || isNullV(b), nullV)
+      .when(rank(a) === RList && rank(b) === RList,
+        ofElems(concat(a.getField("_velems"), b.getField("_velems"))))
+      .when(rank(a) === RList,
+        ofElems(concat(a.getField("_velems"), array(asElem(b)))))
+      .when(bothNum(a, b),
+        // int+int stays integral, else float
+        when(a.getField("_vint").isNotNull && b.getField("_vint").isNotNull,
+          ofDataType(a.getField("_vint") + b.getField("_vint"), LongType))
+          .otherwise(ofDataType(a.getField("_vnum") + b.getField("_vnum"), DoubleType)))
+      .when(rank(a) === RStr && rank(b) === RStr,
+        ofDataType(concat(a.getField("_vstr"), b.getField("_vstr")), StringType))
+      .otherwise(nullV)
+
+  /** Numeric arithmetic on variants (-,*,/,%): integer op integer stays
+    * integral (division truncates — openCypher), anything else runs in
+    * double; a non-numeric operand → null variant. */
+  def vArith(op: String, a: Column, b: Column): Column = {
+    val ai = a.getField("_vint"); val bi = b.getField("_vint")
+    val ad = a.getField("_vnum"); val bd = b.getField("_vnum")
+    val bothInt = ai.isNotNull && bi.isNotNull
+    val intR = op match {
+      case "-" => ai - bi
+      case "*" => ai * bi
+      case "/" => call_function("div", ai, bi)
+      case _   => ai % bi
+    }
+    val dblR = op match {
+      case "-" => ad - bd
+      case "*" => ad * bd
+      case "/" =>
+        // IEEE semantics with the raising division kept off the zero
+        // path (ANSI mode) — same shape as the scalar fdiv translation
+        when(bd === lit(0.0),
+          when(ad === lit(0.0) || isnan(ad), lit(Double.NaN))
+            .otherwise(signum(ad) * lit(Double.PositiveInfinity)))
+          .otherwise(ad / bd)
+      case _   => ad % bd
+    }
+    when(isNullV(a) || isNullV(b), nullV)
+      .when(!bothNum(a, b), nullV)
+      .when(bothInt, ofDataType(intR, LongType))
+      .otherwise(ofDataType(dblR, DoubleType))
+  }
+
+  /** Unary minus on a variant (numeric only). */
+  def vNeg(a: Column): Column =
+    when(isNullV(a) || rank(a) =!= RNum, nullV)
+      .when(a.getField("_vint").isNotNull, ofDataType(-a.getField("_vint"), LongType))
+      .otherwise(ofDataType(-a.getField("_vnum"), DoubleType))
+
+  /** List comprehension `[x IN list WHERE pred]` over a variant list —
+    * `pred` maps an ELEMENT-form variant column to a boolean Column
+    * (3VL: only TRUE keeps the element). Non-list input → null. */
+  def vFilter(c: Column, pred: Column => Column): Column =
+    when(isNullV(c), nullV)
+      .when(rank(c) === RList,
+        ofElems(filter(c.getField("_velems"), e => coalesce(pred(e), lit(false)))))
+      .otherwise(nullV)
+
+  /** Map part of a comprehension: transform elements (element-form in,
+    * element-form out). */
+  def vTransform(c: Column, f: Column => Column): Column =
+    when(isNullV(c), nullV)
+      .when(rank(c) === RList, ofElems(transform(c.getField("_velems"), f)))
+      .otherwise(nullV)
+
+  /** Quantifiers with exact 3VL over a variant list: the predicate maps
+    * an element-form variant to a 3VL boolean. any: ∃true → true, else
+    * ∃null → null, else false; all: ∃false → false, else ∃null → null,
+    * else true; none = ¬any; single: >1 true → false, ∃null → null,
+    * else =1 true. */
+  def vQuantifier(kind: String, c: Column, pred: Column => Column): Column = {
+    val elems = c.getField("_velems")
+    val nTrue = size(filter(elems, e => coalesce(pred(e), lit(false))))
+    val nNull = size(filter(elems, e => pred(e).isNull))
+    val nFalse = size(filter(elems, e => !coalesce(pred(e), lit(true))))
+    val r = kind match {
+      case "any" => when(nTrue > 0, lit(true)).when(nNull > 0, lit(null).cast(BooleanType))
+        .otherwise(lit(false))
+      case "all" => when(nFalse > 0, lit(false)).when(nNull > 0, lit(null).cast(BooleanType))
+        .otherwise(lit(true))
+      case "none" => when(nTrue > 0, lit(false)).when(nNull > 0, lit(null).cast(BooleanType))
+        .otherwise(lit(true))
+      case _ => when(nTrue > 1, lit(false)).when(nNull > 0, lit(null).cast(BooleanType))
+        .otherwise(nTrue === 1)
+    }
+    when(isNullV(c) || rank(c) =!= RList, lit(null).cast(BooleanType)).otherwise(r)
+  }
+
+  /** IN over a variant list: 3VL membership via [[vEq]] on elements. */
+  def vIn(x: Column, listV: Column): Column = {
+    val elems = listV.getField("_velems")
+    val xs = asElem(x)
+    def eqE(e: Column): Column = vEq(ofElemValue(e), ofElemValue(xs))
+    val anyTrue = exists(elems, e => coalesce(eqE(e), lit(false)))
+    val anyNull = exists(elems, e => eqE(e).isNull)
+    when(isNullV(listV) || rank(listV) =!= RList, lit(null).cast(BooleanType))
+      .when(anyTrue, lit(true))
+      .when(anyNull, lit(null).cast(BooleanType))
+      .otherwise(lit(false))
+  }
+
+  /** toString() on a variant: numbers/booleans render canonically,
+    * strings pass through, null → null; lists, maps and entities raise
+    * (openCypher InvalidArgumentValue — TCK TypeConversion4 [10]). */
+  def vToString(c: Column): Column =
+    when(isNullV(c), lit(null).cast(StringType))
+      .when(rank(c) === RStr, c.getField("_vstr"))
+      .when(rank(c).isin(RNum, RBool), c.getField("_vtck"))
+      .otherwise(raise_error(concat(
+        lit("TypeError: InvalidArgumentValue — toString() on "),
+        c.getField("_vtck"))).cast(StringType))
+
+  /** labels() on a variant node (label set carried in the _vstr slot);
+    * null for the null variant; a non-node value raises at runtime
+    * (openCypher InvalidArgumentValue — TCK Graph3 [9]). */
+  def vLabels(c: Column): Column =
+    when(isNullV(c), lit(null).cast(ArrayType(StringType)))
+      .when(rank(c) === RNode,
+        filter(split(coalesce(c.getField("_vstr"), lit("")), ":"), _ =!= ""))
+      .otherwise(raise_error(concat(lit("TypeError: InvalidArgumentValue — labels() on "),
+        c.getField("_vtck"))).cast(ArrayType(StringType)))
+
+  /** type() on a variant relationship — same runtime discipline. */
+  def vType(c: Column): Column =
+    when(isNullV(c), lit(null).cast(StringType))
+      .when(rank(c) === RRel, c.getField("_vstr"))
+      .otherwise(raise_error(concat(lit("TypeError: InvalidArgumentValue — type() on "),
+        c.getField("_vtck"))).cast(StringType))
+
+  /** Property access on a variant entity or map (exact value kinds via
+    * the _vprops element-variant map); absent key / non-entity → null
+    * variant. */
+  def vProp(c: Column, name: String): Column = {
+    val hit = when(c.getField("_vprops").isNull, lit(null).cast(elemType))
+      .otherwise(try_element_at(c.getField("_vprops"), lit(name)))
+    when(isNullV(c) || !rank(c).isin(RMap, RNode, RRel), nullV)
+      .when(hit.isNull, nullV)
+      .otherwise(ofElemValue(hit))
+  }
+
+  /** list[lo..hi] slice on a variant list (end-exclusive, negatives from
+    * the end, clamped — openCypher list slicing). */
+  def vSlice(c: Column, lo: Column, hi: Column): Column = {
+    val elems = c.getField("_velems")
+    val n = size(elems)
+    def clamp(x: Column): Column =
+      greatest(lit(0), least(n, when(x < 0, x.cast(IntegerType) + n)
+        .otherwise(x.cast(IntegerType))))
+    val l = clamp(lo); val h = clamp(hi)
+    when(isNullV(c) || rank(c) =!= RList || lo.isNull || hi.isNull, nullV)
+      .otherwise(ofElems(slice(elems, l + 1, greatest(h - l, lit(0)))))
+  }
+
+  /** list[i] subscript on a variant list (negative wraps; out of range →
+    * null variant). Returns FULL form (nested elements unavailable —
+    * encoded strings only). */
+  def vIndex(c: Column, ix: Column): Column = {
+    val elems = c.getField("_velems")
+    val n = size(elems)
+    val i = when(ix < 0, ix + n).otherwise(ix).cast(IntegerType)
+    when(isNullV(c) || rank(c) =!= RList || ix.isNull, nullV)
+      .when(i >= 0 && i < n, ofElemValue(element_at(elems, i + 1)))
+      .otherwise(nullV)
+  }
+}

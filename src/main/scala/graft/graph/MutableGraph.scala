@@ -191,18 +191,25 @@ object MutableGraph {
     * dynamically typed PER RECORD: the same key may hold a string on one
     * node and a number on another. ANSI union coercion would resolve
     * string/bigint to bigint and throw a cast error the first time the
-    * string value is read — resolve such conflicts to STRING instead,
-    * the widest lossless carrier (numeric rendering fidelity of the
-    * minority side is the documented trade; cf. the reference's
-    * schema-flexible Document.java property bags). */
+    * string value is read — resolve such conflicts to the VARIANT
+    * encoding ([[graft.cypher.Variant]]): each record keeps its exact
+    * kind, predicates dispatch per row, and the render layer restores
+    * the original value (TCK MatchWhere5 [4] — `var` holding 'text' on
+    * one node and 0 on another; cf. the reference's schema-flexible
+    * Document.java property bags). Types the variant can't carry (e.g.
+    * temporal structs vs strings) still fall back to string. */
   def evolvedUnion(base: DataFrame, rows: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
+    import graft.cypher.Variant
     val bt = base.schema.map(f => f.name -> f.dataType).toMap
     val rt = rows.schema.map(f => f.name -> f.dataType).toMap
-    val mixed = (bt.keySet intersect rt.keySet).filter { k =>
-      val (a, b) = (bt(k), rt(k))
-      a != b && (a == StringType || b == StringType) &&
-        a != NullType && b != NullType
+    def variantOk(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+          FloatType | BooleanType | StringType => true
+      case _: DecimalType => true
+      case ArrayType(et, _) => variantOk(et)
+      case st: StructType => Variant.isVariantType(st)
+      case _ => false
     }
     // the same property key holding a native temporal (µs-clean
     // TimestampNTZ / DateType) on one side and the tagged temporal struct
@@ -221,8 +228,18 @@ object MutableGraph {
       (isNativeTemporal(bt(k)) && isTemporalStruct(rt(k), bt(k))) ||
       (isNativeTemporal(rt(k)) && isTemporalStruct(bt(k), rt(k)))
     }
+    val conflicting = (bt.keySet intersect rt.keySet).filter { k =>
+      val (a, b) = (bt(k), rt(k))
+      a != b && a != NullType && b != NullType && !promote(k)
+    }
+    val toVariant = conflicting.filter(k => variantOk(bt(k)) && variantOk(rt(k)))
+    val toString0 = conflicting.filter { k =>
+      !toVariant(k) && (bt(k) == StringType || rt(k) == StringType)
+    }
     def coerce(d: DataFrame, t: Map[String, DataType]) = {
-      val s = mixed.foldLeft(d)((acc, k) => acc.withColumn(k, col(k).cast(StringType)))
+      val v = toVariant.foldLeft(d)((acc, k) =>
+        acc.withColumn(k, Variant.ofDataType(col(k), t(k))))
+      val s = toString0.foldLeft(v)((acc, k) => acc.withColumn(k, col(k).cast(StringType)))
       promote.foldLeft(s) { (acc, k) =>
         if (isNativeTemporal(t(k)))
           acc.withColumn(k, graft.sql.TemporalRuntime.promoteToStruct(col(k), t(k)))

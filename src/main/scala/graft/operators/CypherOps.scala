@@ -234,6 +234,31 @@ object CypherOps {
            |   sum(CASE WHEN o.name = 'F' THEN 1 ELSE 0 END) AS nf
            | ORDER BY key""".stripMargin.replace("\n", ""))),
 
+    // ---- dynamic typing (variant calculus): one UNWIND column holding
+    //      strings, integers, floats, booleans and nulls per row; count
+    //      skips nulls, min/max use openCypher's cross-type aggregation
+    //      order (lists < strings < booleans < numbers); the canonical
+    //      render restores each ORIGINAL kind (Cypher.Variant) ----
+    Q("q_cypher_mixed",
+      """SELECT c_custkey AS key,
+        |  (3 + (c_custkey % 2 = 0)::INT)::BIGINT AS cnt,
+        |  '''' || c_name || '''' AS mn,
+        |  CASE WHEN c_custkey % 2 = 0 AND c_custkey > 2
+        |       THEN c_custkey::VARCHAR ELSE '2.5' END AS mx
+        |FROM customer WHERE c_custkey <= 40 ORDER BY key""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Cypher.query(PropertyGraph.fromTpch(s, d),
+          """MATCH (c:customer) WHERE c.key <= 40
+            | UNWIND [c.name, CASE WHEN c.key % 2 = 0 THEN c.key ELSE null END,
+            |         2.5, true, null] AS v
+            | RETURN c.key AS key, count(v) AS cnt, min(v) AS mn, max(v) AS mx
+            | ORDER BY key""".stripMargin.replace("\n", ""))
+          .select(col("key"), col("cnt"),
+            col("mn").getField("_vtck").as("mn"),
+            col("mx").getField("_vtck").as("mx"))
+      }),
+
     // ---- shortestPath: min-depth BFS bound to a path variable ----
     Q("q_cypher_shortest_path",
       """WITH RECURSIVE ce AS (

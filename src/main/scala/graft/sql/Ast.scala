@@ -92,6 +92,15 @@ object Ast {
   final case class ExistsSub(body: String, isCount: Boolean)    extends Expr
   /** Engine-internal: a pre-evaluated scalar (never produced by the parser). */
   final case class Resolved(value: Any)                         extends Expr
+  /** Engine-internal: a pre-built Spark Column (never produced by the
+    * parser) — the Cypher front-end's dynamic-typing (variant) rewrites
+    * emit these, carrying their static tag ('v' variant, 'b' boolean,
+    * 'i' integral, …) so the surrounding typing rules keep composing. */
+  final case class ColRef(c: org.apache.spark.sql.Column, tag: Char = '?',
+      dt: Option[org.apache.spark.sql.types.DataType] = None,
+      /** The wrapped column is an AGGREGATE call — containsAgg must see
+        * it so implicit grouping keeps treating it as one. */
+      agg: Boolean = false) extends Expr
   /** Engine-internal: a compile-time-folded temporal value
     * ([[Temporals.TVal]]) — the Cypher front-end's exact temporal
     * interpreter produces these; [[Temporals.column]] materializes them. */
@@ -108,7 +117,8 @@ object Ast {
     def go(x: Expr): Expr = mapDown(x)(f)
     f(e) match {
       case x @ (Ident(_) | NumLit(_, _) | StrLit(_) | BoolLit(_) | NullLit |
-                Resolved(_) | TemporalLit(_) | Subquery(_) | ExistsSub(_, _)) => x
+                Resolved(_) | ColRef(_, _, _, _) | TemporalLit(_) | Subquery(_) |
+                ExistsSub(_, _)) => x
       case FnCall(n, args, st)    => FnCall(n, args.map(go), st)
       case MethodCall(t, n, args) => MethodCall(go(t), n, args.map(go))
       case PropAccess(t, n)       => PropAccess(go(t), n)

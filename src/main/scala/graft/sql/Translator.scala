@@ -36,6 +36,7 @@ object Translator {
   def isAggFn(n: String): Boolean = AggFns.contains(n.toLowerCase.stripSuffix("_distinct"))
 
   def containsAgg(e: Expr): Boolean = e match {
+    case ColRef(_, _, _, agg) => agg
     case FnCall(n, args, _) =>
       AggFns.contains(n.toLowerCase.stripSuffix("_distinct")) || args.exists(containsAgg)
     case MethodCall(t, _, args) => containsAgg(t) || args.exists(containsAgg)
@@ -254,6 +255,7 @@ object Translator {
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access
     case Resolved(v)         => lit(v)
+    case ColRef(c, _, _, _)  => c
     case TemporalLit(v)      => Temporals.column(v)
     case Subquery(_)         => throw TranslateException("unresolved scalar subquery (compile() resolves these)")
   }

@@ -30,10 +30,11 @@ class TckSpec extends AnyFunSuite {
   test("expected-failures list stays tight") {
     // silent growth of the pin list is a conformance regression even when
     // every entry is "expected" — hard-assert the ceiling (the reference's
-    // own list is 45 entries; ours is 50 after round 8's burn-down, all
-    // justified in-file as dynamic-typing classes Spark columns can't hold)
-    assert(expectedFailures.size <= 50,
-      s"expected-failures grew to ${expectedFailures.size} entries (ceiling 50) — " +
+    // own list is 45 entries; ours is 5 after round 8's variant-typing
+    // calculus cleared the heterogeneous-value class, each justified
+    // in-file)
+    assert(expectedFailures.size <= 5,
+      s"expected-failures grew to ${expectedFailures.size} entries (ceiling 5) — " +
         "fix the regressions or justify and raise the ceiling")
   }
 

@@ -11,7 +11,15 @@ sealed trait TV
 case object VNull extends TV
 final case class VBool(b: Boolean) extends TV
 final case class VInt(v: Long) extends TV
-final case class VFloat(v: Double) extends TV
+final case class VFloat(v: Double) extends TV {
+  // case-class equality on Double uses primitive == (NaN ≠ NaN); result
+  // comparison needs NaN cells to match NaN expectations
+  override def equals(o: Any): Boolean = o match {
+    case VFloat(w) => java.lang.Double.compare(v, w) == 0 || v == w
+    case _ => false
+  }
+  override def hashCode: Int = java.lang.Double.hashCode(v)
+}
 final case class VStr(s: String) extends TV
 final case class VList(xs: Vector[TV]) extends TV
 final case class VMap(m: Map[String, TV]) extends TV
@@ -86,6 +94,7 @@ object TckValues {
         case "null" => VNull
         case "true" => VBool(true)
         case "false" => VBool(false)
+        case "NaN" => VFloat(Double.NaN)
         case t if t.matches("-?\\d+") => VInt(t.toLong)
         case t if t.matches("-?\\d*\\.?\\d+([eE][+-]?\\d+)?") || t.matches("-?\\d+\\.\\d*") =>
           VFloat(t.toDouble)
@@ -210,7 +219,14 @@ object TckValues {
       // user-visible properties
       def props(m: Map[String, TV]): Map[String, TV] =
         m.filter { case (k, v) => !k.startsWith("_") && v != VNull }
-      if (names.contains("_tkind") && names.contains("_iso")) {
+      if (names.contains("_vrank") && names.contains("_vtck")) {
+        // dynamic-typed (variant) struct: rank 8 is the null value;
+        // anything else renders through its canonical openCypher literal
+        // text, which this file's own parser reads back — so a variant
+        // result compares exactly like a natively-typed one
+        if (r.getAs[Int]("_vrank") == 8) VNull
+        else parse(r.getAs[String]("_vtck"))
+      } else if (names.contains("_tkind") && names.contains("_iso")) {
         // tagged temporal struct (zoned datetime/time/duration — kinds
         // Spark types can't carry): renders as its ISO text, exactly how
         // the TCK quotes temporal expectations

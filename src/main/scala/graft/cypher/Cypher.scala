@@ -1454,6 +1454,28 @@ object Cypher {
       case _             => 0
     }
 
+    /** Equivalence key of a (possibly deeply nested) container tree,
+      * built with ONE concat per level — the linear-size alternative to
+      * the full variant wrap when only grouping/DISTINCT semantics are
+      * needed. Leaves wrap as depth-0 variants and contribute their
+      * `_veq`. None when a leaf cannot wrap (unknown static type). */
+    def eqKeyOf(x: Expr): Option[Column] = x match {
+      case StructLit(fs) =>
+        val parts = fs.sortBy(_._1).map { case (k, v) =>
+          eqKeyOf(v).map(c => concat(lit(k + "="), c)) }
+        if (parts.exists(_.isEmpty)) None
+        else Some(concat((lit("m") +: parts.map(_.get)) :+ lit(""): _*))
+      case ArrayLit(es) =>
+        val parts = es.map(eqKeyOf)
+        if (parts.exists(_.isEmpty)) None
+        else Some(concat((lit("l") +: parts.map(_.get)) :+ lit(""): _*))
+      case other =>
+        // callers hand POST-flatten trees (the projection pipeline
+        // flattens before typed()) — re-flattening would mangle the
+        // already-resolved column names
+        scala.util.Try(asVariantCol(typed(other)).getField("_veq")).toOption
+    }
+
     /** Should this list run through the variant encoding? Mixed value
       * families, or entities/paths alongside scalars — the single-typed
       * Spark column cannot hold the union. Node+rel mixing stays native
@@ -1619,6 +1641,15 @@ object Cypher {
         val i0 = litNum(ix).get.toInt
         val i = if (i0 < 0) es.length + i0 else i0
         if (i >= 0 && i < es.length) typed(es(i)) else NullLit
+      // count(DISTINCT <deeply-nested mixed container>): the full variant
+      // wrap is multiplicative in nesting depth (see the
+      // UnsupportedDynamicNesting guard), but DISTINCT only needs the
+      // EQUIVALENCE KEY — built recursively as one concat per level, the
+      // tree stays linear (TCK Return5 [4]: nested lists of maps in maps)
+      case FnCall(n, Seq(a), _)
+          if n.equalsIgnoreCase("count_distinct") && nestDepth(a) > 2 &&
+            eqKeyOf(a).isDefined =>
+        ColRef(count_distinct(eqKeyOf(a).get), 'i', agg = true)
       // literal list algebra folds exactly (heterogeneous results then
       // render as variants — TCK Precedence3): list+list concatenates,
       // list+scalar appends, scalar+list prepends
@@ -2850,7 +2881,7 @@ object Cypher {
         val cr = chainFrame(g, chain,
           structs = pathVar.exists(pv => mapE == Ident(pv)))
         val (pf0, pvars) = (cr.df, cr.nodeVars)
-        val pf = whereE.fold(pf0)(w =>
+        var pf = whereE.fold(pf0)(w =>
           pf0.filter(graft.sql.Translator.toColumn(flatten(w, Set.empty))))
         val anchors = (nodeVars intersect pvars).toSeq.sorted
         if (anchors.isEmpty)
@@ -2858,14 +2889,33 @@ object Cypher {
         val tmp = freshVar()
         // `[p = <pattern> | p]`: the element is the whole path VALUE —
         // aligned whole-node structs + rel structs, the same shape a
-        // returned path variable renders (TCK Pattern2). Fixed-length
-        // chains only: a var-length hop stores interior node IDS, whose
-        // whole-struct expansion needs the attachPathNodes join.
+        // returned path variable renders (TCK Pattern2). A var-length
+        // hop stores interior node IDS — expand them to whole-node
+        // structs with one explode → vertex join → ordered re-collect
+        // (distributed: a row per (walk, position), no driver work).
         val mapCol = pathVar match {
           case Some(pv) if mapE == Ident(pv) =>
-            if (cr.marks.exists(_.isList))
-              throw ParseException(
-                "variable-length path value in pattern comprehension is unsupported")
+            if (cr.marks.exists(_.isList)) {
+              if (chain.rels.length != 1)
+                throw ParseException(
+                  "variable-length path value in a multi-hop comprehension is unsupported")
+              val mk = cr.marks.find(_.isList).get
+              val nsCol = s"${mk.alias}__ns"
+              val withRow = pf.withColumn("__pcrow", monotonically_increasing_id())
+                .localCheckpoint(true) // pin row ids across the self-join
+              val vcols = g.vertices.columns.sorted
+              val vstruct = struct(vcols.map(c => col(c).as(c)).toIndexedSeq: _*)
+              val exploded = withRow
+                .select(col("__pcrow"), posexplode(col(nsCol)).as(Seq("__pos", "__nid")))
+                .join(g.vertices.select(col("id").as("__vid"), vstruct.as("__vs")),
+                  col("__nid") === col("__vid"))
+              val recollected = exploded.groupBy(col("__pcrow"))
+                .agg(transform(
+                  array_sort(collect_list(struct(col("__pos").as("p"), col("__vs").as("v")))),
+                  x => x.getField("v")).as("__pn0"))
+              pf = withRow.join(recollected, Seq("__pcrow"))
+              struct(col("__pn0").as("_pathn"), col(s"${mk.alias}__rs").as("_pathr"))
+            } else {
             def nodeStruct(v: String) = {
               val fields = pf.columns.filter(_.startsWith(s"${v}_")).sorted
                 .map(c => col(c).as(c.stripPrefix(s"${v}_")))
@@ -2874,6 +2924,7 @@ object Cypher {
             struct(
               array(cr.nodeSeq.map(nodeStruct): _*).as("_pathn"),
               array(cr.marks.map(mk => col(s"${mk.alias}__rst")): _*).as("_pathr"))
+            }
           case Some(pv) =>
             var refs = false
             Ast.mapDown(mapE) { case x @ Ident(`pv`) => refs = true; x; case x => x }
@@ -2942,6 +2993,74 @@ object Cypher {
           scalars += tmp
           Ident(tmp)
         }
+      // a pattern comprehension nested inside a LIST-comprehension
+      // lambda, anchored on the lambda variable (TCK Pattern2 [7]:
+      // `[x IN nodes(p) | size([(x)-->(:Y) | 1])]`): resolved
+      // set-oriented — grouped inner-comprehension values keyed by the
+      // anchor's OWN id, then posexplode the outer node list (row-keyed),
+      // left-join, evaluate the body per element, re-collect ordered.
+      // One join + two aggregations; no per-row subquery, no driver work.
+      case ListComp(v2, FnCall(nn, Seq(Ident(pv)), _), None, Some(body))
+          if nn.equalsIgnoreCase("nodes") && paths.contains(pv) &&
+            acc != null && acc.columns.contains(s"${pv}__pnodes") && {
+              var pcs = 0
+              Ast.mapDown(body) {
+                case pc @ PatternComp(ch, _, _, _, _) =>
+                  if (ch.asInstanceOf[PatternChain].nodes.exists(_.varName.contains(v2)))
+                    pcs += 1
+                  pc
+                case x => x
+              }
+              // the body may not use the lambda var OUTSIDE the inner
+              // comprehension (that would need per-element struct
+              // threading too — not exercised by the corpus)
+              var outsideUse = false
+              Ast.mapDown(body) {
+                case pc: PatternComp => pc // opaque: inner uses are fine
+                case x @ Ident(`v2`) => outsideUse = true; x
+                case x => x
+              }
+              pcs == 1 && !outsideUse
+            } =>
+        val pcNode = {
+          var found: PatternComp = null
+          Ast.mapDown(body) {
+            case pc @ PatternComp(ch, _, _, _, _)
+                if ch.asInstanceOf[PatternChain].nodes.exists(_.varName.contains(v2)) =>
+              found = pc; pc
+            case x => x
+          }
+          found
+        }
+        val chain = pcNode.chain.asInstanceOf[PatternChain]
+        val cr = chainFrame(g, chain)
+        val pcf = pcNode.where.fold(cr.df)(w =>
+          cr.df.filter(graft.sql.Translator.toColumn(flatten(w, Set.empty))))
+        val inner = graft.sql.Translator.toColumn(flatten(pcNode.map, Set.empty))
+        val grouped = pcf.groupBy(col(s"${v2}_id").as("__g_id"))
+          .agg(transform(sort_array(collect_list(struct(inner.as("v")))),
+            x => x.getField("v")).as("__g_val"))
+        val valType = grouped.schema("__g_val").dataType
+        val withRow = acc.withColumn("__lcrow", monotonically_increasing_id())
+          .localCheckpoint(true) // pin row ids across the re-collect join
+        val exploded = withRow
+          .select(col("__lcrow"), posexplode(col(s"${pv}__pnodes")).as(Seq("__pos", "__nid")))
+          .join(grouped, col("__nid") === col("__g_id"), "left_outer")
+          .withColumn("__g_val", coalesce(col("__g_val"), array().cast(valType)))
+        val bodyRewritten = Ast.mapDown(body) {
+          case pc: PatternComp if pc eq pcNode => ColRef(col("__g_val"), 'a')
+          case x => x
+        }
+        val bval = graft.sql.Translator.toColumn(
+          typed(flatten(bodyRewritten, scalars, paths)))
+        val tmp = freshVar()
+        val recollected = exploded
+          .groupBy(col("__lcrow"))
+          .agg(transform(array_sort(collect_list(struct(col("__pos").as("p"),
+            bval.as("v")))), x => x.getField("v")).as(tmp))
+        acc = withRow.join(recollected, Seq("__lcrow")).drop("__lcrow")
+        scalars += tmp
+        Ident(tmp)
       case Bin(op, l, r)          => Bin(op, resolvePatternComps(l), resolvePatternComps(r))
       case Neg(x)                 => Neg(resolvePatternComps(x))
       case Not(x)                 => Not(resolvePatternComps(x))

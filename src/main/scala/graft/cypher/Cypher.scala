@@ -1462,13 +1462,13 @@ object Cypher {
     def eqKeyOf(x: Expr): Option[Column] = x match {
       case StructLit(fs) =>
         val parts = fs.sortBy(_._1).map { case (k, v) =>
-          eqKeyOf(v).map(c => concat(lit(k + "="), c)) }
+          eqKeyOf(v).map(c => concat(lit(Variant.escKey(k)), c)) }
         if (parts.exists(_.isEmpty)) None
-        else Some(concat((lit("m") +: parts.map(_.get)) :+ lit(""): _*))
+        else Some(concat((lit("m") +: parts.map(_.get)) :+ lit(Variant.Term): _*))
       case ArrayLit(es) =>
         val parts = es.map(eqKeyOf)
         if (parts.exists(_.isEmpty)) None
-        else Some(concat((lit("l") +: parts.map(_.get)) :+ lit(""): _*))
+        else Some(concat((lit("l") +: parts.map(_.get)) :+ lit(Variant.Term): _*))
       case other =>
         // callers hand POST-flatten trees (the projection pipeline
         // flattens before typed()) — re-flattening would mangle the

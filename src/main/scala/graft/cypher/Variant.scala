@@ -51,7 +51,29 @@ object Variant {
   val RMap = 0; val RNode = 1; val RRel = 2; val RList = 3; val RPath = 4
   val RStr = 5; val RBool = 6; val RNum = 7; val RNull = 8
 
-  private val Term = ""
+  /** Key terminator. Sorts below every printable char, which is what
+    * prefix ordering needs ('a' < 'ab' because the terminator after 'a'
+    * sorts below 'b'). Every variable-length body (string content, map
+    * key) is escaped via [[escS]]/[[escC]] so it can never contain a
+    * bare terminator — concatenated keys are rigorously prefix-free. */
+  val Term = "\u0001"
+
+  /** Order-preserving escape for variable-length key bodies:
+    * \u0002 -> \u0002\u0002, \u0001 -> \u0002\u0001. Keeps
+    * lexicographic order (escaped chars keep their relative order under
+    * the shared \u0002 prefix, which itself sorts where \u0001/\u0002
+    * did) while guaranteeing the body never contains the terminator. */
+  private def escS(s: String): String =
+    s.replace("\u0002", "\u0002\u0002").replace("\u0001", "\u0002\u0001")
+  private def escC(c: Column): Column =
+    replace(replace(c, lit("\u0002"), lit("\u0002\u0002")),
+      lit("\u0001"), lit("\u0002\u0001"))
+
+  /** Encoded map key inside _vkey/_veq: escaped + terminated, so
+    * {a: ...} vs {ab: ...} (or keys containing '=' / the terminator)
+    * cannot collide. Shared with [[graft.cypher.Cypher]]'s linear
+    * eqKeyOf so both encodings stay bit-identical. */
+  def escKey(k: String): String = escS(k) + Term
 
   /** Element struct: every field but _velems. */
   val elemFields: Seq[StructField] = Seq(
@@ -110,7 +132,8 @@ object Variant {
       RBool.toString + (if (v) "1" else "0") + Term, "b" + (if (v) "1" else "0") + Term,
       nan = false, hasNull = false, if (v) "true" else "false", None))
     case StrLit(v) => Some(VLit(RStr, None, None, None, Some(v),
-      RStr.toString + v + Term, "s" + v + Term, nan = false, hasNull = false, quote(v), None))
+      RStr.toString + escS(v) + Term, "s" + escS(v) + Term,
+      nan = false, hasNull = false, quote(v), None))
     case NumLit(v, true) => Some(VLit(RNum, Some(v.toLong), Some(v.toDouble), None, None,
       RNum.toString + numKey(v.toDouble) + Term, "n" + numEq(v.toDouble) + Term,
       nan = false, hasNull = false, v.toLong.toString, None))
@@ -143,8 +166,8 @@ object Variant {
         val xs = vs.map(_.get)
         val sorted = xs.sortBy(_._1)
         Some(VLit(RMap, None, None, None, None,
-          RMap.toString + sorted.map { case (k, v) => k + "=" + v.key }.mkString + Term,
-          "m" + sorted.map { case (k, v) => k + "=" + v.eq }.mkString + Term,
+          RMap.toString + sorted.map { case (k, v) => escKey(k) + v.key }.mkString + Term,
+          "m" + sorted.map { case (k, v) => escKey(k) + v.eq }.mkString + Term,
           nan = xs.exists(_._2.nan), hasNull = xs.exists(_._2.hasNull),
           "{" + xs.map { case (k, v) => k + ": " + v.tck }.mkString(", ") + "}", None,
           props = Some(xs.toVector)))
@@ -225,8 +248,8 @@ object Variant {
     case StringType =>
       whenNull(c, mk(lit(RStr), lit(false), lit(false), nullLong, nullDouble,
         nullBool, c,
-        concat(lit(RStr.toString), c, lit(Term)),
-        concat(lit("s"), c, lit(Term)),
+        concat(lit(RStr.toString), escC(c), lit(Term)),
+        concat(lit("s"), escC(c), lit(Term)),
         strTck(c), None))
     case ArrayType(et, _) if !isVariantType(et) =>
       // homogeneous schema-typed list → variant list (elements wrapped)
@@ -259,9 +282,9 @@ object Variant {
       orAll(fields.map(_._2.getField("_vnull"))),
       nullLong, nullDouble, nullBool, nullStr,
       concat((lit(RMap.toString) +: sorted.flatMap { case (k, v) =>
-        Seq(lit(k + "="), v.getField("_vkey")) }) :+ lit(Term): _*),
+        Seq(lit(escKey(k)), v.getField("_vkey")) }) :+ lit(Term): _*),
       concat((lit("m") +: sorted.flatMap { case (k, v) =>
-        Seq(lit(k + "="), v.getField("_veq")) }) :+ lit(Term): _*),
+        Seq(lit(escKey(k)), v.getField("_veq")) }) :+ lit(Term): _*),
       concat(lit("{"),
         concat_ws(", ", fields.map { case (k, v) =>
           concat(lit(k + ": "), v.getField("_vtck")) }: _*), lit("}")),
@@ -272,12 +295,17 @@ object Variant {
 
   /** Promote an element-form variant (no _velems) back to full form.
     * A rank-3 element's own elements are NOT recoverable (one-level
-    * encoding) — operations that need them guard on rank. */
-  def ofElemValue(c: Column): Column = mk(
-    c.getField("_vrank"), c.getField("_vnan"), c.getField("_vnull"),
-    c.getField("_vint"), c.getField("_vnum"), c.getField("_vbool"),
-    c.getField("_vstr"), c.getField("_vkey"), c.getField("_veq"),
-    c.getField("_vtck"), None)
+    * encoding) — operations that need them guard on rank.
+    *
+    * Built with `withField` so the input tree is referenced ONCE: the
+    * old field-by-field rebuild referenced it 10× (once per field),
+    * which — composed over conditional inputs like vIndex — generated
+    * Java that Janino rejects ("is not an rvalue"), silently dropping
+    * whole-stage codegen (round-8 verdict #1). A SQL-null input yields
+    * a SQL-null result (withField semantics). */
+  def ofElemValue(c: Column): Column = c
+    .withField("_velems", lit(null).cast(ArrayType(elemType)))
+    .withField("_vprops", lit(null).cast(MapType(StringType, elemType)))
 
   /** Demote a full variant to element form (drops _velems — the encoded
     * strings still carry the nested structure). */
@@ -418,7 +446,15 @@ object Variant {
     else {
       val parts = fields.map { case (n, dt) =>
         val v = ent.getField(n)
-        when(v.isNull, lit(null).cast(StringType))
+        // a schema-evolved variant prop whose value is the null variant
+        // (rank 8) means "property absent on this record" — omit it like
+        // a SQL-null field, or the render shows a spurious {k: null}
+        val absent = dt match {
+          case st: StructType if isVariantType(st) =>
+            v.isNull || v.getField("_vrank") === RNull
+          case _ => v.isNull
+        }
+        when(absent, lit(null).cast(StringType))
           .otherwise(concat(lit(n + ": "), valueTck(v, dt)))
       }
       val joined = array_join(filter(array(parts: _*), _.isNotNull), ", ")
@@ -510,8 +546,10 @@ object Variant {
       case _    => ka >= kb
     }
     when(isNullV(a) || isNullV(b), lit(null).cast(BooleanType))
-      .when(a.getField("_vnan") || b.getField("_vnan"), lit(false))
+      // incomparability wins over NaN: NaN < 'a' is null (cross-kind),
+      // NaN only forces false within the numeric kind
       .when(!cmpable, lit(null).cast(BooleanType))
+      .when(a.getField("_vnan") || b.getField("_vnan"), lit(false))
       // lists holding nulls or mixed families: element-wise comparability
       // is undecidable from the key alone — unknown
       .when(rank(a) === RList && (a.getField("_vnull") || b.getField("_vnull")),
@@ -557,6 +595,8 @@ object Variant {
         ofElems(concat(a.getField("_velems"), b.getField("_velems"))))
       .when(rank(a) === RList,
         ofElems(concat(a.getField("_velems"), array(asElem(b)))))
+      .when(rank(b) === RList, // scalar + list prepends: 1+[2] = [1,2]
+        ofElems(concat(array(asElem(a)), b.getField("_velems"))))
       .when(bothNum(a, b),
         // int+int stays integral, else float
         when(a.getField("_vint").isNotNull && b.getField("_vint").isNotNull,
@@ -687,11 +727,13 @@ object Variant {
     * the _vprops element-variant map); absent key / non-entity → null
     * variant. */
   def vProp(c: Column, name: String): Column = {
-    val hit = when(c.getField("_vprops").isNull, lit(null).cast(elemType))
-      .otherwise(try_element_at(c.getField("_vprops"), lit(name)))
-    when(isNullV(c) || !rank(c).isin(RMap, RNode, RRel), nullV)
-      .when(hit.isNull, nullV)
-      .otherwise(ofElemValue(hit))
+    // single conditional bound to an element value, promoted once —
+    // no when-branch re-extracts the (large) lookup tree per field,
+    // keeping the generated Java inside whole-stage codegen
+    val nullElem = asElem(nullV)
+    val hit = when(isNullV(c) || !rank(c).isin(RMap, RNode, RRel), nullElem)
+      .otherwise(coalesce(try_element_at(c.getField("_vprops"), lit(name)), nullElem))
+    ofElemValue(hit)
   }
 
   /** list[lo..hi] slice on a variant list (end-exclusive, negatives from
@@ -711,11 +753,23 @@ object Variant {
     * null variant). Returns FULL form (nested elements unavailable —
     * encoded strings only). */
   def vIndex(c: Column, ix: Column): Column = {
-    val elems = c.getField("_velems")
+    // KnownNullable blocks ElementAt's static non-nullability proof over
+    // an inline CreateArray of (non-nullable) structs: with the proof in
+    // place, ElementAt.nullable=false while its generated code still
+    // assigns the out-of-bounds isNull — under subexpression elimination
+    // that variable is never declared and Janino rejects the class
+    // ("is not an rvalue"), silently dropping the projection out of
+    // whole-stage codegen (round-8 verdict #1). `get` (0-based, total:
+    // null out of range) also removes the throw path, making the
+    // expression safe under CSE's eager hoisting.
+    val elems = knownNullable(c.getField("_velems"))
     val n = size(elems)
     val i = when(ix < 0, ix + n).otherwise(ix).cast(IntegerType)
     when(isNullV(c) || rank(c) =!= RList || ix.isNull, nullV)
-      .when(i >= 0 && i < n, ofElemValue(element_at(elems, i + 1)))
+      .when(i >= 0 && i < n, coalesce(ofElemValue(get(elems, i)), nullV))
       .otherwise(nullV)
   }
+
+  private def knownNullable(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.knownNullable(c)
 }

@@ -637,13 +637,21 @@ object Translator {
       case "array_compact" => array_compact(args.head)
       // Cypher list functions (size/head/tail/range — openCypher list surface)
       case "size"       => size(args.head)
-      case "get"        => get(args(0), args(1)) // 0-based, null out-of-bounds
+      // element accessors wrap the container in knownNullable: ElementAt
+      // over an inline CreateArray of non-nullable elements with a
+      // foldable index is proved non-nullable while its codegen still
+      // writes isNull — Janino rejects the class under subexpression
+      // elimination and the projection silently falls back to
+      // interpreted execution (see ColumnBridge.knownNullable)
+      case "get"        => // 0-based, null out-of-bounds
+        get(org.apache.spark.sql.graft.ColumnBridge.knownNullable(args(0)), args(1))
       // postfix subscript forms (openCypher 0-based; negatives from end;
       // try_element_at: null out-of-bounds instead of an ANSI error)
       case "list_index" =>
-        try_element_at(args(0),
+        try_element_at(org.apache.spark.sql.graft.ColumnBridge.knownNullable(args(0)),
           when(args(1) >= lit(0), args(1) + lit(1)).otherwise(args(1)).cast("int"))
-      case "map_index"  => try_element_at(args(0), args(1))
+      case "map_index"  =>
+        try_element_at(org.apache.spark.sql.graft.ColumnBridge.knownNullable(args(0)), args(1))
       case "list_slice" =>
         val arr = args(0)
         // a null bound nulls the whole slice (openCypher; TCK List2 [9])
@@ -654,7 +662,8 @@ object Translator {
         val hi = greatest(least(hi0, size(arr)), lit(0))
         when(args(1).isNull || args(2).isNull, lit(null))
           .otherwise(slice(arr, (lo + lit(1)).cast("int"), greatest(hi - lo, lit(0)).cast("int")))
-      case "head"       => element_at(args.head, 1)
+      case "head"       =>
+        element_at(org.apache.spark.sql.graft.ColumnBridge.knownNullable(args.head), 1)
       // path accessors over a path VALUE ({_pathn, _pathr} struct — e.g. a
       // collected path element inside a list-comprehension lambda); the
       // Cypher front-end resolves path VARIABLES statically before this

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Tag a column as nullable (Catalyst KnownNullable): a pure
+    * pass-through at execution, but it stops static non-nullability
+    * proofs that interact badly with subexpression elimination. The
+    * known case: ElementAt over an inline CreateArray of non-nullable
+    * elements with a foldable ordinal is proved non-nullable, yet its
+    * generated code still assigns the out-of-bounds isNull variable —
+    * under CSE that variable is never declared and Janino rejects the
+    * whole class ("is not an rvalue"), silently dropping the projection
+    * to interpreted execution. */
+  def knownNullable(c: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.KnownNullable(expression(c)))
 }

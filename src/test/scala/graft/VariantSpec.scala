@@ -57,6 +57,30 @@ class VariantSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("keys are collision-free under adversarial element boundaries") {
+    // ['a','b'] vs ['asb']-style shapes: element boundaries must be
+    // unforgeable, including via the terminator/escape chars themselves
+    def strs(xs: String*) = ArrayLit(xs.map(StrLit(_)))
+    val pairs = Seq(
+      strs("a", "b") -> strs("asb"),
+      strs("a", "b") -> strs("a5b"),
+      strs("a", "b") -> strs("ab"),
+      strs("a", "b") -> strs("a", "b"),
+      StructLit(Seq("a" -> StrLit("b=c"))) -> StructLit(Seq("a=b" -> StrLit("c"))),
+      StructLit(Seq("ab" -> StrLit("x"))) -> StructLit(Seq("a" -> StrLit("bx"))))
+    for ((l, r) <- pairs) {
+      assert(evalStr(litV(l).getField("_vkey")) != evalStr(litV(r).getField("_vkey")),
+        s"_vkey collision: $l vs $r")
+      assert(evalStr(litV(l).getField("_veq")) != evalStr(litV(r).getField("_veq")),
+        s"_veq collision: $l vs $r")
+      assert(evalAny(Variant.vEq(litV(l), litV(r))) == false, s"vEq true: $l vs $r")
+    }
+    // prefix strings order correctly: 'a' < 'ab' needs the terminator
+    // to sort below 'b'
+    assert(evalAny(Variant.vCmp("<", litV(StrLit("a")), litV(StrLit("ab")))) == true)
+    assert(evalAny(Variant.vCmp("<", litV(strs("a")), litV(strs("a", "b")))) == true)
+  }
+
   test("equivalence key: 1 and 1.0 equivalent, 1 and '1' not") {
     def eq(e: Expr): String = evalStr(litV(e).getField("_veq"))
     assert(eq(NumLit(1, isIntegral = true)) == eq(NumLit(1.0, isIntegral = false)))
@@ -84,6 +108,11 @@ class VariantSpec extends AnyFunSuite {
     assert(cmp("<", StrLit("a"), StrLit("b")) == true)
     assert(cmp("<", NumLit(1, isIntegral = true), StrLit("b")) == null)
     assert(cmp("<", BoolLit(false), BoolLit(true)) == true)
+    // incomparability beats NaN: NaN < 'a' is null, not false
+    val nanV = Variant.vArith("/", litV(NumLit(0.0, isIntegral = false)),
+      litV(NumLit(0.0, isIntegral = false)))
+    assert(evalAny(Variant.vCmp("<", nanV, litV(StrLit("a")))) == null)
+    assert(evalAny(Variant.vCmp("<", nanV, litV(NumLit(1, isIntegral = true)))) == false)
   }
 
   test("min/max aggregation order differs from orderability: lists < strings < bools < nums") {
@@ -105,6 +134,9 @@ class VariantSpec extends AnyFunSuite {
     assert(evalStr(Variant.vPlus(i2, i3).getField("_vtck")) == "5")
     assert(evalStr(Variant.vPlus(i2, f2).getField("_vtck")) == "4.0")
     assert(evalStr(Variant.vArith("/", i3, i2).getField("_vtck")) == "1") // truncating
+    // scalar + list prepends (openCypher: 1 + [2] = [1, 2])
+    val l2 = litV(ArrayLit(Seq(NumLit(2, isIntegral = true))))
+    assert(evalStr(Variant.vPlus(i3, l2).getField("_vtck")) == "[3, 2]")
   }
 
   test("list algebra: append/concat/reverse/size/slice recompute the derived encodings") {

@@ -18,7 +18,9 @@ final case class VFloat(v: Double) extends TV {
     case VFloat(w) => java.lang.Double.compare(v, w) == 0 || v == w
     case _ => false
   }
-  override def hashCode: Int = java.lang.Double.hashCode(v)
+  // equals treats 0.0 == -0.0 (via `|| v == w`); normalize the zero sign
+  // so hashCode agrees — hash-based bag comparison must not split them
+  override def hashCode: Int = java.lang.Double.hashCode(v + 0.0)
 }
 final case class VStr(s: String) extends TV
 final case class VList(xs: Vector[TV]) extends TV

@@ -32,6 +32,25 @@ object Bench {
       s
     }
 
+    // Contention telltales (r8 verdict #2: the driver's sweep ran ~1.5×
+    // slow with bimodal spikes that no clean re-run reproduced — a
+    // contaminated sweep must be self-identifying from the artifact
+    // alone). Record system load average and cumulative JVM GC time at
+    // start and end; a high load1 or a GC-dominated run flags the sweep.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    // getSystemLoadAverage returns -1.0 when unavailable; NaN/-1 are not
+    // valid JSON numbers in all parsers, so clamp to a parseable value
+    def loadAvg_fmt(v: Double): String =
+      if (v.isNaN || v < 0) "-1" else f"$v%.2f"
+    val loadStart = loadAvg(); val gcStart = gcMillis()
+    val wallStart = System.nanoTime()
+
     var spark = freshSession()
     // Ingest pre-pass: derived physical layouts (day-partitioned TS, the
     // hourly downsample tier, stats/Z-order clusterings, geo cell
@@ -96,10 +115,18 @@ object Bench {
         if (i > 0 && i % RecycleEvery == 0) { spark.stop(); spark = freshSession() }
         val (r1, e1) = once(name, fn); resetState()
         val (r2, e2) = once(name, fn); resetState()
-        (name, r1, r2, e1.orElse(e2))
+        // A >3× run-1/run-2 swing on a non-trivial query is the signature
+        // of transient contention, not the plan — take one tiebreak run so
+        // `queries_min` reflects the query, not the noise (r8 verdict #2).
+        val ratio = math.max(r1, r2) / math.max(1e-9, math.min(r1, r2))
+        val r3 =
+          if (e1.isEmpty && e2.isEmpty && ratio > 3.0 && math.max(r1, r2) > 0.5) {
+            val (v, _) = once(name, fn); resetState(); Some(v)
+          } else None
+        (name, r1, r2, r3, e1.orElse(e2))
     }
-    val ok = results.filter(_._4.isEmpty)
-    def jmap(f: ((String, Double, Double, Option[String])) => Double): String =
+    val ok = results.filter(_._5.isEmpty)
+    def jmap(f: ((String, Double, Double, Option[Double], Option[String])) => Double): String =
       ok.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     // Control chars (tabs etc. in exception messages) are illegal unescaped
     // in JSON strings and would make the whole report unparseable.
@@ -112,10 +139,13 @@ object Bench {
       } + "\""
     // Throwing queries are excluded from the timing maps and the total —
     // their fast-fail wall-times are artifacts — and reported by name+cause.
-    val errs = results.collect { case (n, _, _, Some(m)) => s"${jstr(n)}:${jstr(m)}" }
+    val errs = results.collect { case (n, _, _, _, Some(m)) => s"${jstr(n)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.length},"n_err":${results.length - ok.length},"queries":${jmap(_._2)},"queries_run2":${jmap(_._3)},"queries_min":${jmap(r => math.min(r._2, r._3))},"errors":$errs,"sf":"$sfDir"}"""
+    val reruns = ok.count(_._4.nonEmpty)
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val env = s""""env":{"load_avg_start":${loadAvg_fmt(loadStart)},"load_avg_end":${loadAvg_fmt(loadAvg())},"gc_sec":${(gcMillis() - gcStart) / 1e3},"wall_sec":$wallSec,"tiebreak_reruns":$reruns}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.length},"n_err":${results.length - ok.length},$env,"queries":${jmap(_._2)},"queries_run2":${jmap(_._3)},"queries_min":${jmap(r => math.min(math.min(r._2, r._3), r._4.getOrElse(Double.MaxValue)))},"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures stdout with a tail-truncation (r5: `parsed` came
     // back null and only a 65-entry tail survived); persist the full
     // per-query JSON BOTH to /tmp and into the repo so every entry stays

@@ -27,6 +27,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Variant-dispatch pruning: see graft.plans.ExtractThroughBranches.
+    // Registering is idempotent across getOrCreate-shared sessions.
+    if (!s.experimental.extraOptimizations.contains(graft.plans.ExtractThroughBranches))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.ExtractThroughBranches
     s
   }
 }

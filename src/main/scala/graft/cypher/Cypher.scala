@@ -1010,8 +1010,13 @@ object Cypher {
       val labeled = n.label.fold(g.vertices)(l => g.vertices.filter(labelPred(col("label"), l)))
       // inline props filter BEFORE the rename so it can push to the scan;
       // a property the schema has never seen matches nothing (openCypher
-      // property bags — no node carries it, so the pattern is empty)
-      val base = n.props.foldLeft(labeled) { case (d, (k, lv)) =>
+      // property bags — no node carries it, so the pattern is empty).
+      // A `{id: n}` prop matches the USER id slot (_uid) on stores that
+      // decouple it from identity; parquet graphs keep `id` as data.
+      val base = n.props.foldLeft(labeled) { case (d, (k0, lv)) =>
+        val k = if (k0 == "id" &&
+          d.columns.contains(graft.graph.MutableGraph.UserId))
+          graft.graph.MutableGraph.UserId else k0
         if (d.columns.contains(k)) d.filter(inlinePropPred(d, k, lv))
         else d.filter(lit(false))
       }
@@ -2649,10 +2654,18 @@ object Cypher {
       * property-name surface). */
     def rewriteMetaFns(e: Expr): Expr = {
       def propNames(v: String): Seq[String] =
-        acc.columns.filter(_.startsWith(s"${v}_")).map(_.stripPrefix(s"${v}_"))
+        (acc.columns.filter(_.startsWith(s"${v}_")).map(_.stripPrefix(s"${v}_"))
           .filterNot(Set("id", "label"))
-          .filterNot(_.startsWith("_")) // hidden: _eid, _hasid, __plen …
-          .sorted.toSeq
+          .filterNot(_.startsWith("_")) // hidden: _eid, _uid, __plen …
+          .toSeq ++
+          // a user `id` prop lives in the hidden `_uid` slot
+          (if (acc.columns.contains(s"${v}__uid")) Seq("id") else Nil))
+          .sorted
+      // horizon column carrying property `p` of variable `v` (the user
+      // `id` prop reads the `_uid` slot)
+      def propCol(v: String, p: String): Column =
+        if (p == "id" && acc.columns.contains(s"${v}__uid")) col(s"${v}__uid")
+        else col(s"${v}_$p")
       def f(x: Expr): Expr = rewriteMetaFns(x)
       e match {
         // length() is defined on paths (and, as an extension, strings and
@@ -2674,7 +2687,7 @@ object Cypher {
           val names = propNames(v)
           if (names.isEmpty) Resolved(array().cast("array<string>"))
           else Resolved(filter(
-            array(names.map(p2 => when(col(s"${v}_$p2").isNotNull, lit(p2))): _*),
+            array(names.map(p2 => when(propCol(v, p2).isNotNull, lit(p2))): _*),
             x => x.isNotNull))
         // dynamic property access `v[keyExpr]` on an entity: CASE over
         // the entity's prop columns (TCK Merge6-8 keyValue projections)
@@ -2685,7 +2698,8 @@ object Cypher {
           // heterogeneous prop types can't share one CASE result type —
           // render all branches as strings then (lossy only for the
           // already-unrepresentable mixed case)
-          val mixed = names.map(p2 => acc.schema(s"${v}_$p2").dataType).distinct.length > 1
+          val mixed = names.map(p2 =>
+            acc.select(propCol(v, p2)).schema.head.dataType).distinct.length > 1
           def branch(p2: String): Expr =
             if (mixed) MethodCall(PropAccess(Ident(v), p2), "asString", Seq.empty)
             else PropAccess(Ident(v), p2)
@@ -2697,10 +2711,20 @@ object Cypher {
             if (nodeVars(v) || relVars(v)) && n.equalsIgnoreCase("properties") =>
           // PropAccess (not the flat name): flatten runs after this
           // rewrite and maps v.p → v_p itself. A NULL entity (optional
-          // miss) has null properties, not {} (TCK Graph9 [3])
+          // miss) has null properties, not {} (TCK Graph9 [3]).
+          // On a user-id-decoupled store (hidden `_uid` slot present) the
+          // struct carries a `__props` marker so the result comparator
+          // drops per-row-null fields (the user `id` prop is only present
+          // on SOME rows), and `id` reads the _uid slot, not identity.
           val idCol = if (nodeVars(v)) col(s"${v}_id") else col(s"${v}__eid")
+          val hasUid = nodeVars(v) && acc.columns.contains(s"${v}__uid")
+          val entries = propNames(v).map(p =>
+            p -> (if (p == "id" && hasUid) (Resolved(col(s"${v}__uid")): Expr)
+                  else (PropAccess(Ident(v), p): Expr)))
+          val body = StructLit(
+            (if (hasUid) Seq("__props" -> (BoolLit(true): Expr)) else Nil) ++ entries)
           CaseExpr(None, Seq((Resolved(idCol.isNull): Expr) -> NullLit),
-            Some(StructLit(propNames(v).map(p => p -> PropAccess(Ident(v), p)))))
+            Some(body))
         // properties()/labels()/type() of a literal null are null; and
         // properties() of a map value is the map itself (TCK Graph4 [3],
         // Graph9 [3][4])
@@ -2723,11 +2747,11 @@ object Cypher {
               ((nodeVars(v) && Set("id", "label")(prop)) ||
                 (relVars(v) && prop == "label") ||
                 !acc.columns.contains(s"${v}_$prop")) =>
-          // `n.id` is the PROPERTY id: present only when the node was
-          // created with an explicit id prop (identity doubles as the
-          // value then, `_hasid` marks it)
-          if (prop == "id" && acc.columns.contains(s"${v}__hasid"))
-            Resolved(when(col(s"${v}__hasid"), col(s"${v}_id")))
+          // `n.id` is the PROPERTY id: stored in the hidden `_uid` slot
+          // when the node was created with an explicit id prop (identity
+          // is internal and never user-visible)
+          if (prop == "id" && acc.columns.contains(s"${v}__uid"))
+            Resolved(col(s"${v}__uid"))
           else NullLit
         // startNode/endNode over a merged relationship: the bind keeps the
         // endpoint identities as hidden `__src`/`__dst` columns, and the
@@ -2737,7 +2761,11 @@ object Cypher {
             if relVars(rv) && Set("startnode", "endnode")(n.toLowerCase) &&
               acc != null && acc.columns.contains(s"${rv}__src") =>
           val c0 = if (n.equalsIgnoreCase("startnode")) s"${rv}__src" else s"${rv}__dst"
-          Resolved(struct(col(c0).as("id")))
+          // the struct's `id` field is the USER-visible id: the endpoint's
+          // user id prop (carried by the bind as `__src_uid`/`__dst_uid`)
+          // when the store decouples it, else the identity (parquet graphs)
+          val idC = if (acc.columns.contains(s"${c0}_uid")) s"${c0}_uid" else c0
+          Resolved(struct(col(idC).as("id")))
         // type() is defined on relationships only (TCK Graph4 [7])
         case FnCall(n, Seq(Ident(v)), _)
             if n.equalsIgnoreCase("type") && nodeVars(v) && !scalars(v) =>
@@ -4259,10 +4287,25 @@ object Cypher {
       else fwd
     val cond = (orientCond +: propCond).reduce(_ && _)
     // keep the endpoints as hidden `__src`/`__dst` columns — startNode()/
-    // endNode() resolve from them (TCK Merge5 [11])
-    pl.acc.join(renamed, cond, "inner")
+    // endNode() resolve from them (TCK Merge5 [11]); when the store
+    // decouples user ids from identity, carry the endpoints' user ids too
+    // so startNode(r).id reads the property, not the internal identity
+    val joined = pl.acc.join(renamed, cond, "inner")
       .withColumnRenamed(s"${rv}_src", s"${rv}__src")
       .withColumnRenamed(s"${rv}_dst", s"${rv}__dst")
+    def uidOf(nv: String): Option[Column] =
+      if (pl.acc.columns.contains(s"${nv}__uid")) Some(col(s"${nv}__uid")) else None
+    (uidOf(srcV), uidOf(dstV)) match {
+      case (None, None) => joined
+      case (su, du) =>
+        val s0 = su.getOrElse(lit(null))
+        val d0 = du.getOrElse(lit(null))
+        joined
+          .withColumn(s"${rv}__src_uid",
+            when(col(s"${rv}__src") === col(s"${srcV}_id"), s0).otherwise(d0))
+          .withColumn(s"${rv}__dst_uid",
+            when(col(s"${rv}__dst") === col(s"${dstV}_id"), d0).otherwise(s0))
+    }
   }
 
   /** Apply a MERGE ON CREATE / ON MATCH SET clause to the relationship
@@ -4286,10 +4329,15 @@ object Cypher {
         val fields: Seq[(String, Expr)] = substParams(sa.value) match {
           case StructLit(fs) => fs
           case Ident(src) if pl.nodeVars(src) =>
+            // copying node props onto a REL: a rel's `id` IS an ordinary
+            // prop column, so the node's user id (_uid slot) copies as `id`
             bound.columns.filter(_.startsWith(s"${src}_")).toSeq
               .map(_.stripPrefix(s"${src}_"))
-              .filterNot(c => Set("id", "label", "_hasid")(c) || c.startsWith("_"))
-              .map(k => k -> (PropAccess(Ident(src), k): Expr))
+              .filterNot(c => Set("id", "label")(c) || c.startsWith("_"))
+              .map(k => k -> (PropAccess(Ident(src), k): Expr)) ++
+              (if (bound.columns.contains(s"${src}__uid"))
+                Seq("id" -> (PropAccess(Ident(src), "id"): Expr))
+              else Nil)
           case other =>
             throw ParseException(s"SET $rv = <value> requires a map, got $other")
         }
@@ -4312,6 +4360,11 @@ object Cypher {
     def litCols(props: Seq[(String, Expr)]): Seq[Column] =
       props.map { case (k, e) =>
         graft.sql.Translator.toColumn(pl.typed(substParams(e))).as(k) }
+    // User-id decoupling applies only to stores BORN with the hidden
+    // `_uid` column (MutableGraph.empty — the openCypher write path);
+    // graphs copied from data tables keep the legacy convention where an
+    // explicit integral `id` prop doubles as the identity/data column.
+    lazy val uidStore = mg.vertices.columns.contains(graft.graph.MutableGraph.UserId)
     w match {
       case CreateC(chains) =>
         // pattern validation (TCK Create1 [13]-[17], Create2 [21][22]):
@@ -4403,12 +4456,6 @@ object Cypher {
               mg.spark.createDataFrame(rows.toSeq.asJava, schema)
             }.reduce(graft.graph.MutableGraph.evolvedUnion)
           }
-          // identities claimed by explicit `{id: …}` props anywhere in the
-          // statement — the allocator must never hand one of these out
-          // (`CREATE (a), (b {id: 1}), (d)` would otherwise give d the
-          // same identity as b and corrupt every join, TCK MatchWhere2)
-          val claimed: Set[Long] = literalChains.flatMap(_.nodes).flatMap(
-            _.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }).toSet
           def nodeId(n: NodePat): Long = n.varName.flatMap(created.get).map { prior =>
             // a second occurrence of a created variable may not add
             // labels or props (TCK Create1 [15][16])
@@ -4417,19 +4464,22 @@ object Cypher {
                 s"VariableAlreadyBound: CREATE adds predicates to ${n.varName.get}")
             prior
           }.getOrElse {
-            // an explicit integral `id` prop wins (established convention:
-            // graph keys are modelled as ids); otherwise allocate
+            // uid store: identity is ALWAYS freshly allocated; an explicit
+            // `id` prop is an ordinary user property in the hidden `_uid`
+            // column — two distinct vertices may carry the same user id
+            // (TCK Merge5 [13]). Legacy (copied-from-data) store: an
+            // explicit integral `id` prop doubles as the identity.
             val explicit = n.props.collectFirst { case ("id", NumLit(x, true)) => x.toLong }
-            val id = explicit.getOrElse {
-              while (claimed(idBase)) idBase += 1
-              val i = idBase; idBase += 1; i
-            }
-            // `_hasid` marks nodes whose id IS also a user property, so
-            // `n.id` can distinguish "property id" from bare identity
+            val id =
+              if (!uidStore && explicit.isDefined) explicit.get
+              else { val i = idBase; idBase += 1; i }
+            val idProp = n.props.collectFirst { case ("id", e) => e }
             vSpecs += ("id" -> lit(id)) +:
               ("label" -> lit(n.label.orNull).cast("string")) +:
               (createLitPairs(n.props.filterNot(_._1 == "id")) ++
-                explicit.map(_ => "_hasid" -> lit(true)).toSeq)
+                (if (uidStore) idProp.map(e => graft.graph.MutableGraph.UserId ->
+                  createLitPairs(Seq("id" -> e)).head._2).toSeq
+                else Nil))
             n.varName.foreach { v =>
               created(v) = id
               pl.createdProps(v) = n.props.map { case (k, e) =>
@@ -4488,10 +4538,12 @@ object Cypher {
             val cols = namedPats.flatMap { case (v, n) =>
               Seq(lit(created(v)).as(s"${v}_id"),
                 lit(n.label.orNull).cast("string").as(s"${v}_label")) ++
-                // explicit `{id: …}` prop: mark it so a later `v.id` reads
-                // the property value, not metadata-null (TCK With4 [7])
-                n.props.collectFirst { case ("id", NumLit(_, true)) =>
-                  lit(true).as(s"${v}__hasid") }.toSeq ++
+                // explicit `{id: …}` prop: a USER property in the hidden
+                // `_uid` slot so a later `v.id` reads the property value,
+                // not metadata-null (TCK With4 [7])
+                n.props.collectFirst { case ("id", e) =>
+                  graft.sql.Translator.toColumn(resolveCreatedRefs(e))
+                    .as(s"${v}__uid") }.toSeq ++
                 n.props.filterNot(_._1 == "id").map { case (k, e) =>
                   graft.sql.Translator.toColumn(resolveCreatedRefs(e)).as(s"${v}_$k") }
             }
@@ -4515,14 +4567,20 @@ object Cypher {
                 .map(_.toString.toLong + 1).getOrElse(0L)
               acc2 = acc2.withColumn(s"${v}_id", lit(base) + monotonically_increasing_id())
                 .withColumn(s"${v}_label", lit(n.label.orNull).cast("string"))
+              // an explicit `id` prop is a user property → `_uid` slot
+              // (identity stays the fresh allocation above); legacy
+              // stores keep `id` as a plain column
+              def storeK(k: String) =
+                if (k == "id" && uidStore) graft.graph.MutableGraph.UserId else k
               n.props.foreach { case (k, e) =>
-                acc2 = acc2.withColumn(s"${v}_$k", pl.toCol(e)) }
+                acc2 = acc2.withColumn(s"${v}_${storeK(k)}", pl.toCol(e)) }
               // pin the allocated ids BEFORE writing so the store and the
               // horizon agree on them
               acc2 = acc2.localCheckpoint(true)
               mg.createVertices(acc2.select(
                 (col(s"${v}_id").as("id") +: col(s"${v}_label").as("label") +:
-                  n.props.map { case (k, _) => col(s"${v}_$k").as(k) }).toIndexedSeq: _*))
+                  n.props.map { case (k, _) =>
+                    col(s"${v}_${storeK(k)}").as(storeK(k)) }).toIndexedSeq: _*))
               pl.nodeVars += v
             } else {
               // bound endpoint: label/prop constraints on it are CREATE
@@ -4709,14 +4767,19 @@ object Cypher {
                       pl.toCol(e).as(s"__mg_$k") }: _*))
           .distinct().localCheckpoint(true)
         val vtx0 = mg.vertices
-        val matchCond = (n.props.map { case (k, _) =>
+        // a pattern `id` prop matches the USER id slot (_uid) on uid
+        // stores; legacy stores match the identity/data column
+        def storeK(k: String) =
+          if (k == "id" && uidStore) graft.graph.MutableGraph.UserId else k
+        val matchCond = (n.props.map { case (k0, _) =>
+          val k = storeK(k0)
           if (vtx0.columns.contains(k)) {
             // a schema-evolved variant prop column matches by dispatch,
             // not coercion (same rule as the inline pattern predicate)
             if (Variant.isVariantType(vtx0.schema(k).dataType))
               coalesce(Variant.vEq(vtx0(k), Variant.ofDataType(
-                col(s"__mg_$k"), want.schema(s"__mg_$k").dataType)), lit(false))
-            else col(s"__mg_$k") === vtx0(k)
+                col(s"__mg_$k0"), want.schema(s"__mg_$k0").dataType)), lit(false))
+            else col(s"__mg_$k0") === vtx0(k)
           } else lit(false) } ++
           n.label.map(l => labelPred(vtx0("label"), l)))
           .reduceOption(_ && _).getOrElse(lit(true))
@@ -4736,16 +4799,17 @@ object Cypher {
         if (!missing.isEmpty) {
           val base = Option(mg.vertices.agg(max(col("id"))).head.get(0))
             .map(_.toString.toLong + 1).getOrElse(0L)
-          // an explicit `id` prop doubles as the identity (`_hasid`
-          // convention, same as literal CREATE)
+          // uid store: identity freshly allocated, explicit `id` prop in
+          // the user-id slot (same convention as literal CREATE); legacy
+          // store: an explicit `id` prop doubles as the identity
           val idCol =
-            if (propKeys.contains("id")) col("__mg_id").cast("long").as("id")
+            if (!uidStore && propKeys.contains("id")) col("__mg_id").cast("long").as("id")
             else (lit(base) + monotonically_increasing_id()).as("id")
           val createRows = missing.select(
             (idCol +:
               lit(n.label.orNull).cast("string").as("label") +:
-              (propKeys.filterNot(_ == "id").map(k => col(s"__mg_$k").as(k)) ++
-                (if (propKeys.contains("id")) Seq(lit(true).as("_hasid")) else Nil))): _*)
+              (if (uidStore) propKeys.map(k => col(s"__mg_$k").as(storeK(k)))
+               else propKeys.filterNot(_ == "id").map(k => col(s"__mg_$k").as(k)))): _*)
             .localCheckpoint(true)
           mg.createVertices(createRows)
           createdIds0 = Some(createRows.select(col("id")))
@@ -4758,7 +4822,8 @@ object Cypher {
           val vtx = mg.vertices
           val renamed = vtx.columns.foldLeft(vtx)((d, c) =>
             d.withColumnRenamed(c, s"${v}_$c"))
-          val cond = (n.props.map { case (k, e) =>
+          val cond = (n.props.map { case (k0, e) =>
+            val k = storeK(k0)
             // a schema-evolved variant prop column re-binds by dispatch
             if (vtx.columns.contains(k) &&
                 Variant.isVariantType(vtx.schema(k).dataType)) {
@@ -4805,10 +4870,15 @@ object Cypher {
           if (substParams(e2) == NullLit)
             throw ParseException(s"SemanticError: MERGE with null property $k") }
         val v = n.varName.getOrElse("n")
+        // a pattern `id` prop matches the USER id slot (_uid) on uid
+        // stores; legacy stores match the identity/data column
+        def storeK(k: String) =
+          if (k == "id" && uidStore) graft.graph.MutableGraph.UserId else k
         // `MERGE (n)` with no label/props matches any node (creates one
         // only into an empty graph)
         val pred = (n.label.map(l => labelPred(col("label"), l)).toSeq ++
-          n.props.map { case (k, e) =>
+          n.props.map { case (k0, e) =>
+            val k = storeK(k0)
             if (mg.vertices.columns.contains(k))
               col(k) === graft.sql.Translator.toColumn(e)
             else lit(false) })
@@ -4824,16 +4894,19 @@ object Cypher {
         def sets(items: Seq[SetItem]): Seq[(String, Column)] = items.map { it =>
           if (it.varName != v)
             throw ParseException(s"ON CREATE/MATCH SET target ${it.varName} is not the MERGE variable $v")
-          it.prop -> graft.sql.Translator.toColumn(pl.typed(flattenTarget(it.value, v)))
+          storeK(it.prop) ->
+            graft.sql.Translator.toColumn(pl.typed(flattenTarget(it.value, v)))
         }
         val matched = mg.vertices.filter(pred)
         if (matched.isEmpty) {
           // fold ON CREATE SET into the created row (reference MergeStep's
-          // create path applies them before insert); allocate an id when
-          // the props don't carry one
-          val base0 = litCols(n.props) ++ n.label.map(l => lit(l).as("label"))
+          // create path applies them before insert). uid store: identity
+          // is a fresh allocation, an explicit `id` prop is a user
+          // property; legacy store: an explicit `id` prop IS the identity
+          val base0 = litCols(n.props.map { case (k, e) => storeK(k) -> e }) ++
+            n.label.map(l => lit(l).as("label"))
           val base =
-            if (n.props.exists(_._1 == "id")) base0
+            if (!uidStore && n.props.exists(_._1 == "id")) base0
             else {
               val nextId = Option(mg.vertices.agg(max(col("id"))).head.get(0))
                 .map(_.toString.toLong + 1).getOrElse(0L)
@@ -4875,7 +4948,8 @@ object Cypher {
           // (`MERGE p = (a {num: 1}) RETURN p` on an empty store)
           val vtxNow = mg.vertices
           val predNow = (n.label.map(l => labelPred(col("label"), l)).toSeq ++
-            n.props.map { case (k, e) =>
+            n.props.map { case (k0, e) =>
+              val k = storeK(k0)
               if (vtxNow.columns.contains(k))
                 col(k) === graft.sql.Translator.toColumn(e)
               else lit(false) })
@@ -4894,6 +4968,11 @@ object Cypher {
         }
 
       case SetC(items, labelItems, allItems) =>
+        // on a uid store a vertex `id` prop lives in the user-id slot
+        // (_uid) — the `id` column is internal identity and is never SET;
+        // rel `id` props are ordinary columns (rel identity is _eid)
+        def storeK(k: String) =
+          if (k == "id" && uidStore) graft.graph.MutableGraph.UserId else k
         items.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
           // property values are primitives or lists of primitives —
           // a list of maps is a type error (TCK Set1 [10])
@@ -4936,17 +5015,17 @@ object Cypher {
             }
             if (its.exists(it => refsOther(it.value))) {
               val upd = pl.acc.select(col(s"${v}_id").as("__set_id") +:
-                its.map(it => pl.toCol(it.value).as(it.prop)): _*)
+                its.map(it => pl.toCol(it.value).as(storeK(it.prop))): _*)
               mg.setVertexPropsValues(upd)
             } else {
               val ids = pl.acc.select(col(s"${v}_id").as("id"))
-              val sets = its.map(it =>
-                it.prop -> graft.sql.Translator.toColumn(pl.typed(flattenTarget(it.value, v))))
+              val sets = its.map(it => storeK(it.prop) ->
+                graft.sql.Translator.toColumn(pl.typed(flattenTarget(it.value, v))))
               mg.setVertexProps(ids, sets)
             }
             // the horizon sees the post-SET record through the variable
             its.foreach(it =>
-              pl.acc = pl.acc.withColumn(s"${v}_${it.prop}", pl.toCol(it.value)))
+              pl.acc = pl.acc.withColumn(s"${v}_${storeK(it.prop)}", pl.toCol(it.value)))
           }
         }
         labelItems.groupBy(_.varName).toSeq.sortBy(_._1).foreach { case (v, its) =>
@@ -4969,26 +5048,33 @@ object Cypher {
           val fields: Seq[(String, Expr)] = substParams(sa.value) match {
             case StructLit(fs) => fs
             case Ident(src) if pl.nodeVars(src) =>
-              // copying another node's properties: every src_* prop column
+              // copying another node's properties: every src_* prop
+              // column, plus its user `id` prop when present (_uid slot)
               pl.acc.columns.filter(_.startsWith(s"${src}_")).toSeq
                 .map(_.stripPrefix(s"${src}_"))
-                .filterNot(c => Set("id", "label", "_hasid")(c) || c.startsWith("_"))
-                .map(k => k -> PropAccess(Ident(src), k))
+                .filterNot(c => Set("id", "label")(c) || c.startsWith("_"))
+                .map(k => k -> (PropAccess(Ident(src), k): Expr)) ++
+                (if (pl.acc.columns.contains(s"${src}__uid"))
+                  Seq("id" -> (PropAccess(Ident(src), "id"): Expr))
+                else Nil)
             case other =>
               throw ParseException(s"SET $v = <value> requires a map, got $other")
           }
-          val newKeys = fields.map(_._1)
+          val newKeys = fields.map(f => storeK(f._1))
           val cleared: Seq[(String, Expr)] =
             if (sa.additive) Seq.empty
             else mg.vertices.columns.toSeq
-              .filterNot(c => Set("id", "label", "_hasid")(c))
+              .filterNot(c => Set("id", "label")(c))
               .filterNot(newKeys.contains).map(_ -> (NullLit: Expr))
           if (fields.nonEmpty || cleared.nonEmpty) {
+            // `fields` carry USER names (mapped through storeK at the
+            // store boundary); `cleared` are already store column names
             val upd = pl.acc.select(col(s"${v}_id").as("__set_id") +:
-              (fields ++ cleared).map { case (k, e2) => pl.toCol(e2).as(k) }: _*)
+              (fields.map { case (k, e2) => pl.toCol(e2).as(storeK(k)) } ++
+                cleared.map { case (k, e2) => pl.toCol(e2).as(k) }): _*)
             mg.setVertexPropsValues(upd)
-            (fields ++ cleared).foreach { case (k, e2) =>
-              pl.acc = pl.acc.withColumn(s"${v}_$k", pl.toCol(e2)) }
+            (fields.map { case (k, e2) => storeK(k) -> e2 } ++ cleared).foreach {
+              case (k, e2) => pl.acc = pl.acc.withColumn(s"${v}_$k", pl.toCol(e2)) }
           }
         }
 
@@ -5060,18 +5146,34 @@ object Cypher {
               if (v != x)
                 throw ParseException(s"FOREACH SET target $v is not the loop variable $x")
               val sets = its.map(it =>
-                it.prop -> graft.sql.Translator.toColumn(flattenTarget(it.value, x)))
+                (if (it.prop == "id" && uidStore) graft.graph.MutableGraph.UserId
+                 else it.prop) ->
+                  graft.sql.Translator.toColumn(flattenTarget(it.value, x)))
               mg.setVertexProps(elems.select(col(x).cast("long").as("id")), sets)
             }
           case CreateC(chains) => chains.foreach { ch =>
             if (ch.rels.nonEmpty)
               throw ParseException("FOREACH CREATE supports node patterns only")
             val n = ch.nodes.head
-            // props may reference the loop variable — evaluated per element
-            val cols = n.props.map { case (k, e) =>
-              graft.sql.Translator.toColumn(e).as(k) } ++
+            // props may reference the loop variable — evaluated per
+            // element; identity is freshly allocated per row (an explicit
+            // id prop is a user property in the _uid slot on uid stores)
+            val propCols = n.props.map { case (k, e) =>
+              graft.sql.Translator.toColumn(e)
+                .as(if (k == "id" && uidStore) graft.graph.MutableGraph.UserId else k) } ++
               n.label.map(l => lit(l).as("label"))
-            if (cols.isEmpty) throw ParseException("CREATE node needs a label or properties")
+            if (propCols.isEmpty)
+              throw ParseException("CREATE node needs a label or properties")
+            // legacy store with an explicit id prop: the prop column IS
+            // the identity (no separate allocation — matches the old
+            // convention and avoids a duplicate `id` column)
+            val cols =
+              if (!uidStore && n.props.exists(_._1 == "id")) propCols
+              else {
+                val idBase = Option(mg.vertices.agg(max(col("id"))).head.get(0))
+                  .map(_.toString.toLong + 1).getOrElse(0L)
+                (lit(idBase) + monotonically_increasing_id()).as("id") +: propCols
+              }
             mg.createVertices(elems.select(cols.toIndexedSeq: _*))
           }
           case DeleteC(ts, detach) =>

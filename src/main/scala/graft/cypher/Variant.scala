@@ -361,12 +361,17 @@ object Variant {
   def ofNode(node: Column, fields: Seq[(String, DataType)]): Column = {
     val id = node.getField("id")
     val labelTxt = labelRender(node.getField("label"))
+    // a node's user `id` prop lives in the hidden `_uid` slot (the `id`
+    // field is internal identity) — surface it under the name `id`
     val propFields = fields.filterNot { case (n, _) =>
-      n == "id" || n == "label" || n.startsWith("_") }
+      n == "id" || n == "label" || n.startsWith("_") } ++
+      fields.collect { case ("_uid", dt) => "id" -> dt }
+    val rename = if (fields.exists(_._1 == "_uid")) Map("id" -> "_uid")
+      else Map.empty[String, String]
     val propsPart =
       if (propFields.isEmpty) lit("")
       else {
-        val t = propsRender(node, propFields)
+        val t = propsRender(node, propFields, rename)
         when(length(t) === 0, lit("")).otherwise(concat(lit(" "), t))
       }
     whenNull(id, mk(lit(RNode), lit(false), lit(false), nullLong, nullDouble,
@@ -374,7 +379,7 @@ object Variant {
       concat(lit(RNode.toString), lpad(id.cast(StringType), 19, "0"), lit(Term)),
       concat(lit("N"), id.cast(StringType), lit(Term)),
       concat(lit("("), labelTxt, propsPart, lit(")")), None,
-      propsMap(node, propFields)))
+      propsMap(node, propFields, rename)))
   }
 
   /** Relationship variant from a rel struct ({_eid, label, _src, _dst, props…}). */
@@ -401,10 +406,11 @@ object Variant {
   /** Entity props as map<name, element-variant> — property access on a
     * variant entity dispatches through this, keeping each value's exact
     * kind ((list[1]).existing is the integer 42, not "42"). */
-  private def propsMap(ent: Column, fields: Seq[(String, DataType)]): Option[Column] =
+  private def propsMap(ent: Column, fields: Seq[(String, DataType)],
+      rename: Map[String, String] = Map.empty): Option[Column] =
     if (fields.isEmpty) None
     else Some(map(fields.flatMap { case (n, dt) =>
-      Seq(lit(n), asElem(ofDataType(ent.getField(n), dt)))
+      Seq(lit(n), asElem(ofDataType(ent.getField(rename.getOrElse(n, n)), dt)))
     }: _*))
 
   /** Path variant from aligned whole-node + rel struct arrays (the
@@ -441,11 +447,12 @@ object Variant {
 
   /** Render non-null props as `{k: v, …}`; "" when none. Values render
     * by their STATIC field type. */
-  private def propsRender(ent: Column, fields: Seq[(String, DataType)]): Column = {
+  private def propsRender(ent: Column, fields: Seq[(String, DataType)],
+      rename: Map[String, String] = Map.empty): Column = {
     if (fields.isEmpty) lit("")
     else {
       val parts = fields.map { case (n, dt) =>
-        val v = ent.getField(n)
+        val v = ent.getField(rename.getOrElse(n, n))
         // a schema-evolved variant prop whose value is the null variant
         // (rank 8) means "property absent on this record" — omit it like
         // a SQL-null field, or the render shows a spurious {k: null}

@@ -258,10 +258,21 @@ object MutableGraph {
 
   /** Fresh empty graph under `dir` — the minimal vertex/edge schemas;
     * properties appear through schema evolution as writes add them. */
+  /** Store column carrying a vertex's USER `id` property. The `id`
+    * column is the internal identity (always unique, auto-allocated);
+    * an explicit `{id: n}` prop lands here instead, so two distinct
+    * vertices may carry the same user id (TCK Merge5 [13]). Present on
+    * every MutableGraph store (all-null until an explicit id prop is
+    * written) — its presence is what tells the read layer "user id
+    * props live in _uid", while parquet-derived graphs (no _uid) keep
+    * `id` as plain data. */
+  val UserId = "_uid"
+
   def empty(spark: SparkSession, dir: String): MutableGraph = {
     import org.apache.spark.sql.types._
     val vSchema = StructType(Seq(
-      StructField("id", LongType), StructField("label", StringType)))
+      StructField("id", LongType), StructField("label", StringType),
+      StructField(UserId, LongType)))
     val eSchema = StructType(Seq(
       StructField("src", LongType), StructField("dst", LongType),
       StructField("label", StringType)))

@@ -150,9 +150,12 @@ object Ast {
   /** INSERT INTO t [(cols)] VALUES (…),(…) | INSERT INTO t [(cols)] [FROM] SELECT …. */
   final case class InsertStmt(target: String, cols: Seq[String],
       values: Seq[Seq[Expr]], from: Option[Select]) extends Stmt
-  /** UPDATE t SET c = e, … [UPSERT] [RETURN BEFORE|AFTER|COUNT] [WHERE …]. */
+  /** UPDATE t [SET c = e, …] [REMOVE c = k | c[k] | c, …] [UPSERT]
+    * [RETURN BEFORE|AFTER|COUNT] [WHERE …]. A remove with a key drops a
+    * map entry (or list value); a bare remove drops the whole property. */
   final case class UpdateStmt(target: String, sets: Seq[(String, Expr)],
-      upsert: Boolean, ret: String, where: Option[Expr]) extends Stmt
+      upsert: Boolean, ret: String, where: Option[Expr],
+      removes: Seq[(String, Option[Expr])] = Seq.empty) extends Stmt
   /** DELETE FROM t [WHERE …]. */
   final case class DeleteStmt(target: String, where: Option[Expr]) extends Stmt
 

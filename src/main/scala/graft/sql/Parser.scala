@@ -228,14 +228,29 @@ object Parser {
         }
       } else if (p.kw("UPDATE")) {
         val t = ident(p)
-        p.expectKw("SET")
         val sets = Seq.newBuilder[(String, Expr)]
-        var more = true
-        while (more) {
-          val c = ident(p)
-          p.expectOp("=")
-          sets += c -> parseExpr(p)
-          more = p.op(",")
+        if (p.kw("SET")) {
+          var more = true
+          while (more) {
+            val c = ident(p)
+            p.expectOp("=")
+            sets += c -> parseExpr(p)
+            more = p.op(",")
+          }
+        }
+        // REMOVE items (reference UpdateRemoveMapKeyTest): `REMOVE m = k` /
+        // `REMOVE m[k]` drop a map key (or list value); bare `REMOVE p`
+        // drops the whole property
+        val removes = Seq.newBuilder[(String, Option[Expr])]
+        if (p.kw("REMOVE")) {
+          var more = true
+          while (more) {
+            val c = ident(p)
+            if (p.op("=")) removes += c -> Some(parseExpr(p))
+            else if (p.op("[")) { val k = parseExpr(p); p.expectOp("]"); removes += c -> Some(k) }
+            else removes += c -> None
+            more = p.op(",")
+          }
         }
         // trailing modifiers in any order (the reference grammar fixes an
         // order; accepting any is a superset)
@@ -253,7 +268,7 @@ object Parser {
           } else if (p.kw("WHERE")) where = Some(parseExpr(p))
           else go = false
         }
-        Right(UpdateStmt(t, sets.result(), upsert, ret, where))
+        Right(UpdateStmt(t, sets.result(), upsert, ret, where, removes.result()))
       } else if (p.kw("DELETE")) {
         p.expectKw("FROM")
         val t = ident(p)
@@ -272,8 +287,15 @@ object Parser {
   private[graft] def parseSelect(p: P): Select = {
     p.expectKw("SELECT")
     val distinct = p.kw("DISTINCT")
+    // `SELECT From AS f FROM t`: a leading FROM followed by AS is a
+    // PROPERTY named like the keyword, not the target clause (reference
+    // ReservedKeywordPropertyNameTest, issue #5092)
+    def fromIsProjection = p.peekKw("FROM") && (p.peekAt(1) match {
+      case TId(id) => id.equalsIgnoreCase("AS")
+      case _ => false
+    })
     val projections =
-      if (p.peekKw("FROM")) Seq.empty
+      if (p.peekKw("FROM") && !fromIsProjection) Seq.empty
       else if (p.op("*")) Seq.empty
       else {
         val b = Seq.newBuilder[Projection]
@@ -459,9 +481,14 @@ object Parser {
       if (p.peekKw("NOT")) { // NOT IN / NOT LIKE / NOT BETWEEN
         p.pos += 1
         if (p.kw("IN")) {
-          // `IN (e1, e2)` — SQL value list; `IN <expr>` — openCypher list
-          // membership over any list-valued expression
-          if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); l = InList(l, es, negated = true) }
+          // `IN (e1, e2)` — SQL value list; `IN (SELECT …)` — subquery
+          // membership; `IN <expr>` — openCypher list membership
+          if (p.op("(")) {
+            if (p.peekKw("SELECT")) {
+              val s = parseSelect(p); p.expectOp(")")
+              l = InList(l, Seq(Subquery(s)), negated = true)
+            } else { val es = parseExprList(p); p.expectOp(")"); l = InList(l, es, negated = true) }
+          }
           else l = Not(FnCall("list_in", Seq(l, parseAdditive(p))))
         }
         else if (p.kw("LIKE")) l = Not(LikeOp(l, parseAdditive(p), caseInsensitive = false))
@@ -469,7 +496,12 @@ object Parser {
         else { p.pos -= 1; go = false } // the NOT belongs to an outer level
       }
       else if (p.kw("IN")) {
-        if (p.op("(")) { val es = parseExprList(p); p.expectOp(")"); l = InList(l, es, negated = false) }
+        if (p.op("(")) {
+          if (p.peekKw("SELECT")) {
+            val s = parseSelect(p); p.expectOp(")")
+            l = InList(l, Seq(Subquery(s)), negated = false)
+          } else { val es = parseExprList(p); p.expectOp(")"); l = InList(l, es, negated = false) }
+        }
         else l = FnCall("list_in", Seq(l, parseAdditive(p)))
       }
       else if (p.kw("BETWEEN")) { val lo = parseAdditive(p); p.expectKw("AND"); l = Between(l, lo, parseAdditive(p)) }
@@ -527,7 +559,9 @@ object Parser {
   }
 
   private def parseUnary(p: P): Expr =
-    if (p.op("-")) Neg(parseUnary(p)) else parsePostfix(p)
+    if (p.op("-")) Neg(parseUnary(p))
+    else if (p.op("+")) parseUnary(p) // unary plus is a no-op (reference UnaryOperationsTest)
+    else parsePostfix(p)
 
   private def parsePostfix(p: P): Expr = {
     var e = parsePrimary(p)

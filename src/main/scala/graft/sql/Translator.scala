@@ -71,6 +71,31 @@ object Translator {
     def r(x: Expr): Expr = resolve(x, env, evalSub, fns)
     e match {
       case Ident(n) if env.contains(n) => env(n)
+      // IN (SELECT …): the subquery's single projected column
+      // materializes ONCE as a value list (collect() over the
+      // sub-select keeps the scalar-subquery 1x1 contract), then the
+      // membership test runs per row — the reference materializes
+      // List<Result> the same way (InConditionSubqueryTest, #4337).
+      // Dimension-scale by design; fact-scale filters use a join.
+      case InList(x, Seq(Subquery(sel)), neg) =>
+        val aliased = sel.copy(projections = sel.projections match {
+          case Seq(pr) => Seq(pr.copy(alias = Some("__inv")))
+          case other =>
+            throw TranslateException(s"IN subquery must project exactly 1 column, got ${other.length}")
+        })
+        val collected = Select(
+          projections = Seq(Projection(FnCall("collect", Seq(Ident("__inv"))), Some("__c"))),
+          from = "", where = None, groupBy = Seq.empty, having = None,
+          orderBy = Seq.empty, skip = None, limit = None, distinct = false,
+          unwind = None, fromSub = Some(aliased))
+        val values: Expr = evalSub(collected) match {
+          case null => ArrayLit(Seq.empty)
+          case s: scala.collection.Seq[_] => ArrayLit(s.toSeq.map(v => Resolved(v)))
+          case a: Array[_] => ArrayLit(a.toSeq.map(v => Resolved(v)))
+          case a => ArrayLit(Seq(Resolved(a)))
+        }
+        val member = FnCall("list_in", Seq(r(x), values))
+        if (neg) Not(member) else member
       case Subquery(sel)          => Resolved(evalSub(sel))
       case Bin(op, l, rr)         => Bin(op, r(l), r(rr))
       case Neg(x)                 => Neg(r(x))
@@ -793,7 +818,14 @@ object Translator {
       case Some(sub) => compile(spark, dir, cat, sub, fns, env) // derived table
       case None      => cat.scan(spark, dir, sel.from)
     }
-    sel.where.foreach(w => df = df.filter(toColumn(w)))
+    // a NULL/void-typed condition keeps no rows (null is falsy in a
+    // boolean context — reference BooleanLiteralConditionsTest); Spark
+    // rejects a VOID filter at analysis, so pin the type here
+    def filterCond(w: Expr): Column = w match {
+      case NullLit => lit(false)
+      case _ => toColumn(w)
+    }
+    sel.where.foreach(w => df = df.filter(filterCond(w)))
     sel.unwind.foreach(u => df = df.withColumn(u, explode(col(u))))
 
     val projected: DataFrame =
@@ -832,7 +864,7 @@ object Translator {
       } else df
 
     var out = projected
-    sel.having.foreach(h => out = out.filter(toColumn(h)))
+    sel.having.foreach(h => out = out.filter(filterCond(h)))
     if (sel.distinct) out = out.distinct()
     if (sel.orderBy.nonEmpty)
       out = out.orderBy(sel.orderBy.map(o =>
@@ -888,10 +920,18 @@ object Translator {
         val out = staged.localCheckpoint(true)
         tab.insert(out)
         out
-      case UpdateStmt(t, sets, upsert, ret, where0) =>
+      case UpdateStmt(t, sets, upsert, ret, where0, removes) =>
         val tab = table(t)
         val where = where0.map(rs)
-        val setCols = sets.map { case (c, e) => c -> toColumn(rs(e)) }
+        val setCols = sets.map { case (c, e) =>
+          c -> toColumn(resolveTypedMethods(tab.df, rs(e))) } ++
+          removes.map {
+            // keyed removal: map → drop the key, array → drop the value;
+            // bare removal: null the property (openCypher/reference
+            // property-bag semantics — UpdateRemoveMapKeyTest)
+            case (c, Some(k)) => c -> removeFrom(tab.df, c, rs(k))
+            case (c, None)    => c -> lit(null)
+          }
         if (upsert) {
           val w = where.getOrElse(throw TranslateException("UPSERT requires WHERE"))
           countRow(tab.upsert(equalityKeys(w).map { case (c, e) => c -> toColumn(e) }.toMap, setCols))
@@ -908,6 +948,33 @@ object Translator {
         countRow(table(t).delete(where.map(w => toColumn(rs(w))).getOrElse(lit(true))))
     }
   }
+
+  /** Type-aware method resolution against a concrete frame: `.remove(x)`
+    * / `.removeAll(x)` need the target's data type (map → drop key,
+    * array → drop value), which the schema-less expression translator
+    * cannot see (reference SQLMethodRemove over both collection kinds).
+    * Leaves anything it cannot type untouched. */
+  private def resolveTypedMethods(df: DataFrame, e: Expr): Expr = Ast.mapDown(e) {
+    case mc @ MethodCall(t, m, Seq(arg)) if Set("remove", "removeall")(m.toLowerCase) =>
+      scala.util.Try(df.select(toColumn(t)).schema.head.dataType).toOption match {
+        case Some(_: org.apache.spark.sql.types.MapType) =>
+          Resolved(map_filter(toColumn(t), (k, _) => k =!= toColumn(arg)))
+        case Some(_: org.apache.spark.sql.types.ArrayType) =>
+          Resolved(array_remove(toColumn(t), toColumn(arg)))
+        case _ => mc
+      }
+    case x => x
+  }
+
+  /** Keyed removal from a column by its concrete type. */
+  private def removeFrom(df: DataFrame, c: String, k: Expr): Column =
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(_: org.apache.spark.sql.types.MapType) =>
+        map_filter(col(c), (key, _) => key =!= toColumn(k))
+      case Some(_: org.apache.spark.sql.types.ArrayType) =>
+        array_remove(col(c), toColumn(k))
+      case _ => lit(null)
+    }
 
   /** UPSERT key = the WHERE clause's conjunctive equality predicates
     * (UpsertStep.createNewRecord derives the new record from exactly

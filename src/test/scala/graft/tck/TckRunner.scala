@@ -198,8 +198,32 @@ object TckRunner {
         s"got: ${got.take(5).mkString("; ")}\nexp: ${expected.take(5).mkString("; ")}")
     val (g, e) =
       if (ordered) (got, expected)
-      else (got.sortBy(_.toString()), expected.sortBy(_.toString()))
+      else (got.sortBy(rowKey), expected.sortBy(rowKey))
     if (g == e) None
     else Some(s"rows differ\ngot: ${g.take(8).mkString("; ")}\nexp: ${e.take(8).mkString("; ")}")
+  }
+
+  /** Canonical per-row sort key for the unordered bag compare. The
+    * default `toString` is NOT canonical across equal values — a props
+    * map with ≥5 entries prints "HashMap(…)" with hash-order entries
+    * while a small one prints "Map(…)" in insertion order, so two equal
+    * bags could sort into different sequences and falsely mismatch. */
+  private def rowKey(row: Vector[TV]): String = row.map(canonKey).mkString(" ")
+  private def canonKey(tv: TV): String = tv match {
+    case VList(xs) => xs.map(canonKey).mkString("L[", ",", "]")
+    case VMap(m) =>
+      m.toSeq.sortBy(_._1).map { case (k, v) => k + ":" + canonKey(v) }
+        .mkString("M{", ",", "}")
+    case VNode(ls, ps) =>
+      ls.toSeq.sorted.mkString("N<", ":", ">") +
+        ps.toSeq.sortBy(_._1).map { case (k, v) => k + ":" + canonKey(v) }
+          .mkString("{", ",", "}")
+    case VRel(t, ps) =>
+      "R<" + t + ">" + ps.toSeq.sortBy(_._1).map { case (k, v) => k + ":" + canonKey(v) }
+        .mkString("{", ",", "}")
+    case VPath(ns, ss) =>
+      "P<" + ns.map(canonKey).mkString(",") + "|" +
+        ss.map { case (r, f) => canonKey(r) + f }.mkString(",") + ">"
+    case other => other.toString
   }
 }

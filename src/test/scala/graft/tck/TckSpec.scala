@@ -30,11 +30,11 @@ class TckSpec extends AnyFunSuite {
   test("expected-failures list stays tight") {
     // silent growth of the pin list is a conformance regression even when
     // every entry is "expected" — hard-assert the ceiling (the reference's
-    // own list is 45 entries; ours is 2 after round 8's variant-typing
-    // calculus cleared the heterogeneous-value class — and one of the two
-    // is on the reference's own list too; each justified in-file)
-    assert(expectedFailures.size <= 2,
-      s"expected-failures grew to ${expectedFailures.size} entries (ceiling 2) — " +
+    // own list is 45 entries; ours is 1 after round 9's user-id/identity
+    // decoupling cleared Merge5 [13] — and the single remaining entry is
+    // on the reference's own list too; justified in-file)
+    assert(expectedFailures.size <= 1,
+      s"expected-failures grew to ${expectedFailures.size} entries (ceiling 1) — " +
         "fix the regressions or justify and raise the ceiling")
   }
 

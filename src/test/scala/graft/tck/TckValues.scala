@@ -249,6 +249,10 @@ object TckValues {
           }
           VPath(nodes, steps)
         }
+      } else if (names.contains("__props")) {
+        // a properties() map from a user-id-decoupled store: per-row-null
+        // fields are absent properties, the marker itself is internal
+        VMap(props(fields.removed("__props")))
       } else if (fields.get("_eid").exists(_ != VNull) && names.contains("label")) {
         // rel struct (possibly in a unified node/rel element type where
         // the node-only `id` field is a typed null). Unlike nodes, a rel's
@@ -264,10 +268,11 @@ object TckValues {
           case VStr(l) => l.split(':').filter(_.nonEmpty).toSet
           case _ => Set.empty[String]
         }
-        // `_hasid` marks identity doubling as a user `id` property
-        val hasIdProp = fields.get("_hasid").contains(VBool(true))
-        VNode(labels,
-          props(if (hasIdProp) fields.removed("label") else fields.removedAll(Seq("id", "label"))))
+        // a user `id` property lives in the hidden `_uid` slot (the `id`
+        // field is internal identity, never user-visible)
+        val userId = fields.get("_uid").filter(_ != VNull)
+        val base = fields.removedAll(Seq("id", "label"))
+        VNode(labels, props(userId.fold(base)(u => base.updated("id", u))))
       } else if (names.contains("label")) {
         val t = fields("label") match { case VStr(l) => l; case _ => "" }
         VRel(t, props(fields.removed("label")))

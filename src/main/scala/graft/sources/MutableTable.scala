@@ -68,7 +68,10 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     val staged = rows.localCheckpoint(eager = true)
     val n = staged.count()
     emitChanges("insert", staged)
-    overwrite(df.unionByName(staged))
+    // schema-evolving: CONTENT/SET inserts may carry brand-new property
+    // keys (schema-flexible records — Document.java:42); missing columns
+    // null-fill on either side
+    overwrite(df.unionByName(staged, allowMissingColumns = true))
     fire("insert", staged)
     n
   }
@@ -82,7 +85,8 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
       .localCheckpoint(eager = true)
     val untouched = df.filter(!coalesce(where, lit(false)))
     emitChanges("update", before)
-    overwrite(untouched.unionByName(after))
+    // schema-evolving: a SET/MERGE may introduce new property columns
+    overwrite(untouched.unionByName(after, allowMissingColumns = true))
     fire("update", after)
     (before.count(), before, after)
   }

@@ -147,15 +147,28 @@ object Ast {
     * UpdateExecutionPlanner.java, DeleteExecutionPlanner.java; grammar
     * SQLParser.g4 insertStatement/updateStatement/deleteStatement). */
   sealed trait Stmt
-  /** INSERT INTO t [(cols)] VALUES (…),(…) | INSERT INTO t [(cols)] [FROM] SELECT …. */
+  /** INSERT INTO t [(cols)] VALUES (…),(…) | SET c = e, … |
+    * CONTENT {…} / [{…}, …] | [FROM] SELECT …. SET desugars to a
+    * one-row VALUES; CONTENT rows carry their own keys (schema-evolving). */
   final case class InsertStmt(target: String, cols: Seq[String],
-      values: Seq[Seq[Expr]], from: Option[Select]) extends Stmt
-  /** UPDATE t [SET c = e, …] [REMOVE c = k | c[k] | c, …] [UPSERT]
-    * [RETURN BEFORE|AFTER|COUNT] [WHERE …]. A remove with a key drops a
-    * map entry (or list value); a bare remove drops the whole property. */
+      values: Seq[Seq[Expr]], from: Option[Select],
+      content: Seq[Expr] = Seq.empty) extends Stmt
+  /** One UPDATE … REMOVE item. `form`:
+    *  - "eq"      — `REMOVE c = v`: drop map key v / list value v
+    *  - "bracket" — `REMOVE c[i]` / `c[i, j, …]`: drop map key(s) /
+    *                list element(s) BY INDEX (reference remove1/remove2)
+    *  - "all"     — `REMOVE c`: drop the whole property */
+  final case class UpdateRemove(col: String, form: String, args: Seq[Expr])
+
+  /** UPDATE t [SET c = e, …] [REMOVE item, …] [CONTENT {…}] [MERGE {…}]
+    * [UPSERT] [RETURN BEFORE|AFTER|COUNT] [WHERE …]. CONTENT replaces
+    * the whole property set with the map; MERGE folds the map's keys in,
+    * keeping the others (reference UpdateStatementExecutionTest
+    * content()/merge()). */
   final case class UpdateStmt(target: String, sets: Seq[(String, Expr)],
       upsert: Boolean, ret: String, where: Option[Expr],
-      removes: Seq[(String, Option[Expr])] = Seq.empty) extends Stmt
+      removes: Seq[UpdateRemove] = Seq.empty,
+      content: Option[Expr] = None, mergeMap: Option[Expr] = None) extends Stmt
   /** DELETE FROM t [WHERE …]. */
   final case class DeleteStmt(target: String, where: Option[Expr]) extends Stmt
 

@@ -222,35 +222,64 @@ object Parser {
             more = p.op(",")
           }
           Right(InsertStmt(t, cols, rows.result(), None))
+        } else if (p.kw("SET")) {
+          // `INSERT INTO t SET a = 1, b = 'x'` — the reference's dominant
+          // insert form (InsertStatementExecutionTest and most others)
+          val pairs = Seq.newBuilder[(String, Expr)]
+          var more = true
+          while (more) {
+            val c = ident(p)
+            p.expectOp("=")
+            pairs += c -> parseExpr(p)
+            more = p.op(",")
+          }
+          val ps = pairs.result()
+          Right(InsertStmt(t, ps.map(_._1), Seq(ps.map(_._2)), None))
+        } else if (p.kw("CONTENT")) {
+          // `INSERT INTO t CONTENT {…}` or `CONTENT [{…}, {…}]` — each
+          // embedded document becomes one row (InsertContent* tests)
+          val e = parseExpr(p)
+          val docs = e match { case ArrayLit(es) => es; case x => Seq(x) }
+          Right(InsertStmt(t, Seq.empty, Seq.empty, None, docs))
         } else {
           p.kw("FROM") // the dialect's optional `INSERT INTO t FROM SELECT …`
           Right(InsertStmt(t, cols, Seq.empty, Some(parseSelect(p))))
         }
       } else if (p.kw("UPDATE")) {
         val t = ident(p)
+        // operation clauses in any order: SET / REMOVE / CONTENT / MERGE
+        // (the reference grammar allows a sequence of update operations)
         val sets = Seq.newBuilder[(String, Expr)]
-        if (p.kw("SET")) {
-          var more = true
-          while (more) {
-            val c = ident(p)
-            p.expectOp("=")
-            sets += c -> parseExpr(p)
-            more = p.op(",")
-          }
-        }
-        // REMOVE items (reference UpdateRemoveMapKeyTest): `REMOVE m = k` /
-        // `REMOVE m[k]` drop a map key (or list value); bare `REMOVE p`
-        // drops the whole property
-        val removes = Seq.newBuilder[(String, Option[Expr])]
-        if (p.kw("REMOVE")) {
-          var more = true
-          while (more) {
-            val c = ident(p)
-            if (p.op("=")) removes += c -> Some(parseExpr(p))
-            else if (p.op("[")) { val k = parseExpr(p); p.expectOp("]"); removes += c -> Some(k) }
-            else removes += c -> None
-            more = p.op(",")
-          }
+        val removes = Seq.newBuilder[UpdateRemove]
+        var content: Option[Expr] = None
+        var mergeE: Option[Expr] = None
+        var ops = true
+        while (ops) {
+          if (p.kw("SET")) {
+            var more = true
+            while (more) {
+              val c = ident(p)
+              p.expectOp("=")
+              sets += c -> parseExpr(p)
+              more = p.op(",")
+            }
+          } else if (p.kw("REMOVE")) {
+            // `REMOVE m = k` (map key / list value), `REMOVE l[i, …]`
+            // (map key(s) / list index(es)), bare `REMOVE p` (whole prop)
+            var more = true
+            while (more) {
+              val c = ident(p)
+              if (p.op("=")) removes += UpdateRemove(c, "eq", Seq(parseExpr(p)))
+              else if (p.op("[")) {
+                val ks = parseExprList(p); p.expectOp("]")
+                removes += UpdateRemove(c, "bracket", ks)
+              }
+              else removes += UpdateRemove(c, "all", Seq.empty)
+              more = p.op(",")
+            }
+          } else if (p.kw("CONTENT")) content = Some(parseExpr(p))
+          else if (p.kw("MERGE")) mergeE = Some(parseExpr(p))
+          else ops = false
         }
         // trailing modifiers in any order (the reference grammar fixes an
         // order; accepting any is a superset)
@@ -268,7 +297,8 @@ object Parser {
           } else if (p.kw("WHERE")) where = Some(parseExpr(p))
           else go = false
         }
-        Right(UpdateStmt(t, sets.result(), upsert, ret, where, removes.result()))
+        Right(UpdateStmt(t, sets.result(), upsert, ret, where, removes.result(),
+          content, mergeE))
       } else if (p.kw("DELETE")) {
         p.expectKw("FROM")
         val t = ident(p)

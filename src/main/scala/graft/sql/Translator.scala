@@ -896,7 +896,20 @@ object Translator {
     def countRow(n: Long): DataFrame = spark.range(1).select(lit(n).as("count"))
     def rs(e: Expr): Expr = resolveExpr(spark, dir, cat, e, env)
     st match {
-      case InsertStmt(t, cols, rows0, fromSel) =>
+      case InsertStmt(t, _, _, _, docs) if docs.nonEmpty =>
+        // CONTENT rows: each embedded document carries its own key set;
+        // MutableTable.insert's schema-evolving union fills the rest
+        val tab = table(t)
+        val staged = docs.map(d => rs(d) match {
+          case StructLit(fs) if fs.nonEmpty =>
+            spark.range(1).select(fs.map { case (k, e) => toColumn(e).as(k) }: _*)
+          case other =>
+            throw TranslateException(s"INSERT CONTENT needs a non-empty map, got $other")
+        }).reduce(_.unionByName(_, allowMissingColumns = true))
+          .localCheckpoint(true)
+        tab.insert(staged)
+        staged
+      case InsertStmt(t, cols, rows0, fromSel, _) =>
         val rows = rows0.map(_.map(rs))
         val tab = table(t)
         val schema = tab.df.schema
@@ -920,17 +933,34 @@ object Translator {
         val out = staged.localCheckpoint(true)
         tab.insert(out)
         out
-      case UpdateStmt(t, sets, upsert, ret, where0, removes) =>
+      case UpdateStmt(t, sets, upsert, ret, where0, removes, content, mergeE) =>
         val tab = table(t)
         val where = where0.map(rs)
+        // CONTENT {…}: replace the WHOLE property set — map keys become
+        // the record, every other column nulls; MERGE {…}: fold the map
+        // keys in, keep the rest (reference content()/merge())
+        def mapPairs(e: Expr, what: String): Seq[(String, Expr)] = rs(e) match {
+          case StructLit(fs) => fs
+          case other => throw TranslateException(s"UPDATE $what needs a map, got $other")
+        }
+        val contentSets: Seq[(String, Column)] = content.toSeq.flatMap { e =>
+          val fs = mapPairs(e, "CONTENT")
+          val keys = fs.map(_._1).toSet
+          fs.map { case (k, e2) => k -> toColumn(e2) } ++
+            tab.df.columns.filterNot(keys).map(_ -> lit(null))
+        }
+        val mergeSets: Seq[(String, Column)] = mergeE.toSeq.flatMap(e =>
+          mapPairs(e, "MERGE").map { case (k, e2) => k -> toColumn(e2) })
         val setCols = sets.map { case (c, e) =>
           c -> toColumn(resolveTypedMethods(tab.df, rs(e))) } ++
+          contentSets ++ mergeSets ++
           removes.map {
-            // keyed removal: map → drop the key, array → drop the value;
-            // bare removal: null the property (openCypher/reference
-            // property-bag semantics — UpdateRemoveMapKeyTest)
-            case (c, Some(k)) => c -> removeFrom(tab.df, c, rs(k))
-            case (c, None)    => c -> lit(null)
+            // keyed removal: map → drop key(s), array → drop value /
+            // element(s) by index; bare removal: null the property
+            // (reference UpdateRemoveMapKeyTest + remove1/remove2)
+            case UpdateRemove(c, "all", _) => c -> lit(null)
+            case UpdateRemove(c, form, ks) =>
+              c -> removeFrom(tab.df, c, form, ks.map(rs))
           }
         if (upsert) {
           val w = where.getOrElse(throw TranslateException("UPSERT requires WHERE"))
@@ -966,13 +996,22 @@ object Translator {
     case x => x
   }
 
-  /** Keyed removal from a column by its concrete type. */
-  private def removeFrom(df: DataFrame, c: String, k: Expr): Column =
+  /** Keyed removal from a column by its concrete type and remove form:
+    * maps drop the listed keys (either form); arrays drop by VALUE for
+    * the `= v` form and by INDEX(es) for the bracket form (reference
+    * SQLUpdateRemoveItem: `remove theProperty[0, 1, 3]`). */
+  private def removeFrom(df: DataFrame, c: String, form: String, ks: Seq[Expr]): Column =
     df.schema.find(_.name == c).map(_.dataType) match {
       case Some(_: org.apache.spark.sql.types.MapType) =>
-        map_filter(col(c), (key, _) => key =!= toColumn(k))
+        val keys = ks.map(toColumn)
+        map_filter(col(c), (key, _) => !keys.map(key === _).reduce(_ || _))
+      case Some(_: org.apache.spark.sql.types.ArrayType) if form == "eq" =>
+        array_remove(col(c), toColumn(ks.head))
       case Some(_: org.apache.spark.sql.types.ArrayType) =>
-        array_remove(col(c), toColumn(k))
+        // bracket = positional: keep elements whose 0-based index is not
+        // listed (one pass, no per-index re-slicing)
+        val idx = ks.map(k => toColumn(k).cast("int"))
+        filter(col(c), (_, i) => !idx.map(i === _).reduce(_ || _))
       case _ => lit(null)
     }
 

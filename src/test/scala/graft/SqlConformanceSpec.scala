@@ -199,6 +199,84 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(q(cat, "SELECT From AS f FROM trip WHERE name = 't1'")(0).getString(0) == "London")
   }
 
+  // ---- UpdateStatementExecutionTest.java content()/merge() ----
+
+  test("UPDATE CONTENT replaces the whole property set; MERGE folds keys in") {
+    locally {
+      val cat = writable(Seq(("John", 30L, "NY"), ("Jane", 25L, "LA"))
+        .toDF("name", "age", "city"), "v")
+      stmt(cat, "UPDATE v CONTENT {'name': 'foo', 'secondName': 'bar'}")
+      val rows = q(cat, "SELECT name, secondName, age FROM v")
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        assert(r.getString(0) == "foo" && r.getString(1) == "bar" && r.isNullAt(2), r)
+      }
+    }
+    locally {
+      val cat = writable(Seq(("John", 30L, "New York")).toDF("name", "age", "city"), "v")
+      stmt(cat, "UPDATE v MERGE { \"status\": \"active\", \"email\": \"j@x.com\" } WHERE name = 'John'")
+      val r = q(cat, "SELECT name, age, city, status, email FROM v WHERE name = 'John'")(0)
+      assert(r.getString(0) == "John" && r.getAs[Number](1).longValue == 30L &&
+        r.getString(2) == "New York" && r.getString(3) == "active" &&
+        r.getString(4) == "j@x.com", r)
+    }
+  }
+
+  // ---- InsertStatementExecutionTest / InsertContent* ----
+
+  test("INSERT SET and INSERT CONTENT (single + array, new keys evolve the schema)") {
+    val cat = writable(Seq(("seed", 1L)).toDF("name", "n"), "t")
+    stmt(cat, "INSERT INTO t SET name = 'alice', n = 2")
+    stmt(cat, "INSERT INTO t CONTENT {'name': 'bob', 'n': 3, 'tag': 'x'}")
+    stmt(cat, "INSERT INTO t CONTENT [{'name': 'carol', 'n': 4}, {'name': 'dave', 'n': 5}]")
+    val rows = q(cat, "SELECT name, n, tag FROM t ORDER BY n")
+    assert(rows.map(_.getString(0)).toSeq == Seq("seed", "alice", "bob", "carol", "dave"))
+    assert(rows.map(r => Option(r.get(2))).toSeq ==
+      Seq(None, None, Some("x"), None, None))
+  }
+
+  // ---- UpdateStatementExecutionTest remove1()/remove2(): list REMOVE by index ----
+
+  test("UPDATE REMOVE list[i, j] removes by position; map[k] removes the key") {
+    locally {
+      val cat = writable(Seq(("r", Seq("a", "b", "c", "d", "e"))).toDF("id", "xs"), "doc")
+      stmt(cat, "UPDATE doc REMOVE xs[0, 1, 3] WHERE id = 'r'")
+      assert(q(cat, "SELECT xs FROM doc")(0).getSeq[String](0) == Seq("c", "e"))
+    }
+    locally {
+      val cat = writable(Seq(("r", Map("foo" -> 1L, "bar" -> 2L))).toDF("id", "m"), "doc")
+      stmt(cat, "UPDATE doc REMOVE m[\"bar\"] WHERE id = 'r'")
+      assert(q(cat, "SELECT m FROM doc")(0).getMap[String, Long](0).keySet == Set("foo"))
+    }
+  }
+
+  // ---- BacktickProjectionAliasTest.java (issue #4691) ----
+
+  test("backticked projections/aliases strip the quotes") {
+    val cat = writable(Seq(1L, 1L, 2L).toDF("col1"), "tbl")
+    val r1 = q(cat, "SELECT `col1` FROM tbl ORDER BY col1")
+    assert(r1.head.schema.fieldNames.toSeq == Seq("col1"))
+    val r2 = q(cat, "SELECT `col1`, count(*) AS n FROM tbl GROUP BY `col1` ORDER BY `col1`")
+    assert(r2.map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+    val r3 = q(cat, "SELECT `col1` AS `alias1`, count(*) AS n FROM tbl GROUP BY `col1` ORDER BY `alias1`")
+    assert(r3.head.schema.fieldNames.toSeq == Seq("alias1", "n"))
+  }
+
+  // ---- DateQueryConsistencyTest.java: string vs .asDate() comparisons ----
+
+  test("date column compares against plain strings and .asDate()") {
+    val cat = writable(Seq(
+      ("Paul", java.sql.Date.valueOf("1952-08-06")),
+      ("Jane", java.sql.Date.valueOf("1952-08-07")),
+      ("Old", java.sql.Date.valueOf("1950-01-01"))).toDF("name", "birthDate"), "person")
+    assert(q(cat, "SELECT name FROM person WHERE birthDate = '1952-08-06'")(0)
+      .getString(0) == "Paul")
+    assert(q(cat, "SELECT name FROM person WHERE birthDate = '1952-08-06'.asDate()")(0)
+      .getString(0) == "Paul")
+    assert(q(cat, "SELECT name FROM person WHERE birthDate > '1952-08-05'.asDate()").length == 2)
+  }
+
   // ---- FromAliasTest.java-style: alias-qualified projections survive ----
 
   test("GROUP BY key aliasing keeps aggregate totals (AggregateProjection*)") {

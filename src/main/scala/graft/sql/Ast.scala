@@ -192,5 +192,8 @@ object Ast {
       groupSets: Seq[Seq[Expr]] = Seq.empty,
       /** Derived-table target `FROM (SELECT …)` (reference
         * FetchFromResultsetStep); when set, `from` is empty. */
-      fromSub: Option[Select] = None)
+      fromSub: Option[Select] = None,
+      /** `SELECT *, !a, !b` — star-projection exclusions (reference
+        * exclude(); the top-level sibling of nested `{*, !f}`). */
+      excludes: Seq[String] = Seq.empty)
 }

@@ -324,9 +324,17 @@ object Parser {
       case TId(id) => id.equalsIgnoreCase("AS")
       case _ => false
     })
+    var excludes = Seq.empty[String]
     val projections =
       if (p.peekKw("FROM") && !fromIsProjection) Seq.empty
-      else if (p.op("*")) Seq.empty
+      else if (p.op("*")) {
+        // `SELECT *, !a, !b` — star with exclusions (reference exclude(),
+        // the top-level sibling of the nested `{*, !f}` projection)
+        val exc = Seq.newBuilder[String]
+        while (p.op(",")) { p.expectOp("!"); exc += ident(p) }
+        excludes = exc.result()
+        Seq.empty
+      }
       else {
         val b = Seq.newBuilder[Projection]
         var more = true
@@ -341,14 +349,17 @@ object Parser {
         }
         b.result()
       }
-    p.expectKw("FROM")
-    // type name, or a derived table `FROM (SELECT …)`
+    // FROM is optional (reference selectNoTarget*): a target-less SELECT
+    // evaluates its projections once against a one-row dual
     val (from, fromSub) =
-      if (p.op("(")) {
-        val sub = parseSelect(p)
-        p.expectOp(")")
-        ("", Some(sub))
-      } else (ident(p), None)
+      if (p.kw("FROM")) {
+        // type name, or a derived table `FROM (SELECT …)`
+        if (p.op("(")) {
+          val sub = parseSelect(p)
+          p.expectOp(")")
+          ("", Some(sub))
+        } else (ident(p), None)
+      } else ("", None)
     val lets = if (p.kw("LET")) {
       val b = Seq.newBuilder[(String, Expr)]
       var more = true
@@ -405,7 +416,7 @@ object Parser {
     val skip = if (p.kw("SKIP") || p.kw("OFFSET")) Some(longLit(p)) else None
     val limit = if (p.kw("LIMIT")) Some(longLit(p)) else None
     Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind, lets,
-      groupKind, groupSets, fromSub)
+      groupKind, groupSets, fromSub, excludes)
   }
 
   private[graft] def ident(p: P): String = p.next() match {
@@ -547,8 +558,13 @@ object Parser {
       else if (p.kw("CONTAINS")) l = ContainsOp(l, "ONE", parseAdditive(p))
       else if (p.kw("IS")) {
         val neg = p.kw("NOT")
-        p.expectKw("NULL")
-        l = IsNull(l, negated = neg)
+        // `IS [NOT] DEFINED` (reference isDefined()/isNotDefined()): on
+        // this engine's columnar records "defined" approximates to
+        // non-null — a property explicitly set to null and an absent one
+        // are the same stored state (the reference's document bags can
+        // tell them apart; Parquet columns cannot)
+        if (p.kw("DEFINED")) l = IsNull(l, negated = !neg)
+        else { p.expectKw("NULL"); l = IsNull(l, negated = neg) }
       }
       else go = false
     }

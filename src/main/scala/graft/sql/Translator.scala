@@ -816,7 +816,10 @@ object Translator {
 
     var df = sel.fromSub match {
       case Some(sub) => compile(spark, dir, cat, sub, fns, env) // derived table
-      case None      => cat.scan(spark, dir, sel.from)
+      // target-less SELECT (reference selectNoTarget*): projections
+      // evaluate once against a one-row dual
+      case None if sel.from.isEmpty => spark.range(1).select(lit(1).as("__dual"))
+      case None => cat.scan(spark, dir, sel.from)
     }
     // a NULL/void-typed condition keeps no rows (null is falsy in a
     // boolean context — reference BooleanLiteralConditionsTest); Spark
@@ -864,6 +867,7 @@ object Translator {
       } else df
 
     var out = projected
+    if (sel.excludes.nonEmpty) out = out.drop(sel.excludes: _*)
     sel.having.foreach(h => out = out.filter(filterCond(h)))
     if (sel.distinct) out = out.distinct()
     if (sel.orderBy.nonEmpty)

@@ -277,6 +277,58 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(q(cat, "SELECT name FROM person WHERE birthDate > '1952-08-05'.asDate()").length == 2)
   }
 
+  // ---- SelectStatementExecutionTest selectNoTarget* ----
+
+  test("target-less SELECT evaluates projections once (with SKIP/LIMIT)") {
+    val cat = graft.schema.TypeCatalog.fresh()
+    val r = q(cat, "SELECT 1 AS one, 2 AS two, 3 AS three")
+    assert(r.length == 1)
+    assert((r(0).getAs[Number]("one").longValue, r(0).getAs[Number]("two").longValue,
+      r(0).getAs[Number]("three").longValue) == (1L, 2L, 3L))
+    assert(q(cat, "SELECT 1 AS one SKIP 1").isEmpty)
+    assert(q(cat, "SELECT 1 AS one LIMIT 0").isEmpty)
+    assert(q(cat, "SELECT 1 AS one LIMIT 1").length == 1)
+    assert(q(cat, "SELECT if((true = true), 1, 2) AS v")(0)
+      .getAs[Number]("v").longValue == 1L) // issue #3878 shape
+  }
+
+  // ---- SelectStatementExecutionTest unicodeEscapeSequences ----
+
+  test("unicode escape sequences in string literals") {
+    val cat = graft.schema.TypeCatalog.fresh()
+    assert(q(cat, "SELECT '\\u0026' AS amp")(0).getString(0) == "&")
+    assert(q(cat, "SELECT '\\u0048\\u0065\\u006C\\u006C\\u006F' AS hello")(0)
+      .getString(0) == "Hello")
+  }
+
+  // ---- SelectStatementExecutionTest isDefined/isNotDefined ----
+
+  test("IS DEFINED / IS NOT DEFINED (columnar approximation: non-null)") {
+    val cat = writable(Seq[(String, String)](
+      ("Foo", null), (null, "Bar"), (null, "Barz")).toDF("name", "sur"), "t")
+    assert(q(cat, "SELECT sur FROM t WHERE name IS DEFINED").length == 1)
+    assert(q(cat, "SELECT sur FROM t WHERE name IS NOT DEFINED").length == 2)
+  }
+
+  // ---- SelectStatementExecutionTest exclude() ----
+
+  test("SELECT *, !surname excludes the column from the star projection") {
+    val cat = writable(Seq(("foo", "bar")).toDF("name", "surname"), "t")
+    val r = q(cat, "SELECT *, !surname FROM t")
+    assert(r.length == 1)
+    assert(r(0).schema.fieldNames.contains("name"))
+    assert(!r(0).schema.fieldNames.contains("surname"))
+    assert(r(0).getAs[String]("name") == "foo")
+  }
+
+  // ---- SelectStatementExecutionTest orderByLet ----
+
+  test("ORDER BY a LET-bound expression") {
+    val cat = writable(Seq("abbb", "baaa").toDF("name"), "t")
+    val r = q(cat, "SELECT name FROM t LET $order = name.substring(1) ORDER BY $order ASC LIMIT 1")
+    assert(r.length == 1 && r(0).getString(0) == "baaa", r.mkString("|"))
+  }
+
   // ---- FromAliasTest.java-style: alias-qualified projections survive ----
 
   test("GROUP BY key aliasing keeps aggregate totals (AggregateProjection*)") {

@@ -21,11 +21,31 @@ import org.apache.spark.sql.functions._
   *   hasLabel('l'), has('k', v|pred)    — filters; preds: eq/neq/gt/gte/lt/
   *                                         lte/within/without/between/
   *                                         containing/startingWith/endingWith
+  *   and(...), or(...), not(...)        — boolean composition of has/hasLabel
+  *   where(eq('a')|neq('a'))            — current element vs an as() capture
   *   out/in/both('l'?)                  — vertex hops (bag semantics: one
   *                                         traverser per edge, like TinkerPop)
   *   outE/inE('l'?), outV()/inV()       — edge-object hops
+  *   repeat(body).times(n)              — body = chain of hop/filter steps,
+  *                                         unrolled n times into the one plan
+  *   repeat(body).until(cond)           — do-while: after each body pass,
+  *                                         traversers satisfying cond emit,
+  *                                         the rest loop (bounded unroll —
+  *                                         MaxRepeatLoops — same lazy-DAG
+  *                                         shape as PropertyGraph's
+  *                                         traverseUnrolled: an exhausted
+  *                                         frontier expands to empty rows,
+  *                                         costing nothing)
+  *   path().by('k'?)                    — per-traverser visited-element list
+  *                                         (vertex hops; value = by-key or id),
+  *                                         accumulated AT HOP TIME into an
+  *                                         array column — no join-back, no
+  *                                         traverser ids, scale-free
   *   as('x'), select('a','b').by('k')   — path-step capture / projection
   *   values('k')                        — property projection (column `value`)
+  *   choose(pred, a, b) / coalesce(a,b) — per-element conditional value /
+  *                                         first non-null projection (value
+  *                                         chains only)
   *   dedup(), order().by('k', desc?), limit(n)
   *   count() / sum() / min() / max()    — terminal aggregates (column `value`;
   *                                         sums are decimal-exact per the
@@ -33,12 +53,21 @@ import org.apache.spark.sql.functions._
   *   groupCount().by('k')               — grouped count (rows (k, cnt),
   *                                         sorted by key — the rendered form
   *                                         of TinkerPop's result map)
+  *   group().by('k').by(agg)            — grouped aggregation; agg = count()
+  *                                         or values('p').sum/mean/min/max(),
+  *                                         default collect (sorted list)
   *
   * Traverser multiplicity is preserved exactly as TinkerPop defines it:
   * no implicit distinct — `out()` emits one traverser per matching edge, so
   * count()/groupCount() agree with the reference's bag semantics.
   */
 object Gremlin {
+
+  /** until()-loop unroll bound. Gremlin repeats in analytic queries are
+    * shallow (the reference's TinkerPop tests stay ≤ 5); the unroll is
+    * lazy (no per-depth action), so unused depth costs one empty join
+    * subtree, not a job. */
+  private val MaxRepeatLoops = 12
 
   // ---------- token model ----------
 
@@ -49,7 +78,8 @@ object Gremlin {
   private final case class SArg(s: String) extends Arg                  // 'str'
   private final case class NArg(d: Double) extends Arg                  // number
   private final case class IdArg(s: String) extends Arg                 // bare identifier (asc/desc)
-  private final case class PArg(name: String, args: List[Arg]) extends Arg // pred call gt(5)
+  private final case class PArg(name: String, args: List[Arg]) extends Arg // pred/step call gt(5)
+  private final case class CArg(calls: List[(String, List[Arg])]) extends Arg // chained calls a().b()
 
   /** Split `s` on `sep` at paren/quote depth zero. */
   private def splitTop(s: String, sep: Char): List[String] = {
@@ -68,18 +98,35 @@ object Gremlin {
     out.toList
   }
 
+  private def parseCall(c: String): (String, List[Arg]) = {
+    val t = c.trim
+    val p = t.indexOf('(')
+    require(p > 0 && t.endsWith(")"), s"malformed call: $t")
+    val inner = t.substring(p + 1, t.length - 1).trim
+    (t.substring(0, p).trim,
+      if (inner.isEmpty) Nil else splitTop(inner, ',').map(parseArg))
+  }
+
   private def parseArg(raw: String): Arg = {
     val t = raw.trim
     if (t.isEmpty) throw new IllegalArgumentException("empty argument")
     else if (t.head == '\'' || t.head == '"') SArg(t.substring(1, t.length - 1))
-    else if (t.last == ')') {
-      val p = t.indexOf('(')
-      val inner = t.substring(p + 1, t.length - 1).trim
-      PArg(t.substring(0, p).trim,
-        if (inner.isEmpty) Nil else splitTop(inner, ',').map(parseArg))
-    }
     else if (t.matches("[-+]?[0-9.]+([eE][-+]?[0-9]+)?")) NArg(t.toDouble)
-    else IdArg(t)
+    else {
+      // `__.out('x').has(...)`: TinkerPop anonymous traversals are chains —
+      // split on top-level '.', dropping the `__` start token
+      val pieces = splitTop(t, '.').filterNot(p => p.trim == "__")
+      if (pieces.length > 1) CArg(pieces.map(parseCall))
+      else if (t.last == ')') { val (n, as) = parseCall(pieces.head); PArg(n, as) }
+      else IdArg(t)
+    }
+  }
+
+  /** Calls of an argument that may be a single call or a chain. */
+  private def callsOf(a: Arg): List[(String, List[Arg])] = a match {
+    case PArg(n, as) => List((n, as))
+    case CArg(cs)    => cs
+    case other => throw new IllegalArgumentException(s"expected step(s), got $other")
   }
 
   /** Parse `g.V().has(...)...` into steps with .by() modulators attached. */
@@ -88,14 +135,7 @@ object Gremlin {
 
   private def parseImpl(text: String): List[Step] = {
     val body = text.trim.stripPrefix("g").stripPrefix(".")
-    val calls = splitTop(body, '.').map { c =>
-      val t = c.trim
-      val p = t.indexOf('(')
-      require(p > 0 && t.endsWith(")"), s"malformed step: $t")
-      val inner = t.substring(p + 1, t.length - 1).trim
-      (t.substring(0, p).trim,
-        if (inner.isEmpty) Nil else splitTop(inner, ',').map(parseArg))
-    }
+    val calls = splitTop(body, '.').map(parseCall)
     // attach by() modulators to the preceding step (TinkerPop modulator rule)
     calls.foldLeft(List.empty[Step]) {
       case (acc, ("by", args)) =>
@@ -131,15 +171,30 @@ object Gremlin {
     case other => throw new IllegalArgumentException(s"unsupported predicate: $other")
   }
 
+  /** A pure-filter call (has/hasLabel/and/or/not) as a row predicate over
+    * the current element — shared by inline filters, repeat bodies,
+    * until() conditions and and()/or() composition. */
+  private def filterPred(call: (String, List[Arg])): Column = call match {
+    case ("hasLabel", List(SArg(l))) => col("label") === l
+    case ("has", List(SArg(k)))      => col(k).isNotNull
+    case ("has", List(SArg(k), p))   => predicate(col(k), p)
+    case ("and", args) if args.nonEmpty => args.map(argPred).reduce(_ && _)
+    case ("or", args) if args.nonEmpty  => args.map(argPred).reduce(_ || _)
+    case ("not", List(a))            => !argPred(a)
+    case (n, as) => throw new IllegalArgumentException(s"unsupported filter step: $n(${as.mkString(",")})")
+  }
+
+  private def argPred(a: Arg): Column = callsOf(a).map(filterPred).reduce(_ && _)
+
   // ---------- traverser state ----------
 
   /** `df` carries the current element's own columns plus `<alias>__<prop>`
-    * columns for every as()-captured step. `vertexLike` distinguishes the
-    * vertex schema (id/label/props) from the edge schema (src/dst/label/props).
-    * `valueCol` is set once a values()/aggregate step collapses to a scalar. */
+    * columns for every as()-captured step (and `__path`, the accumulated
+    * path values, when a path() step is present downstream). `vertexLike`
+    * distinguishes the vertex schema (id/label/props) from the edge schema
+    * (src/dst/label/props). `valueCol` is set once a values()/aggregate
+    * step collapses to a scalar. */
   private final case class State(df: DataFrame, vertexLike: Boolean, valueCol: Option[String])
-
-  private val EdgeCols = Set("src", "dst")
 
   /** Columns that belong to the current element (not alias captures). */
   private def ownCols(df: DataFrame): Seq[String] = df.columns.toSeq.filterNot(_.contains("__"))
@@ -151,9 +206,95 @@ object Gremlin {
     val steps = parse(text)
     require(steps.nonEmpty, "empty traversal")
 
+    // path() pre-scan: when present, every vertex landing appends its
+    // by-value (default: id) to a `__path` array column — accumulation at
+    // hop time keeps path() a narrow projection (no join-back, no
+    // traverser ids). One .by() modulator applies to every position.
+    val pathKey: Option[String] = steps.collectFirst {
+      case Step("path", _, bys) => bys match {
+        case Nil                 => "id"
+        case List(List(SArg(k))) => k
+        case o => throw new IllegalArgumentException(s"path().by: at most one by('k') supported, got $o")
+      }
+    }
+
+    /** Append the landed element's path value (vertex hops only). */
+    def tracked(df: DataFrame): DataFrame = pathKey match {
+      case Some(k) if df.columns.contains("__path") =>
+        df.withColumn("__path", array_append(col("__path"), col(k)))
+      case _ => df
+    }
+
+    /** Vertex hop: join edges (optionally label-filtered), land on far vertex. */
+    def hop(s0: State, dirOut: Boolean, label: Option[String]): State = {
+      val e = label.fold(g.edges)(l => g.edges.filter(col("label") === l))
+      val (near, far) = if (dirOut) ("src", "dst") else ("dst", "src")
+      val carried = aliasCols(s0.df).map(col) :+ col(s"e.$far").as("__hop_id")
+      val expanded = s0.df.alias("t")
+        .join(e.alias("e"), col("t.id") === col(s"e.$near"))
+        .select(carried: _*)
+      State(
+        tracked(expanded.join(g.vertices.alias("v"), col("__hop_id") === col("v.id"))
+          .drop("__hop_id")),
+        vertexLike = true, None)
+    }
+
+    def bothHop(s0: State, label: Option[String]): State =
+      State(hop(s0, dirOut = true, label).df
+        .unionByName(hop(s0, dirOut = false, label).df), vertexLike = true, None)
+
+    /** Vertex → incident edge objects. */
+    def hopE(s0: State, dirOut: Boolean, label: Option[String]): State = {
+      val e = label.fold(g.edges)(l => g.edges.filter(col("label") === l))
+      val near = if (dirOut) "src" else "dst"
+      val carried = aliasCols(s0.df).map(c => col(s"t.$c")) ++
+        e.columns.map(c => col(s"e.$c"))
+      State(
+        s0.df.alias("t").join(e.alias("e"), col("t.id") === col(s"e.$near"))
+          .select(carried: _*),
+        vertexLike = false, None)
+    }
+
+    /** Edge object → endpoint vertex. */
+    def endV(s0: State, end: String): State = {
+      val carried = aliasCols(s0.df).map(col) :+ col(end).as("__hop_id")
+      State(
+        tracked(s0.df.select(carried: _*)
+          .join(g.vertices.alias("v"), col("__hop_id") === col("v.id"))
+          .drop("__hop_id")),
+        vertexLike = true, None)
+    }
+
+    def labelOf(args: List[Arg]): Option[String] = args match {
+      case Nil           => None
+      case List(SArg(l)) => Some(l)
+      case o => throw new IllegalArgumentException(s"expected edge label, got $o")
+    }
+
+    /** Apply an anonymous body chain (repeat bodies): hops + filters. */
+    def applyCalls(s0: State, calls: List[(String, List[Arg])]): State =
+      calls.foldLeft(s0) { (s, call) =>
+        call match {
+          case ("out", args)  => hop(s, dirOut = true, labelOf(args))
+          case ("in", args)   => hop(s, dirOut = false, labelOf(args))
+          case ("both", args) => bothHop(s, labelOf(args))
+          case ("outE", args) => hopE(s, dirOut = true, labelOf(args))
+          case ("inE", args)  => hopE(s, dirOut = false, labelOf(args))
+          case ("outV", Nil)  => endV(s, "src")
+          case ("inV", Nil)   => endV(s, "dst")
+          case f @ (("has" | "hasLabel" | "and" | "or" | "not"), _) =>
+            s.copy(df = s.df.filter(filterPred(f)))
+          case (n, _) => throw new IllegalArgumentException(s"unsupported step in traversal body: $n")
+        }
+      }
+
     var st = steps.head match {
-      case Step("V", Nil, _) => State(g.vertices, vertexLike = true, None)
-      case Step("E", Nil, _) => State(g.edges, vertexLike = false, None)
+      case Step("V", Nil, _) =>
+        val v0 = pathKey.fold(g.vertices)(k => g.vertices.withColumn("__path", array(col(k))))
+        State(v0, vertexLike = true, None)
+      case Step("E", Nil, _) =>
+        require(pathKey.isEmpty, "path() is supported for vertex traversals (g.V()...)")
+        State(g.edges, vertexLike = false, None)
       case s => throw new IllegalArgumentException(s"traversal must start with V()/E(), got ${s.name}")
     }
 
@@ -162,40 +303,13 @@ object Gremlin {
       case other   => throw new IllegalArgumentException(s"${s.name}: expected string arg, got $other")
     }
 
-    /** Vertex hop: join edges (optionally label-filtered), land on far vertex. */
-    def hop(dirOut: Boolean, label: Option[String]): State = {
-      val e = label.fold(g.edges)(l => g.edges.filter(col("label") === l))
-      val (near, far) = if (dirOut) ("src", "dst") else ("dst", "src")
-      val carried = aliasCols(st.df).map(col) :+ col(s"e.$far").as("__hop_id")
-      val expanded = st.df.alias("t")
-        .join(e.alias("e"), col("t.id") === col(s"e.$near"))
-        .select(carried: _*)
-      State(
-        expanded.join(g.vertices.alias("v"), col("__hop_id") === col("v.id"))
-          .drop("__hop_id"),
-        vertexLike = true, None)
-    }
-
-    /** Vertex → incident edge objects. */
-    def hopE(dirOut: Boolean, label: Option[String]): State = {
-      val e = label.fold(g.edges)(l => g.edges.filter(col("label") === l))
-      val near = if (dirOut) "src" else "dst"
-      val carried = aliasCols(st.df).map(c => col(s"t.$c")) ++
-        e.columns.map(c => col(s"e.$c"))
-      State(
-        st.df.alias("t").join(e.alias("e"), col("t.id") === col(s"e.$near"))
-          .select(carried: _*),
-        vertexLike = false, None)
-    }
-
-    /** Edge object → endpoint vertex. */
-    def endV(end: String): State = {
-      val carried = aliasCols(st.df).map(col) :+ col(end).as("__hop_id")
-      State(
-        st.df.select(carried: _*)
-          .join(g.vertices.alias("v"), col("__hop_id") === col("v.id"))
-          .drop("__hop_id"),
-        vertexLike = true, None)
+    // repeat(body) binds at the FOLLOWING times(n)/until(cond) modulator
+    var pendingRepeat: Option[List[(String, List[Arg])]] = None
+    def takeRepeat(stepName: String): List[(String, List[Arg])] = {
+      val b = pendingRepeat.getOrElse(
+        throw new IllegalArgumentException(s"$stepName() without a preceding repeat()"))
+      pendingRepeat = None
+      b
     }
 
     for (s <- steps.tail) s match {
@@ -203,17 +317,56 @@ object Gremlin {
         st = st.copy(df = st.df.filter(col("label") === l))
       case Step("has", List(SArg(k), p), _) =>
         st = st.copy(df = st.df.filter(predicate(col(k), p)))
-      case Step("out", args, _)  => st = hop(dirOut = true,  args.headOption.map(_ => strArg(s, 0)))
-      case Step("in", args, _)   => st = hop(dirOut = false, args.headOption.map(_ => strArg(s, 0)))
-      case Step("both", args, _) =>
-        val l = args.headOption.map(_ => strArg(s, 0))
-        val a = hop(dirOut = true, l)
-        val b = hop(dirOut = false, l) // both read the pre-step state
-        st = State(a.df.unionByName(b.df), vertexLike = true, None)
-      case Step("outE", args, _) => st = hopE(dirOut = true,  args.headOption.map(_ => strArg(s, 0)))
-      case Step("inE", args, _)  => st = hopE(dirOut = false, args.headOption.map(_ => strArg(s, 0)))
-      case Step("outV", Nil, _)  => st = endV("src")
-      case Step("inV", Nil, _)   => st = endV("dst")
+      case Step(n @ ("and" | "or" | "not"), args, _) =>
+        st = st.copy(df = st.df.filter(filterPred((n, args))))
+
+      // where(eq('a')/neq('a')): compare the CURRENT element's identity
+      // against an as()-captured step (TinkerPop WherePredicateStep)
+      case Step("where", List(PArg(op, List(SArg(a)))), _) if op == "eq" || op == "neq" =>
+        val cap = col(s"${a}__id")
+        val cur = if (st.vertexLike) col("id")
+          else throw new IllegalArgumentException("where(eq/neq) needs a vertex traverser")
+        st = st.copy(df = st.df.filter(if (op == "eq") cur === cap else cur =!= cap))
+
+      case Step("out", args, _)  => st = hop(st, dirOut = true,  labelOf(args))
+      case Step("in", args, _)   => st = hop(st, dirOut = false, labelOf(args))
+      case Step("both", args, _) => st = bothHop(st, labelOf(args))
+      case Step("outE", args, _) => st = hopE(st, dirOut = true,  labelOf(args))
+      case Step("inE", args, _)  => st = hopE(st, dirOut = false, labelOf(args))
+      case Step("outV", Nil, _)  => st = endV(st, "src")
+      case Step("inV", Nil, _)   => st = endV(st, "dst")
+
+      case Step("repeat", List(body), _) =>
+        require(pendingRepeat.isEmpty, "nested repeat() not supported")
+        pendingRepeat = Some(callsOf(body))
+
+      // repeat(body).times(n): emit after exactly n passes — unrolled into
+      // the one lazy plan (bounded small, like TRAVERSE … MAXDEPTH)
+      case Step("times", List(NArg(n)), _) =>
+        val body = takeRepeat("times")
+        require(n >= 1 && n <= MaxRepeatLoops, s"times($n) out of range 1..$MaxRepeatLoops")
+        st = (1 to n.toInt).foldLeft(st)((s, _) => applyCalls(s, body))
+
+      // repeat(body).until(cond): do-while — after each pass, traversers
+      // satisfying cond emit, the rest loop. Bounded lazy unroll: an
+      // exhausted frontier expands to zero rows through the remaining
+      // depths for free (no per-depth action, same shape as
+      // PropertyGraph.traverseUnrolled).
+      case Step("until", List(cond), _) =>
+        val body = takeRepeat("until")
+        val pred = argPred(cond)
+        var frontier = st
+        var emitted: Option[DataFrame] = None
+        for (_ <- 1 to MaxRepeatLoops) {
+          val next = applyCalls(frontier, body)
+          val hit = next.df.filter(pred)
+          emitted = Some(emitted.fold(hit)(_.unionByName(hit)))
+          frontier = next.copy(df = next.df.filter(!pred))
+        }
+        st = State(emitted.get, vertexLike = true, None)
+
+      case Step("path", Nil, _) =>
+        st = State(st.df.select(col("__path").as("path")), vertexLike = false, Some("path"))
 
       case Step("as", List(SArg(a)), _) =>
         // capture the current element's columns under an alias prefix
@@ -236,6 +389,27 @@ object Gremlin {
 
       case Step("values", List(SArg(k)), _) =>
         st = State(st.df.select(col(k).as("value")), st.vertexLike, Some("value"))
+
+      // choose(has-pred, 'a', 'b'): per-element conditional property
+      // projection (TinkerPop ChooseStep, value form)
+      case Step("choose", List(p, SArg(a), SArg(b)), _) =>
+        val pred = argPred(p)
+        // heterogeneous branch types render as strings (TinkerPop traversers
+        // are dynamically typed; a Spark column is not)
+        val sch = st.df.schema
+        val (ca, cb) =
+          if (sch(a).dataType == sch(b).dataType) (col(a), col(b))
+          else (col(a).cast("string"), col(b).cast("string"))
+        st = State(st.df.select(when(pred, ca).otherwise(cb).as("value")),
+          vertexLike = false, Some("value"))
+
+      // coalesce(values('a'), values('b')): first non-null projection
+      case Step("coalesce", args, _) if args.nonEmpty =>
+        val cols = args.map(a => callsOf(a) match {
+          case List(("values", List(SArg(k)))) => col(k)
+          case o => throw new IllegalArgumentException(s"coalesce: only values('k') branches, got $o")
+        })
+        st = State(st.df.select(coalesce(cols: _*).as("value")), vertexLike = false, Some("value"))
 
       case Step("dedup", Nil, _)  => st = st.copy(df = st.df.distinct())
       case Step("limit", List(NArg(n)), _) => st = st.copy(df = st.df.limit(n.toInt))
@@ -278,8 +452,36 @@ object Gremlin {
           st.df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).orderBy(col(key)),
           vertexLike = false, None)
 
+      // group().by('k').by(agg): rendered TinkerPop group map — one row per
+      // key, aggregate per the second by(); default collects the elements'
+      // ids as a sorted list (TinkerPop's default fold)
+      case Step("group", Nil, bys) =>
+        val (key, aggBy) = bys match {
+          case List(List(SArg(k)))      => (k, None)
+          case List(List(SArg(k)), agg) => (k, Some(agg))
+          case o => throw new IllegalArgumentException(s"group needs by('k')[.by(agg)], got $o")
+        }
+        val aggCol: Column = aggBy.map(a => callsOf(a.head)).getOrElse(Nil) match {
+          case Nil if aggBy.isEmpty => sort_array(collect_list(col(st.valueCol.getOrElse("id"))))
+          case List(("count", Nil)) => count(lit(1))
+          case List(("values", List(SArg(p)))) => sort_array(collect_list(col(p)))
+          case List(("values", List(SArg(p))), (f, Nil)) => f match {
+            case "sum"  => sum(col(p).cast("decimal(28,4)")).cast("double")
+            case "mean" => (sum(col(p).cast("decimal(28,4)")) / count(col(p))).cast("double")
+            case "min"  => min(col(p))
+            case "max"  => max(col(p))
+            case other  => throw new IllegalArgumentException(s"group.by aggregate: $other")
+          }
+          case o => throw new IllegalArgumentException(s"group.by aggregate: $o")
+        }
+        st = State(
+          st.df.groupBy(col(key)).agg(aggCol.as("value")).orderBy(col(key)),
+          vertexLike = false, None)
+
       case other => throw new IllegalArgumentException(s"unsupported step: ${other.name}")
     }
+    // a pathological `repeat()` with no times/until is a user error
+    require(pendingRepeat.isEmpty, "repeat() without a following times()/until()")
     st.df
   }
 }

@@ -62,6 +62,89 @@ object GremlinOps {
       """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS value
         |FROM orders WHERE o_custkey < 200""".stripMargin)(
       gr("g.V().hasLabel('customer').has('key', lt(200))" +
-        ".outE('placed').values('qty').sum()"))
+        ".outE('placed').values('qty').sum()")),
+
+    // ---- repeat(out()).times(2): fixed-iteration unrolled traversal
+    //      (TinkerPop RepeatStep; reference runs it via full TinkerPop,
+    //      gremlin/ArcadeGraph.java:80) ----
+    Q("q_gremlin_repeat",
+      """SELECT DISTINCT l_partkey AS value
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey < 50 ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('customer').has('key', lt(50))" +
+        ".repeat(out()).times(2).values('key').dedup().order()")),
+
+    // ---- repeat(out()).until(hasLabel): do-while emission, bag semantics
+    //      (one traverser per (customer,order) x (order,part) edge pair) ----
+    Q("q_gremlin_until",
+      """SELECT l_partkey AS value
+        |FROM orders JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+        |  ON li.l_orderkey = o_orderkey
+        |WHERE o_custkey < 20 ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('customer').has('key', lt(20))" +
+        ".repeat(out()).until(hasLabel('part')).values('key').order()")),
+
+    // ---- path().by('key'): per-traverser visited-element list, accumulated
+    //      at hop time (rendered as a '/'-joined string for the oracle) ----
+    Q("q_gremlin_path",
+      """SELECT CAST(c_custkey AS VARCHAR) || '/' || CAST(o_orderkey AS VARCHAR)
+        |    || '/' || CAST(l_partkey AS VARCHAR) AS path
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+        |  ON li.l_orderkey = o_orderkey
+        |WHERE c_custkey < 5 ORDER BY path""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      Gremlin.query(PropertyGraph.fromTpch(s, d),
+        "g.V().hasLabel('customer').has('key', lt(5))" +
+          ".out('placed').out('contains').path().by('key')")
+        .select(concat_ws("/", transform(col("path"), _.cast("string"))).as("path"))
+        .orderBy("path")
+    },
+
+    // ---- as()/where(neq): orders sharing a part with a DIFFERENT order ----
+    Q("q_gremlin_where",
+      """SELECT DISTINCT b.l_orderkey AS value
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |  ON a.l_partkey = b.l_partkey AND b.l_orderkey <> a.l_orderkey
+        |WHERE a.l_orderkey < 200
+        |ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('order').has('key', lt(200)).as('a')" +
+        ".out('contains').in('contains').where(neq('a'))" +
+        ".values('key').dedup().order()")),
+
+    // ---- group().by(k).by(count()): the rendered TinkerPop group map ----
+    Q("q_gremlin_group",
+      """SELECT o_orderstatus AS name, count(*) AS value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)(
+      gr("g.V().hasLabel('order').group().by('name').by(count())")),
+
+    // ---- group().by(k).by(values(p).sum()): grouped decimal-exact sum ----
+    Q("q_gremlin_group_sum",
+      """SELECT o_orderstatus AS o,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)(
+      gr("g.V().hasLabel('customer').outE('placed').as('e').inV().as('o')" +
+        ".select('o','e').by('name').by('qty')" +
+        ".group().by('o').by(values('e').sum())")),
+
+    // ---- and()/or()/not() boolean filter composition ----
+    Q("q_gremlin_bool",
+      """SELECT c_custkey AS value FROM customer
+        |WHERE (c_custkey < 100 AND c_custkey > 50 AND c_custkey <> 77)
+        |   OR c_custkey IN (7, 11)
+        |ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('customer')" +
+        ".or(and(has('key', lt(100)), has('key', gt(50)), not(has('key', eq(77)))), " +
+        "has('key', within(7, 11))).values('key').order()")),
+
+    // ---- choose(): per-element conditional projection ----
+    Q("q_gremlin_choose",
+      """SELECT CASE WHEN c_custkey < 15 THEN CAST(c_custkey AS VARCHAR)
+        |            ELSE c_name END AS value
+        |FROM customer WHERE c_custkey < 30 ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('customer').has('key', lt(30))" +
+        ".choose(has('key', lt(15)), 'key', 'name').order()"))
   )
 }

@@ -58,9 +58,98 @@ class GremlinSpec extends AnyFunSuite {
     assert(viaE.sameElements(direct))
   }
 
+  test("repeat().times(n) equals the explicitly chained hops") {
+    val unrolled = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', lt(30)).repeat(out()).times(2).values('key').dedup().order()")
+      .collect().map(_.getLong(0))
+    val chained = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', lt(30)).out().out().values('key').dedup().order()")
+      .collect().map(_.getLong(0))
+    assert(unrolled.sameElements(chained))
+  }
+
+  test("repeat().until(cond) emits at first satisfaction, bag multiplicity kept") {
+    // customers → orders (no part yet) → parts (emit); deeper loops add nothing
+    val emitted = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', lt(10)).repeat(out()).until(hasLabel('part')).count()")
+      .head().getLong(0)
+    val twoHop = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', lt(10)).out().out().count()")
+      .head().getLong(0)
+    assert(emitted === twoHop)
+  }
+
+  test("repeat body may filter: repeat(out().hasLabel('order')).times(1)") {
+    val n = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', lt(10)).repeat(out().hasLabel('order')).times(1).count()")
+      .head().getLong(0)
+    val exp = Tables.orders(spark, sfDir).filter(col("o_custkey") < 10).count()
+    assert(n === exp)
+  }
+
+  test("path().by('key') accumulates the visited keys in traversal order") {
+    val rows = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', eq(7)).out('placed').out('contains').path().by('key')")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val p = r.getSeq[Long](0)
+      assert(p.length === 3)
+      assert(p.head === 7L) // starts at the seed customer
+    }
+  }
+
+  test("where(neq('a')) excludes the captured element; where(eq) keeps only it") {
+    val back = Gremlin.query(g,
+      "g.V().hasLabel('order').has('key', eq(1)).as('a').out('contains').in('contains')" +
+        ".where(eq('a')).values('key').dedup().order()").collect().map(_.getLong(0))
+    assert(back.toSeq === Seq(1L)) // only the origin order survives eq
+    val others = Gremlin.query(g,
+      "g.V().hasLabel('order').has('key', eq(1)).as('a').out('contains').in('contains')" +
+        ".where(neq('a')).values('key').dedup()").collect().map(_.getLong(0))
+    assert(!others.contains(1L))
+  }
+
+  test("and/or/not compose has-filters") {
+    val keys = Gremlin.query(g,
+      "g.V().hasLabel('customer').or(and(has('key', gte(5)), has('key', lt(8)), " +
+        "not(has('key', eq(6)))), has('key', eq(100))).values('key').order()")
+      .collect().map(_.getLong(0))
+    assert(keys.toSeq === Seq(5L, 7L, 100L))
+  }
+
+  test("group().by(k) default fold collects sorted ids; .by(values(p).mean()) averages") {
+    val grouped = Gremlin.query(g,
+      "g.V().hasLabel('order').has('key', lt(40)).group().by('name')").collect()
+    assert(grouped.nonEmpty)
+    val total = grouped.map(_.getSeq[Long](1).length).sum
+    val exp = Tables.orders(spark, sfDir).filter(col("o_orderkey") < 40).count()
+    assert(total.toLong === exp)
+    val mean = Gremlin.query(g,
+      "g.V().hasLabel('customer').outE('placed').as('e').inV().as('o')" +
+        ".select('o','e').by('name').by('qty').group().by('o').by(values('e').mean())")
+      .collect()
+    assert(mean.length === 3 && mean.forall(_.getDouble(1) > 0))
+  }
+
+  test("coalesce(values(a), values(b)) takes the first non-null") {
+    import spark.implicits._
+    val verts = Seq(
+      (1L, "doc", Option("x"), Option("fb1")),
+      (2L, "doc", None, Option("fb2"))).toDF("id", "label", "primary", "fallback")
+    val tiny = PropertyGraph(verts, Seq.empty[(Long, Long, String)].toDF("src", "dst", "label"))
+    val vals = Gremlin.query(tiny,
+      "g.V().hasLabel('doc').coalesce(values('primary'), values('fallback')).order()")
+      .collect().map(_.getString(0))
+    assert(vals.toSeq === Seq("fb2", "x"))
+  }
+
   test("unsupported step raises") {
     intercept[IllegalArgumentException] {
-      Gremlin.query(g, "g.V().repeat(out()).times(3)")
+      Gremlin.query(g, "g.V().branch(out()).times(3)")
+    }
+    intercept[IllegalArgumentException] {
+      Gremlin.query(g, "g.V().times(3)") // times without repeat
     }
   }
 }

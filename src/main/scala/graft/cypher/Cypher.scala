@@ -2713,18 +2713,25 @@ object Cypher {
           // rewrite and maps v.p → v_p itself. A NULL entity (optional
           // miss) has null properties, not {} (TCK Graph9 [3]).
           // On a user-id-decoupled store (hidden `_uid` slot present) the
-          // struct carries a `__props` marker so the result comparator
-          // drops per-row-null fields (the user `id` prop is only present
-          // on SOME rows), and `id` reads the _uid slot, not identity.
+          // present-key SET varies per row (the user `id` prop exists on
+          // only some vertices), which a fixed struct type cannot express —
+          // return the engine's variant MAP value with null-valued props
+          // dropped row-wise ([[Variant.ofPropBag]]); `id` reads the _uid
+          // slot, not identity.
           val idCol = if (nodeVars(v)) col(s"${v}_id") else col(s"${v}__eid")
           val hasUid = nodeVars(v) && acc.columns.contains(s"${v}__uid")
-          val entries = propNames(v).map(p =>
-            p -> (if (p == "id" && hasUid) (Resolved(col(s"${v}__uid")): Expr)
-                  else (PropAccess(Ident(v), p): Expr)))
-          val body = StructLit(
-            (if (hasUid) Seq("__props" -> (BoolLit(true): Expr)) else Nil) ++ entries)
-          CaseExpr(None, Seq((Resolved(idCol.isNull): Expr) -> NullLit),
-            Some(body))
+          if (hasUid) {
+            val bag = Variant.ofPropBag(propNames(v).map { p =>
+              val c = propCol(v, p)
+              val dt = acc.select(c).schema.head.dataType
+              p -> Variant.asElem(Variant.ofDataType(c, dt))
+            })
+            Resolved(when(idCol.isNull, Variant.nullV).otherwise(bag))
+          } else {
+            val entries = propNames(v).map(p => p -> (PropAccess(Ident(v), p): Expr))
+            CaseExpr(None, Seq((Resolved(idCol.isNull): Expr) -> NullLit),
+              Some(StructLit(entries)))
+          }
         // properties()/labels()/type() of a literal null are null; and
         // properties() of a map value is the map itself (TCK Graph4 [3],
         // Graph9 [3][4])

@@ -58,16 +58,28 @@ object Variant {
     * bare terminator — concatenated keys are rigorously prefix-free. */
   val Term = "\u0001"
 
-  /** Order-preserving escape for variable-length key bodies:
-    * \u0002 -> \u0002\u0002, \u0001 -> \u0002\u0001. Keeps
-    * lexicographic order (escaped chars keep their relative order under
-    * the shared \u0002 prefix, which itself sorts where \u0001/\u0002
-    * did) while guaranteeing the body never contains the terminator. */
+  /** Order-preserving escape for variable-length key bodies: every char
+    * c <= \u0002 becomes \u0002 followed by (c+1):
+    * \u0000 -> \u0002\u0001, \u0001 -> \u0002\u0002, \u0002 -> \u0002\u0003.
+    * Lexicographic order is preserved (escaped chars keep their relative
+    * order under the shared \u0002 prefix, which sorts below every
+    * unescaped char >= \u0003) and the body never contains a BARE
+    * terminator — \u0001 appears only as the second byte of an escape
+    * pair, so a left-to-right scan (\u0002 always consumes the next
+    * char) finds the true terminator unambiguously. \u0000 MUST be
+    * escaped too: unescaped it sorts below the terminator, inverting
+    * prefix order ('a\u0000' would key below 'a' although 'a' is its
+    * proper prefix; r9 advice #3). Replacement order matters: \u0002
+    * first (so escape markers introduced by the later passes aren't
+    * re-escaped), then \u0001, then \u0000 (whose escape pair
+    * introduces \u0001 bytes, after the \u0001 pass). */
   private def escS(s: String): String =
-    s.replace("\u0002", "\u0002\u0002").replace("\u0001", "\u0002\u0001")
+    s.replace("\u0002", "\u0002\u0003").replace("\u0001", "\u0002\u0002")
+      .replace("\u0000", "\u0002\u0001")
   private def escC(c: Column): Column =
-    replace(replace(c, lit("\u0002"), lit("\u0002\u0002")),
-      lit("\u0001"), lit("\u0002\u0001"))
+    replace(replace(replace(c, lit("\u0002"), lit("\u0002\u0003")),
+      lit("\u0001"), lit("\u0002\u0002")),
+      lit("\u0000"), lit("\u0002\u0001"))
 
   /** Encoded map key inside _vkey/_veq: escaped + terminated, so
     * {a: ...} vs {ab: ...} (or keys containing '=' / the terminator)
@@ -291,6 +303,38 @@ object Variant {
       None,
       if (fields.isEmpty) None
       else Some(map(fields.flatMap { case (k, v) => Seq(lit(k), v) }: _*)))
+  }
+
+  /** Property-bag map variant: like [[ofMapFields]], but an entry whose
+    * value is the null variant is ABSENT from that row's map — openCypher
+    * property bags have no null-valued keys (setting a property to null
+    * removes it), while map VALUES keep them ({a: null} is a one-key map).
+    * Entries drop row-wise out of every encoding (_vkey/_veq/_vtck and the
+    * _vprops payload), so `properties(n)` of two nodes with different
+    * present-key sets compare and render correctly with no test-side
+    * post-processing (r9 advice #2: the previous struct shape smuggled a
+    * `__props` comparator marker into user-visible results). */
+  def ofPropBag(fields: Seq[(String, Column)]): Column = {
+    val sorted = fields.sortBy(_._1)
+    def present(v: Column): Column = v.getField("_vrank") =!= lit(RNull)
+    def orAll(cs: Seq[Column]): Column =
+      cs.reduceOption(_ || _).getOrElse(lit(false))
+    mk(lit(RMap),
+      orAll(fields.map(f => present(f._2) && f._2.getField("_vnan"))),
+      orAll(fields.map(f => present(f._2) && f._2.getField("_vnull"))),
+      nullLong, nullDouble, nullBool, nullStr,
+      concat((lit(RMap.toString) +: sorted.map { case (k, v) =>
+        when(present(v), concat(lit(escKey(k)), v.getField("_vkey"))).otherwise(lit("")) }) :+ lit(Term): _*),
+      concat((lit("m") +: sorted.map { case (k, v) =>
+        when(present(v), concat(lit(escKey(k)), v.getField("_veq"))).otherwise(lit("")) }) :+ lit(Term): _*),
+      concat(lit("{"),
+        concat_ws(", ", fields.map { case (k, v) =>
+          when(present(v), concat(lit(k + ": "), v.getField("_vtck"))) }: _*), lit("}")),
+      None,
+      if (fields.isEmpty) None
+      else Some(map_filter(
+        map(fields.flatMap { case (k, v) => Seq(lit(k), v) }: _*),
+        (_, v) => present(v))))
   }
 
   /** Promote an element-form variant (no _velems) back to full form.

@@ -92,6 +92,12 @@ object Ast {
   final case class ExistsSub(body: String, isCount: Boolean)    extends Expr
   /** Engine-internal: a pre-evaluated scalar (never produced by the parser). */
   final case class Resolved(value: Any)                         extends Expr
+  /** A LET-bound 1x1 subquery result carries BOTH readings: the scalar
+    * (arithmetic/comparison uses — `$top - 2000`) and the one-row result
+    * set (collection uses — `unionall($a, $b)`, `expand($b)`); the use
+    * site picks (reference LET binds a ResultSet; a 1x1 auto-unwraps in
+    * scalar contexts). */
+  final case class LetDual(scalar: Expr, list: Expr)             extends Expr
   /** Engine-internal: a pre-built Spark Column (never produced by the
     * parser) — the Cypher front-end's dynamic-typing (variant) rewrites
     * emit these, carrying their static tag ('v' variant, 'b' boolean,

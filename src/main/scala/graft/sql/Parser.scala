@@ -212,7 +212,7 @@ object Parser {
           p.expectOp(")")
           b.result()
         } else Seq.empty
-        if (p.kw("VALUES")) {
+        val ins: Either[Select, Stmt] = if (p.kw("VALUES")) {
           val rows = Seq.newBuilder[Seq[Expr]]
           var more = true
           while (more) {
@@ -245,6 +245,15 @@ object Parser {
           p.kw("FROM") // the dialect's optional `INSERT INTO t FROM SELECT …`
           Right(InsertStmt(t, cols, Seq.empty, Some(parseSelect(p))))
         }
+        // optional `RETURN @this` (InsertReturnTest.java): INSERT already
+        // returns the inserted records — accept and discard the clause
+        if (p.kw("RETURN")) {
+          p.op("@") // tokenizers may split `@this` into `@` + `this`
+          val what = ident(p)
+          if (!what.equalsIgnoreCase("this") && !what.equalsIgnoreCase("@this"))
+            throw ParseException(s"INSERT RETURN supports @this, got $what")
+        }
+        ins
       } else if (p.kw("UPDATE")) {
         val t = ident(p)
         // operation clauses in any order: SET / REMOVE / CONTENT / MERGE
@@ -354,11 +363,22 @@ object Parser {
     val (from, fromSub) =
       if (p.kw("FROM")) {
         // type name, or a derived table `FROM (SELECT …)`
-        if (p.op("(")) {
-          val sub = parseSelect(p)
-          p.expectOp(")")
-          ("", Some(sub))
-        } else (ident(p), None)
+        val t =
+          if (p.op("(")) {
+            val sub = parseSelect(p)
+            p.expectOp(")")
+            ("", Some(sub))
+          } else (ident(p), None)
+        // optional target alias `FROM v [AS] v1` — parsed and discarded,
+        // matching the reference exactly (FromAliasTest.java: "alias
+        // parsing works, but execution engine doesn't use it yet"); a bare
+        // identifier is an alias only when it isn't a clause keyword
+        if (p.kw("AS")) ident(p)
+        else p.peek match {
+          case TId(id) if !Keywords.contains(id.toUpperCase) => ident(p)
+          case _ => ()
+        }
+        t
       } else ("", None)
     val lets = if (p.kw("LET")) {
       val b = Seq.newBuilder[(String, Expr)]

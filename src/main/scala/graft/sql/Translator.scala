@@ -106,6 +106,10 @@ object Translator {
           throw TranslateException(s"$n expects ${params.length} args, got ${args.length}")
         val bound = params.zip(args.map(r)).toMap
         resolve(body, env ++ bound, evalSub, fns - n.toLowerCase) // no self-recursion
+      case FnCall(n, args, s) if Set("unionall", "intersect", "difference", "expand")(n.toLowerCase) =>
+        // collection functions read a LET-bound 1x1 as its one-row result
+        // set, not the unwrapped scalar
+        FnCall(n, args.map(a => r(a) match { case LetDual(_, l) => l; case x => x }), s)
       case FnCall(n, args, s)     => FnCall(n, args.map(r), s)
       case MethodCall(t, m, args) => MethodCall(r(t), m, args.map(r))
       case PropAccess(t, n)       => PropAccess(r(t), n)
@@ -280,6 +284,7 @@ object Translator {
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access
     case Resolved(v)         => lit(v)
+    case LetDual(s, _)       => toColumn(s) // scalar reading outside collection fns
     case ColRef(c, _, _, _)  => c
     case TemporalLit(v)      => Temporals.column(v)
     case Subquery(_)         => throw TranslateException("unresolved scalar subquery (compile() resolves these)")
@@ -345,6 +350,13 @@ object Translator {
       case "string_agg_distinct" => array_join(array_sort(collect_set(args.head)), litToStr(argEs(1)))
       case "list"       => collect_list(args.head)
       case "set"        => sort_array(collect_set(args.head))
+      // collection merges over already-bound lists (reference
+      // SQLFunctionUnionAll/Intersect/Difference in their non-aggregate,
+      // multi-argument form — MethodCallClassCastTest feeds LET-bound
+      // result sets through UNIONALL)
+      case "unionall" if args.length >= 2   => concat(args: _*)
+      case "intersect" if args.length == 2  => array_intersect(args(0), args(1))
+      case "difference" if args.length == 2 => array_except(args(0), args(1))
       case "abs"        => abs(args.head)
       case "sqrt"       => sqrt(args.head)
       case "round"      => if (argEs.size > 1) round(args(0), litToInt(argEs(1))) else round(args.head, 0)
@@ -802,8 +814,32 @@ object Translator {
         throw TranslateException(s"scalar subquery returned ${rows.length} rows (expected 1x1)")
       rows(0).get(0)
     }
+    // A LET-bound subquery binds its RESULT SET, not a scalar: the
+    // reference holds a list of Results in the variable and feeds it to
+    // collection functions and expand() (MethodCallClassCastTest's
+    // `LET $a = (SELECT …), $c = unionall($a, $b)` then `SELECT expand($c)`).
+    // A 1x1 result stays a scalar for the scalar-subquery uses; anything
+    // else becomes a literal list of row structs. LET result sets are
+    // dim-sized driver values by construction (the reference materializes
+    // them per query too) — the cap fails fast on a mistaken huge bind.
+    def bindLetSubquery(sub: Select, acc: Map[String, Expr]): Expr = {
+      val MaxLetRows = 10000
+      val rows = compile(spark, dir, cat, sub, fns, acc).limit(MaxLetRows + 1).collect()
+      if (rows.length > MaxLetRows)
+        throw TranslateException(s"LET subquery exceeded $MaxLetRows rows")
+      val asList = ArrayLit(rows.toSeq.map(row =>
+        StructLit(row.schema.fieldNames.toSeq.map(n =>
+          n -> (Resolved(row.getAs[Any](n)): Expr)))))
+      if (rows.length == 1 && rows(0).size == 1)
+        LetDual(Resolved(rows(0).get(0)), asList)
+      else asList
+    }
     val env = sel0.lets.foldLeft(env0) { case (acc, (name, e)) =>
-      acc + (name -> resolve(e, acc, evalSub, fns))
+      val bound = e match {
+        case Subquery(sub) => bindLetSubquery(sub, acc)
+        case _ => resolve(e, acc, evalSub, fns)
+      }
+      acc + (name -> bound)
     }
     def rs(e: Expr): Expr = resolve(e, env, evalSub, fns)
     val sel = sel0.copy(
@@ -862,8 +898,21 @@ object Translator {
         }
         renames.foldLeft(grouped) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
       } else if (sel.projections.nonEmpty) {
-        df.select(sel.projections.map(pr =>
-          toColumn(pr.expr).as(pr.alias.getOrElse(exprName(pr.expr)))): _*)
+        sel.projections match {
+          // `SELECT expand(listExpr)`: each element becomes a ROW — struct
+          // elements unpack to columns (reference ExpandStep; the canonical
+          // use is `SELECT expand($letBoundResultSet)` over the one-row dual)
+          case Seq(Projection(FnCall(n, Seq(arg), _), _)) if n.equalsIgnoreCase("expand") =>
+            val c = toColumn(arg)
+            val exploded = df.select(explode(c).as("__x"))
+            exploded.schema.head.dataType match {
+              case _: org.apache.spark.sql.types.StructType => exploded.select(col("__x.*"))
+              case _ => exploded.select(col("__x").as("value"))
+            }
+          case _ =>
+            df.select(sel.projections.map(pr =>
+              toColumn(pr.expr).as(pr.alias.getOrElse(exprName(pr.expr)))): _*)
+        }
       } else df
 
     var out = projected
@@ -917,21 +966,31 @@ object Translator {
         val rows = rows0.map(_.map(rs))
         val tab = table(t)
         val schema = tab.df.schema
+        // Schema-flexible records (Document.java:42): a column named in the
+        // statement but absent from the table schema is a NEW property key —
+        // kept uncast and persisted through insert's allowMissingColumns
+        // union, exactly as the sibling CONTENT path evolves the schema. It
+        // must never be silently projected away (r9 advice #1: INSERT … SET
+        // with a new key dropped the value).
         val staged = fromSel match {
           case Some(sel) =>
             val src = compile(spark, dir, cat, sel, Map.empty, env)
+            val extra = src.columns.filterNot(schema.fieldNames.contains).toIndexedSeq
             src.select(schema.map(f =>
               (if (src.columns.contains(f.name)) col(f.name).cast(f.dataType)
-               else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+               else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq
+              ++ extra.map(col): _*)
           case None =>
             if (cols.isEmpty) throw TranslateException("INSERT VALUES needs a column list")
+            val extra = cols.filterNot(schema.fieldNames.contains).toIndexedSeq
             rows.map { vs =>
               if (vs.length != cols.length)
                 throw TranslateException(s"INSERT row has ${vs.length} values for ${cols.length} columns")
               val m = cols.zip(vs).toMap
               spark.range(1).select(schema.map(f =>
                 m.get(f.name).map(e => toColumn(e).cast(f.dataType))
-                  .getOrElse(lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+                  .getOrElse(lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq
+                ++ extra.map(c => toColumn(m(c)).as(c)): _*)
             }.reduce(_ unionByName _)
         }
         val out = staged.localCheckpoint(true)

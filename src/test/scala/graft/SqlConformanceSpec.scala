@@ -235,6 +235,19 @@ class SqlConformanceSpec extends AnyFunSuite {
       Seq(None, None, Some("x"), None, None))
   }
 
+  test("INSERT SET with a key NOT in the schema evolves it, like CONTENT does") {
+    // r9 advice #1: the SET form desugared onto the existing schema and
+    // silently DROPPED a new key's value; schema-flexible documents
+    // (Document.java:42) must accept new keys on every insert form.
+    val cat = writable(Seq(("seed", 1L)).toDF("name", "n"), "t")
+    stmt(cat, "INSERT INTO t SET name = 'eve', n = 6, city = 'Rome'")
+    stmt(cat, "INSERT INTO t (name, n, score) VALUES ('frank', 7, 9.5)")
+    val rows = q(cat, "SELECT name, n, city, score FROM t ORDER BY n")
+    assert(rows.map(_.getString(0)).toSeq == Seq("seed", "eve", "frank"))
+    assert(rows.map(r => Option(r.get(2))).toSeq == Seq(None, Some("Rome"), None))
+    assert(rows.map(r => Option(r.get(3))).toSeq == Seq(None, None, Some(9.5)))
+  }
+
   // ---- UpdateStatementExecutionTest remove1()/remove2(): list REMOVE by index ----
 
   test("UPDATE REMOVE list[i, j] removes by position; map[k] removes the key") {
@@ -337,5 +350,89 @@ class SqlConformanceSpec extends AnyFunSuite {
     val rows = q(cat, "SELECT k AS kk, sum(n) AS s FROM t GROUP BY k ORDER BY kk")
     assert(rows.map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSeq ==
       Seq(("x", 3L), ("y", 3L)))
+  }
+
+  // ================= conformance batch 4 (round 10) =================
+
+  // ---- OrderByWithNullsTest.java (issue #2692) ----
+
+  test("ORDER BY returns null-valued rows: NULLS FIRST on ASC, LAST on DESC") {
+    val cat = writable(Seq(Option(1L), Option(2L), None).toDF("num"), "doc")
+    val asc = q(cat, "SELECT num FROM doc ORDER BY num ASC")
+    assert(asc.length == 3, "ORDER BY must not drop null-valued rows")
+    assert(asc.head.isNullAt(0) && asc.last.getLong(0) == 2L)
+    val desc = q(cat, "SELECT num FROM doc ORDER BY num DESC")
+    assert(desc.length == 3)
+    assert(desc.last.isNullAt(0) && desc.head.getLong(0) == 2L)
+  }
+
+  // ---- OrderByNonComparableTest.java ----
+
+  test("ORDER BY a list property is deterministic and direction-aware") {
+    val cat = writable(Seq(
+      ("x", Seq("b")), ("y", Seq("a")), ("z", Seq("c"))).toDF("id", "tags"), "doc")
+    val asc = q(cat, "SELECT id FROM doc ORDER BY tags ASC").map(_.getString(0)).toSeq
+    assert(asc == Seq("y", "x", "z"), asc.mkString("|"))
+    val desc = q(cat, "SELECT id FROM doc ORDER BY tags DESC").map(_.getString(0)).toSeq
+    assert(desc == asc.reverse, desc.mkString("|"))
+  }
+
+  // ---- NullInConditionTest.java (issue #4591) ----
+
+  test("IN/NOT IN with a NULL literal in the list follow 3VL") {
+    val cat = writable(Seq(1L, 2L, 3L, 4L, 5L).toDF("v"), "num")
+    assert(q(cat, "SELECT v FROM num WHERE v IN (1, 2, null) ORDER BY v")
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(q(cat, "SELECT v FROM num WHERE v NOT IN (1, 2, null)").isEmpty)
+    assert(q(cat, "SELECT v FROM num WHERE NOT (v IN (1, 2, null))").isEmpty)
+    assert(q(cat, "SELECT v FROM num WHERE v NOT IN (1, 2) ORDER BY v")
+      .map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+  }
+
+  // ---- LetDivisionBugTest.java: / is value-preserving (7/2 = 3.5) ----
+
+  test("division chain through LET matches the parenthesized product form") {
+    val cat = writable(Seq(1L).toDF("x"), "t")
+    val r = q(cat,
+      "SELECT $val2/$val1 AS ratio FROM t LET $val1 = 1/1000/3600/24/365, $val2 = 1/(1000*3600*24*365)")
+    assert(math.abs(r(0).getAs[Number]("ratio").doubleValue - 1.0) < 1e-4,
+      r.mkString("|"))
+    val d = q(cat, "SELECT 7/2 AS h FROM t")
+    assert(math.abs(d(0).getAs[Number]("h").doubleValue - 3.5) < 1e-12)
+  }
+
+  // ---- FromAliasTest.java: FROM <type> [AS] <alias> parses and runs ----
+
+  test("FROM alias with and without AS") {
+    val cat = writable(Seq(("John", 30L), ("Jane", 25L)).toDF("name", "age"), "v")
+    val r1 = q(cat, "SELECT name, age FROM v AS v1 WHERE age > 25")
+    assert(r1.length == 1 && r1(0).getString(0) == "John")
+    val r2 = q(cat, "SELECT name, age FROM v v2 WHERE name = 'Jane'")
+    assert(r2.length == 1 && r2(0).getAs[Number]("age").longValue == 25L)
+  }
+
+  // ---- InsertReturnTest.java: INSERT ... RETURN @this ----
+
+  test("INSERT SET ... RETURN @this returns the inserted record") {
+    val cat = writable(Seq(("seed", 1L)).toDF("name", "n"), "t")
+    val r = stmt(cat, "INSERT INTO t SET name = 'test1', n = 9 RETURN @this")
+    assert(r.length == 1, r.mkString("|"))
+    assert(r(0).getAs[String]("name") == "test1")
+    assert(q(cat, "SELECT name FROM t WHERE n = 9").length == 1)
+  }
+
+  // ---- MethodCallClassCastTest.java: method calls in LET subquery ORDER BY
+  //      + UNIONALL of LET result sets + expand ----
+
+  test("expand(unionall($a, $b)) over LET subqueries with method-call ORDER BY") {
+    val cat = writable(Seq(("Hello World", 1L), ("Test Data", 2L)).toDF("name", "value"), "doca")
+    val r = q(cat,
+      "SELECT expand($c) LET " +
+        "$a = (SELECT name FROM doca ORDER BY name.toLowerCase() ASC), " +
+        "$b = (SELECT name FROM doca WHERE value = 1), " +
+        "$c = unionall($a, $b)")
+    // 2 sorted rows from $a then 1 from $b, expanded to rows
+    assert(r.length == 3, r.mkString("|"))
+    assert(r.map(_.getAs[String]("name")).toSeq == Seq("Hello World", "Test Data", "Hello World"))
   }
 }

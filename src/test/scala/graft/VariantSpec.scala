@@ -81,6 +81,22 @@ class VariantSpec extends AnyFunSuite {
     assert(evalAny(Variant.vCmp("<", litV(strs("a")), litV(strs("a", "b")))) == true)
   }
 
+  test("NUL and control chars in strings keep prefix order and stay collision-free") {
+    // r9 advice #3: an unescaped \u0000 sorted below the \u0001 key
+    // terminator, inverting prefix order ('a\u0000' keyed below 'a').
+    val ctl = Seq("a", "a\u0000", "a\u0000b", "a\u0001", "a\u0002", "ab")
+    val keys = ctl.map(v => evalStr(litV(StrLit(v)).getField("_vkey")))
+    assert(keys == keys.sorted, s"control-char keys out of order: ${keys.map(_.getBytes("UTF-8").mkString("[", ",", "]"))}")
+    assert(keys.distinct.length == keys.length, "control-char key collision")
+    // the same ordering must hold through the COLUMN-side escape (escC):
+    // runtime-built strings share the bit-identical encoding
+    val rt = ctl.map(v => evalStr(
+      Variant.ofDataType(org.apache.spark.sql.functions.lit(v),
+        org.apache.spark.sql.types.StringType).getField("_vkey")))
+    assert(rt == keys, "escS (literal) and escC (column) encodings diverge")
+    assert(evalAny(Variant.vCmp("<", litV(StrLit("a")), litV(StrLit("a\u0000")))) == true)
+  }
+
   test("equivalence key: 1 and 1.0 equivalent, 1 and '1' not") {
     def eq(e: Expr): String = evalStr(litV(e).getField("_veq"))
     assert(eq(NumLit(1, isIntegral = true)) == eq(NumLit(1.0, isIntegral = false)))

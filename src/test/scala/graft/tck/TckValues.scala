@@ -249,10 +249,6 @@ object TckValues {
           }
           VPath(nodes, steps)
         }
-      } else if (names.contains("__props")) {
-        // a properties() map from a user-id-decoupled store: per-row-null
-        // fields are absent properties, the marker itself is internal
-        VMap(props(fields.removed("__props")))
       } else if (fields.get("_eid").exists(_ != VNull) && names.contains("label")) {
         // rel struct (possibly in a unified node/rel element type where
         // the node-only `id` field is a typed null). Unlike nodes, a rel's

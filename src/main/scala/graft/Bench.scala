@@ -44,6 +44,15 @@ object Bench {
         .filter(col("r") <= 2).collect()
       w.select(explode(split(col("s"), "v")), col("id")).distinct().limit(5).collect()
       w.filter(col("s").rlike("v[0-9]+")).agg(max(length(col("s")))).collect()
+      // typed-Dataset encoder + mapPartitions codegen (the partitioned-HNSW
+      // path): the (Long, Seq[Double]) tuple encoder costs ~10 s to resolve
+      // and Janino-compile on first use — a session cost, not a query cost
+      locally {
+        import s.implicits._
+        s.range(64).map(i => (i, Seq(i.toDouble)))
+          .mapPartitions(it => it.map { case (a, v) => (a, v.toArray.length) })
+          .toDF("a", "n").agg(sum(col("n"))).collect()
+      }
       s
     }
 

@@ -183,6 +183,46 @@ object VectorOps {
         round(col("cos"), 6).as("cos"), col("rn"))
   }
 
+  /** Partitioned-HNSW ANN (the reference's index family — jvector HNSW,
+    * LSMVectorIndex.java:68-75,133 — re-expressed for a cluster): build
+    * one [[HnswIndex]] per corpus PARTITION inside `mapPartitions`,
+    * broadcast the (small) query set, fan each query out to every
+    * partition's graph, and merge the per-partition top-k exactly with
+    * one final window. Recall loss can only come from the in-partition
+    * graph walk — the partition merge is exact — so recall tracks the
+    * single-node HNSW figure (≥0.9 at efSearch 64 here vs the 0.7 floor
+    * the IVF/LSH tiers pin). Build cost is per-partition and never
+    * shuffles; at 100 TB each ~128 MB partition builds its graph once
+    * (or persists it as an ingest artifact, like the other derived
+    * layouts). */
+  def annHnsw(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // bounded driver collect: the probe set is k-row-sized by contract
+    // (same bound the exact-baseline broadcast relies on)
+    val qs = queries.select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+    val qb = spark.sparkContext.broadcast(qs)
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding"))).as[(Long, Seq[Double])]
+    val cand = corpus.mapPartitions { it =>
+      val elems = it.map { case (id, v) => (id, v.toArray) }.toArray
+      if (elems.isEmpty) Iterator.empty
+      else {
+        val index = HnswIndex.build(elems, m, efConstruction)
+        qb.value.iterator.flatMap { case (qid, qv) =>
+          index.search(qv, k + 1, efSearch)
+            .filter(_._1 != qid).take(k)
+            .map { case (nid, cos) => (qid, nid, cos) }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- norms / dimension / hygiene ----
@@ -387,6 +427,33 @@ object VectorOps {
       val per = graft.SparkEntry.queries("q_vec_ann_lsh")(s, d)
       per.agg(count(lit(1)).as("n_queries"),
         when(avg(col("recall")) >= 0.7, 1L).otherwise(0L).as("recall_ok"))
+    },
+
+    // ---- partitioned-HNSW ANN, self-scored recall@10 vs the oracled
+    //      exact kNN — the graph tier the reference's vector index IS
+    //      (jvector HNSW). Quality bar is HIGHER than IVF/LSH: the graph
+    //      walk recovers ≥0.9 where the bucketed tiers pin 0.7. ----
+    Q.noOracle("q_vec_ann_hnsw") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = knnExact(e, queries, 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(eager = true)
+      val approx = annHnsw(e, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("n_exact")), Seq("query_id"), "right_outer")
+        .na.fill(0, Seq("n_hit"))
+        .select(col("query_id"), col("n_hit"), col("n_exact"),
+          round(col("n_hit") / col("n_exact"), 4).as("recall"))
+        .orderBy("query_id")
+    },
+
+    Q("q_vec_ann_hnsw_recall",
+      "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok") { (s, d) =>
+      val per = graft.SparkEntry.queries("q_vec_ann_hnsw")(s, d)
+      per.agg(count(lit(1)).as("n_queries"),
+        when(avg(col("recall")) >= 0.9, 1L).otherwise(0L).as("recall_ok"))
     },
 
     Q.noOracle("q_vec_ann_lsh") { (s, d) =>

@@ -31,4 +31,22 @@ class AnnRecallSpec extends AnyFunSuite {
     val r = meanRecall("q_vec_ann_lsh")
     assert(r >= 0.7, f"LSH mean recall $r%.3f below 0.7 floor")
   }
+
+  test("partitioned-HNSW ANN recall@10 >= 0.9 vs oracled exact kNN") {
+    // the graph tier's bar is HIGHER than the bucketed tiers': the
+    // partition merge is exact, so only the in-partition walk loses recall
+    val r = meanRecall("q_vec_ann_hnsw")
+    assert(r >= 0.9, f"HNSW mean recall $r%.3f below 0.9 floor")
+  }
+
+  test("HNSW search is deterministic and exact on a singleton partition") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val one = graft.operators.VectorOps.annHnsw(
+      e.coalesce(1), e.filter(col("vec_id") < 3), k = 5)
+    val again = graft.operators.VectorOps.annHnsw(
+      e.coalesce(1), e.filter(col("vec_id") < 3), k = 5)
+    assert(one.collect().toSeq == again.collect().toSeq) // same graph, same answer
+    assert(one.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+  }
 }

@@ -211,4 +211,97 @@ object Mongo {
     }
     cur
   }
+
+  // ---------- write commands ----------
+  // The reference's Mongo plugin translates the wire `insert` / `update` /
+  // `delete` commands onto its SQL DML (MongoDBDatabaseWrapper.java:442,
+  // 546, 505: replacement → CONTENT, $set → MERGE, $unset → REMOVE,
+  // $inc → SET f += n; delete limit 1 = deleteOne, 0 = deleteMany). Here
+  // they map onto the shared MutableTable write path, which already
+  // carries those semantics (schema-evolving insert, null-out removal,
+  // full-property-set replacement).
+
+  import org.apache.spark.sql.SparkSession
+  import graft.sources.MutableTable
+
+  private def docRow(spark: SparkSession, d: JsonNode): DataFrame =
+    spark.range(1).select(
+      d.properties.asScala.toSeq.map(e => literal(e.getValue).as(e.getKey)): _*)
+
+  /** `insert` command: JSON document or array of documents. Returns n. */
+  def insertCmd(spark: SparkSession, table: MutableTable, documentsJson: String): Long = {
+    val root = M.readTree(documentsJson)
+    val docs = (if (root.isArray) root.elements.asScala.toSeq else Seq(root))
+    table.insert(docs.map(docRow(spark, _))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Deterministic "first match" (updateOne/deleteOne): the matched row
+    * that sorts first over every column (nulls first) — stable for a
+    * stored table, where Mongo's natural order is storage order. */
+  private def firstMatchWhere(df: DataFrame, where: Column): Option[Column] = {
+    val cols = df.columns.toSeq
+    df.filter(where).orderBy(cols.map(col(_).asc_nulls_first): _*)
+      .limit(1).collect().headOption
+      .map(r => cols.map(c => col(c) <=> lit(r.getAs[Any](c))).reduce(_ && _))
+  }
+
+  /** `update` command, one spec: {q, u, multi, upsert}. Returns n
+    * (modified + upserted, the reference's response `n`). */
+  def updateCmd(spark: SparkSession, table: MutableTable, qJson: String,
+      uJson: String, multi: Boolean = true, upsert: Boolean = false): Long = {
+    val q = M.readTree(qJson)
+    val u = M.readTree(uJson)
+    val isReplacement = !u.fieldNames.asScala.exists(_.startsWith("$"))
+    val sets: Seq[(String, Column)] =
+      if (isReplacement) {
+        val keys = u.fieldNames.asScala.toSet
+        u.properties.asScala.toSeq.map(e => e.getKey -> literal(e.getValue)) ++
+          table.df.columns.filterNot(keys).map(_ -> lit(null)) // CONTENT: replace whole doc
+      } else u.properties.asScala.toSeq.flatMap { e =>
+        val operand = e.getValue.properties.asScala.toSeq
+        e.getKey match {
+          case "$set"   => operand.map(f => f.getKey -> literal(f.getValue))
+          case "$unset" => operand.map(f => f.getKey -> lit(null))
+          case "$inc"   => operand.map(f => f.getKey -> (col(f.getKey) + literal(f.getValue)))
+          case op => throw new IllegalArgumentException(s"unsupported update operator $op")
+        }
+      }
+    val where0 = filter(q)
+    val where = if (multi) Some(where0) else firstMatchWhere(table.df, where0)
+    val n = where.map(w => table.update(w, sets)._1).getOrElse(0L)
+    if (n == 0 && upsert) {
+      // seed from the filter's top-level equalities, then apply u
+      // (MongoDBDatabaseWrapper.executeUpsert)
+      val seed: Seq[(String, Column)] = q.properties.asScala.toSeq.collect {
+        case e if !e.getKey.startsWith("$") && (!e.getValue.isObject) =>
+          e.getKey -> literal(e.getValue)
+        case e if !e.getKey.startsWith("$") && e.getValue.has("$eq") =>
+          e.getKey -> literal(e.getValue.get("$eq"))
+      }
+      val applied: Seq[(String, Column)] =
+        if (isReplacement) u.properties.asScala.toSeq.map(e => e.getKey -> literal(e.getValue))
+        else u.properties.asScala.toSeq.flatMap { e =>
+          val operand = e.getValue.properties.asScala.toSeq
+          e.getKey match {
+            case "$set"   => operand.map(f => f.getKey -> literal(f.getValue))
+            case "$inc"   => operand.map(f => f.getKey -> literal(f.getValue)) // from zero
+            case "$unset" => Nil
+            case op => throw new IllegalArgumentException(s"unsupported update operator $op")
+          }
+        }
+      val fields = (seed.toMap ++ applied.toMap).toSeq
+      table.insert(spark.range(1).select(fields.map { case (k, c) => c.as(k) }: _*))
+      1L
+    } else n
+  }
+
+  /** `delete` command, one spec: {q, limit}. limit 1 deletes only the
+    * first match (deleteOne); limit 0 deletes all (deleteMany). */
+  def deleteCmd(spark: SparkSession, table: MutableTable, qJson: String,
+      limitOne: Boolean = false): Long = {
+    val where0 = filter(M.readTree(qJson))
+    val where = if (limitOne) firstMatchWhere(table.df, where0) else Some(where0)
+    where.map(table.delete).getOrElse(0L)
+  }
 }

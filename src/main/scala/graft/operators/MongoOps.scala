@@ -78,6 +78,37 @@ object MongoOps {
         tables = Map("customer" -> Tables.customer(s, d)))
     },
 
+    // ---- write commands: insert / update($set+$inc / upsert) / delete
+    //      mapped onto MutableTable (reference MongoDBDatabaseWrapper
+    //      insertDocument:442 / updateDocuments:546 / deleteDocuments:505);
+    //      the oracle computes the same final state declaratively ----
+    Q("q_mongo_write",
+      """SELECT n_nationkey,
+        |  CASE WHEN rk >= 3 THEN 'UPDATED' ELSE n_name END AS n_name,
+        |  CASE WHEN rk >= 3 THEN rk + 10 ELSE rk END AS n_regionkey
+        |FROM (SELECT n_nationkey, n_name, n_regionkey AS rk
+        |      FROM nation WHERE n_nationkey <> 0)
+        |UNION ALL SELECT 98, 'NEWLAND', 7
+        |UNION ALL SELECT 99, 'ATLANTIS', 9
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val t = graft.sources.MutableTable.copyOf(
+        s, Tables.nation(s, d), s"/tmp/graft_state/mongo_write_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      // updateMany: $set + $inc on a filter
+      Mongo.updateCmd(s, t, """{"n_regionkey": {"$gte": 3}}""",
+        """{"$set": {"n_name": "UPDATED"}, "$inc": {"n_regionkey": 10}}""")
+      // plain insert
+      Mongo.insertCmd(s, t,
+        """{"n_nationkey": 98, "n_name": "NEWLAND", "n_regionkey": 7}""")
+      // upsert: the filter misses, so the document seeds from q + $set
+      Mongo.updateCmd(s, t, """{"n_nationkey": {"$eq": 99}}""",
+        """{"$set": {"n_name": "ATLANTIS", "n_regionkey": 9}}""",
+        multi = true, upsert = true)
+      // deleteMany on a precise filter
+      Mongo.deleteCmd(s, t, """{"n_nationkey": 0}""")
+      t.df.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     // ---- aggregate: computed $project + $unwind over a $split array ----
     Q("q_mongo_unwind",
       """SELECT word, count(*) AS n FROM (

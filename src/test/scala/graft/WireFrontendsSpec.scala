@@ -34,6 +34,39 @@ class WireFrontendsSpec extends AnyFunSuite {
     assert(sizes.forall(_ === 1)) // every order has exactly one customer
   }
 
+  test("mongo: updateOne/deleteOne touch exactly one row; replacement nulls the rest") {
+    import spark.implicits._
+    def freshTable() = graft.sources.MutableTable.copyOf(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "grp", "n"),
+      s"/tmp/graft_state/mongo_one_${System.nanoTime()}")
+    locally { // updateOne (multi=false): only the FIRST match by natural order
+      val t = freshTable()
+      val n = Mongo.updateCmd(spark, t, """{"grp": "a"}""", """{"$inc": {"n": 1}}""", multi = false)
+      assert(n === 1)
+      assert(t.df.orderBy("id").select("n").collect().map(_.getLong(0)).toSeq ==
+        Seq(11L, 20L, 30L))
+    }
+    locally { // deleteOne (limit 1)
+      val t = freshTable()
+      assert(Mongo.deleteCmd(spark, t, """{"grp": "a"}""", limitOne = true) === 1)
+      assert(t.df.count() === 2 && t.df.filter(col("id") === 2).count() === 1)
+    }
+    locally { // replacement (no $ operators) = CONTENT: unmentioned props null
+      val t = freshTable()
+      Mongo.updateCmd(spark, t, """{"id": 3}""", """{"id": 3, "grp": "c"}""")
+      val r = t.df.filter(col("id") === 3).collect()(0)
+      assert(r.getAs[String]("grp") == "c" && r.isNullAt(r.fieldIndex("n")))
+    }
+    locally { // upsert applies $inc from zero when the filter misses
+      val t = freshTable()
+      val n = Mongo.updateCmd(spark, t, """{"id": 9, "grp": "z"}""",
+        """{"$inc": {"n": 5}}""", multi = true, upsert = true)
+      assert(n === 1)
+      val r = t.df.filter(col("id") === 9).collect()(0)
+      assert(r.getAs[String]("grp") == "z" && r.getAs[Number]("n").longValue == 5L)
+    }
+  }
+
   test("redis: ordered fold — overwrite, RMW increment, hash fields, delete") {
     import spark.implicits._
     val initial = Seq(("a", Option.empty[String], "1")).toDF("key", "field", "value")

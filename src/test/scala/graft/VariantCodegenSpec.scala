@@ -117,4 +117,56 @@ class VariantCodegenSpec extends AnyFunSuite {
       assert(out.getString(2) == "[1, 'a']")
     }
   }
+
+  test("quantifiers/membership/slice/compare/arith dispatch compiles under codegen") {
+    // the remaining variant dispatch entry points (r9 advice #7): every
+    // list-algebra and comparison shape must stay codegen-clean
+    noFallback {
+      import spark.implicits._
+      val lst = Variant.ofElems(array(
+        Variant.asElem(litV(NumLit(1, isIntegral = true))),
+        Variant.asElem(litV(NumLit(2, isIntegral = true))),
+        Variant.asElem(litV(StrLit("a")))))
+      val one = litV(NumLit(1, isIntegral = true))
+      val two = litV(NumLit(2.0, isIntegral = false))
+      val out = Seq(1).toDF("i").select(
+        Variant.vQuantifier("any", lst, e => Variant.rank(e) === Variant.RStr).as("anyq"),
+        Variant.vQuantifier("all", lst, e => Variant.rank(e) === Variant.RNum).as("allq"),
+        Variant.vQuantifier("none", lst, e => Variant.rank(e) === Variant.RBool).as("noneq"),
+        Variant.vQuantifier("single", lst, e => Variant.rank(e) === Variant.RStr).as("singleq"),
+        Variant.vIn(one, lst).as("inq"),
+        Variant.vSlice(lst, lit(0), lit(2)).getField("_vtck").as("sl"),
+        Variant.vEq(one, two).as("eq12"),
+        Variant.vCmp("<", one, two).as("lt"),
+        Variant.vPlus(one, two).getField("_vtck").as("plus"),
+        Variant.vArith("*", one, two).getField("_vtck").as("times"),
+        Variant.vSize(lst).as("sz"))
+        .collect()(0)
+      assert(out.getBoolean(0) && !out.getBoolean(1) && out.getBoolean(2) && out.getBoolean(3))
+      assert(out.getBoolean(4))                 // 1 IN [1, 2, 'a']
+      assert(out.getString(5) == "[1, 2]")      // slice [0, 2)
+      assert(!out.getBoolean(6))                // 1 = 2.0 is false
+      assert(out.getBoolean(7))                 // 1 < 2.0
+      assert(out.getString(8) == "3.0")         // 1 + 2.0 widens to float
+      assert(out.getString(9) == "2.0")         // 1 * 2.0 widens to float
+      assert(out.getLong(10) == 3L)
+    }
+  }
+
+  test("variant ORDER BY + DISTINCT over a mixed column run under codegen") {
+    noFallback {
+      import spark.implicits._
+      val mixed = spark.range(1000).toDF("id").withColumn("v",
+        when(col("id") % 3 === 0, Variant.ofDataType(col("id"), LongType))
+          .when(col("id") % 3 === 1,
+            Variant.ofDataType(concat(lit("s"), col("id").cast(StringType)), StringType))
+          .otherwise(Variant.ofElems(array(
+            Variant.asElem(Variant.ofDataType(col("id") % 7, LongType))))))
+      val top = mixed.orderBy(Variant.sortKey(col("v"))).limit(3)
+        .select(col("v").getField("_vtck")).collect().map(_.getString(0))
+      assert(top.length == 3)
+      val n = mixed.agg(count_distinct(col("v").getField("_veq"))).collect()(0).getLong(0)
+      assert(n > 0)
+    }
+  }
 }

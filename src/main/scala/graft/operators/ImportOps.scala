@@ -250,6 +250,34 @@ object ImportOps {
         .orderBy("user_id")
     },
 
+    // ---- keyed MERGE with file-level pruning: UPDATE … SET over an
+    //      affected-id set rewrites ONLY manifest-hit files (the
+    //      Delta/Iceberg MERGE shape the full-rewrite MutableTable model
+    //      documents as its scale derivation). The in-query require() is
+    //      the pruning gate: if the merge ever rewrites more than half
+    //      the layout, the query throws and the correctness entry fails. ----
+    Q("q_merge_pruned",
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM (SELECT user_id,
+        |        CASE WHEN user_id IN (7, 8) THEN 'MERGED' ELSE event_type END AS event_type
+        |      FROM events)
+        |WHERE user_id BETWEEN 5 AND 10
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val dir = stateDir("mergeset", d)
+      // fresh layout every run: the merge MUTATES it, so it cannot be a
+      // LayoutOnce ingest artifact like the read-only stats layouts
+      graft.sources.StatsStore.write(
+        Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value"),
+        dir, "user_id", numFiles = 16)
+      val (rewritten, total) = graft.sources.StatsStore.mergeSet(
+        s, dir, "user_id", ids = Seq(7L, 8L), sets = Seq("event_type" -> lit("MERGED")))
+      require(rewritten <= total / 2,
+        s"mergeSet rewrote $rewritten of $total files — file pruning regressed")
+      s.read.parquet(dir).filter(col("user_id").between(5, 10))
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type")
+    },
+
     // ---- Z-ordered composite layout: one clustering serves range
     //      predicates on EITHER column (Delta OPTIMIZE ZORDER analog;
     //      SURVEY §4.1 composite-key FetchFromIndex) — both dimensions

@@ -132,4 +132,60 @@ object StatsStore {
     prunedRead(spark, dir, key,
       manifest(spark, dir), col(mx) >= lo && col(mn) <= hi, lo, hi)
   }
+
+  // ---------------- keyed MERGE with file-level pruning ----------------
+
+  /** Keyed MERGE (UPDATE … SET over an affected-id set) that rewrites
+    * ONLY the files whose [kmin, kmax] manifest range intersects an
+    * affected id — the Delta/Iceberg MERGE shape the full-rewrite
+    * MutableTable/MutableGraph model documents as its 100 TB derivation
+    * (MutableGraph.scala scaladoc). Protocol: stage the updated rows of
+    * the HIT files (materialized before the directory mutates), append
+    * them as new part files, delete the hit files, and patch the manifest
+    * incrementally (keep rows minus hits, plus stats of the new files) —
+    * untouched files are never read, rewritten, or re-statted.
+    *
+    * `ids` is the broadcast-sized affected set (the same writes-touch-few
+    * -rows assumption the whole write path documents). Returns
+    * (filesRewritten, filesTotal) so callers and tests can observe the
+    * pruning. Prototype caveat vs a real table format: the append-then-
+    * delete window is not atomic — Delta's transaction log is what makes
+    * this crash-safe in production.
+    */
+  def mergeSet(spark: SparkSession, dir: String, key: String,
+      ids: Seq[Long], sets: Seq[(String, Column)]): (Int, Int) = {
+    require(ids.nonEmpty, "mergeSet needs a non-empty affected-id set")
+    val m = manifest(spark, dir)
+    val idArr = typedlit(ids)
+    val row = m.agg(
+      sort_array(collect_list(when(
+        exists(idArr, i => i.between(col("kmin"), col("kmax"))), col("file")))).as("hits"),
+      count(lit(1)).as("total")).collect()(0)
+    val hits = row.getAs[scala.collection.Seq[String]]("hits").toIndexedSeq
+    val total = row.getAs[Long]("total").toInt
+    if (hits.isEmpty) return (0, total)
+
+    val touched = spark.read.parquet(hits: _*)
+    val setMap = sets.toMap
+    val cond = col(key).isin(ids: _*)
+    val updated = touched.select(touched.columns.toIndexedSeq.map(c =>
+      setMap.get(c).map(sc => when(cond, sc).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
+    // materialize BEFORE mutating the directory the plan lazily reads
+    val staged = updated.localCheckpoint(eager = true)
+    staged.write.mode("append").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    hits.foreach(h => fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(h)), false))
+    // incremental manifest patch: survivors keep their rows; only the NEW
+    // files are re-statted (the file_path predicate prunes the scan to them)
+    val keep = m.filter(!col("file").isin(hits: _*))
+    val keepFiles = keep.select("file").collect().map(_.getString(0)).toIndexedSeq
+    val newStats = spark.read.parquet(dir)
+      .filter(!col("_metadata.file_path").isin(keepFiles: _*))
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"), count(lit(1)).as("cnt"))
+    val next = keep.unionByName(newStats).localCheckpoint(eager = true)
+    next.coalesce(1).write.mode("overwrite").parquet(manifestDir(dir))
+    (hits.length, total)
+  }
 }

@@ -81,6 +81,37 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(pruned.count() == full && full > 0)
   }
 
+  test("keyed MERGE rewrites only the manifest-hit files, result unchanged") {
+    import graft.sources.StatsStore
+    val dir = s"/tmp/graft_state/plan_mergeset_test_${System.nanoTime()}"
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    StatsStore.write(src, dir, "user_id", numFiles = 16)
+    val expected = spark.read.parquet(dir)
+      .withColumn("event_type",
+        when(col("user_id").isin(5L, 6L), lit("MERGED")).otherwise(col("event_type")))
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val (rewritten, total) = StatsStore.mergeSet(spark, dir, "user_id",
+      ids = Seq(5L, 6L), sets = Seq("event_type" -> lit("MERGED")))
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    assert(rewritten > 0 && rewritten <= total / 3,
+      s"rewrote $rewritten of $total files — pruning not effective")
+    // result unchanged vs the declarative update
+    val after = spark.read.parquet(dir).groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after == expected, s"state diverged: $after vs $expected")
+    // the patched manifest still serves pruned scans correctly
+    val (pruned, fr, ft) = StatsStore.rangeScan(spark, dir, "user_id", 5, 6)
+    assert(ft == total, s"manifest row count drifted: $ft vs $total")
+    assert(pruned.filter(col("event_type") =!= "MERGED").count() == 0)
+    assert(fr <= ft / 3, s"post-merge scan read $fr of $ft")
+    // a second merge on an untouched range still prunes (manifest is fresh)
+    val (r2, t2) = StatsStore.mergeSet(spark, dir, "user_id",
+      ids = Seq(90L), sets = Seq("event_type" -> lit("M2")))
+    assert(t2 == total && r2 <= total / 3, s"second merge rewrote $r2 of $t2")
+  }
+
   test("covering-cell dwithin prunes cell partitions") {
     import graft.functions.GeoFunctions
     val dir = "/tmp/graft_state/plan_geocells_test"

@@ -497,6 +497,29 @@ object SqlOps {
           |  FROM orders_s ORDER BY o_orderkey""".stripMargin, cat)
     },
 
+    // ---- WHILE loop + statement-valued LET in a script (reference
+    //      WhileBlockExecutionTest / Issue4915Test): the loop inserts one
+    //      row per iteration off a LET counter, and a LET binds an INSERT's
+    //      result set ----
+    Q("q_sql_while",
+      """SELECT n_nationkey + 100 AS k, n_nationkey * 2 AS v
+        |FROM nation WHERE n_nationkey < 4
+        |UNION ALL SELECT 999, 0
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val cat = writable(s, d,
+        graft.Tables.nation(s, d).limit(0)
+          .selectExpr("n_nationkey + 100 AS k", "n_nationkey * 2 AS v"),
+        "while_t", "sql_while")
+      graft.sql.Script.run(s, d,
+        """LET $i = 0;
+          |WHILE ($i < 4) {
+          |  INSERT INTO while_t SET k = $i + 100, v = $i * 2;
+          |  LET $i = $i + 1;
+          |}
+          |LET $ins = INSERT INTO while_t SET k = 999, v = 0;
+          |RETURN SELECT k, v FROM while_t ORDER BY k""".stripMargin, cat)
+    },
+
     // ---- DELETE FROM … WHERE through the parser (DeleteExecutionPlanner) ----
     Q("q_sql_delete",
       """SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -427,7 +427,10 @@ object Parser {
       var more = true
       while (more) {
         val e = parseExpr(p)
-        val asc = if (p.kw("DESC")) false else { p.kw("ASC"); true }
+        // boolean direction parameters: `ORDER BY x true` = ASC, `false` =
+        // DESC (reference OrderByDirectionParameterTest.java)
+        val asc = if (p.kw("DESC") || p.kw("FALSE")) false
+                  else { p.kw("ASC") || p.kw("TRUE"); true }
         b += OrderItem(e, asc)
         more = p.op(",")
       }

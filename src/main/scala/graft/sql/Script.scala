@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   *   LET $x = <expr | (SELECT …)>;
   *   IF ($cond) { statements }
   *   FOREACH ($i IN [a, b, c]) { statements }
+  *   WHILE ($cond) { statements }
   *   RETURN <expr | SELECT …>;
   *   <any SELECT / INSERT / UPDATE / DELETE>;
   *
@@ -30,8 +31,10 @@ object Script {
 
   private sealed trait SStmt
   private final case class LetS(name: String, e: Expr) extends SStmt
+  private final case class LetStmtS(name: String, st: Either[Select, Stmt]) extends SStmt
   private final case class IfS(cond: Expr, body: Seq[SStmt]) extends SStmt
   private final case class ForeachS(v: String, list: Expr, body: Seq[SStmt]) extends SStmt
+  private final case class WhileS(cond: Expr, body: Seq[SStmt]) extends SStmt
   private final case class ReturnS(stmt: Either[Select, Expr]) extends SStmt
   private final case class ExecS(stmt: Either[Select, Stmt]) extends SStmt
   /** BEGIN / COMMIT / ROLLBACK (reference BeginStatement.java,
@@ -67,7 +70,13 @@ object Script {
     if (p.kw("LET")) {
       val n = Parser.ident(p)
       p.expectOp("=")
-      LetS(n, Parser.parseExpr(p))
+      // a bare statement value — `LET $x = INSERT INTO …` / `= SELECT …` —
+      // binds the statement's RESULT SET (reference Issue4915Test /
+      // MethodCallClassCastTest LET shapes); parenthesized subqueries keep
+      // going through parseExpr as scalar subqueries
+      if (p.peekKw("SELECT") || p.peekKw("INSERT") || p.peekKw("UPDATE") || p.peekKw("DELETE"))
+        LetStmtS(n, Parser.parseOneStatement(p))
+      else LetS(n, Parser.parseExpr(p))
     } else if (p.kw("IF")) {
       p.expectOp("(")
       val c = Parser.parseExpr(p)
@@ -82,6 +91,12 @@ object Script {
       p.expectOp(")")
       p.expectOp("{")
       ForeachS(v, list, block(p, topLevel = false))
+    } else if (p.kw("WHILE")) {
+      p.expectOp("(")
+      val c = Parser.parseExpr(p)
+      p.expectOp(")")
+      p.expectOp("{")
+      WhileS(c, block(p, topLevel = false))
     } else if (p.kw("RETURN")) {
       if (p.peekKw("SELECT")) ReturnS(Left(Parser.parseSelect(p)))
       else ReturnS(Right(Parser.parseExpr(p)))
@@ -116,7 +131,29 @@ object Script {
 
     def runBlock(stmts: Seq[SStmt]): Unit = stmts.foreach {
       case _ if returned.isDefined => ()
-      case LetS(n, e) => env += n -> Resolved(evalScalar(e))
+      case LetS(n, e) =>
+        // literal collections stay AST-shaped so bracket/key access on the
+        // variable keeps folding at translation (Issue4915Test's
+        // `$test["name"]`); scalars evaluate once driver-side
+        env += n -> (rs(e) match {
+          case m: StructLit => m
+          case a: ArrayLit  => a
+          case other        => Resolved(evalScalar(other))
+        })
+      case LetStmtS(n, st) =>
+        val df = st match {
+          case Left(sel) => Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
+          case Right(s2) => Translator.executeDml(spark, dir, cat, s2, env)
+        }
+        last = df
+        val rows = df.limit(10001).collect()
+        if (rows.length > 10000)
+          throw Translator.TranslateException("LET statement result exceeded 10000 rows")
+        val asList = ArrayLit(rows.toSeq.map(row =>
+          StructLit(row.schema.fieldNames.toSeq.map(f =>
+            f -> (Resolved(row.getAs[Any](f)): Expr)))))
+        env += n -> (if (rows.length == 1 && rows(0).size == 1)
+          LetDual(Resolved(rows(0).get(0)), asList) else asList)
       case IfS(cond, body) =>
         if (evalScalar(cond) == true) runBlock(body)
       case ForeachS(v, list, body) =>
@@ -131,6 +168,17 @@ object Script {
           env += v -> (it match { case r: Resolved => r; case e => Resolved(evalScalar(e)) })
           runBlock(body)
           env -= v // loop var scope ends; LETs made inside the body persist
+        }
+      case WhileS(cond, body) =>
+        // driver-side control loop (WhileBlockExecutionTest semantics: the
+        // condition re-evaluates against LETs made inside the body); the
+        // guard turns a script bug into an error instead of a hang
+        var guard = 0
+        while (returned.isEmpty && evalScalar(cond) == true) {
+          guard += 1
+          if (guard > 1000000)
+            throw Translator.TranslateException("WHILE exceeded 1,000,000 iterations")
+          runBlock(body)
         }
       case ReturnS(Left(sel)) =>
         returned = Some(Translator.compile(spark, dir, cat, sel, fns.snapshot, env))

@@ -197,7 +197,10 @@ object Translator {
     case LikeOp(x, StrLit(p), ci) => if (ci) toColumn(x).ilike(p) else toColumn(x).like(p)
     case LikeOp(_, _, _)     => throw TranslateException("LIKE pattern must be a string literal")
     case Matches(x, StrLit(p)) => toColumn(x).rlike(p)
-    case Matches(_, _)       => throw TranslateException("MATCHES pattern must be a string literal")
+    // per-row pattern (a column or computed regex): the reference compiles
+    // the regex per row too (MatchesConditionTest.java pins that colliding
+    // patterns don't share a cached compile)
+    case Matches(x, p)       => regexp_like(toColumn(x), toColumn(p))
     case IsNull(x, neg)      => if (neg) toColumn(x).isNotNull else toColumn(x).isNull
     case ContainsOp(x, "ONE", a) => array_contains(toColumn(x), toColumn(a))
     case ContainsOp(x, "ALL", a) => forall(toColumn(a), v => array_contains(toColumn(x), v))
@@ -684,6 +687,14 @@ object Translator {
         get(org.apache.spark.sql.graft.ColumnBridge.knownNullable(args(0)), args(1))
       // postfix subscript forms (openCypher 0-based; negatives from end;
       // try_element_at: null out-of-bounds instead of an ANSI error)
+      // bracket access with a literal string key on a literal map folds to
+      // the field (Issue4915Test: `$test["name"]` on a LET-bound map —
+      // structs have no element_at)
+      case "list_index" | "map_index" if argEs.head.isInstanceOf[StructLit] &&
+          argEs(1).isInstanceOf[StrLit] =>
+        val StructLit(fs) = argEs.head: @unchecked
+        val StrLit(k) = argEs(1): @unchecked
+        fs.find(_._1 == k).map(f => toColumn(f._2)).getOrElse(lit(null))
       case "list_index" =>
         try_element_at(org.apache.spark.sql.graft.ColumnBridge.knownNullable(args(0)),
           when(args(1) >= lit(0), args(1) + lit(1)).otherwise(args(1)).cast("int"))

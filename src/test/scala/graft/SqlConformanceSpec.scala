@@ -435,4 +435,90 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(r.length == 3, r.mkString("|"))
     assert(r.map(_.getAs[String]("name")).toSeq == Seq("Hello World", "Test Data", "Hello World"))
   }
+
+  // ================= conformance batch 5 (round 10) =================
+
+  private def script(cat: graft.schema.TypeCatalog, text: String): Array[Row] =
+    graft.sql.Script.run(TestSession.spark, sfDir, text, cat).collect()
+
+  // ---- WhileBlockExecutionTest.java ----
+
+  test("WHILE block loops on a LET counter") {
+    val cat = writable(Seq.empty[Tuple1[Long]].toDF("value"), "t")
+    val rows = script(cat,
+      """LET $i = 0;
+        |WHILE ($i < 3){
+        |  insert into t set value = $i;
+        |  LET $i = $i + 1;
+        |}
+        |SELECT value FROM t ORDER BY value;""".stripMargin)
+    assert(rows.map(_.getAs[Number]("value").longValue).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  // ---- MatchesConditionTest.java ----
+
+  test("MATCHES accepts per-row column patterns and dotted literal regexes") {
+    val cat = writable(Seq(
+      ("Aardvark", "Aa.*"), ("BBking", "BB.*"),
+      ("BBking", "Aa.*"), ("Aardvark", "BB.*")).toDF("name", "pattern"), "item")
+    // each row's name against its OWN pattern — only the two aligned rows
+    val own = q(cat, "SELECT name, pattern FROM item WHERE name MATCHES pattern ORDER BY name")
+    assert(own.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("Aardvark", "Aa.*"), ("BBking", "BB.*")))
+    // a literal regex full of dots is a regex, never a property path
+    val dotted = q(cat, "SELECT name FROM item WHERE name MATCHES '.*.*'")
+    assert(dotted.length == 4)
+  }
+
+  // ---- SQLCaseTest.java ----
+
+  test("CASE without ELSE yields null; extended CASE dispatches on the operand") {
+    val cat = writable(Seq(
+      ("Alice", 30L, "active"), ("Bob", 8L, "inactive"), ("Carol", 70L, "pending"))
+      .toDF("name", "age", "status"), "person")
+    val noElse = q(cat,
+      "SELECT name, CASE WHEN age < 10 THEN 'child' WHEN age < 13 THEN 'preteen' END AS category " +
+        "FROM person ORDER BY name")
+    assert(noElse.map(r => Option(r.getString(1))).toSeq ==
+      Seq(None, Some("child"), None))
+    val extended = q(cat,
+      "SELECT name, CASE status WHEN 'active' THEN 1 WHEN 'inactive' THEN 0 ELSE -1 END AS code " +
+        "FROM person ORDER BY name")
+    assert(extended.map(_.getAs[Number]("code").longValue).toSeq == Seq(1L, 0L, -1L))
+  }
+
+  // ---- InsertContentEmptyArrayTest.java (issue #2497) ----
+
+  test("INSERT CONTENT with empty arrays does not throw") {
+    val cat = writable(Seq(Tuple1("seed")).toDF("name"), "dce")
+    stmt(cat,
+      """INSERT INTO dce CONTENT {"name":"test","emptyArray1":[],"data":[1,2,3],"anotherEmpty":[]}""")
+    val r = q(cat, "SELECT name, data FROM dce WHERE name = 'test'")
+    assert(r.length == 1)
+    assert(r(0).getSeq[Long](1).map(_.toLong) == Seq(1L, 2L, 3L))
+  }
+
+  // ---- Issue4915Test.java: $var["key"] bracket access in script LET ----
+
+  test("bracket notation with a string key on a LET-bound map (issue #4915)") {
+    val cat = writable(Seq(("seed", "s")).toDF("key", "value"), "yolo")
+    val viaSet = script(cat,
+      """BEGIN;
+        |LET $test = {"name":"1","value":"2"};
+        |LET $inserted = INSERT INTO yolo SET key="name", value=$test["name"];
+        |COMMIT;
+        |SELECT key, value FROM yolo WHERE key = 'name';""".stripMargin)
+    assert(viaSet.length == 1)
+    assert(viaSet(0).getAs[String]("value") == "1")
+  }
+
+  // ---- OrderByDirectionParameterTest.java: boolean direction ----
+
+  test("ORDER BY expr true/false maps to ASC/DESC") {
+    val cat = writable(Seq(2L, 0L, 1L).toDF("num"), "t")
+    assert(q(cat, "SELECT num FROM t ORDER BY num true")
+      .map(_.getAs[Number]("num").longValue).toSeq == Seq(0L, 1L, 2L))
+    assert(q(cat, "SELECT num FROM t ORDER BY num false")
+      .map(_.getAs[Number]("num").longValue).toSeq == Seq(2L, 1L, 0L))
+  }
 }

@@ -39,7 +39,7 @@ object GraphDml {
       sets: Seq[(String, Expr)], where: Option[Expr]) extends GStmt
 
   def parse(sql: String): GStmt = {
-    val p = new Parser.P(Parser.lex(sql))
+    val p = new Parser.P(Parser.lex(sql, dashComments = true))
     val st =
       if (p.kw("CREATE")) {
         if (p.kw("VERTEX")) {

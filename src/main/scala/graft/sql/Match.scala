@@ -34,7 +34,7 @@ import org.apache.spark.sql.DataFrame
 object Match {
 
   def parse(text: String): Cypher.CypherQuery = {
-    val p = new Parser.P(Parser.lex(text))
+    val p = new Parser.P(Parser.lex(text, dashComments = true))
     p.expectKw("MATCH")
     val chains = Seq.newBuilder[PatternChain]
     val wheres = Seq.newBuilder[Expr]

@@ -24,12 +24,17 @@ object Parser {
   final case class TOp(s: String)    extends Tok
   case object TEof                   extends Tok
 
-  private[graft] def lex(input: String): Vector[Tok] = lexWithOffsets(input)._1
+  /** `dashComments`: treat `-- …` as a line comment — the SQL dialect's
+    * standard form (QueryTest.scan). MUST stay off for shared-lexer
+    * front-ends: openCypher patterns use `--` for undirected edges. */
+  private[graft] def lex(input: String, dashComments: Boolean = false): Vector[Tok] =
+    lexWithOffsets(input, dashComments)._1
 
   /** Lex plus each token's start offset in `input` (TEof → length) — lets
     * a front-end recover an expression's verbatim source span (openCypher
     * default column names are the item's source text). */
-  private[graft] def lexWithOffsets(input: String): (Vector[Tok], Vector[Int]) = {
+  private[graft] def lexWithOffsets(input: String,
+      dashComments: Boolean = false): (Vector[Tok], Vector[Int]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
     val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
@@ -38,9 +43,13 @@ object Parser {
       val tokStart = i
       val c = input(i)
       if (c.isWhitespace) i += 1
-      // `//` line and `/* */` block comments (openCypher; the reference's
-      // SQL grammar also accepts the C-style block form)
+      // `//` and `--` line comments plus `/* */` blocks (openCypher; the
+      // reference's SQL grammar accepts the SQL `--` and C-style forms —
+      // QueryTest.scan embeds a `-- comment` mid-statement)
       else if (c == '/' && i + 1 < n && input(i + 1) == '/') {
+        while (i < n && input(i) != '\n') i += 1
+      }
+      else if (dashComments && c == '-' && i + 1 < n && input(i + 1) == '-') {
         while (i < n && input(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && input(i + 1) == '*') {
         val j = input.indexOf("*/", i + 2)
@@ -135,8 +144,10 @@ object Parser {
         }
         out += TNum(input.substring(i, j)); i = j
       } else {
+        val three = if (i + 2 < n) input.substring(i, i + 3) else ""
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
-        if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~", "..").contains(two)) { out += TOp(two); i += 2 }
+        if (three == "<=>") { out += TOp(three); i += 3 } // null-safe equals
+        else if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~", "..").contains(two)) { out += TOp(two); i += 2 }
         else { out += TOp(c.toString); i += 1 }
       }
       while (offs.length < out.length) offs += tokStart
@@ -181,7 +192,7 @@ object Parser {
 
   /** Parse one SELECT statement. */
   def parse(sql: String): Select = {
-    val p = new P(lex(sql))
+    val p = new P(lex(sql, dashComments = true))
     val sel = parseSelect(p)
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     sel
@@ -191,7 +202,7 @@ object Parser {
     * — reference grammar SQLParser.g4 insertStatement:312,
     * updateStatement:284, deleteStatement:334). */
   def parseStatement(sql: String): Either[Select, Stmt] = {
-    val p = new P(lex(sql))
+    val p = new P(lex(sql, dashComments = true))
     val r = parseOneStatement(p)
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     r
@@ -514,6 +525,7 @@ object Parser {
   private def parseComparison(p: P): Expr = {
     def nextOp(): Option[String] =
       if (p.op("=")) Some("=")
+      else if (p.op("<=>")) Some("<=>") // null-safe equals (QueryTest)
       else if (p.op("<>") || p.op("!=")) Some("<>")
       else if (p.op("<=")) Some("<=")
       else if (p.op(">=")) Some(">=")

@@ -49,7 +49,7 @@ object Script {
   def run(spark: SparkSession, dir: String, text: String,
       cat: TypeCatalog = TypeCatalog.default,
       fns: FunctionRegistry = new FunctionRegistry): DataFrame = {
-    val p = new Parser.P(Parser.lex(text))
+    val p = new Parser.P(Parser.lex(text, dashComments = true))
     val prog = block(p, topLevel = true)
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     exec(spark, dir, cat, fns, prog)

@@ -177,6 +177,7 @@ object Translator {
     // truth table (true xor true = false, null propagates)
     case Bin("XOR", l, r)    => toColumn(l) =!= toColumn(r)
     case Bin("=", l, r)      => toColumn(l) === toColumn(r)
+    case Bin("<=>", l, r)    => toColumn(l) <=> toColumn(r) // null-safe equals (QueryTest)
     case Bin("<>", l, r)     => toColumn(l) =!= toColumn(r)
     case Bin("<", l, r)      => toColumn(l) < toColumn(r)
     case Bin("<=", l, r)     => toColumn(l) <= toColumn(r)
@@ -769,8 +770,59 @@ object Translator {
       case "size"        => size(target)
       case "prefix"      => concat(args.head, target)
       case "append"      => concat(target, args.head)
+      // ---- method/string + collection + conversion batch (reference
+      //      method/string/SQLMethod*.java, method/collection/*,
+      //      method/conversion/SQLMethodAs*.java unit corpus) ----
+      case "capitalize"  => initcap(target) // first letter upper, rest lower per word
+      case "normalize"   =>
+        // Unicode NFD + diacritical-mark strip (SQLMethodNormalize.java
+        // default form) — cold-path scalar, same acceptance as the
+        // temporal/text-similarity UDFs
+        normalizeUdf(target)
+      case "trimprefix"  =>
+        val p = litToStr(argEs.head)
+        when(target.startsWith(p), expr_substr(target, lit(p.length + 1))).otherwise(target)
+      case "trimsuffix"  =>
+        val sfx = litToStr(argEs.head)
+        when(target.endsWith(sfx),
+          target.substr(lit(1), length(target) - sfx.length)).otherwise(target)
+      case "sort"        => // .sort() asc, .sort(false) desc (SQLMethodSortTest)
+        val asc = argEs.headOption.forall { case BoolLit(b) => b; case _ => true }
+        if (asc) array_sort(target) else reverse(array_sort(target))
+      case "transform"   => // per-element named method (SQLMethodTransformTest)
+        litToStr(argEs.head).toLowerCase match {
+          case "tolowercase" => transform(target, x => lower(x))
+          case "touppercase" => transform(target, x => upper(x))
+          case "trim"        => transform(target, x => trim(x))
+          case other => throw TranslateException(s"transform: unsupported method $other")
+        }
+      case "join"        => // list → string (SQLMethodJoinTest); default ","
+        array_join(target, argEs.headOption.map(litToStr).getOrElse(","))
+      case "keys"        => map_keys(target)
+      case "values"      => map_values(target)
+      case "field"       => target.getItem(litToStr(argEs.head)) // struct field or map key
+      case "include"     => // map → only the named keys (SQLMethodIncludeTest)
+        map_filter(target, (k, _) => k.isin(argEs.map(litToStr).map(lit): _*))
+      case "exclude"     =>
+        map_filter(target, (k, _) => !k.isin(argEs.map(litToStr).map(lit): _*))
+      case "asboolean"   => target.cast("boolean")
+      case "aslong"      => target.cast("long")
+      case "asbyte"      => target.cast("byte")
+      case "asshort"     => target.cast("short")
+      case "asdouble"    => target.cast("double")
+      case "asset"       => array_sort(array_distinct(target)) // order-free identity
       case other         => throw TranslateException(s"unknown method $other")
     }
+  }
+
+  /** `.substring(from)` with a Column start — Column.substr needs both. */
+  private def expr_substr(target: Column, from1: Column): Column =
+    target.substr(from1, length(target))
+
+  private lazy val normalizeUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{InCombiningDiacriticalMarks}+", "")
   }
 
   private def litToInt(e: Expr): Int = e match {
@@ -1131,7 +1183,7 @@ object GraftSql {
   def statement(spark: SparkSession, dir: String, sql: String,
       cat: TypeCatalog = TypeCatalog.default,
       fns: FunctionRegistry = new FunctionRegistry): DataFrame = {
-    val p = new Parser.P(Parser.lex(sql))
+    val p = new Parser.P(Parser.lex(sql, dashComments = true))
     if (p.kw("EXPLAIN")) {
       val sel = Parser.parseSelect(p)
       val plan = graft.Explain.explain(
@@ -1194,7 +1246,7 @@ object GraftSql {
     * DEFINE FUNCTION name(p1, …) AS expr. */
   def execute(cat: TypeCatalog, ddl: String,
       fns: FunctionRegistry = new FunctionRegistry): Unit = {
-    val p = new Parser.P(Parser.lex(ddl))
+    val p = new Parser.P(Parser.lex(ddl, dashComments = true))
     if (p.kw("DEFINE")) {
       p.expectKw("FUNCTION")
       val name = Parser.ident(p)

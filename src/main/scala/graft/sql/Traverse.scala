@@ -27,7 +27,7 @@ object Traverse {
       fromLabel: String, where: Option[Expr], maxDepth: Int)
 
   def parse(text: String): TraverseStmt = {
-    val p = new Parser.P(Parser.lex(text))
+    val p = new Parser.P(Parser.lex(text, dashComments = true))
     p.expectKw("TRAVERSE")
     val dir = Parser.ident(p).toLowerCase
     if (!Seq("out", "in", "both").contains(dir))

@@ -521,4 +521,70 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(q(cat, "SELECT num FROM t ORDER BY num false")
       .map(_.getAs[Number]("num").longValue).toSeq == Seq(2L, 1L, 0L))
   }
+
+  // ---- method/string + collection + conversion batch (reference
+  //      method/string/SQLMethod*Test.java, method/collection/*Test.java,
+  //      method/misc/SQLMethodInclude/ExcludeTest.java) ----
+
+  test("string methods: capitalize, normalize, trimPrefix/trimSuffix") {
+    val cat = writable(Seq(
+      ("capitalize this", "C\u00f4te d'Ivoire", "pre-body", "body.post"))
+      .toDF("a", "b", "c", "d"), "t")
+    val r = q(cat,
+      "SELECT a.capitalize() AS cap, b.normalize() AS norm, " +
+        "c.trimPrefix('pre-') AS tp, c.trimPrefix('nope') AS tpMiss, " +
+        "d.trimSuffix('.post') AS tsf FROM t")(0)
+    assert(r.getAs[String]("cap") == "Capitalize This")
+    assert(r.getAs[String]("norm") == "Cote d'Ivoire")
+    assert(r.getAs[String]("tp") == "body" && r.getAs[String]("tpMiss") == "pre-body")
+    assert(r.getAs[String]("tsf") == "body")
+  }
+
+  test("collection methods: sort, transform, join, asSet") {
+    val cat = writable(Seq(Tuple1(Seq("z", "A", "b"))).toDF("xs"), "t")
+    val r = q(cat,
+      "SELECT xs.sort() AS s, xs.sort(false) AS sd, " +
+        "xs.transform('toLowerCase') AS lo, xs.join('-') AS j, " +
+        "xs.transform('toLowerCase').asSet() AS st FROM t")(0)
+    assert(r.getSeq[String](0) == Seq("A", "b", "z"))   // case-sensitive order (reference)
+    assert(r.getSeq[String](1) == Seq("z", "b", "A"))
+    assert(r.getSeq[String](2) == Seq("z", "a", "b"))
+    assert(r.getAs[String]("j") == "z-A-b")
+    assert(r.getSeq[String](4) == Seq("a", "b", "z"))
+  }
+
+  test("map methods: keys, values, field, include, exclude") {
+    val cat = writable(Seq(Tuple1(Map("a" -> 1L, "b" -> 2L, "c" -> 3L))).toDF("m"), "t")
+    val r = q(cat,
+      "SELECT m.keys() AS ks, m.values() AS vs, m.field('b') AS f, " +
+        "m.include('a', 'c') AS inc, m.exclude('a') AS exc FROM t")(0)
+    assert(r.getSeq[String](0).sorted == Seq("a", "b", "c"))
+    assert(r.getSeq[Long](1).sorted == Seq(1L, 2L, 3L))
+    assert(r.getAs[Number]("f").longValue == 2L)
+    assert(r.getMap[String, Long](3).keySet == Set("a", "c"))
+    assert(r.getMap[String, Long](4).keySet == Set("b", "c"))
+  }
+
+  test("conversion methods: asBoolean, asLong, asByte, asShort") {
+    val cat = writable(Seq(("true", "42")).toDF("b", "n"), "t")
+    val r = q(cat,
+      "SELECT b.asBoolean() AS bb, n.asLong() AS nl, n.asByte() AS nb, n.asShort() AS ns FROM t")(0)
+    assert(r.getBoolean(0) && r.getLong(1) == 42L)
+    assert(r.getByte(2) == 42.toByte && r.getShort(3) == 42.toShort)
+  }
+
+  // ---- QueryTest.java: -- comments mid-statement, <=> null-safe equals ----
+
+  test("-- line comments and <=> null-safe equality") {
+    val cat = writable(Seq[(String, java.lang.Long)](
+      ("a", 1L), ("b", null)).toDF("name", "x"), "v")
+    val commented = q(cat,
+      "SELECT name\n-- this is a comment\nFROM v ORDER BY name")
+    assert(commented.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // x <=> null keeps exactly the null row; x = null keeps none (3VL)
+    assert(q(cat, "SELECT name FROM v WHERE x <=> null").map(_.getString(0)).toSeq == Seq("b"))
+    assert(q(cat, "SELECT name FROM v WHERE x = null").isEmpty)
+    // a property that never existed is null-safe-equal to null too
+    assert(q(cat, "SELECT name FROM v WHERE x <=> 1").map(_.getString(0)).toSeq == Seq("a"))
+  }
 }

@@ -357,11 +357,22 @@ object Gremlin {
         val pred = argPred(cond)
         var frontier = st
         var emitted: Option[DataFrame] = None
-        for (_ <- 1 to MaxRepeatLoops) {
+        var done = false
+        var it = 0
+        while (it < MaxRepeatLoops && !done) {
           val next = applyCalls(frontier, body)
           val hit = next.df.filter(pred)
           emitted = Some(emitted.fold(hit)(_.unionByName(hit)))
           frontier = next.copy(df = next.df.filter(!pred))
+          it += 1
+          // every few levels: materialize the (shrinking) frontier and
+          // probe emptiness — one cheap action that stops the unroll and
+          // bounds plan depth/lineage, instead of stacking join subtrees
+          // for loops the data exhausted levels ago
+          if (it % 4 == 0 && it < MaxRepeatLoops) {
+            val f = frontier.df.localCheckpoint(true)
+            if (f.isEmpty) done = true else frontier = frontier.copy(df = f)
+          }
         }
         st = State(emitted.get, vertexLike = true, None)
 

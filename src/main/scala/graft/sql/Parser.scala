@@ -279,8 +279,11 @@ object Parser {
             var more = true
             while (more) {
               val c = ident(p)
-              p.expectOp("=")
-              sets += c -> parseExpr(p)
+              // compound assignment `x += n` / `x -= n`
+              // (SQLScriptTest.incrementAndLet; grammar updateItem)
+              if (p.op("+")) { p.expectOp("="); sets += c -> Bin("+", Ident(c), parseExpr(p)) }
+              else if (p.op("-")) { p.expectOp("="); sets += c -> Bin("-", Ident(c), parseExpr(p)) }
+              else { p.expectOp("="); sets += c -> parseExpr(p) }
               more = p.op(",")
             }
           } else if (p.kw("REMOVE")) {
@@ -314,6 +317,13 @@ object Parser {
               if (p.kw("BEFORE")) "BEFORE"
               else if (p.kw("AFTER")) "AFTER"
               else { p.expectKw("COUNT"); "COUNT" }
+            // optional record selector `RETURN AFTER @this` — the images
+            // returned ARE the whole records (SQLScriptTest.incrementAndLet).
+            // `@this` lexes as ONE identifier ('@' starts identifiers).
+            p.peek match {
+              case TId(id) if id.equalsIgnoreCase("@this") => p.next()
+              case _ => ()
+            }
           } else if (p.kw("WHERE")) where = Some(parseExpr(p))
           else go = false
         }

@@ -183,7 +183,19 @@ object Script {
       case ReturnS(Left(sel)) =>
         returned = Some(Translator.compile(spark, dir, cat, sel, fns.snapshot, env))
       case ReturnS(Right(e)) =>
-        returned = Some(spark.range(1).select(Translator.toColumn(rs(e)).as("value")))
+        rs(e) match {
+          // `RETURN [{a: 'b'}, …]` — a list of maps returns one ROW per
+          // element with the map keys as columns (SQLScriptTest
+          // .returnObject); LET-bound result sets re-expand the same way
+          case ArrayLit(es) if es.nonEmpty && es.forall(_.isInstanceOf[StructLit]) =>
+            returned = Some(es.map { case StructLit(fs) =>
+              spark.range(1).select(fs.map { case (k, v) =>
+                Translator.toColumn(v).as(k) }: _*)
+            }.reduce(_.unionByName(_, allowMissingColumns = true)))
+          case LetDual(_, l) => runBlock(Seq(ReturnS(Right(l))))
+          case re =>
+            returned = Some(spark.range(1).select(Translator.toColumn(re).as("value")))
+        }
       case ExecS(Left(sel)) =>
         last = Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
       case ExecS(Right(st)) =>

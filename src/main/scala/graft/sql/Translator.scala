@@ -106,9 +106,11 @@ object Translator {
           throw TranslateException(s"$n expects ${params.length} args, got ${args.length}")
         val bound = params.zip(args.map(r)).toMap
         resolve(body, env ++ bound, evalSub, fns - n.toLowerCase) // no self-recursion
-      case FnCall(n, args, s) if Set("unionall", "intersect", "difference", "expand")(n.toLowerCase) =>
-        // collection functions read a LET-bound 1x1 as its one-row result
-        // set, not the unwrapped scalar
+      case FnCall(n, args, s) if Set("unionall", "intersect", "difference", "expand",
+          "list_index", "map_index")(n.toLowerCase) =>
+        // collection functions AND positional/keyed indexing read a
+        // LET-bound 1x1 as its one-row result set, not the unwrapped
+        // scalar ($c[0].count — SQLScriptTest.incrementAndLet)
         FnCall(n, args.map(a => r(a) match { case LetDual(_, l) => l; case x => x }), s)
       case FnCall(n, args, s)     => FnCall(n, args.map(r), s)
       case MethodCall(t, m, args) => MethodCall(r(t), m, args.map(r))
@@ -696,6 +698,15 @@ object Translator {
         val StructLit(fs) = argEs.head: @unchecked
         val StrLit(k) = argEs(1): @unchecked
         fs.find(_._1 == k).map(f => toColumn(f._2)).getOrElse(lit(null))
+      // literal-array positional access folds to the element — the shape a
+      // statement-valued LET produces (`$counter[0].count`,
+      // SQLScriptTest.incrementAndLet)
+      case "list_index" | "map_index" if argEs.head.isInstanceOf[ArrayLit] &&
+          argEs(1).isInstanceOf[NumLit] =>
+        val ArrayLit(es) = argEs.head: @unchecked
+        val NumLit(ix, _) = argEs(1): @unchecked
+        val i = ix.toInt
+        if (i >= 0 && i < es.length) toColumn(es(i)) else lit(null)
       case "list_index" =>
         try_element_at(org.apache.spark.sql.graft.ColumnBridge.knownNullable(args(0)),
           when(args(1) >= lit(0), args(1) + lit(1)).otherwise(args(1)).cast("int"))
@@ -811,6 +822,7 @@ object Translator {
       case "asshort"     => target.cast("short")
       case "asdouble"    => target.cast("double")
       case "asset"       => array_sort(array_distinct(target)) // order-free identity
+      case "asjson"      => to_json(target) // record/list rendering (SQLScriptTest.returnExpanded)
       case other         => throw TranslateException(s"unknown method $other")
     }
   }

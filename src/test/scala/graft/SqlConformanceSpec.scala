@@ -587,4 +587,56 @@ class SqlConformanceSpec extends AnyFunSuite {
     // a property that never existed is null-safe-equal to null too
     assert(q(cat, "SELECT name FROM v WHERE x <=> 1").map(_.getString(0)).toSeq == Seq("a"))
   }
+
+  // ================= conformance batch 6 (round 10) =================
+
+  // ---- SQLScriptTest.returnObject / incrementAndLet / semicolonInString ----
+
+  test("script RETURN of a list of maps yields one row per map") {
+    val cat = writable(Seq(Tuple1(1L)).toDF("x"), "t")
+    val r = script(cat, "return [{ a: 'b' }]")
+    assert(r.length == 1 && r(0).getAs[String]("a") == "b")
+    val r2 = script(cat, "return [{ a: 'x', n: 1 }, { a: 'y', n: 2 }]")
+    assert(r2.map(_.getAs[String]("a")).toSeq == Seq("x", "y"))
+  }
+
+  test("SET weight += over a LET-bound count with indexed access") {
+    val cat = writable(Seq.empty[Tuple1[Long]].toDF("weight"), "counter")
+    val r = script(cat,
+      """INSERT INTO counter SET weight = 3;
+        |LET $c = SELECT count(*) AS count FROM counter;
+        |UPDATE counter SET weight += $c[0].count RETURN AFTER @this;""".stripMargin)
+    assert(r.length == 1, r.mkString("|"))
+    assert(r(0).getAs[Number]("weight").longValue == 4L)
+  }
+
+  test("semicolons and quotes inside string literals do not split script statements") {
+    val cat = writable(Seq(Tuple1("seed")).toDF("regexp"), "qr")
+    val one = script(cat, "let $a = 1;\nreturn 'foo ; bar'")
+    assert(one(0).getString(0) == "foo ; bar")
+    script(cat, "INSERT INTO qr SET regexp=\"'';\"")
+    assert(q(cat, "SELECT regexp FROM qr WHERE regexp <> 'seed'")(0).getString(0) == "'';")
+  }
+
+  test("script LET .asJSON() renders the bound result") {
+    val cat = writable(Seq(("a", 1L)).toDF("name", "v"), "t")
+    val j = script(cat,
+      """let $a = select name, v from t;
+        |return $a.asJSON();""".stripMargin)(0).getString(0)
+    assert(j.contains("\"name\":\"a\"") && j.contains("\"v\":1"), j)
+  }
+
+  // ---- SQLExecutorAdditionalCoverageTest: UNWIND clause, projection
+  //      subquery, derived table ----
+
+  test("UNWIND clause, scalar subquery in projection, derived-table FROM") {
+    val cat = writable(Seq(
+      ("n0", Seq("a", "b", "c"), 0L), ("n1", Seq("d"), 1L)).toDF("name", "tags", "idx"), "v1")
+    val un = q(cat, "SELECT name, tags FROM v1 WHERE idx = 0 UNWIND tags")
+    assert(un.length == 3 && un.forall(_.getString(1) != null))
+    val sub = q(cat, "SELECT name, (SELECT count(*) FROM v1) AS cnt FROM v1 WHERE idx = 0")
+    assert(sub.length == 1 && sub(0).getAs[Number]("cnt").longValue == 2L)
+    val derived = q(cat, "SELECT FROM (SELECT FROM v1 WHERE idx < 5)")
+    assert(derived.length == 2)
+  }
 }

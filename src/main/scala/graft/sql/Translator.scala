@@ -917,8 +917,26 @@ object Translator {
       acc + (name -> bound)
     }
     def rs(e: Expr): Expr = resolve(e, env, evalSub, fns)
+    // A projection subquery referencing `$parent.current.<col>` is
+    // CORRELATED (SubQueryStepTest) — it cannot resolve to a scalar here;
+    // it is rewritten to a left join + per-row aggregate after the outer
+    // frame exists (see the correlated block below).
+    def hasParentRef(e: Expr): Boolean = {
+      var found = false
+      Ast.mapDown(e) {
+        case x @ Ident(n) if n.equalsIgnoreCase("$parent") => found = true; x
+        case x => x
+      }
+      found
+    }
+    def isCorrelated(e: Expr): Boolean = e match {
+      case Subquery(sub) => sub.where.exists(hasParentRef) ||
+        sub.projections.exists(p => hasParentRef(p.expr))
+      case _ => false
+    }
     val sel = sel0.copy(
-      projections = sel0.projections.map(pr => pr.copy(expr = rs(pr.expr))),
+      projections = sel0.projections.map(pr =>
+        if (isCorrelated(pr.expr)) pr else pr.copy(expr = rs(pr.expr))),
       where = sel0.where.map(rs),
       groupBy = sel0.groupBy.map(rs),
       having = sel0.having.map(rs),
@@ -942,11 +960,51 @@ object Translator {
     sel.where.foreach(w => df = df.filter(filterCond(w)))
     sel.unwind.foreach(u => df = df.withColumn(u, explode(col(u))))
 
+    // Correlated scalar subqueries in projections — `(SELECT <agg> FROM t
+    // WHERE <pred over $parent.current.col>)` (SubQueryStepTest): the
+    // reference re-executes the inner query per outer row; the
+    // set-oriented equivalent is ONE theta left join + per-row aggregate
+    // (a broadcast nested-loop under AQE when one side is small — the
+    // same O(n·m) work the per-row loop does, minus the per-row query
+    // setup, and distributed). The rewrite attaches the aggregate as a
+    // column and the projection then reads it like any other.
+    // resolve any env vars the correlated where-clauses carry
+    def rsCorr(e: Expr): Expr = resolve(e, env, evalSub, fns)
+    val projections2 = sel.projections.map {
+      case Projection(Subquery(sub), alias) if isCorrelated(Subquery(sub)) =>
+        require(sub.projections.length == 1 && containsAgg(sub.projections.head.expr),
+          "correlated subquery must project exactly one aggregate")
+        val name = alias.getOrElse(exprName(sub.projections.head.expr))
+        val inner = cat.scan(spark, dir, sub.from).withColumn("__one", lit(1))
+        def subst(e: Expr): Expr = Ast.mapDown(e) {
+          case PropAccess(PropAccess(Ident(p), cur), x)
+              if p.equalsIgnoreCase("$parent") && cur.equalsIgnoreCase("current") =>
+            Resolved(col(s"__corr_o.$x"))
+          case Ident(x) if inner.columns.contains(x) => Resolved(col(s"__corr_i.$x"))
+          case other => other
+        }
+        val rid = "__corr_rid"
+        val o = df.withColumn(rid, monotonically_increasing_id()).alias("__corr_o")
+        val i = inner.alias("__corr_i")
+        val cond = sub.where.map(w => toColumn(subst(rsCorr(w)))).getOrElse(lit(true))
+        // count(*) over a LEFT join must not count the no-match null row —
+        // count the inner-side marker instead
+        val aggCol = sub.projections.head.expr match {
+          case FnCall(n, _, true) if n.equalsIgnoreCase("count") =>
+            count(col("__corr_i.__one"))
+          case e => toColumn(subst(rsCorr(e)))
+        }
+        val perRow = o.join(i, cond, "left").groupBy(col(rid)).agg(aggCol.as(name))
+        df = o.join(perRow, Seq(rid)).drop(rid)
+        Projection(Ident(name), Some(name))
+      case pr => pr
+    }
+
     val projected: DataFrame =
-      if (sel.groupBy.nonEmpty || sel.projections.exists(pr => containsAgg(pr.expr))) {
+      if (sel.groupBy.nonEmpty || projections2.exists(pr => containsAgg(pr.expr))) {
         // aggregate query: GROUP BY keys + aggregate projections
         val keyCols = sel.groupBy.map(e => toColumn(e).as(exprName(e)))
-        val aggProjs = sel.projections.filter(pr => containsAgg(pr.expr))
+        val aggProjs = projections2.filter(pr => containsAgg(pr.expr))
         if (aggProjs.isEmpty) throw TranslateException("GROUP BY without aggregates")
         val aggCols = aggProjs.map(pr =>
           toColumn(pr.expr).as(pr.alias.getOrElse(exprName(pr.expr))))
@@ -967,13 +1025,13 @@ object Translator {
           case _ => df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
         }
         // re-alias group keys that carry explicit projection aliases
-        val renames = sel.projections.collect {
+        val renames = projections2.collect {
           case Projection(e, Some(a)) if !containsAgg(e) && sel.groupBy.contains(e) =>
             exprName(e) -> a
         }
         renames.foldLeft(grouped) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
-      } else if (sel.projections.nonEmpty) {
-        sel.projections match {
+      } else if (projections2.nonEmpty) {
+        projections2 match {
           // `SELECT expand(listExpr)`: each element becomes a ROW — struct
           // elements unpack to columns (reference ExpandStep; the canonical
           // use is `SELECT expand($letBoundResultSet)` over the one-row dual)
@@ -985,7 +1043,7 @@ object Translator {
               case _ => exploded.select(col("__x").as("value"))
             }
           case _ =>
-            df.select(sel.projections.map(pr =>
+            df.select(projections2.map(pr =>
               toColumn(pr.expr).as(pr.alias.getOrElse(exprName(pr.expr)))): _*)
         }
       } else df

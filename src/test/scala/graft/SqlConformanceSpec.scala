@@ -639,4 +639,22 @@ class SqlConformanceSpec extends AnyFunSuite {
     val derived = q(cat, "SELECT FROM (SELECT FROM v1 WHERE idx < 5)")
     assert(derived.length == 2)
   }
+
+  // ---- SubQueryStepTest.java: correlated scalar subquery in projection ----
+
+  test("correlated subquery via $parent.current rewrites to a per-row aggregate") {
+    val cat = writable((0 until 10).map(i => (i * 100L, "pending")).toDF("amount", "status"), "ord")
+    val rows = q(cat,
+      "SELECT amount, (SELECT count(*) FROM ord WHERE amount > $parent.current.amount) AS higherCount " +
+        "FROM ord WHERE amount < 500 ORDER BY amount")
+    assert(rows.length == 5, rows.mkString("|"))
+    // amount=0 -> 9 rows higher ... amount=400 -> 5
+    assert(rows.map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSeq ==
+      Seq((0L, 9L), (100L, 8L), (200L, 7L), (300L, 6L), (400L, 5L)))
+    // a no-match row aggregates to 0, not 1 (left-join null row must not count)
+    val none = q(cat,
+      "SELECT amount, (SELECT count(*) FROM ord WHERE amount > $parent.current.amount) AS higherCount " +
+        "FROM ord WHERE amount = 900")
+    assert(none.length == 1 && none(0).getAs[Number](1).longValue == 0L)
+  }
 }

@@ -374,6 +374,15 @@ object Gremlin {
             if (f.isEmpty) done = true else frontier = frontier.copy(df = f)
           }
         }
+        // loop exhausted its unroll bound with traversers possibly still
+        // looping: probe the residual frontier and FAIL LOUDLY rather than
+        // silently return an incomplete answer (TinkerPop loops until
+        // satisfied; times(n) on the same bound already fails loudly —
+        // mirror TRAVERSE's MAXDEPTH error behavior)
+        if (!done && !frontier.df.isEmpty)
+          throw new IllegalStateException(
+            s"until() exceeded $MaxRepeatLoops passes with a non-empty frontier; " +
+              "deepen the traversal with times(n) over explicit hops or reshape the predicate")
         st = State(emitted.get, vertexLike = true, None)
 
       case Step("path", Nil, _) =>

@@ -236,16 +236,6 @@ object Mongo {
       .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
-  /** Deterministic "first match" (updateOne/deleteOne): the matched row
-    * that sorts first over every column (nulls first) — stable for a
-    * stored table, where Mongo's natural order is storage order. */
-  private def firstMatchWhere(df: DataFrame, where: Column): Option[Column] = {
-    val cols = df.columns.toSeq
-    df.filter(where).orderBy(cols.map(col(_).asc_nulls_first): _*)
-      .limit(1).collect().headOption
-      .map(r => cols.map(c => col(c) <=> lit(r.getAs[Any](c))).reduce(_ && _))
-  }
-
   /** `update` command, one spec: {q, u, multi, upsert}. Returns n
     * (modified + upserted, the reference's response `n`). */
   def updateCmd(spark: SparkSession, table: MutableTable, qJson: String,
@@ -268,8 +258,11 @@ object Mongo {
         }
       }
     val where0 = filter(q)
-    val where = if (multi) Some(where0) else firstMatchWhere(table.df, where0)
-    val n = where.map(w => table.update(w, sets)._1).getOrElse(0L)
+    // updateOne mutates EXACTLY ONE matching row even when duplicate
+    // documents exist (MutableTable.updateOne pins a synthetic rowid;
+    // whole-row re-identification would hit every identical copy)
+    val n = if (multi) table.update(where0, sets)._1
+            else table.updateOne(where0, sets)
     if (n == 0 && upsert) {
       // seed from the filter's top-level equalities, then apply u
       // (MongoDBDatabaseWrapper.executeUpsert)
@@ -301,7 +294,6 @@ object Mongo {
   def deleteCmd(spark: SparkSession, table: MutableTable, qJson: String,
       limitOne: Boolean = false): Long = {
     val where0 = filter(M.readTree(qJson))
-    val where = if (limitOne) firstMatchWhere(table.df, where0) else Some(where0)
-    where.map(table.delete).getOrElse(0L)
+    if (limitOne) table.deleteOne(where0) else table.delete(where0)
   }
 }

@@ -113,6 +113,46 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     }
   }
 
+  /** Mutate EXACTLY ONE row among those matching `where` (Mongo
+    * updateOne/deleteOne exactly-one semantics): duplicates are
+    * indistinguishable by value, so whole-row re-identification would hit
+    * every identical copy. Pin a synthetic rowid over a materialized
+    * snapshot (localCheckpoint — the id is layout-dependent, so it must
+    * never be recomputed), pick the first match by full-column order
+    * (stable stand-in for Mongo's storage order), and mutate that id only.
+    * Returns the affected count (0 or 1). */
+  private def mutateOne(where: Column,
+      apply: (DataFrame, Column) => DataFrame, op: String): Long = {
+    val rid = "__rowid"
+    val base = df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(eager = true)
+    val cols = df.columns.toSeq
+    val hit = base.filter(coalesce(where, lit(false)))
+      .orderBy(cols.map(col(_).asc_nulls_first): _*)
+      .select(rid).limit(1).collect().headOption
+    hit.fold(0L) { r =>
+      val chosen = col(rid) === lit(r.getLong(0))
+      val before = base.filter(chosen).drop(rid).localCheckpoint(eager = true)
+      val next = apply(base, chosen).localCheckpoint(eager = true)
+      // post-image for update triggers; the removed row for delete
+      val fired = if (op == "delete") before
+        else next.filter(chosen).drop(rid).localCheckpoint(eager = true)
+      emitChanges(op, before)
+      overwrite(next.drop(rid))
+      fire(op, fired)
+      1L
+    }
+  }
+
+  /** UPDATE exactly one matching row (Mongo updateOne). */
+  def updateOne(where: Column, sets: Seq[(String, Column)]): Long =
+    mutateOne(where, (base, chosen) => sets.foldLeft(base)((d, s) =>
+      d.withColumn(s._1, when(chosen, s._2).otherwise(col(s._1)))), "update")
+
+  /** DELETE exactly one matching row (Mongo deleteOne). */
+  def deleteOne(where: Column): Long =
+    mutateOne(where, (base, chosen) => base.filter(!chosen), "delete")
+
   /** DELETE … WHERE; returns the deleted-row count (RETURN COUNT). */
   def delete(where: Column): Long = {
     val deleted = df.filter(where).localCheckpoint(eager = true)

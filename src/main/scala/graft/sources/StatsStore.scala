@@ -160,9 +160,10 @@ object StatsStore {
     val row = m.agg(
       sort_array(collect_list(when(
         exists(idArr, i => i.between(col("kmin"), col("kmax"))), col("file")))).as("hits"),
-      count(lit(1)).as("total")).collect()(0)
+      count(lit(1)).as("total"), sum(col("cnt")).as("rows")).collect()(0)
     val hits = row.getAs[scala.collection.Seq[String]]("hits").toIndexedSeq
     val total = row.getAs[Long]("total").toInt
+    val rowsBefore = row.getAs[Long]("rows")
     if (hits.isEmpty) return (0, total)
 
     val touched = spark.read.parquet(hits: _*)
@@ -175,7 +176,13 @@ object StatsStore {
     staged.write.mode("append").parquet(dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
-    hits.foreach(h => fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(h)), false))
+    val undeleted = hits.filterNot(h =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(h)), false))
+    if (undeleted.nonEmpty)
+      throw new IllegalStateException(
+        s"mergeSet torn: appended updated rows but ${undeleted.size} hit file(s) " +
+          s"survived deletion (${undeleted.take(3).mkString(", ")}…) — " +
+          "the directory now holds duplicates; restore from the manifest or re-run cleanup")
     // incremental manifest patch: survivors keep their rows; only the NEW
     // files are re-statted (the file_path predicate prunes the scan to them)
     val keep = m.filter(!col("file").isin(hits: _*))
@@ -185,6 +192,24 @@ object StatsStore {
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"), count(lit(1)).as("cnt"))
     val next = keep.unionByName(newStats).localCheckpoint(eager = true)
+    // post-state guard (the append → delete → manifest-overwrite protocol
+    // is not atomic without a table-format transaction log): verify row
+    // conservation and manifest-vs-directory agreement BEFORE publishing
+    // the new manifest, so a torn merge fails loudly instead of being
+    // read as clean data
+    val rowsAfter = next.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    if (rowsAfter != rowsBefore)
+      throw new IllegalStateException(
+        s"mergeSet torn: row count changed $rowsBefore -> $rowsAfter during merge")
+    val manifestFiles = next.select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))).getName).toSet
+    val dirFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    if (manifestFiles != dirFiles)
+      throw new IllegalStateException(
+        s"mergeSet torn: manifest lists ${manifestFiles.size} part files but the " +
+          s"directory holds ${dirFiles.size} (diff: " +
+          s"${(manifestFiles diff dirFiles).take(3)} / ${(dirFiles diff manifestFiles).take(3)})")
     next.coalesce(1).write.mode("overwrite").parquet(manifestDir(dir))
     (hits.length, total)
   }

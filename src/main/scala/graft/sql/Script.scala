@@ -188,10 +188,26 @@ object Script {
           // element with the map keys as columns (SQLScriptTest
           // .returnObject); LET-bound result sets re-expand the same way
           case ArrayLit(es) if es.nonEmpty && es.forall(_.isInstanceOf[StructLit]) =>
-            returned = Some(es.map { case StructLit(fs) =>
-              spark.range(1).select(fs.map { case (k, v) =>
-                Translator.toColumn(v).as(k) }: _*)
-            }.reduce(_.unionByName(_, allowMissingColumns = true)))
+            // ONE localized relation — inline(array(struct…)) — not an
+            // element-count-deep unionByName fold (a 10k-way union blows
+            // up analysis time and driver memory for large LET binds)
+            val structs = es.map { case StructLit(fs) => fs }
+            val keys = structs.flatMap(_.map(_._1)).distinct
+            val rows = structs.map { fs =>
+              val m = fs.toMap
+              struct(keys.map(k =>
+                m.get(k).map(Translator.toColumn).getOrElse(lit(null)).as(k)): _*)
+            }
+            returned = Some(
+              try spark.range(1).select(inline(array(rows: _*)))
+              catch { case _: org.apache.spark.sql.AnalysisException =>
+                // mixed types for one key across elements: array() can't
+                // coerce — fall back to the lenient union (rare, small)
+                es.map { case StructLit(fs) =>
+                  spark.range(1).select(fs.map { case (k, v) =>
+                    Translator.toColumn(v).as(k) }: _*)
+                }.reduce(_.unionByName(_, allowMissingColumns = true))
+              })
           case LetDual(_, l) => runBlock(Seq(ReturnS(Right(l))))
           case re =>
             returned = Some(spark.range(1).select(Translator.toColumn(re).as("value")))

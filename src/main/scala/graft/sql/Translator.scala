@@ -984,7 +984,14 @@ object Translator {
           case other => other
         }
         val rid = "__corr_rid"
-        val o = df.withColumn(rid, monotonically_increasing_id()).alias("__corr_o")
+        // the synthetic row id is non-deterministic (partition-layout
+        // dependent), and `o` appears in TWO branches of the final plan
+        // (perRow's lineage and the outer side of the join-back). Pin the
+        // ids by materializing once — otherwise a task retry / AQE
+        // repartition between the two evaluations attaches aggregates to
+        // the wrong outer rows or drops rows from the join
+        val o = df.withColumn(rid, monotonically_increasing_id())
+          .localCheckpoint(true).alias("__corr_o")
         val i = inner.alias("__corr_i")
         val cond = sub.where.map(w => toColumn(subst(rsCorr(w)))).getOrElse(lit(true))
         // count(*) over a LEFT join must not count the no-match null row —

@@ -144,6 +144,27 @@ class GremlinSpec extends AnyFunSuite {
     assert(vals.toSeq === Seq("fb2", "x"))
   }
 
+  test("until() on a too-deep graph FAILS LOUDLY instead of truncating") {
+    import spark.implicits._
+    // 20-node chain: 0 -> 1 -> … -> 20; until(key==20) needs 20 passes,
+    // past the MaxRepeatLoops=12 unroll bound — the residual frontier must
+    // raise, never silently drop the still-looping traverser (TinkerPop
+    // loops until satisfied; times(n) on the same bound fails loudly too)
+    val verts = (0L to 20L).map(i => (i, "n", i)).toDF("id", "label", "key")
+    val edgs = (0L until 20L).map(i => (i, i + 1, "next")).toDF("src", "dst", "label")
+    val chain = PropertyGraph(verts, edgs)
+    val ex = intercept[IllegalStateException] {
+      Gremlin.query(chain,
+        "g.V().has('key', eq(0)).repeat(out()).until(has('key', eq(20))).count()").collect()
+    }
+    assert(ex.getMessage.contains("non-empty frontier"))
+    // a reachable target inside the bound still completes correctly
+    val ok = Gremlin.query(chain,
+      "g.V().has('key', eq(0)).repeat(out()).until(has('key', eq(5))).values('key')")
+      .collect().map(_.getLong(0))
+    assert(ok.toSeq === Seq(5L))
+  }
+
   test("unsupported step raises") {
     intercept[IllegalArgumentException] {
       Gremlin.query(g, "g.V().branch(out()).times(3)")

@@ -598,6 +598,25 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getAs[String]("a") == "b")
     val r2 = script(cat, "return [{ a: 'x', n: 1 }, { a: 'y', n: 2 }]")
     assert(r2.map(_.getAs[String]("a")).toSeq == Seq("x", "y"))
+    // keys missing from some elements null-fill (unionByName parity)
+    val r3 = script(cat, "return [{ a: 'x' }, { b: 2 }]")
+    assert(r3.length == 2 && r3(0).getAs[String]("a") == "x" && r3(0).isNullAt(1)
+      && r3(1).isNullAt(0) && r3(1).getAs[Number]("b").longValue == 2L)
+  }
+
+  test("script RETURN of a LARGE list builds one localized relation, not an n-way union") {
+    // 800 elements through the list-return path: the former per-element
+    // unionByName fold took minutes of analysis here; the inline(array…)
+    // relation is sub-second
+    val cat = writable(Seq(Tuple1(1L)).toDF("x"), "t")
+    val n = 800
+    val sql = "return [" + (1 to n).map(i => s"{ i: $i, s: 'v$i' }").mkString(", ") + "]"
+    val t0 = System.nanoTime()
+    val r = script(cat, sql)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.length == n)
+    assert(r.map(_.getAs[Number]("i").longValue).toSeq == (1L to n.toLong))
+    assert(secs < 30, s"large list RETURN took ${secs}s — union fold regression?")
   }
 
   test("SET weight += over a LET-bound count with indexed access") {

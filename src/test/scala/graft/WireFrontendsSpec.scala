@@ -57,6 +57,18 @@ class WireFrontendsSpec extends AnyFunSuite {
       val r = t.df.filter(col("id") === 3).collect()(0)
       assert(r.getAs[String]("grp") == "c" && r.isNullAt(r.fieldIndex("n")))
     }
+    locally { // DUPLICATE documents: exactly one copy mutated / deleted
+      val dup = graft.sources.MutableTable.copyOf(spark,
+        Seq(("a", 10L), ("a", 10L), ("a", 10L), ("b", 20L)).toDF("grp", "n"),
+        s"/tmp/graft_state/mongo_dup_${System.nanoTime()}")
+      assert(Mongo.deleteCmd(spark, dup, """{"grp": "a"}""", limitOne = true) === 1)
+      assert(dup.df.filter(col("grp") === "a").count() === 2) // not all three
+      val n = Mongo.updateCmd(spark, dup, """{"grp": "a"}""",
+        """{"$inc": {"n": 1}}""", multi = false)
+      assert(n === 1)
+      assert(dup.df.filter(col("grp") === "a" && col("n") === 11L).count() === 1)
+      assert(dup.df.filter(col("grp") === "a" && col("n") === 10L).count() === 1)
+    }
     locally { // upsert applies $inc from zero when the filter misses
       val t = freshTable()
       val n = Mongo.updateCmd(spark, t, """{"id": 9, "grp": "z"}""",

@@ -42,7 +42,21 @@ import org.apache.spark.sql.functions._
   *                                         array column — no join-back, no
   *                                         traverser ids, scale-free
   *   as('x'), select('a','b').by('k')   — path-step capture / projection
+  *   simplePath()                       — drop traversers that revisit a
+  *                                         vertex (cycle filter over the
+  *                                         hop-time id array — no join-back)
   *   values('k')                        — property projection (column `value`)
+  *   valueMap('k'*)                     — property map projection: map of
+  *                                         key → [values-as-strings] (the
+  *                                         rendered TinkerPop Map<String,
+  *                                         List> — traversers are
+  *                                         dynamically typed, a Spark map
+  *                                         value is not); no args = all props
+  *   project('a','b').by('k'|values(k)) — named multi-column projection of
+  *                                         the CURRENT element (modulators
+  *                                         round-robin; default id)
+  *   union(t1, t2, …)                   — branch traversals from the current
+  *                                         frontier, results bag-unioned
   *   choose(pred, a, b) / coalesce(a,b) — per-element conditional value /
   *                                         first non-null projection (value
   *                                         chains only)
@@ -218,11 +232,21 @@ object Gremlin {
       }
     }
 
+    // simplePath() pre-scan: cycle filtering needs the visited VERTEX IDS
+    // (path().by(k) values may collide across labels — ids never do), so a
+    // separate `__sp` id-array accumulates at hop time when present
+    val needSimple = steps.exists(_.name == "simplePath")
+
     /** Append the landed element's path value (vertex hops only). */
-    def tracked(df: DataFrame): DataFrame = pathKey match {
-      case Some(k) if df.columns.contains("__path") =>
-        df.withColumn("__path", array_append(col("__path"), col(k)))
-      case _ => df
+    def tracked(df0: DataFrame): DataFrame = {
+      val df = pathKey match {
+        case Some(k) if df0.columns.contains("__path") =>
+          df0.withColumn("__path", array_append(col("__path"), col(k)))
+        case _ => df0
+      }
+      if (needSimple && df.columns.contains("__sp"))
+        df.withColumn("__sp", array_append(col("__sp"), col("id")))
+      else df
     }
 
     /** Vertex hop: join edges (optionally label-filtered), land on far vertex. */
@@ -290,7 +314,8 @@ object Gremlin {
 
     var st = steps.head match {
       case Step("V", Nil, _) =>
-        val v0 = pathKey.fold(g.vertices)(k => g.vertices.withColumn("__path", array(col(k))))
+        val v1 = pathKey.fold(g.vertices)(k => g.vertices.withColumn("__path", array(col(k))))
+        val v0 = if (needSimple) v1.withColumn("__sp", array(col("id"))) else v1
         State(v0, vertexLike = true, None)
       case Step("E", Nil, _) =>
         require(pathKey.isEmpty, "path() is supported for vertex traversals (g.V()...)")
@@ -409,6 +434,62 @@ object Gremlin {
 
       case Step("values", List(SArg(k)), _) =>
         st = State(st.df.select(col(k).as("value")), st.vertexLike, Some("value"))
+
+      // simplePath(): keep only traversers whose visited-id path has no
+      // repeats (TinkerPop SimplePathStep) — a narrow filter over the
+      // hop-time `__sp` array, never a join-back
+      case Step("simplePath", Nil, _) =>
+        require(st.df.columns.contains("__sp"), "simplePath() needs a vertex traversal")
+        st = st.copy(df =
+          st.df.filter(size(array_distinct(col("__sp"))) === size(col("__sp"))))
+
+      // valueMap('k'*): rendered TinkerPop Map<String, List<Object>> — one
+      // map column; values render as string lists (traversers are
+      // dynamically typed, one Spark map value type is not). No args = all
+      // of the element's own property columns (id/label excluded, like
+      // TinkerPop's default valueMap())
+      case Step("valueMap", args, _) =>
+        val keys = args match {
+          case Nil => ownCols(st.df).filterNot(c => c == "id" || c == "label")
+          case as  => as.map { case SArg(k) => k
+            case o => throw new IllegalArgumentException(s"valueMap: $o") }
+        }
+        require(keys.nonEmpty, "valueMap(): element has no properties")
+        val entries = keys.flatMap(k =>
+          Seq(lit(k), array(col(k).cast("string"))))
+        st = State(st.df.select(map(entries: _*).as("valueMap")),
+          vertexLike = false, Some("valueMap"))
+
+      // project('a','b').by(...): named multi-column projection of the
+      // CURRENT element (TinkerPop ProjectStep); by() modulators apply
+      // round-robin — by('k') or by(values('k')) project the property,
+      // no by() projects the id
+      case Step("project", names0, bys) =>
+        require(names0.nonEmpty, "project() needs at least one name")
+        val names = names0.map { case SArg(n) => n
+          case o => throw new IllegalArgumentException(s"project: $o") }
+        def byCol(a: List[Arg]): Column = a match {
+          case List(SArg(k))  => col(k)
+          case List(one) => callsOf(one) match {
+            case List(("values", List(SArg(k)))) => col(k)
+            case o => throw new IllegalArgumentException(s"project.by: $o")
+          }
+          case Nil => col("id")
+          case o   => throw new IllegalArgumentException(s"project.by: $o")
+        }
+        val proj = names.zipWithIndex.map { case (n, i) =>
+          (if (bys.isEmpty) col("id") else byCol(bys(i % bys.size))).as(n)
+        }
+        st = State(st.df.select(proj: _*), vertexLike = false, None)
+
+      // union(t1, t2, …): each branch traverses from the CURRENT frontier;
+      // results bag-union (TinkerPop UnionStep — no implicit dedup)
+      case Step("union", branches, _) if branches.nonEmpty =>
+        val parts = branches.map(b => applyCalls(st, callsOf(b)))
+        require(parts.forall(_.vertexLike == parts.head.vertexLike),
+          "union(): branches must land on the same element kind")
+        st = State(parts.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)),
+          parts.head.vertexLike, None)
 
       // choose(has-pred, 'a', 'b'): per-element conditional property
       // projection (TinkerPop ChooseStep, value form)

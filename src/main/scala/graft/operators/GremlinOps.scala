@@ -139,6 +139,50 @@ object GremlinOps {
         ".or(and(has('key', lt(100)), has('key', gt(50)), not(has('key', eq(77)))), " +
         "has('key', within(7, 11))).values('key').order()")),
 
+    // ---- valueMap(): rendered property map (values as string lists);
+    //      scalars extracted for the oracle, like q_map_funcs ----
+    Q("q_gremlin_valuemap",
+      """SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS name
+        |FROM customer WHERE c_custkey < 10 ORDER BY name""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      Gremlin.query(PropertyGraph.fromTpch(s, d),
+        "g.V().hasLabel('customer').has('key', lt(10)).valueMap('key', 'name')")
+        .select(element_at(col("valueMap"), "key").getItem(0).as("key"),
+          element_at(col("valueMap"), "name").getItem(0).as("name"))
+        .orderBy("name")
+    },
+
+    // ---- project('a','b').by(k): named multi-column projection ----
+    Q("q_gremlin_project",
+      """SELECT o_orderkey AS k, o_orderstatus AS status
+        |FROM orders WHERE o_orderkey < 100 ORDER BY k""".stripMargin)(
+      gr("g.V().hasLabel('order').has('key', lt(100))" +
+        ".project('k', 'status').by('key').by('name').order().by('k')")),
+
+    // ---- union(out, in): branch traversals bag-unioned ----
+    Q("q_gremlin_union",
+      """SELECT value FROM (
+        |  SELECT l_partkey AS value
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  WHERE l_orderkey < 50
+        |  UNION ALL
+        |  SELECT o_custkey AS value FROM orders WHERE o_orderkey < 50
+        |) ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('order').has('key', lt(50))" +
+        ".union(out('contains'), in('placed')).values('key').order()")),
+
+    // ---- simplePath(): cycle filter — orders reached via a shared part,
+    //      excluding the path that returns to its own origin ----
+    Q("q_gremlin_simplepath",
+      """SELECT b.l_orderkey AS value
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |  ON a.l_partkey = b.l_partkey AND b.l_orderkey <> a.l_orderkey
+        |WHERE a.l_orderkey < 30
+        |ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('order').has('key', lt(30))" +
+        ".out('contains').in('contains').simplePath().values('key').order()")),
+
     // ---- choose(): per-element conditional projection ----
     Q("q_gremlin_choose",
       """SELECT CASE WHEN c_custkey < 15 THEN CAST(c_custkey AS VARCHAR)

@@ -144,6 +144,36 @@ class GremlinSpec extends AnyFunSuite {
     assert(vals.toSeq === Seq("fb2", "x"))
   }
 
+  test("valueMap/project/union/simplePath tail steps") {
+    // valueMap(): no-arg form carries every property (not id/label)
+    val vm = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', eq(7)).valueMap()").collect()
+    assert(vm.length === 1)
+    val m = vm(0).getMap[String, Seq[String]](0)
+    assert(m.keySet === Set("key", "name") && m("key") === Seq("7"))
+    // project() with fewer by()s than names round-robins the modulators
+    val pr = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', within(3, 4)).project('a','b').by('key')")
+      .collect()
+    assert(pr.forall(r => r.getLong(0) === r.getLong(1)))
+    // union keeps bag multiplicity: branch counts add
+    val u = Gremlin.query(g,
+      "g.V().hasLabel('order').has('key', lt(20)).union(in('placed'), in('placed')).count()")
+      .head().getLong(0)
+    val one = Gremlin.query(g,
+      "g.V().hasLabel('order').has('key', lt(20)).in('placed').count()").head().getLong(0)
+    assert(u === 2 * one)
+    // simplePath drops the 2-hop round trip entirely
+    val rt = Gremlin.query(g,
+      "g.V().hasLabel('order').has('key', eq(1)).out('contains').in('contains')" +
+        ".simplePath().values('key').dedup()").collect().map(_.getLong(0))
+    assert(!rt.contains(1L))
+    val all = Gremlin.query(g,
+      "g.V().hasLabel('order').has('key', eq(1)).out('contains').in('contains')" +
+        ".values('key').dedup()").collect().map(_.getLong(0))
+    assert(all.contains(1L) && rt.toSet === all.toSet - 1L)
+  }
+
   test("until() on a too-deep graph FAILS LOUDLY instead of truncating") {
     import spark.implicits._
     // 20-node chain: 0 -> 1 -> … -> 20; until(key==20) needs 20 passes,

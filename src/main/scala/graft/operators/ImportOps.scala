@@ -250,6 +250,51 @@ object ImportOps {
         .orderBy("user_id")
     },
 
+    // ---- CREATE INDEX statement end-to-end (CreateIndexStatement.java +
+    //      FetchFromIndexStep.java): the DDL re-clusters the type's
+    //      storage + writes the manifest, and the post-DDL SQL scan
+    //      carries the files-skipped gate (df.inputFiles counts the
+    //      parquet files actually feeding the plan) ----
+    Q("q_sql_create_index",
+      """SELECT user_id, count(*) AS n,
+        |  sum(value::DECIMAL(28,4))::DOUBLE AS total
+        |FROM events WHERE user_id BETWEEN 20 AND 29
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val dir = stateDir("createindex", d)
+      Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(dir)
+      val cat = graft.schema.TypeCatalog.fresh()
+      cat.createType("ev", "DOCUMENT", path = Some(_ => dir))
+      val status = graft.sql.GraftSql.statement(s, d,
+        "CREATE INDEX ON ev (user_id) NOTUNIQUE", cat).collect()
+      require(status(0).getAs[String]("status") == "CREATED", status.mkString)
+      val out = graft.sql.GraftSql.query(s, d,
+        "SELECT user_id, value FROM ev WHERE user_id BETWEEN 20 AND 29", cat)
+      val total = s.read.parquet(dir).inputFiles.length
+      require(out.inputFiles.length < total,
+        s"post-DDL scan read ${out.inputFiles.length}/$total files — index pruning regressed")
+      out.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,4)")).cast("double").as("total"))
+        .orderBy("user_id")
+    },
+
+    // ---- SELECT FROM schema:indexes (FetchFromSchemaIndexesStep) ----
+    Q("q_schema_indexes",
+      """SELECT * FROM (VALUES
+        |  ('ev[user_id]', 'ev', 'user_id', 'NOTUNIQUE', 'RANGE'),
+        |  ('zx', 'ev', 'event_id,user_id', 'NOTUNIQUE', 'ZORDER')
+        |) AS t(name, type, props, uniqueness, kind) ORDER BY name""".stripMargin) { (s, d) =>
+      val dir = stateDir("schemaindexes", d)
+      Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(dir)
+      val cat = graft.schema.TypeCatalog.fresh()
+      cat.createType("ev", "DOCUMENT", path = Some(_ => dir))
+      graft.sql.GraftSql.statement(s, d, "CREATE INDEX ON ev (user_id) NOTUNIQUE", cat)
+      graft.sql.GraftSql.statement(s, d, "CREATE INDEX zx ON ev (event_id, user_id)", cat)
+      graft.sql.GraftSql.query(s, d, "SELECT FROM schema:indexes", cat).orderBy("name")
+    },
+
     // ---- keyed MERGE with file-level pruning: UPDATE … SET over an
     //      affected-id set rewrites ONLY manifest-hit files (the
     //      Delta/Iceberg MERGE shape the full-rewrite MutableTable model
@@ -276,6 +321,28 @@ object ImportOps {
       s.read.parquet(dir).filter(col("user_id").between(5, 10))
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
         .orderBy("user_id", "event_type")
+    },
+
+    // ---- keyed DELETE with file-level pruning (the MERGE family's
+    //      delete form): affected rows drop from manifest-hit files only,
+    //      with the same ≤ total/3 rewrite gate ----
+    Q("q_merge_delete_pruned",
+      """SELECT user_id, count(*) AS n
+        |FROM events
+        |WHERE user_id BETWEEN 5 AND 10 AND user_id NOT IN (7, 8)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val dir = stateDir("mergedel", d)
+      graft.sources.StatsStore.write(
+        Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value"),
+        dir, "user_id", numFiles = 16)
+      val (rewritten, total) = graft.sources.StatsStore.mergeDelete(
+        s, dir, "user_id", ids = Seq(7L, 8L))
+      require(rewritten <= total / 3,
+        s"mergeDelete rewrote $rewritten of $total files — file pruning regressed")
+      // post-merge scans still prune through the patched manifest
+      val (pruned, read, tot) = graft.sources.StatsStore.rangeScan(s, dir, "user_id", 5, 10)
+      require(read < tot, s"post-delete scan read $read/$tot files")
+      pruned.groupBy("user_id").agg(count(lit(1)).as("n")).orderBy("user_id")
     },
 
     // ---- Z-ordered composite layout: one clustering serves range

@@ -198,6 +198,66 @@ object SqlOps {
     // ---- registry batch 3: similarity, math/string/date long tail,
     //      the remaining DefaultSQLFunctionFactory names with clean
     //      DuckDB equivalents ----
+    // ---- the reference's vector.* SQL-callable family through SQL TEXT
+    //      (function/sql/vector/SQLFunctionVector*.java — 24 names here;
+    //      query-shaped members are the q_vec_* operators) ----
+    Q("q_sql_funcs_vec",
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(ev, x -> x * x)), 6) AS dp,
+        |  round(sqrt(list_sum(list_transform(ev, x -> x * x))), 6) AS mag,
+        |  round(list_sum(list_transform(ev, x -> abs(x))), 6) AS l1,
+        |  round(list_max(list_transform(ev, x -> abs(x))), 6) AS li,
+        |  len(ev) AS dim,
+        |  round(list_sum(ev), 6) AS sm,
+        |  round(list_sum(ev) / len(ev), 6) AS av,
+        |  round(list_min(ev), 6) AS mn,
+        |  round(list_max(ev), 6) AS mx,
+        |  round(list_sum(list_transform(ev, x -> pow(x - list_sum(ev)/len(ev), 2))) / len(ev), 6) AS vr,
+        |  round(sqrt(list_sum(list_transform(ev, x -> pow(x - list_sum(ev)/len(ev), 2))) / len(ev)), 6) AS sd,
+        |  false AS nan, false AS inf, false AS nul, true AS isn,
+        |  round(sqrt(list_sum(list_transform(ev, x -> pow(least(greatest(x, -0.1), 0.1), 2)))), 6) AS clipmag,
+        |  round(len(list_filter(ev, x -> abs(x) < 0.05)) / CAST(len(ev) AS DOUBLE), 6) AS sp,
+        |  round(sqrt(list_sum(list_transform(ev, x -> x * x))), 6) AS l2s,
+        |  round(2 * list_sum(ev), 6) AS s2,
+        |  0.0 AS s0,
+        |  round(list_sum(list_transform(ev, x -> x * x)), 6) AS smul,
+        |  round(1/61.0 + 1/65.0 + 1/70.0, 6) AS rrf,
+        |  0.68 AS hyb, 0.9 AS ms,
+        |  round(1.0 / (1.0 + exp(-0.5)), 6) AS st,
+        |  true AS dqok, 1.0 AS nmx
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        |      WHERE vec_id < 30) ORDER BY vec_id""".stripMargin)(
+      sql("""SELECT vec_id,
+            | round(vector.dotProduct(embedding, embedding), 6) AS dp,
+            | round(vector.magnitude(embedding), 6) AS mag,
+            | round(vector.l1Norm(embedding), 6) AS l1,
+            | round(vector.lInfNorm(embedding), 6) AS li,
+            | vector.dimension(embedding) AS dim,
+            | round(vector.sum(embedding), 6) AS sm,
+            | round(vector.avg(embedding), 6) AS av,
+            | round(vector.min(embedding), 6) AS mn,
+            | round(vector.max(embedding), 6) AS mx,
+            | round(vector.variance(embedding), 6) AS vr,
+            | round(vector.stdDev(embedding), 6) AS sd,
+            | vector.hasNaN(embedding) AS nan,
+            | vector.hasInf(embedding) AS inf,
+            | vector.hasNull(embedding) AS nul,
+            | vector.isNormalized(vector.normalize(embedding), 0.000001) AS isn,
+            | round(vector.magnitude(vector.clip(embedding, -0.1, 0.1)), 6) AS clipmag,
+            | round(vector.sparsity(embedding, 0.05), 6) AS sp,
+            | round(vector.l2Distance(embedding, vector.scale(embedding, 2.0)), 6) AS l2s,
+            | round(vector.sum(vector.add(embedding, embedding)), 6) AS s2,
+            | round(vector.sum(vector.subtract(embedding, embedding)), 6) AS s0,
+            | round(vector.sum(vector.multiply(embedding, embedding)), 6) AS smul,
+            | round(vector.rrfScore([1, 5, 10]), 6) AS rrf,
+            | round(vector.hybridScore(0.8, 0.4, 0.7), 6) AS hyb,
+            | round(vector.multiScore([0.9, 0.7, 0.8], 'MAX'), 6) AS ms,
+            | round(vector.scoreTransform(0.5, 'SIGMOID'), 6) AS st,
+            | vector.l2Distance(vector.dequantizeInt8(vector.quantizeInt8(embedding)), embedding) < 0.1 AS dqok,
+            | round(vector.max(vector.normalizeScores(embedding)), 6) AS nmx
+            | FROM embeddings WHERE vec_id < 30
+            | ORDER BY vec_id""".stripMargin.replace("\n", ""))),
+
     Q("q_sql_funcs_tail",
       """SELECT o_orderkey AS k,
         |  round(exp(o_orderkey % 5) - 1, 6) AS e1,

@@ -253,6 +253,90 @@ object StreamingOps {
     },
 
     // ---- materialized view, INCREMENTAL refresh of stale groups only ----
+    // ---- CREATE MATERIALIZED VIEW statement end-to-end (grammar
+    //      SQLParser.g4 createMaterializedViewBody; MaterializedViewImpl):
+    //      build, verify staleness after a source insert, REFRESH, read ----
+    Q("q_sql_create_matview",
+      """SELECT st, n FROM (
+        |  SELECT o_orderstatus AS st, count(*) AS n
+        |  FROM orders WHERE o_orderkey < 500 GROUP BY 1
+        |  UNION ALL SELECT 'Z', 1
+        |) ORDER BY st""".stripMargin) { (s, d) =>
+      import graft.sql.GraftSql
+      val src = stateDir("matviewsrc", d)
+      Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .write.mode("overwrite").parquet(src)
+      val cat = graft.schema.TypeCatalog.fresh()
+      cat.createType("ord", "DOCUMENT", path = Some(_ => src))
+      GraftSql.statement(s, d,
+        "CREATE MATERIALIZED VIEW mv AS SELECT o_orderstatus AS st, count(*) AS n " +
+          "FROM ord GROUP BY o_orderstatus REFRESH MANUAL", cat)
+      val before = GraftSql.query(s, d, "SELECT st, n FROM mv", cat).count()
+      GraftSql.statement(s, d,
+        "INSERT INTO ord SET o_orderkey = 999999, o_orderstatus = 'Z'", cat)
+      // the view is a materialization, not a live query: stale until refreshed
+      require(GraftSql.query(s, d, "SELECT st FROM mv", cat).count() == before,
+        "materialized view changed without a refresh")
+      GraftSql.statement(s, d, "REFRESH MATERIALIZED VIEW mv", cat)
+      GraftSql.query(s, d, "SELECT st, n FROM mv ORDER BY st", cat)
+    },
+
+    // ---- CREATE CONTINUOUS AGGREGATE statement end-to-end (grammar
+    //      createContinuousAggregateBody; ContinuousAggregateRefresher's
+    //      delete-first watermark protocol): a late row older than the
+    //      watermark stays frozen out, a new bucket appears ----
+    Q("q_sql_create_cagg",
+      """WITH mm AS (SELECT max(ts) AS mx FROM events),
+        |src AS (SELECT ts FROM events
+        |        UNION ALL SELECT mx + INTERVAL 2 DAY FROM mm)
+        |SELECT date_trunc('day', ts) AS bucket, count(*) AS n
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.sql.GraftSql
+      val src = stateDir("caggsrc", d)
+      Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(src)
+      val cat = graft.schema.TypeCatalog.fresh()
+      cat.createType("ev", "DOCUMENT", path = Some(_ => src))
+      GraftSql.statement(s, d,
+        "CREATE CONTINUOUS AGGREGATE ca AS SELECT date_trunc('day', ts) AS bucket, " +
+          "count(*) AS n FROM ev GROUP BY date_trunc('day', ts)", cat)
+      // two arrivals: one LATE row (at the stream's min ts — older than the
+      // watermark, must stay invisible) and one genuinely new bucket
+      val mm = s.read.parquet(src)
+        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+      val (mn, mx) = (mm.getTimestamp(0), mm.getTimestamp(1))
+      val newTs = new java.sql.Timestamp(mx.getTime + 2L * 24 * 3600 * 1000)
+      import s.implicits._
+      Seq((-1L, mn, 0L, "late", 0.0), (-2L, newTs, 0L, "new", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(src)
+      GraftSql.statement(s, d, "REFRESH CONTINUOUS AGGREGATE ca", cat)
+      GraftSql.query(s, d, "SELECT bucket, n FROM ca ORDER BY bucket", cat)
+    },
+
+    // ---- CREATE TRIGGER statement end-to-end (createTriggerBody +
+    //      TriggerImpl): AFTER CREATE action SQL runs per insert ----
+    Q("q_sql_create_trigger",
+      "SELECT 'created' AS evt, 2 AS n") { (s, d) =>
+      import graft.sql.GraftSql
+      import s.implicits._
+      val srcDir = stateDir("trigsrc", d)
+      val audDir = stateDir("trigaudit", d)
+      Seq((1L, "seed")).toDF("k", "v").write.mode("overwrite").parquet(srcDir)
+      Seq.empty[Tuple1[String]].toDF("evt").write.mode("overwrite").parquet(audDir)
+      val cat = graft.schema.TypeCatalog.fresh()
+      cat.createType("tsrc", "DOCUMENT", path = Some(_ => srcDir))
+      cat.createType("audit", "DOCUMENT", path = Some(_ => audDir))
+      GraftSql.statement(s, d,
+        "CREATE TRIGGER audit_create AFTER CREATE ON TYPE tsrc " +
+          "EXECUTE SQL 'INSERT INTO audit SET evt = ''created'''", cat)
+      GraftSql.statement(s, d, "INSERT INTO tsrc SET k = 2, v = 'a'", cat)
+      GraftSql.statement(s, d, "INSERT INTO tsrc SET k = 3, v = 'b'", cat)
+      GraftSql.query(s, d,
+        "SELECT evt, count(*) AS n FROM audit GROUP BY evt", cat)
+        .select(col("evt"), col("n").cast("int").as("n"))
+    },
+
     Q("q_matview_incremental",
       """SELECT o_custkey, count(*) AS n_orders,
         |  sum(o_totalprice::DECIMAL(28,4))::DOUBLE AS total,

@@ -456,6 +456,33 @@ object VectorOps {
         when(avg(col("recall")) >= 0.9, 1L).otherwise(0L).as("recall_ok"))
     },
 
+    // ---- indexed-function scan through SQL text: CREATE INDEX …
+    //      LSM_VECTOR declares the HNSW tier, vector.neighbors() picks it
+    //      (FetchFromIndexedFunctionStep — the index type drives the
+    //      access path); recall gate ≥ 0.9 vs the exact baseline, and
+    //      every result row must carry the HNSW tier tag ----
+    Q("q_sql_ann_hnsw",
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok,
+        |  'HNSW' AS tier""".stripMargin) { (s, d) =>
+      import graft.sql.GraftSql
+      val cat = graft.schema.TypeCatalog.fresh()
+      GraftSql.statement(s, d, "CREATE INDEX ON embeddings (embedding) LSM_VECTOR", cat)
+      val nb = GraftSql.query(s, d,
+        "SELECT vector.neighbors('embeddings[embedding]', [0, 1, 2, 3, 4], 10)", cat)
+        .localCheckpoint(eager = true)
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = knnExact(e, queries, 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(eager = true)
+      val recall = exact.join(nb.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / exact.count()
+      nb.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        when(lit(recall) >= 0.9, 1L).otherwise(0L).as("recall_ok"),
+        min(col("tier")).as("tier"))
+    },
+
     Q.noOracle("q_vec_ann_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 5)

@@ -40,6 +40,36 @@ final case class TypeDef(
     // Property analog) — what makes a polymorphic scan line up.
     aliases: Map[String, String] = Map.empty)
 
+/** A registered index (reference CreateIndexStatement.java / the schema's
+  * index registry): `cols` drive the physical layout — one column =
+  * range-clustered files (LSM sorted-run analog), two = Z-order — both
+  * materialized by [[graft.sources.StatsStore]] with a min/max manifest
+  * the scans consult for file-level pruning. */
+final case class IndexDef(name: String, typeName: String, cols: Seq[String],
+    unique: Boolean, kind: String = "") {
+  /** RANGE (1 clustered col) / ZORDER (2) unless explicitly declared
+    * (HNSW for LSM_VECTOR — reference Schema.INDEX_TYPE). */
+  def kindOrDefault: String =
+    if (kind.nonEmpty) kind else if (cols.length == 1) "RANGE" else "ZORDER"
+}
+
+/** A registered trigger (reference CreateTriggerStatement.java +
+  * schema/trigger/TriggerImpl.java): `timing` BEFORE|AFTER, `event`
+  * CREATE|UPDATE|DELETE, `actionSql` runs through the statement front-end
+  * when the event fires on `typeName`'s writable storage. */
+final case class TriggerDef(name: String, typeName: String, timing: String,
+    event: String, actionSql: String)
+
+/** A registered materialized view / continuous aggregate (reference
+  * CreateMaterializedViewStatement.java / CreateContinuousAggregateStatement
+  * .java + schema/MaterializedViewImpl.java, ContinuousAggregate.java).
+  * `select` is the parsed definition (opaque here — graft.sql.Ast.Select —
+  * to keep the schema package front-end-agnostic); `bucketCol`/`tsCol`
+  * drive the cagg's delete-first watermark refresh. */
+final case class ViewDef(name: String, kind: String, mode: String,
+    select: AnyRef, backingDir: String,
+    bucketCol: Option[String] = None, tsCol: Option[String] = None)
+
 final class TypeCatalog(initial: Seq[TypeDef]) {
 
   // DDL mutates the registry at runtime, like the reference's persisted,
@@ -80,6 +110,78 @@ final class TypeCatalog(initial: Seq[TypeDef]) {
     declaredProps -= name
   }
 
+  // ---- index registry (CREATE/DROP/REBUILD INDEX; schema:indexes) ----
+  private var indexDefs: Seq[IndexDef] = Seq.empty
+
+  def registerIndex(ix: IndexDef): Unit = synchronized {
+    require(byName.contains(ix.typeName), s"unknown type ${ix.typeName}")
+    require(!indexDefs.exists(_.name == ix.name), s"index ${ix.name} already exists")
+    indexDefs = indexDefs :+ ix
+  }
+
+  def dropIndex(name: String): IndexDef = synchronized {
+    val ix = indexDefs.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown index $name"))
+    indexDefs = indexDefs.filterNot(_.name == name)
+    ix
+  }
+
+  def indexByName(name: String): IndexDef =
+    indexDefs.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown index $name"))
+
+  def indexesOf(typeName: String): Seq[IndexDef] =
+    indexDefs.filter(_.typeName == typeName)
+
+  /** `SELECT FROM schema:indexes` (FetchFromSchemaIndexesStep analog). */
+  def schemaIndexes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    indexDefs.map(ix => (ix.name, ix.typeName, ix.cols.mkString(","),
+      if (ix.unique) "UNIQUE" else "NOTUNIQUE", ix.kindOrDefault))
+      .toDF("name", "type", "props", "uniqueness", "kind")
+  }
+
+  // ---- trigger registry (CREATE/DROP TRIGGER) ----
+  private var triggerDefs: Seq[TriggerDef] = Seq.empty
+
+  def registerTrigger(t: TriggerDef): Unit = synchronized {
+    require(byName.contains(t.typeName), s"unknown type ${t.typeName}")
+    require(!triggerDefs.exists(_.name == t.name), s"trigger ${t.name} already exists")
+    triggerDefs = triggerDefs :+ t
+  }
+
+  def dropTrigger(name: String): Unit = synchronized {
+    require(triggerDefs.exists(_.name == name), s"unknown trigger $name")
+    triggerDefs = triggerDefs.filterNot(_.name == name)
+  }
+
+  def triggersOf(typeName: String): Seq[TriggerDef] =
+    triggerDefs.filter(_.typeName == typeName)
+
+  // ---- materialized view / continuous aggregate registry ----
+  private var viewDefs: Map[String, ViewDef] = Map.empty
+  private var viewWatermarks: Map[String, java.sql.Timestamp] = Map.empty
+
+  def registerView(v: ViewDef): Unit = synchronized {
+    require(!viewDefs.contains(v.name), s"view ${v.name} already exists")
+    viewDefs += v.name -> v
+  }
+
+  def dropView(name: String): ViewDef = synchronized {
+    val v = viewDefs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown view $name"))
+    viewDefs -= name
+    viewWatermarks -= name
+    v
+  }
+
+  def viewByName(name: String): ViewDef =
+    viewDefs.getOrElse(name, throw new IllegalArgumentException(s"unknown view $name"))
+
+  def viewWatermark(name: String): Option[java.sql.Timestamp] = viewWatermarks.get(name)
+  def setViewWatermark(name: String, w: java.sql.Timestamp): Unit =
+    synchronized { viewWatermarks += name -> w }
+
   def subtypesOf(name: String): Seq[TypeDef] =
     types.filter(_.parent.contains(name))
       .flatMap(t => t +: subtypesOf(t.name))
@@ -104,10 +206,25 @@ final class TypeCatalog(initial: Seq[TypeDef]) {
     }
   }
 
-  /** Type scan with `@type` discriminator and `_props` dynamic map. */
+  /** Type scan with `@type` discriminator and `_props` dynamic map.
+    * `schema:*` pseudo-types resolve to the introspection relations
+    * (reference FetchFromSchema{Types,Properties,Indexes}Step). */
   def scan(spark: SparkSession, dir: String, name: String): DataFrame = {
+    name.toLowerCase match {
+      case "schema:types"      => return schemaTypes(spark, dir)
+      case "schema:properties" => return schemaProperties(spark, dir)
+      case "schema:indexes"    => return schemaIndexes(spark)
+      case _ =>
+    }
+    decorate(spark, dir, name, raw(spark, dir, byName(name)))
+  }
+
+  /** Apply the type's scan decoration (property aliases, `@type`,
+    * `_props`) to an arbitrary base frame — lets an index-pruned read
+    * (see [[graft.sql.IndexDdl]]) look exactly like a plain type scan. */
+  def decorate(spark: SparkSession, dir: String, name: String, rawDf: DataFrame): DataFrame = {
     val t = byName(name)
-    val aliased = t.aliases.foldLeft(raw(spark, dir, t)) {
+    val aliased = t.aliases.foldLeft(rawDf) {
       case (df, (decl, phys)) => df.withColumn(decl, col(phys))
     }
     val base = aliased.withColumn("@type", lit(t.name))

@@ -31,6 +31,30 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
   private def overwrite(next: DataFrame): Unit =
     next.localCheckpoint(eager = true).write.mode("overwrite").parquet(dir)
 
+  // ---- pruned write path (StatsStore keyed merge): when the table
+  // carries a stats manifest built on `keyCol`, UPDATE/DELETE rewrite
+  // ONLY the manifest-hit files instead of the whole directory — the
+  // Delta/Iceberg MERGE shape. Conditions: the affected-key set is
+  // bounded (writes-touch-few-rows contract) and, for UPDATE, the SET
+  // introduces no new columns (a partial rewrite cannot evolve the
+  // schema of untouched files).
+  private val MaxPrunedKeys = 10000
+
+  private def hasManifest: Boolean = {
+    val md = s"$dir-manifest"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(md), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(md))
+  }
+
+  /** The affected keys when the pruned path applies, else None. */
+  private def prunedKeys(affected: DataFrame): Option[(String, Seq[Long])] =
+    keyCol.filter(_ => hasManifest).flatMap { k =>
+      val ids = affected.select(col(k).cast("long")).distinct()
+        .limit(MaxPrunedKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
+      if (ids.nonEmpty && ids.length <= MaxPrunedKeys) Some((k, ids)) else None
+    }
+
   // ---- change feed (trigger/CDF analog: reference event/ package
   // before/after create-update-delete listeners + Delta CDF shape).
   // Each mutation appends (seq, op, key) rows; consumers read the feed
@@ -53,6 +77,11 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
   private def fire(event: String, rows: DataFrame): Unit =
     triggers(event).foreach(_(rows))
 
+  // BEFORE-timing hooks (reference trigger timing BEFORE|AFTER): fired
+  // with the staged rows before the directory overwrite commits
+  private def fireBefore(event: String, rows: DataFrame): Unit =
+    fire(s"before_$event", rows)
+
   private def emitChanges(op: String, keys: DataFrame): Unit = keyCol.foreach { k =>
     cdfSeq += 1
     keys.select(lit(cdfSeq).as("seq"), lit(op).as("op"), col(k).cast("long").as("key"))
@@ -67,6 +96,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
   def insert(rows: DataFrame): Long = {
     val staged = rows.localCheckpoint(eager = true)
     val n = staged.count()
+    fireBefore("insert", staged)
     emitChanges("insert", staged)
     // schema-evolving: CONTENT/SET inserts may carry brand-new property
     // keys (schema-flexible records — Document.java:42); missing columns
@@ -83,10 +113,17 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     val before = df.filter(where).localCheckpoint(eager = true)
     val after = sets.foldLeft(before)((d, s) => d.withColumn(s._1, s._2))
       .localCheckpoint(eager = true)
-    val untouched = df.filter(!coalesce(where, lit(false)))
+    fireBefore("update", before)
     emitChanges("update", before)
-    // schema-evolving: a SET/MERGE may introduce new property columns
-    overwrite(untouched.unionByName(after, allowMissingColumns = true))
+    val noNewCols = sets.forall(s => df.columns.contains(s._1))
+    prunedKeys(before).filter(_ => noNewCols) match {
+      case Some((k, ids)) =>
+        StatsStore.mergeSet(spark, dir, k, ids, sets, rowCond = Some(where))
+      case None =>
+        val untouched = df.filter(!coalesce(where, lit(false)))
+        // schema-evolving: a SET/MERGE may introduce new property columns
+        overwrite(untouched.unionByName(after, allowMissingColumns = true))
+    }
     fire("update", after)
     (before.count(), before, after)
   }
@@ -137,6 +174,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
       // post-image for update triggers; the removed row for delete
       val fired = if (op == "delete") before
         else next.filter(chosen).drop(rid).localCheckpoint(eager = true)
+      fireBefore(op, before)
       emitChanges(op, before)
       overwrite(next.drop(rid))
       fire(op, fired)
@@ -157,8 +195,14 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
   def delete(where: Column): Long = {
     val deleted = df.filter(where).localCheckpoint(eager = true)
     val n = deleted.count()
+    fireBefore("delete", deleted)
     emitChanges("delete", deleted)
-    overwrite(df.filter(!coalesce(where, lit(false))))
+    prunedKeys(deleted) match {
+      case Some((k, ids)) =>
+        StatsStore.mergeDelete(spark, dir, k, ids, rowCond = Some(where))
+      case None =>
+        overwrite(df.filter(!coalesce(where, lit(false))))
+    }
     fire("delete", deleted)
     n
   }

@@ -47,6 +47,16 @@ object StatsStore {
   def manifest(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(manifestDir(dir))
 
+  /** Remove the manifest (DROP INDEX): scans revert to full reads; the
+    * clustered data layout stays (harmless — just well-sorted files). */
+  def dropManifest(spark: SparkSession, dir: String): Unit = {
+    val md = manifestDir(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(md), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(md), true)
+    ()
+  }
+
   /** Range scan with file skipping: returns the pruned DataFrame (with
     * the residual filter applied) plus (filesRead, filesTotal) so callers
     * and tests can observe the pruning. */
@@ -153,8 +163,75 @@ object StatsStore {
     * this crash-safe in production.
     */
   def mergeSet(spark: SparkSession, dir: String, key: String,
-      ids: Seq[Long], sets: Seq[(String, Column)]): (Int, Int) = {
-    require(ids.nonEmpty, "mergeSet needs a non-empty affected-id set")
+      ids: Seq[Long], sets: Seq[(String, Column)],
+      rowCond: Option[Column] = None): (Int, Int) =
+    mergeRewrite(spark, dir, key, ids, deletes = false) { (touched, cond0) =>
+      val cond = rowCond.getOrElse(cond0)
+      val setMap = sets.toMap
+      touched.select(touched.columns.toIndexedSeq.map(c =>
+        setMap.get(c).map(sc => when(cond, sc).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
+    }
+
+  /** Keyed DELETE with the same file-level pruning: rows matching the
+    * affected-id set (narrowed by `rowCond` when given) are dropped from
+    * the HIT files only; untouched files never rewrite. */
+  def mergeDelete(spark: SparkSession, dir: String, key: String,
+      ids: Seq[Long], rowCond: Option[Column] = None): (Int, Int) =
+    mergeRewrite(spark, dir, key, ids, deletes = true) { (touched, cond0) =>
+      touched.filter(!coalesce(rowCond.getOrElse(cond0), lit(false)))
+    }
+
+  /** Keyed UPSERT: rows of `updates` (carrying `key` plus the columns to
+    * overwrite) replace their matching rows inside HIT files; keys with
+    * no match append as one new (statted) file. `updates` is
+    * broadcast-sized by the same contract as `ids`. */
+  def mergeUpsert(spark: SparkSession, dir: String, key: String,
+      updates: DataFrame): (Int, Int) = {
+    val ids = updates.select(col(key).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val existing = spark.read.parquet(dir)
+      .select(col(key)).filter(col(key).isin(ids: _*)).distinct()
+      .collect().map(_.getAs[Number](0).longValue()).toSet
+    val inserts = updates.filter(!col(key).isin(existing.toSeq: _*))
+      .localCheckpoint(eager = true)
+    val matchedIds = ids.filter(existing.contains)
+    val r =
+      if (matchedIds.nonEmpty)
+        mergeRewrite(spark, dir, key, matchedIds, deletes = false) { (touched, _) =>
+          val joined = touched.alias("t").join(
+            broadcast(updates.columns.foldLeft(updates)((d, c) =>
+              if (c == key) d else d.withColumnRenamed(c, s"__u_$c")).alias("u")),
+            col(s"t.$key") === col(s"u.$key"), "left")
+          val upd = updates.columns.filterNot(_ == key).foldLeft(joined) { (d, c) =>
+            d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+          }
+          upd.select(touched.columns.toIndexedSeq.map(c =>
+            if (c == key) col(s"t.$key").as(key) else col(c)): _*)
+        }
+      else (0, manifest(spark, dir).count().toInt)
+    if (!inserts.isEmpty) {
+      inserts.coalesce(1).write.mode("append").parquet(dir)
+      // stat the appended file(s) into the manifest
+      val m = manifest(spark, dir)
+      val known = m.select("file").collect().map(_.getString(0)).toIndexedSeq
+      val newStats = spark.read.parquet(dir)
+        .filter(!col("_metadata.file_path").isin(known: _*))
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"), count(lit(1)).as("cnt"))
+      m.unionByName(newStats).localCheckpoint(eager = true)
+        .coalesce(1).write.mode("overwrite").parquet(manifestDir(dir))
+    }
+    r
+  }
+
+  /** Shared pruned-rewrite protocol: locate hit files via the manifest,
+    * rewrite them through `transform(touched, keyCond)`, swap files,
+    * patch the manifest, verify post-state. `deletes` relaxes the
+    * row-conservation guard to "never grows". */
+  private def mergeRewrite(spark: SparkSession, dir: String, key: String,
+      ids: Seq[Long], deletes: Boolean)(
+      transform: (DataFrame, Column) => DataFrame): (Int, Int) = {
+    require(ids.nonEmpty, "merge needs a non-empty affected-id set")
     val m = manifest(spark, dir)
     val idArr = typedlit(ids)
     val row = m.agg(
@@ -167,12 +244,9 @@ object StatsStore {
     if (hits.isEmpty) return (0, total)
 
     val touched = spark.read.parquet(hits: _*)
-    val setMap = sets.toMap
-    val cond = col(key).isin(ids: _*)
-    val updated = touched.select(touched.columns.toIndexedSeq.map(c =>
-      setMap.get(c).map(sc => when(cond, sc).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
     // materialize BEFORE mutating the directory the plan lazily reads
-    val staged = updated.localCheckpoint(eager = true)
+    val staged = transform(touched, col(key).isin(ids: _*))
+      .localCheckpoint(eager = true)
     staged.write.mode("append").parquet(dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
@@ -192,15 +266,30 @@ object StatsStore {
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"), count(lit(1)).as("cnt"))
     val next = keep.unionByName(newStats).localCheckpoint(eager = true)
+    // a staged partition that filtered to zero rows still writes an empty
+    // part file; it carries no data and no manifest row — remove it so the
+    // manifest-vs-directory guard below stays meaningful
+    locally {
+      def base(uri: String) = new org.apache.hadoop.fs.Path(new java.net.URI(uri)).getName
+      val tracked = next.select("file").collect().map(r => base(r.getString(0))).toSet
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !tracked.contains(st.getPath.getName))
+        .foreach { st =>
+          require(st.getLen < 16 * 1024,
+            s"untracked non-trivial file ${st.getPath} — refusing to clean")
+          fs.delete(st.getPath, false)
+        }
+    }
     // post-state guard (the append → delete → manifest-overwrite protocol
     // is not atomic without a table-format transaction log): verify row
     // conservation and manifest-vs-directory agreement BEFORE publishing
     // the new manifest, so a torn merge fails loudly instead of being
     // read as clean data
     val rowsAfter = next.agg(sum(col("cnt"))).collect()(0).getLong(0)
-    if (rowsAfter != rowsBefore)
+    if (if (deletes) rowsAfter > rowsBefore else rowsAfter != rowsBefore)
       throw new IllegalStateException(
-        s"mergeSet torn: row count changed $rowsBefore -> $rowsAfter during merge")
+        s"merge torn: row count changed $rowsBefore -> $rowsAfter during merge")
     val manifestFiles = next.select("file").collect()
       .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))).getName).toSet
     val dirFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))

@@ -389,7 +389,14 @@ object Parser {
             val sub = parseSelect(p)
             p.expectOp(")")
             ("", Some(sub))
-          } else (ident(p), None)
+          } else {
+            // `FROM schema:types|properties|indexes` — the introspection
+            // pseudo-types (FetchFromSchemaTypesStep and siblings)
+            val base = ident(p)
+            if (base.equalsIgnoreCase("schema") && p.op(":"))
+              (s"schema:${ident(p)}", None)
+            else (base, None)
+          }
         // optional target alias `FROM v [AS] v1` — parsed and discarded,
         // matching the reference exactly (FromAliasTest.java: "alias
         // parsing works, but execution engine doesn't use it yet"); a bare

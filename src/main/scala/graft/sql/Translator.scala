@@ -286,6 +286,11 @@ object Translator {
     case MethodCall(Ident(ns), m, args)
         if ns.equalsIgnoreCase("datetime") && m.equalsIgnoreCase("truncate") =>
       date_trunc(litToStr(args(0)), toColumn(args(1)))
+    // the reference's `vector.*` SQL-callable family (~49 names,
+    // function/sql/vector/) — per-row members compile to Column
+    // expressions in [[VectorSql]]
+    case MethodCall(Ident(ns), m, args) if ns.equalsIgnoreCase("vector") =>
+      VectorSql.fn(m, args.map(toColumn), args)
     case FnCall(n, args, star) => fn(n.toLowerCase, args, star)
     case MethodCall(t, m, args) => method(toColumn(t), m.toLowerCase, args)
     case PropAccess(t, name) => toColumn(t).getField(name) // struct-field access
@@ -943,12 +948,31 @@ object Translator {
       orderBy = sel0.orderBy.map(o => o.copy(expr = rs(o.expr))),
       lets = Seq.empty)
 
+    // `SELECT vector.neighbors('Type[prop]', key, k)` — whole-operator
+    // semantics (the indexed-function scan): the result set IS the
+    // neighbor list, so it can't compile as a per-row Column
+    sel.projections match {
+      case Seq(Projection(MethodCall(Ident(ns), m, nArgs), _))
+          if sel.from.isEmpty && sel.fromSub.isEmpty &&
+            ns.equalsIgnoreCase("vector") && m.equalsIgnoreCase("neighbors") =>
+        var out = VectorSql.neighbors(spark, dir, cat, nArgs.map(rs))
+        if (sel.orderBy.nonEmpty)
+          out = out.orderBy(sel.orderBy.map(o =>
+            if (o.asc) toColumn(rs(o.expr)).asc else toColumn(rs(o.expr)).desc): _*)
+        sel.skip.foreach(n => out = out.offset(n.toInt))
+        sel.limit.foreach(n => out = out.limit(n.toInt))
+        return out
+      case _ =>
+    }
+
     var df = sel.fromSub match {
       case Some(sub) => compile(spark, dir, cat, sub, fns, env) // derived table
       // target-less SELECT (reference selectNoTarget*): projections
       // evaluate once against a one-row dual
       case None if sel.from.isEmpty => spark.range(1).select(lit(1).as("__dual"))
-      case None => cat.scan(spark, dir, sel.from)
+      // index-driven scan: a registered index whose key the WHERE bounds
+      // reads only manifest-hit files (FetchFromIndexStep analog)
+      case None => IndexDdl.scanFor(spark, dir, cat, sel)
     }
     // a NULL/void-typed condition keeps no rows (null is falsy in a
     // boolean context — reference BooleanLiteralConditionsTest); Spark
@@ -1079,12 +1103,32 @@ object Translator {
     * UpsertStep.java:37, DeleteExecutionPlanner.java). Returns what the
     * reference returns: INSERT → the inserted records, UPDATE → the
     * BEFORE/AFTER images or a count row, DELETE → a count row. */
+  /** Trigger-cascade depth for the statement-registered trigger path. */
+  private val triggerDepth: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
+
   def executeDml(spark: SparkSession, dir: String, cat: TypeCatalog,
       st: Stmt, env: Map[String, Expr] = Map.empty): DataFrame = {
     def table(name: String) = {
       val path = cat(name).path.getOrElse(
         throw TranslateException(s"type $name has no storage")) (dir)
-      new graft.sources.MutableTable(spark, path)
+      val tab = new graft.sources.MutableTable(spark, path)
+      // catalog-registered triggers (CREATE TRIGGER …): the action SQL runs
+      // through the statement front-end when the event fires. A depth guard
+      // turns a trigger cascade loop into an error instead of a hang.
+      cat.triggersOf(name).foreach { tg =>
+        val ev = if (tg.event.equalsIgnoreCase("CREATE")) "insert" else tg.event.toLowerCase
+        val key = if (tg.timing.equalsIgnoreCase("BEFORE")) s"before_$ev" else ev
+        tab.addTrigger(key, _ => {
+          val d = triggerDepth.get()
+          if (d >= 8) throw TranslateException(
+            s"trigger cascade exceeded depth 8 at ${tg.name}")
+          triggerDepth.set(d + 1)
+          try { GraftSql.statement(spark, dir, tg.actionSql, cat); () }
+          finally triggerDepth.set(d)
+        })
+      }
+      tab
     }
     def countRow(n: Long): DataFrame = spark.range(1).select(lit(n).as("count"))
     def rs(e: Expr): Expr = resolveExpr(spark, dir, cat, e, env)
@@ -1274,6 +1318,16 @@ object GraftSql {
         Translator.compile(spark, dir, cat, sel, fns.snapshot))
       import spark.implicits._
       metrics.toDF("operator", "metric", "value")
+    } else if ((p.peekKw("CREATE") || p.peekKw("DROP") || p.peekKw("REBUILD")) &&
+        (p.peekAt(1) match {
+          case Parser.TId(s) => s.equalsIgnoreCase("INDEX"); case _ => false })) {
+      IndexDdl.statement(spark, dir, cat, p)
+    } else if ((p.peekKw("CREATE") || p.peekKw("DROP") || p.peekKw("REFRESH")) &&
+        (p.peekAt(1) match {
+          case Parser.TId(s) =>
+            Seq("MATERIALIZED", "CONTINUOUS", "TRIGGER").exists(s.equalsIgnoreCase)
+          case _ => false })) {
+      ViewDdl.statement(spark, dir, cat, fns.snapshot, p)
     } else if (p.kw("EXPORT") || p.peekKw("BACKUP")) {
       // EXPORT DATABASE <url> [WITH k = v, …] / BACKUP DATABASE <url>
       // (reference SQLParser.g4 exportDatabaseStatement:1090,

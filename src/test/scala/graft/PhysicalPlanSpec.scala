@@ -112,6 +112,57 @@ class PhysicalPlanSpec extends AnyFunSuite {
     assert(t2 == total && r2 <= total / 3, s"second merge rewrote $r2 of $t2")
   }
 
+  test("mergeDelete/mergeUpsert prune; MutableTable auto-routes onto the pruned path") {
+    import graft.sources.{MutableTable, StatsStore}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = s"/tmp/graft_state/plan_mergedel_test_${System.nanoTime()}"
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    StatsStore.write(src, dir, "user_id", numFiles = 16)
+    def mtimes(): Map[String, Long] =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val rowsBefore = spark.read.parquet(dir).count()
+    val del = spark.read.parquet(dir).filter(col("user_id").isin(3L, 4L)).count()
+    // mergeDelete drops only the affected rows, rewriting few files
+    val (rw, total) = StatsStore.mergeDelete(spark, dir, "user_id", Seq(3L, 4L))
+    assert(rw > 0 && rw <= total / 3, s"mergeDelete rewrote $rw of $total")
+    assert(spark.read.parquet(dir).count() == rowsBefore - del)
+    assert(spark.read.parquet(dir).filter(col("user_id").isin(3L, 4L)).count() == 0)
+    // mergeUpsert: matched keys update in place, new key appends + gets statted
+    val ups = spark.createDataFrame(Seq((5L, "UPSERTED"), (999999L, "NEWKEY")))
+      .toDF("user_id", "event_type")
+    val (ru, tu) = StatsStore.mergeUpsert(spark, dir, "user_id",
+      ups.select(col("user_id"), col("event_type")))
+    assert(ru <= tu / 3, s"mergeUpsert rewrote $ru of $tu")
+    val st = spark.read.parquet(dir)
+    assert(st.filter(col("user_id") === 5L && col("event_type") =!= "UPSERTED").count() == 0)
+    assert(st.filter(col("user_id") === 999999L).count() == 1)
+    // the manifest covers the appended key: a range scan finds it pruned
+    val (hit, fr, ft) = StatsStore.rangeScan(spark, dir, "user_id", 999999L, 999999L)
+    assert(hit.count() == 1 && fr < ft)
+    // MutableTable auto-routes UPDATE/DELETE through the pruned path when
+    // a manifest exists: untouched part files keep their mtimes
+    val t = new MutableTable(spark, dir, keyCol = Some("user_id"))
+    val m0 = mtimes()
+    val n = t.delete(col("user_id") === 7L)
+    assert(n > 0)
+    val m1 = mtimes()
+    val survivors = m0.keySet intersect m1.keySet
+    assert(survivors.nonEmpty && survivors.forall(f => m0(f) == m1(f)),
+      "untouched files were rewritten — auto-routing missed the pruned path")
+    assert(survivors.size >= m0.size - m0.size / 3, s"too few survivors: ${survivors.size}/${m0.size}")
+    val m2pre = mtimes()
+    t.update(col("user_id") === 9L, Seq("event_type" -> lit("ROUTED")))
+    val m2 = mtimes()
+    val surv2 = m2pre.keySet intersect m2.keySet
+    assert(surv2.nonEmpty && surv2.forall(f => m2pre(f) == m2(f)))
+    val upd = spark.read.parquet(dir).filter(col("user_id") === 9L)
+    assert(upd.count() > 0 && upd.filter(col("event_type") =!= "ROUTED").count() == 0)
+  }
+
   test("covering-cell dwithin prunes cell partitions") {
     import graft.functions.GeoFunctions
     val dir = "/tmp/graft_state/plan_geocells_test"

@@ -144,6 +144,35 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(row.getBoolean(6) && !row.getBoolean(7), "overlaps")
   }
 
+  test("index DDL lifecycle: CREATE UNIQUE violation, DROP, REBUILD, schema:indexes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_state/ixddl_${System.nanoTime()}"
+    Seq((1L, "a", 5L), (2L, "b", 5L), (3L, "c", 7L)).toDF("k", "s", "grp")
+      .write.mode("overwrite").parquet(dir)
+    val cat = graft.schema.TypeCatalog.fresh()
+    cat.createType("tix", "DOCUMENT", path = Some(_ => dir))
+    // UNIQUE over a duplicated key fails loudly AND rolls the registration back
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, sfDir, "CREATE INDEX ON tix (grp) UNIQUE", cat)
+    }
+    assert(ex.getMessage.contains("duplicate key"))
+    assert(GraftSql.query(spark, sfDir, "SELECT FROM schema:indexes", cat).count() === 0)
+    // UNIQUE over the key column succeeds; indexed scan prunes and agrees
+    GraftSql.statement(spark, sfDir, "CREATE INDEX ON tix (k) UNIQUE", cat)
+    val q = GraftSql.query(spark, sfDir, "SELECT k, s FROM tix WHERE k = 2", cat)
+    assert(q.collect().map(_.getString(1)).toSeq === Seq("b"))
+    // REBUILD re-clusters after an append drifts the layout
+    Seq((9L, "z", 9L)).toDF("k", "s", "grp").write.mode("append").parquet(dir)
+    GraftSql.statement(spark, sfDir, "REBUILD INDEX tix[k]", cat)
+    assert(GraftSql.query(spark, sfDir, "SELECT s FROM tix WHERE k = 9", cat)
+      .collect().map(_.getString(0)).toSeq === Seq("z"))
+    // DROP removes the manifest and the registry row; scans still answer
+    GraftSql.statement(spark, sfDir, "DROP INDEX tix[k]", cat)
+    assert(GraftSql.query(spark, sfDir, "SELECT FROM schema:indexes", cat).count() === 0)
+    assert(GraftSql.query(spark, sfDir, "SELECT s FROM tix WHERE k = 9", cat).count() === 1)
+  }
+
   test("SQL MATCH .out/.in method form matches the arrow form") {
     val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
     val arrow = graft.sql.Match.query(g,

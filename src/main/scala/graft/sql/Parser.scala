@@ -147,6 +147,7 @@ object Parser {
         val three = if (i + 2 < n) input.substring(i, i + 3) else ""
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
         if (three == "<=>") { out += TOp(three); i += 3 } // null-safe equals
+        else if (three == "...") { out += TOp(three); i += 3 } // inclusive range
         else if (Seq("<>", "<=", ">=", "!=", "||", "=~", "!~", "..").contains(two)) { out += TOp(two); i += 2 }
         else { out += TOp(c.toString); i += 1 }
       }
@@ -700,16 +701,44 @@ object Parser {
         val sizeE = FnCall("size", Seq(e))
         def sliceOf(lo: Expr, hi: Expr): Expr = FnCall("list_slice", Seq(e, lo, hi))
         def hiOrEnd(): Expr = if (p.peek == TOp("]")) sizeE else parseExpr(p)
-        val out =
-          if (p.op("..")) sliceOf(NumLit(0, isIntegral = true), hiOrEnd())
+        // `...` is the reference's END-INCLUSIVE range (testEllipsis:
+        // name[0...2] keeps 3 elements) vs end-exclusive `..`
+        def incl(hi: Expr): Expr =
+          Bin("+", hi, NumLit(1, isIntegral = true))
+        // condition selectors keep matching ELEMENTS (reference
+        // simpleCollectionFiltering: coll[='foo'], coll[<'ccc'],
+        // coll[LIKE 'ba%'], coll[in ['bar']]) — compiled to the list
+        // comprehension (→ higher-order filter, stays in codegen)
+        def elemComp(mk: Expr => Expr): Expr =
+          ListComp("__sel", e, Some(mk(Ident("__sel"))), None)
+        def binSel(op: String): Expr = elemComp(x => Bin(op, x, parseAdditive(p)))
+        val condSel: Option[Expr] =
+          if (p.op("=")) Some(binSel("="))
+          else if (p.op("<>") || p.op("!=")) Some(binSel("<>"))
+          else if (p.op("<=")) Some(binSel("<="))
+          else if (p.op(">=")) Some(binSel(">="))
+          else if (p.op("<")) Some(binSel("<"))
+          else if (p.op(">")) Some(binSel(">"))
+          else if (p.kw("LIKE"))
+            Some(elemComp(x => LikeOp(x, parseAdditive(p), caseInsensitive = false)))
+          else if (p.kw("ILIKE"))
+            Some(elemComp(x => LikeOp(x, parseAdditive(p), caseInsensitive = true)))
+          else if (p.kw("IN"))
+            Some(elemComp(x => FnCall("list_in", Seq(x, parseAdditive(p)))))
+          else None
+        val out = condSel.getOrElse {
+          if (p.op("...")) sliceOf(NumLit(0, isIntegral = true), incl(hiOrEnd()))
+          else if (p.op("..")) sliceOf(NumLit(0, isIntegral = true), hiOrEnd())
           else {
             val ix = parseExpr(p)
-            if (p.op("..")) sliceOf(ix, hiOrEnd())
+            if (p.op("...")) sliceOf(ix, incl(hiOrEnd()))
+            else if (p.op("..")) sliceOf(ix, hiOrEnd())
             else ix match {
               case s: StrLit => FnCall("map_index", Seq(e, s))
               case _ => FnCall("list_index", Seq(e, ix))
             }
           }
+        }
         p.expectOp("]")
         e = out
       } else {

@@ -185,7 +185,9 @@ object Translator {
     case Bin("<=", l, r)     => toColumn(l) <= toColumn(r)
     case Bin(">", l, r)      => toColumn(l) > toColumn(r)
     case Bin(">=", l, r)     => toColumn(l) >= toColumn(r)
-    case Bin("+", l, r)      => toColumn(l) + toColumn(r)
+    case Bin("+", l, r)      => // type-polymorphic: concat on strings/lists/maps (DynamicPlus)
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      column(graft.functions.DynamicPlus(expression(toColumn(l)), expression(toColumn(r))))
     case Bin("-", l, r)      => toColumn(l) - toColumn(r)
     case Bin("*", l, r)      => toColumn(l) * toColumn(r)
     case Bin("/", l, r)      => toColumn(l) / toColumn(r)
@@ -745,6 +747,12 @@ object Translator {
           sequence(a, b, st))
           .otherwise(array().cast("array<bigint>"))
 
+      // nested distinct(...) — reference distinctFunctionIssue2966 demands
+      // a clear, actionable message (not "unknown function")
+      case "distinct"   =>
+        throw TranslateException("'distinct' is supported only as the whole SELECT projection")
+      case other if other.endsWith("_distinct") =>
+        throw TranslateException("'distinct' is supported only as the whole SELECT projection")
       case other        => throw TranslateException(s"unknown function $other")
     }
   }
@@ -914,18 +922,10 @@ object Translator {
         LetDual(Resolved(rows(0).get(0)), asList)
       else asList
     }
-    val env = sel0.lets.foldLeft(env0) { case (acc, (name, e)) =>
-      val bound = e match {
-        case Subquery(sub) => bindLetSubquery(sub, acc)
-        case _ => resolve(e, acc, evalSub, fns)
-      }
-      acc + (name -> bound)
-    }
-    def rs(e: Expr): Expr = resolve(e, env, evalSub, fns)
-    // A projection subquery referencing `$parent.current.<col>` is
-    // CORRELATED (SubQueryStepTest) — it cannot resolve to a scalar here;
-    // it is rewritten to a left join + per-row aggregate after the outer
-    // frame exists (see the correlated block below).
+    // A subquery referencing `$parent.current.<col>` (or the reference's
+    // `$parent.$current` spelling — SelectStatementExecutionTest let6/let7)
+    // is CORRELATED — it cannot resolve to a scalar/list here; it is
+    // rewritten to a left join after the outer frame exists.
     def hasParentRef(e: Expr): Boolean = {
       var found = false
       Ast.mapDown(e) {
@@ -939,6 +939,24 @@ object Translator {
         sub.projections.exists(p => hasParentRef(p.expr))
       case _ => false
     }
+    // Correlated LET subqueries (let6: `LET $foo = (SELECT name FROM t
+    // WHERE name = $parent.$current.name)`) bind a PER-ROW collection —
+    // deferred to a left join + collect_list once the outer frame exists;
+    // the env binds the variable to the synthetic join-output column so
+    // later LETs ($bar = $foo[0].name) and projections read it uniformly.
+    val corrLets = Seq.newBuilder[(String, Select)]
+    val env = sel0.lets.foldLeft(env0) { case (acc, (name, e)) =>
+      val bound = e match {
+        case Subquery(sub) if isCorrelated(e) =>
+          val tmp = "__let_" + name.stripPrefix("$")
+          corrLets += tmp -> sub
+          Resolved(col(tmp))
+        case Subquery(sub) => bindLetSubquery(sub, acc)
+        case _ => resolve(e, acc, evalSub, fns)
+      }
+      acc + (name -> bound)
+    }
+    def rs(e: Expr): Expr = resolve(e, env, evalSub, fns)
     val sel = sel0.copy(
       projections = sel0.projections.map(pr =>
         if (isCorrelated(pr.expr)) pr else pr.copy(expr = rs(pr.expr))),
@@ -974,6 +992,37 @@ object Translator {
       // reads only manifest-hit files (FetchFromIndexStep analog)
       case None => IndexDdl.scanFor(spark, dir, cat, sel)
     }
+    // Attach correlated LET collections (let6/let7): one theta left join
+    // + collect_list(struct(inner projections)) per variable — the
+    // set-oriented form of the reference's per-outer-row re-execution.
+    // Attached BEFORE the WHERE filter so predicates can read the bound
+    // variable (the reference computes LET per record ahead of WHERE).
+    for ((tmp, sub) <- corrLets.result()) {
+      val rid = "__corr_rid"
+      val inner = cat.scan(spark, dir, sub.from).withColumn("__one", lit(1))
+      def substL(e: Expr): Expr = Ast.mapDown(e) {
+        case PropAccess(PropAccess(Ident(p), cur), x)
+            if p.equalsIgnoreCase("$parent") &&
+              (cur.equalsIgnoreCase("current") || cur.equalsIgnoreCase("$current")) =>
+          Resolved(col(s"__corr_o.$x"))
+        case Ident(x) if inner.columns.contains(x) => Resolved(col(s"__corr_i.$x"))
+        case other => other
+      }
+      // non-deterministic row id pinned once (see the scalar-subquery
+      // block below for why localCheckpoint is load-bearing here)
+      val o = df.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint(true).alias("__corr_o")
+      val i = inner.alias("__corr_i")
+      val cond = sub.where
+        .map(w => toColumn(substL(resolve(w, env, evalSub, fns)))).getOrElse(lit(true))
+      val elem = struct(sub.projections.map(pr =>
+        toColumn(substL(resolve(pr.expr, env, evalSub, fns)))
+          .as(pr.alias.getOrElse(exprName(pr.expr)))): _*)
+      // collect_list skips nulls — unmatched outer rows bind []
+      val perRow = o.join(i, cond, "left").groupBy(col(rid))
+        .agg(collect_list(when(col("__corr_i.__one").isNotNull, elem)).as(tmp))
+      df = o.join(perRow, Seq(rid)).drop(rid)
+    }
     // a NULL/void-typed condition keeps no rows (null is falsy in a
     // boolean context — reference BooleanLiteralConditionsTest); Spark
     // rejects a VOID filter at analysis, so pin the type here
@@ -1002,7 +1051,8 @@ object Translator {
         val inner = cat.scan(spark, dir, sub.from).withColumn("__one", lit(1))
         def subst(e: Expr): Expr = Ast.mapDown(e) {
           case PropAccess(PropAccess(Ident(p), cur), x)
-              if p.equalsIgnoreCase("$parent") && cur.equalsIgnoreCase("current") =>
+              if p.equalsIgnoreCase("$parent") &&
+                (cur.equalsIgnoreCase("current") || cur.equalsIgnoreCase("$current")) =>
             Resolved(col(s"__corr_o.$x"))
           case Ident(x) if inner.columns.contains(x) => Resolved(col(s"__corr_i.$x"))
           case other => other
@@ -1060,7 +1110,25 @@ object Translator {
           case Projection(e, Some(a)) if !containsAgg(e) && sel.groupBy.contains(e) =>
             exprName(e) -> a
         }
-        renames.foldLeft(grouped) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+        val keyed = renames.foldLeft(grouped) {
+          case (d, (from, to)) => d.withColumnRenamed(from, to) }
+        // a LITERAL projection rides along with a no-GROUP-BY aggregate
+        // (reference countStarWithLiteralProjectionOnEmptyType: `SELECT
+        // count(*), 2 FROM empty` → one row, both columns); a bare FIELD
+        // there still errors (aggregateMixedWithNonAggregate — Spark's
+        // MISSING_GROUP_BY surfaces it)
+        def isLiteral(e: Expr): Boolean = e match {
+          case _: NumLit | _: StrLit | NullLit => true
+          case BoolLit(_) => true
+          case ArrayLit(xs) => xs.forall(isLiteral)
+          case StructLit(fs) => fs.forall(f => isLiteral(f._2))
+          case _ => false
+        }
+        if (sel.groupBy.isEmpty)
+          projections2.filter(pr => !containsAgg(pr.expr) && isLiteral(pr.expr))
+            .foldLeft(keyed)((d, pr) =>
+              d.withColumn(pr.alias.getOrElse(exprName(pr.expr)), toColumn(pr.expr)))
+        else keyed
       } else if (projections2.nonEmpty) {
         projections2 match {
           // `SELECT expand(listExpr)`: each element becomes a ROW — struct

@@ -676,4 +676,78 @@ class SqlConformanceSpec extends AnyFunSuite {
         "FROM ord WHERE amount = 900")
     assert(none.length == 1 && none(0).getAs[Number](1).longValue == 0L)
   }
+
+  // ================= conformance batch 7 (round 11) =================
+  // mined from SelectStatementExecutionTest.java — 8 divergences found
+  // (string `+`, $parent.$current LETs, `...` slice, condition selectors,
+  // literal-with-aggregate projection, nested-distinct error message)
+
+  test("string + concatenates; null side passes through (MathExpression PLUS)") {
+    // SelectStatementExecutionTest.let4: LET $ns = name + ' ' + surname
+    val cat = writable(Seq(("n1", "s1"), ("n2", "s2")).toDF("name", "surname"), "l4")
+    val rows = q(cat,
+      "SELECT name, surname, $ns AS fullname FROM l4 LET $ns = name + ' ' + surname ORDER BY name")
+    assert(rows.map(_.getAs[String]("fullname")).toSeq == Seq("n1 s1", "n2 s2"))
+    // null + string -> the string (reference PLUS Object apply)
+    val cat2 = writable(Seq(("a", null: String), (null: String, "b")).toDF("x", "y"), "pn")
+    val r2 = q(cat2, "SELECT x + y AS c FROM pn ORDER BY c")
+    assert(r2.map(_.getAs[String]("c")).toSeq == Seq("a", "b"))
+    // numeric + stays arithmetic
+    val cat3 = writable(Seq((1L, 2L)).toDF("a", "b"), "nn")
+    assert(q(cat3, "SELECT a + b AS s FROM nn")(0).getAs[Number]("s").longValue == 3L)
+    // list + list concatenates, list + scalar appends
+    val cat4 = writable(Seq((Seq(1L, 2L), Seq(3L))).toDF("l1", "l2"), "ll")
+    assert(q(cat4, "SELECT l1 + l2 AS c FROM ll")(0).getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(q(cat4, "SELECT l1 + 9 AS c FROM ll")(0).getSeq[Long](0) == Seq(1L, 2L, 9L))
+  }
+
+  test("correlated LET subquery binds a per-row collection ($parent.$current — let6/let7)") {
+    val cat = writable(Seq(("n1", "s1"), ("n2", "s2"), ("n3", "s3")).toDF("name", "surname"), "l6")
+    // let6: the variable projects as a COLLECTION per row
+    val rows = q(cat,
+      "SELECT $foo AS nm FROM l6 LET $foo = (SELECT name FROM l6 WHERE name = $parent.$current.name)")
+    assert(rows.length == 3)
+    assert(rows.forall(_.getSeq[Row](0).length == 1))
+    // let7: $foo[0].name drills into the first element as a scalar
+    val r7 = q(cat,
+      "SELECT $bar AS nm FROM l6 LET $foo = (SELECT name FROM l6 WHERE name = $parent.$current.name), " +
+        "$bar = $foo[0].name ORDER BY nm")
+    assert(r7.map(_.getString(0)).toSeq == Seq("n1", "n2", "n3"))
+  }
+
+  test("[lo..hi] is end-exclusive, [lo...hi] is end-inclusive (range/ellipsis)") {
+    val cat = writable(Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("name"), "sl")
+    assert(q(cat, "SELECT name[0..3] AS names FROM sl")(0).getSeq[String](0) == Seq("a", "b", "c"))
+    assert(q(cat, "SELECT name[0...2] AS names FROM sl")(0).getSeq[String](0) == Seq("a", "b", "c"))
+    assert(q(cat, "SELECT name[1...3] AS names FROM sl")(0).getSeq[String](0) == Seq("b", "c", "d"))
+  }
+
+  test("condition selectors filter elements: [=v], [<v], [LIKE p], [in [..]]") {
+    // SelectStatementExecutionTest.simpleCollectionFiltering
+    val cat = writable(Seq(Tuple1(Seq("foo", "bar", "baz"))).toDF("coll"), "cs")
+    assert(q(cat, "SELECT coll[='foo'] AS f FROM cs")(0).getSeq[String](0) == Seq("foo"))
+    assert(q(cat, "SELECT coll[<'ccc'] AS f FROM cs")(0).getSeq[String](0) == Seq("bar", "baz"))
+    assert(q(cat, "SELECT coll[LIKE 'ba%'] AS f FROM cs")(0).getSeq[String](0) == Seq("bar", "baz"))
+    assert(q(cat, "SELECT coll[in ['bar']] AS f FROM cs")(0).getSeq[String](0) == Seq("bar"))
+  }
+
+  test("count(*) with a literal projection on an empty type returns one row") {
+    // countStarWithLiteralProjectionOnEmptyType (issue #3585)
+    val cat = writable(Seq.empty[(String, Long)].toDF("name", "v"), "emptyt")
+    val rows = q(cat, "SELECT count(*) AS cnt, 2 AS two FROM emptyt")
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Number]("cnt").longValue == 0L && rows(0).getAs[Number]("two").intValue == 2)
+    // a bare field mixed with an aggregate still errors (aggregateMixedWithNonAggregate)
+    val cat2 = writable(Seq(("a", 1L)).toDF("f", "a"), "mx")
+    intercept[Exception] { q(cat2, "SELECT max(a) + f AS foo FROM mx") }
+  }
+
+  test("nested distinct() raises the reference's actionable error") {
+    // distinctFunctionIssue2966: distinct(*)/distinct(x) = whole-projection
+    // DISTINCT; any nested use must say so
+    val cat = writable(Seq(1L, 2L, 3L, 1L).toDF("x"), "dd")
+    assert(q(cat, "SELECT distinct(x) FROM dd").length == 3)
+    val e = intercept[Exception] { q(cat, "SELECT first(distinct(x)) FROM dd") }
+    assert(e.getMessage.contains("'distinct' is supported only as the whole SELECT projection"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.schema.TypeCatalog
 import graft.sql.Ast._
-import graft.sql.Parser.{ParseException, TEof}
+import graft.sql.Parser.{ParseException, TEof, TOp}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,8 @@ object Script {
   private final case class ForeachS(v: String, list: Expr, body: Seq[SStmt]) extends SStmt
   private final case class WhileS(cond: Expr, body: Seq[SStmt]) extends SStmt
   private final case class ReturnS(stmt: Either[Select, Expr]) extends SStmt
+  private case object ReturnBareS extends SStmt
+  private final case class ExprS(e: Expr) extends SStmt
   private final case class ExecS(stmt: Either[Select, Stmt]) extends SStmt
   /** BEGIN / COMMIT / ROLLBACK (reference BeginStatement.java,
     * CommitStatement.java, RollbackStatement.java + TransactionContext):
@@ -98,12 +100,25 @@ object Script {
       p.expectOp("{")
       WhileS(c, block(p, topLevel = false))
     } else if (p.kw("RETURN")) {
-      if (p.peekKw("SELECT")) ReturnS(Left(Parser.parseSelect(p)))
+      // bare `RETURN;` stops the script with an empty result
+      // (ScriptExecutionTest.returnInIf)
+      if (p.peek == TOp(";") || p.peek == TEof || p.peek == TOp("}")) ReturnBareS
+      else if (p.peekKw("SELECT")) ReturnS(Left(Parser.parseSelect(p)))
       else ReturnS(Right(Parser.parseExpr(p)))
     } else if (p.kw("BEGIN")) TxS("begin")
     else if (p.kw("COMMIT")) TxS("commit")
     else if (p.kw("ROLLBACK")) TxS("rollback")
-    else ExecS(Parser.parseOneStatement(p))
+    else {
+      // a bare expression is a valid SCRIPT statement — `sqrt(64);`
+      // evaluates to one row, column "result" (ScriptExecutionTest
+      // .functionAsStatement; the single-statement dialect still rejects it)
+      val mark = p.pos
+      try ExecS(Parser.parseOneStatement(p))
+      catch { case _: ParseException =>
+        p.pos = mark
+        ExprS(Parser.parseExpr(p))
+      }
+    }
 
   // ---------------- executor ----------------
 
@@ -113,6 +128,10 @@ object Script {
     var last: DataFrame = spark.range(0).select(lit(null).as("value"))
     var returned: Option[DataFrame] = None
     var txTables: Option[Map[String, String]] = None // name → writable dir
+    // LET variables bound from `SELECT … FROM <type>` remember their source
+    // type so `DELETE FROM $x` (issue #3871) can delete the bound record
+    // set from its backing table
+    var letSources = Map.empty[String, String]
 
     /** Writable catalog tables: resolved path outside the read-only sf
       * dir (MutableTable copies under the state dir). */
@@ -142,7 +161,9 @@ object Script {
         })
       case LetStmtS(n, st) =>
         val df = st match {
-          case Left(sel) => Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
+          case Left(sel) =>
+            if (sel.from.nonEmpty && !sel.from.contains(':')) letSources += n -> sel.from
+            Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
           case Right(s2) => Translator.executeDml(spark, dir, cat, s2, env)
         }
         last = df
@@ -212,8 +233,38 @@ object Script {
           case re =>
             returned = Some(spark.range(1).select(Translator.toColumn(re).as("value")))
         }
+      case ReturnBareS =>
+        returned = Some(spark.range(0).select(lit(null).as("value")))
+      case ExprS(e) =>
+        last = spark.range(1).select(Translator.toColumn(rs(e)).as("result"))
       case ExecS(Left(sel)) =>
         last = Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
+      // `DELETE FROM $x` — the variable holds a LET-bound record set; delete
+      // those records from their source table by matching the bound columns
+      // (reference resolves by @rid; columnar storage matches on the
+      // projected columns — issue #3871's shape deletes the whole set)
+      case ExecS(Right(DeleteStmt(target, None))) if target.startsWith("$") &&
+          env.contains(target) && letSources.contains(target) =>
+        val srcType = letSources(target)
+        val rows = env(target) match {
+          case LetDual(_, ArrayLit(es)) => es
+          case ArrayLit(es)             => es
+          case other => throw Translator.TranslateException(
+            s"DELETE FROM $target needs a LET-bound result set, got $other")
+        }
+        val path = cat(srcType).path.getOrElse(
+          throw Translator.TranslateException(s"type $srcType has no storage"))(dir)
+        val tab = new graft.sources.MutableTable(spark, path)
+        val cols = rows.collectFirst { case StructLit(fs) =>
+          fs.map(_._1).filterNot(_.startsWith("@")) }.getOrElse(Seq.empty)
+        if (cols.nonEmpty) {
+          val keyTuples = rows.collect { case StructLit(fs) =>
+            val m = fs.toMap
+            struct(cols.map(c => Translator.toColumn(m(c)).as(c)): _*)
+          }
+          val n = tab.delete(array_contains(array(keyTuples: _*), struct(cols.map(col): _*)))
+          last = spark.range(1).select(lit(n).as("count"))
+        }
       case ExecS(Right(st)) =>
         last = Translator.executeDml(spark, dir, cat, st, env)
       case TxS("begin") =>

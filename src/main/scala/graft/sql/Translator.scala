@@ -113,6 +113,10 @@ object Translator {
         // scalar ($c[0].count — SQLScriptTest.incrementAndLet)
         FnCall(n, args.map(a => r(a) match { case LetDual(_, l) => l; case x => x }), s)
       case FnCall(n, args, s)     => FnCall(n, args.map(r), s)
+      // `.size()` on a LET-bound 1x1 counts the RESULT SET (one row), not
+      // the unwrapped scalar (ScriptExecutionTest returnInIf: `$1.size()`)
+      case MethodCall(t, m, args) if m.equalsIgnoreCase("size") =>
+        MethodCall(r(t) match { case LetDual(_, l) => l; case x => x }, m, args.map(r))
       case MethodCall(t, m, args) => MethodCall(r(t), m, args.map(r))
       case PropAccess(t, n)       => PropAccess(r(t), n)
       case InList(x, es, neg)     => InList(r(x), es.map(r), neg)
@@ -1031,7 +1035,17 @@ object Translator {
       case _ => toColumn(w)
     }
     sel.where.foreach(w => df = df.filter(filterCond(w)))
-    sel.unwind.foreach(u => df = df.withColumn(u, explode(col(u))))
+    // UNWIND (reference UnwindStep.unwind): null/empty collection forwards
+    // ONE row with a null element, a non-collection value forwards the row
+    // unchanged (scalar = single-element collection) — exactly
+    // explode_outer for arrays, identity for scalar columns
+    sel.unwind.foreach { u =>
+      df.schema.find(_.name == u).map(_.dataType) match {
+        case Some(_: org.apache.spark.sql.types.ArrayType) =>
+          df = df.withColumn(u, explode_outer(col(u)))
+        case _ => // scalar / missing: nothing to flatten
+      }
+    }
 
     // Correlated scalar subqueries in projections — `(SELECT <agg> FROM t
     // WHERE <pred over $parent.current.col>)` (SubQueryStepTest): the
@@ -1086,12 +1100,18 @@ object Translator {
         // aggregate query: GROUP BY keys + aggregate projections
         val keyCols = sel.groupBy.map(e => toColumn(e).as(exprName(e)))
         val aggProjs = projections2.filter(pr => containsAgg(pr.expr))
-        if (aggProjs.isEmpty) throw TranslateException("GROUP BY without aggregates")
-        val aggCols = aggProjs.map(pr =>
+        lazy val aggCols = aggProjs.map(pr =>
           toColumn(pr.expr).as(pr.alias.getOrElse(exprName(pr.expr))))
         // multi-dimensional grouping (rollup/cube/grouping-sets) maps to
         // Spark's native Expand-based operators — one pass, no re-scan per set
-        val grouped = sel.groupKind match {
+        val grouped = if (aggProjs.isEmpty) {
+          // GROUP BY with no aggregate projection = distinct group keys
+          // (reference GroupByExecutionTest: `select tag from Tags group by
+          // tag` → one row per key). One hash aggregate, no agg columns.
+          if (sel.groupKind != "plain")
+            throw TranslateException(s"GROUP BY ${sel.groupKind} needs aggregates")
+          df.groupBy(keyCols: _*).agg(count(lit(1)).as("__gbcnt")).drop("__gbcnt")
+        } else sel.groupKind match {
           case "rollup" => df.rollup(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           case "cube"   => df.cube(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           case "sets" =>
@@ -1373,7 +1393,12 @@ object GraftSql {
       cat: TypeCatalog = TypeCatalog.default,
       fns: FunctionRegistry = new FunctionRegistry): DataFrame = {
     val p = new Parser.P(Parser.lex(sql, dashComments = true))
-    if (p.kw("EXPLAIN")) {
+    if (p.peekKw("IF")) {
+      // a standalone IF is a valid single statement (reference
+      // IfStatementExecutionTest runs `if(1=1){ select 1 as a; }` through
+      // the "sql" language) — delegate to the script engine
+      Script.run(spark, dir, sql, cat, fns)
+    } else if (p.kw("EXPLAIN")) {
       val sel = Parser.parseSelect(p)
       val plan = graft.Explain.explain(
         Translator.compile(spark, dir, cat, sel, fns.snapshot), "formatted")

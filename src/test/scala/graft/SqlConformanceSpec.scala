@@ -742,6 +742,105 @@ class SqlConformanceSpec extends AnyFunSuite {
     intercept[Exception] { q(cat2, "SELECT max(a) + f AS foo FROM mx") }
   }
 
+  // ================= conformance batch 8 (round 11) =================
+  // mined from GroupByExecutionTest / IfStatementExecutionTest /
+  // ScriptExecutionTest / UnwindStepAliasingTest /
+  // LetWherePredicatePushdownTest — 8 more divergences fixed
+
+  test("GROUP BY with no aggregate projection returns distinct keys") {
+    // GroupByExecutionTest.groupByRepeatedExecutionUsesCachedPlanCorrectly
+    val cat = writable(Seq("a", "a", "b").toDF("tag"), "tags")
+    val rows = q(cat, "SELECT tag FROM tags GROUP BY tag")
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // and repeated execution through the statement cache stays grouped
+    assert(q(cat, "SELECT tag FROM tags GROUP BY tag").length == 2)
+  }
+
+  test("standalone IF statement runs through the single-statement dialect") {
+    // IfStatementExecutionTest positive/negative/ifReturn
+    val cat = writable(Seq(1L).toDF("x"), "d1")
+    val pos = stmt(cat, "if(1=1){ select 1 as a; }")
+    assert(pos.length == 1 && pos(0).getAs[Number]("a").intValue == 1)
+    assert(stmt(cat, "if(1=2){ select 1 as a; }").isEmpty)
+    val ret = stmt(cat, "if(1=1){ return 'yes'; }")
+    assert(ret.length == 1 && ret(0).getAs[String]("value") == "yes")
+  }
+
+  test("bare RETURN; stops the script; $1.size()/[0].count read the result set") {
+    // ScriptExecutionTest.returnInIf/returnInIf2/returnInIf3
+    val cat = writable(Seq(("seed", 1L)).toDF("name", "v"), "tri")
+    graft.sql.Script.run(spark, sfDir,
+      """INSERT INTO tri SET name = 'foo';
+        |LET $1 = SELECT count(*) as count FROM tri WHERE name ='foo';
+        |IF($1.size() = 0 OR $1[0].count = 0){
+        |    INSERT INTO tri SET name = 'bar';
+        |    RETURN;
+        |}
+        |INSERT INTO tri SET name = 'baz';""".stripMargin, cat).collect()
+    // count=1 -> the IF is false -> 'baz' inserted, 'bar' not
+    val names = q(cat, "SELECT name FROM tri ORDER BY name").map(_.getString(0)).toSeq
+    assert(names == Seq("baz", "foo", "seed"), names.mkString(","))
+    val ok = graft.sql.Script.run(spark, sfDir,
+      """LET $1 = SELECT count(*) as count FROM tri WHERE name ='foo';
+        |IF($1.size() > 0 ){ RETURN 'OK'; }
+        |RETURN 'FAIL';""".stripMargin, cat).collect()
+    assert(ok.length == 1 && ok(0).getString(0) == "OK")
+  }
+
+  test("a bare function call is a script statement (column 'result'); single sql rejects it") {
+    // ScriptExecutionTest.functionAsStatement
+    val cat = writable(Seq(1L).toDF("x"), "d4")
+    val r = graft.sql.Script.run(spark, sfDir, "sqrt(64);", cat).collect()
+    assert(r.length == 1 && r(0).schema.fieldNames.toSeq == Seq("result"))
+    assert(r(0).getAs[Number]("result").doubleValue == 8.0)
+    intercept[Exception] { stmt(cat, "sqrt(64)") }
+  }
+
+  test("DELETE FROM $x deletes the LET-bound record set (issue #3871)") {
+    val cat = writable(Seq("a", "b").toDF("name"), "ddel")
+    graft.sql.Script.run(spark, sfDir,
+      """LET $x = SELECT name FROM ddel;
+        |DELETE FROM $x;""".stripMargin, cat).collect()
+    assert(q(cat, "SELECT count(*) AS c FROM ddel")(0).getLong(0) == 0L)
+  }
+
+  test("UNWIND: null/empty forwards one row with null; scalar forwards unchanged") {
+    // UnwindStepAliasingTest (issue #4593) + UnwindStep.unwind semantics
+    val cat = writable(Seq((1L, Seq("a")), (2L, null), (3L, Seq.empty[String]))
+      .toDF("id", "tags"), "un")
+    val rows = q(cat, "SELECT id, tags FROM un UNWIND tags ORDER BY id")
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, null), (3L, null)))
+    val cat2 = writable(Seq((1L, "value")).toDF("id", "single"), "us")
+    val sc = q(cat2, "SELECT id, single FROM us UNWIND single")
+    assert(sc.length == 1 && sc(0).getString(1) == "value")
+  }
+
+  test("LET variable in WHERE is computed per row, not pushed into the fetch") {
+    // LetWherePredicatePushdownTest
+    val cat = writable(Seq(5L, 15L, 25L).toDF("value"), "td")
+    val rows = q(cat,
+      "SELECT value, $doubled AS doubled FROM td LET $doubled = (value * 2) WHERE $doubled < 20")
+    assert(rows.length == 1 && rows(0).getLong(0) == 5L && rows(0).getLong(1) == 10L)
+    val cat2 = writable(Seq(("A", 0.9), ("B", 0.5), ("C", 0.2)).toDF("name", "score"), "sd")
+    val ordered = q(cat2,
+      "SELECT name, $dist AS distance FROM sd LET $dist = (1 - score) WHERE $dist < 0.6 ORDER BY $dist")
+    assert(ordered.map(_.getString(0)).toSeq == Seq("A", "B"))
+  }
+
+  test("IF body referencing a nonexistent type is not planned unless taken") {
+    // ScriptExecutionTest.lazyExecutionPlanning
+    val cat = writable(Seq(1L).toDF("x"), "d6")
+    val r = graft.sql.Script.run(spark, sfDir,
+      """LET $1 = SELECT FROM (select from schema:types) where name = 'nonExistingClass';
+        |IF($1.size() > 0) {
+        |    SELECT FROM nonExistingClass;
+        |    RETURN 'FAIL';
+        |}
+        |RETURN 'OK';""".stripMargin, cat).collect()
+    assert(r.length == 1 && r(0).getString(0) == "OK")
+  }
+
   test("nested distinct() raises the reference's actionable error") {
     // distinctFunctionIssue2966: distinct(*)/distinct(x) = whole-projection
     // DISTINCT; any nested use must say so

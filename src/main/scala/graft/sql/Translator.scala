@@ -788,14 +788,23 @@ object Translator {
       case "replace"     => regexp_replace(target,
         java.util.regex.Pattern.quote(litToStr(argEs(0))), litToStr(argEs(1)))
       case "indexof"     => instr(target, litToStr(argEs.head)) - 1 // reference is 0-based
-      case "charat"      => substring(target, litToInt(argEs.head) + 1, 1)
+      case "lastindexof" => // 0-based; -1 when absent (SQLMethodAdditionalCoverageTest)
+        val sub = litToStr(argEs.head)
+        val rpos = instr(reverse(target), sub.reverse)
+        when(rpos === 0, lit(-1)).otherwise(length(target) - rpos - sub.length + 1)
+      case "charat"      => // negative / out-of-range index → null, never throws
+        // (MethodArgumentValidationRegressionTest)
+        val i = litToInt(argEs.head)
+        if (i < 0) lit(null).cast("string")
+        else when(length(target) > i, substring(target, i + 1, 1)).otherwise(lit(null))
       case "split"       => split(target, java.util.regex.Pattern.quote(litToStr(argEs.head)))
       case "asinteger"   => target.cast("long")
       case "asfloat"     => target.cast("double")
       case "asdecimal"   => target.cast(DecimalType(28, 4))
       case "asstring"    => target.cast("string")
       case "asdate"      => to_date(target)
-      case "size"        => size(target)
+      case "size"        => // element count; character count on strings
+        bridged(graft.functions.DynamicSize(_))(target)
       case "prefix"      => concat(args.head, target)
       case "append"      => concat(target, args.head)
       // ---- method/string + collection + conversion batch (reference
@@ -829,10 +838,11 @@ object Translator {
       case "keys"        => map_keys(target)
       case "values"      => map_values(target)
       case "field"       => target.getItem(litToStr(argEs.head)) // struct field or map key
-      case "include"     => // map → only the named keys (SQLMethodIncludeTest)
-        map_filter(target, (k, _) => k.isin(argEs.map(litToStr).map(lit): _*))
+      case "include"     => // map/embedded doc → only the named keys, `pfx*`
+        // wildcards supported (SQLMethodIncludeTest + coverage wildcards)
+        bridged(graft.functions.FieldsFilter(_, argEs.map(litToStr), keep = true))(target)
       case "exclude"     =>
-        map_filter(target, (k, _) => !k.isin(argEs.map(litToStr).map(lit): _*))
+        bridged(graft.functions.FieldsFilter(_, argEs.map(litToStr), keep = false))(target)
       case "asboolean"   => target.cast("boolean")
       case "aslong"      => target.cast("long")
       case "asbyte"      => target.cast("byte")
@@ -840,8 +850,46 @@ object Translator {
       case "asdouble"    => target.cast("double")
       case "asset"       => array_sort(array_distinct(target)) // order-free identity
       case "asjson"      => to_json(target) // record/list rendering (SQLScriptTest.returnExpanded)
+      // ---- SQLMethodAdditionalCoverageTest batch (round 11) ----
+      case "format"      => format_string(litToStr(argEs.head), target)
+      case "asdatetime"  => to_timestamp(target)
+      case "convert"     => litToStr(argEs.head).toUpperCase match {
+        // engine integrals run in long (same convention as asInteger)
+        case "INTEGER" | "INT" | "LONG" => target.cast("long")
+        case "SHORT"    => target.cast("short")
+        case "BYTE"     => target.cast("byte")
+        case "FLOAT" | "DOUBLE" => target.cast("double")
+        case "DECIMAL"  => target.cast(DecimalType(28, 4))
+        case "STRING"   => target.cast("string")
+        case "BOOLEAN"  => target.cast("boolean")
+        case "DATE"     => to_date(target)
+        case "DATETIME" => to_timestamp(target)
+        case other      => throw TranslateException(s"convert: unsupported type $other")
+      }
+      case "hash"        => // default SHA-256 (SQLMethodHash.java:39)
+        argEs.headOption.map(litToStr).getOrElse("SHA-256").toUpperCase match {
+          case "MD5"             => md5(target)
+          case "SHA-256" | "SHA256" => sha2(target, 256)
+          case "SHA-512" | "SHA512" => sha2(target, 512)
+          case other             => throw TranslateException(s"hash: unsupported algorithm $other")
+        }
+      case "ifnull"      => coalesce(target, args.head)
+      case "ifempty"     => // empty string/collection → replacement; null stays null
+        when(bridged(graft.functions.DynamicSize(_))(target) === 0, args.head)
+          .otherwise(target)
+      case "aslist"      => bridged(graft.functions.DynamicAsList(_))(target)
+      case "type"        => bridged(graft.functions.TypeNameOf(_, java = false))(target)
+      case "javatype"    => bridged(graft.functions.TypeNameOf(_, java = true))(target)
+      case "precision"   => date_trunc(litToStr(argEs.head), target)
       case other         => throw TranslateException(s"unknown method $other")
     }
+  }
+
+  /** Wrap a 1-arg Catalyst expression constructor as a Column transform. */
+  private def bridged(mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(mk(ColumnBridge.expression(c)))
   }
 
   /** `.substring(from)` with a Column start — Column.substr needs both. */

@@ -841,6 +841,55 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getString(0) == "OK")
   }
 
+  // ================= conformance batch 9 (round 11) =================
+  // mined from method/SQLMethodAdditionalCoverageTest.java +
+  // MethodArgumentValidationRegressionTest.java — 13 missing methods
+  // added, charAt bounds semantics fixed
+
+  private def one(sql: String): Row =
+    q(graft.schema.TypeCatalog.fresh(), sql)(0)
+
+  test("string method tail: lastIndexOf/format/hash/ifNull/ifEmpty/size") {
+    assert(one("SELECT 'hello world hello'.lastIndexOf('hello') AS r").getAs[Number](0).intValue == 12)
+    assert(one("SELECT 'xyz'.lastIndexOf('q') AS r").getAs[Number](0).intValue == -1)
+    assert(one("SELECT 'bob'.format('Name: %s') AS r").getString(0) == "Name: bob")
+    assert(one("SELECT 'hello'.hash('MD5') AS r").getString(0) == "5d41402abc4b2a76b9719d911017c592")
+    // default algorithm is SHA-256 (SQLMethodHash.java:39)
+    assert(one("SELECT 'hello'.hash() AS r").getString(0) ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    assert(one("SELECT (null).ifNull('default') AS r").getString(0) == "default")
+    assert(one("SELECT 'value'.ifNull('default') AS r").getString(0) == "value")
+    assert(one("SELECT ''.ifEmpty('default') AS r").getString(0) == "default")
+    assert(one("SELECT 'value'.ifEmpty('default') AS r").getString(0) == "value")
+    assert(one("SELECT 'hello'.size() AS r").getAs[Number](0).intValue == 5)
+  }
+
+  test("charAt: negative or out-of-range index returns null, never throws") {
+    // MethodArgumentValidationRegressionTest
+    assert(one("SELECT 'abcdef'.charAt(-1) AS r").isNullAt(0))
+    assert(one("SELECT 'abcdef'.charAt(99) AS r").isNullAt(0))
+    assert(one("SELECT 'abcdef'.charAt(1) AS r").getString(0) == "b")
+  }
+
+  test("conversion tail: asDatetime/convert/asList; type()/javaType()/precision()") {
+    assert(one("SELECT '2024-01-15 12:30:00'.asDatetime() AS r").getTimestamp(0) != null)
+    assert(one("SELECT '42'.convert('INTEGER') AS r").getAs[Number](0).longValue == 42L)
+    assert(one("SELECT [1, 2, 3].asList() AS r").getSeq[Long](0).length == 3)
+    assert(one("SELECT (7).asList() AS r").getSeq[Long](0) == Seq(7L))
+    assert(one("SELECT 'abc'.type() AS r").getString(0) == "STRING")
+    assert(one("SELECT (1).type() AS r").getString(0) == "LONG")
+    assert(one("SELECT 'abc'.javaType() AS r").getString(0) == "java.lang.String")
+    assert(one("SELECT sysdate().precision('millisecond') AS r").get(0) != null)
+  }
+
+  test("include/exclude work on embedded documents with *-wildcards") {
+    // includeWildcardMatchesCorrectFields / excludeExplicitMetadataField
+    val inc = one("SELECT {'name':'x','idx':1,'amount':2}.include('na*') AS r")
+    assert(inc.getStruct(0).schema.fieldNames.toSeq == Seq("name"))
+    val exc = one("SELECT {'name':'x','idx':1}.exclude('idx') AS r")
+    assert(exc.getStruct(0).schema.fieldNames.toSeq == Seq("name"))
+  }
+
   test("nested distinct() raises the reference's actionable error") {
     // distinctFunctionIssue2966: distinct(*)/distinct(x) = whole-projection
     // DISTINCT; any nested use must say so

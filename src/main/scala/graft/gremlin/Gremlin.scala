@@ -330,14 +330,49 @@ object Gremlin {
 
     // repeat(body) binds at the FOLLOWING times(n)/until(cond) modulator
     var pendingRepeat: Option[List[(String, List[Arg])]] = None
+    var pendingEmit = false
     def takeRepeat(stepName: String): List[(String, List[Arg])] = {
       val b = pendingRepeat.getOrElse(
         throw new IllegalArgumentException(s"$stepName() without a preceding repeat()"))
       pendingRepeat = None
       b
     }
+    /** `repeat(body).emit()` with no times/until: loop while the frontier
+      * is non-empty, emitting every post-pass frontier (TinkerPop's
+      * unbounded emit form) — same probe-bounded unroll as until(), same
+      * loud failure at the bound. */
+    def runEmitLoop(s0: State, body: List[(String, List[Arg])]): State = {
+      var frontier = s0
+      var emitted: Option[DataFrame] = None
+      var done = false
+      var it = 0
+      while (it < MaxRepeatLoops && !done) {
+        val next = applyCalls(frontier, body)
+        it += 1
+        val f = if (it % 2 == 0 || it == MaxRepeatLoops)
+          next.df.localCheckpoint(true) else next.df
+        emitted = Some(emitted.fold(f: DataFrame)(_.unionByName(f)))
+        if (it % 2 == 0 || it == MaxRepeatLoops) {
+          if (f.isEmpty) done = true
+        }
+        frontier = next.copy(df = f)
+      }
+      if (!done && !frontier.df.isEmpty)
+        throw new IllegalStateException(
+          s"repeat().emit() exceeded $MaxRepeatLoops passes with a non-empty frontier")
+      s0.copy(df = emitted.get)
+    }
+    /** Any step other than times/until arriving while repeat().emit() is
+      * pending closes the unbounded-emit loop first. */
+    def flushPendingEmit(): Unit =
+      if (pendingRepeat.isDefined && pendingEmit) {
+        st = runEmitLoop(st, takeRepeat("emit"))
+        pendingEmit = false
+      }
 
-    for (s <- steps.tail) s match {
+    for (s <- steps.tail) {
+    if (!Set("times", "until", "emit").contains(s.name)) flushPendingEmit()
+    s match {
       case Step("hasLabel", List(SArg(l)), _) =>
         st = st.copy(df = st.df.filter(col("label") === l))
       case Step("has", List(SArg(k), p), _) =>
@@ -367,10 +402,28 @@ object Gremlin {
 
       // repeat(body).times(n): emit after exactly n passes — unrolled into
       // the one lazy plan (bounded small, like TRAVERSE … MAXDEPTH)
+      // emit() between repeat() and its terminator (or trailing): every
+      // post-pass frontier joins the output, TinkerPop bag semantics
+      case Step("emit", Nil, _) =>
+        require(pendingRepeat.isDefined, "emit() without a pending repeat()")
+        pendingEmit = true
+
       case Step("times", List(NArg(n)), _) =>
         val body = takeRepeat("times")
         require(n >= 1 && n <= MaxRepeatLoops, s"times($n) out of range 1..$MaxRepeatLoops")
-        st = (1 to n.toInt).foldLeft(st)((s, _) => applyCalls(s, body))
+        if (pendingEmit) {
+          // repeat(body).emit().times(n): union of the frontiers after
+          // each of the n passes
+          pendingEmit = false
+          var frontier = st
+          var emitted: Option[DataFrame] = None
+          for (_ <- 1 to n.toInt) {
+            frontier = applyCalls(frontier, body)
+            emitted = Some(emitted.fold(frontier.df)(_.unionByName(frontier.df)))
+          }
+          st = frontier.copy(df = emitted.get)
+        } else
+          st = (1 to n.toInt).foldLeft(st)((s, _) => applyCalls(s, body))
 
       // repeat(body).until(cond): do-while — after each pass, traversers
       // satisfying cond emit, the rest loop. Bounded lazy unroll: an
@@ -379,6 +432,10 @@ object Gremlin {
       // PropertyGraph.traverseUnrolled).
       case Step("until", List(cond), _) =>
         val body = takeRepeat("until")
+        // with emit(): EVERY post-pass frontier joins the output, not just
+        // the until-satisfiers (TinkerPop emit+until composition)
+        val withEmit = pendingEmit
+        pendingEmit = false
         val pred = argPred(cond)
         var frontier = st
         var emitted: Option[DataFrame] = None
@@ -386,7 +443,7 @@ object Gremlin {
         var it = 0
         while (it < MaxRepeatLoops && !done) {
           val next = applyCalls(frontier, body)
-          val hit = next.df.filter(pred)
+          val hit = if (withEmit) next.df else next.df.filter(pred)
           emitted = Some(emitted.fold(hit)(_.unionByName(hit)))
           frontier = next.copy(df = next.df.filter(!pred))
           it += 1
@@ -514,6 +571,13 @@ object Gremlin {
 
       case Step("dedup", Nil, _)  => st = st.copy(df = st.df.distinct())
       case Step("limit", List(NArg(n)), _) => st = st.copy(df = st.df.limit(n.toInt))
+      // sample(n): n traversers; deterministic md5-ordered pick (the
+      // engine's reproducible-sampling convention, SamplingOps) rather
+      // than TinkerPop's nondeterministic draw — same contract (size n,
+      // uniform-ish), stable under re-runs so results stay oracle-able
+      case Step("sample", List(NArg(n)), _) =>
+        val key = md5(concat_ws("", st.df.columns.map(c => col(c).cast("string")): _*))
+        st = st.copy(df = st.df.orderBy(key).limit(n.toInt))
 
       case Step("order", Nil, bys) =>
         val sorts: Seq[Column] =
@@ -581,8 +645,11 @@ object Gremlin {
 
       case other => throw new IllegalArgumentException(s"unsupported step: ${other.name}")
     }
-    // a pathological `repeat()` with no times/until is a user error
-    require(pendingRepeat.isEmpty, "repeat() without a following times()/until()")
+    }
+    // a trailing repeat().emit() (no times/until) closes at traversal end
+    flushPendingEmit()
+    // a pathological `repeat()` with no times/until/emit is a user error
+    require(pendingRepeat.isEmpty, "repeat() without a following times()/until()/emit()")
     st.df
   }
 }

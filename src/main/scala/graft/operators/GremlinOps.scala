@@ -74,6 +74,29 @@ object GremlinOps {
       gr("g.V().hasLabel('customer').has('key', lt(50))" +
         ".repeat(out()).times(2).values('key').dedup().order()")),
 
+    // ---- repeat(out()).emit().times(2): every post-pass frontier joins
+    //      the output — pass 1 emits orders, pass 2 emits parts (bag) ----
+    Q("q_gremlin_emit",
+      """SELECT value FROM (
+        |  SELECT o_orderkey AS value FROM orders WHERE o_custkey < 10
+        |  UNION ALL
+        |  SELECT l_partkey AS value
+        |  FROM orders JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+        |    ON li.l_orderkey = o_orderkey
+        |  WHERE o_custkey < 10)
+        |ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('customer').has('key', lt(10))" +
+        ".repeat(out()).emit().times(2).values('key').order()")),
+
+    // ---- sample(n): deterministic md5-ordered draw (the engine's
+    //      reproducible-sampling convention) of n traversers ----
+    Q("q_gremlin_sample",
+      """SELECT value FROM (
+        |  SELECT c_custkey AS value FROM customer
+        |  ORDER BY md5(CAST(c_custkey AS VARCHAR)) LIMIT 10)
+        |ORDER BY value""".stripMargin)(
+      gr("g.V().hasLabel('customer').values('key').sample(10).order()")),
+
     // ---- repeat(out()).until(hasLabel): do-while emission, bag semantics
     //      (one traverser per (customer,order) x (order,part) edge pair) ----
     Q("q_gremlin_until",

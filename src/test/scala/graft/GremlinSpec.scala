@@ -195,6 +195,36 @@ class GremlinSpec extends AnyFunSuite {
     assert(ok.toSeq === Seq(5L))
   }
 
+  test("emit(): times form unions per-pass frontiers; trailing form drains the graph") {
+    // pass 1 = orders of customer 1 (one per placed edge), pass 2 = parts
+    val orders = Tables.orders(spark, sfDir).filter(col("o_custkey") === 1).count()
+    val parts = Tables.orders(spark, sfDir).filter(col("o_custkey") === 1)
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey").distinct(),
+        col("l_orderkey") === col("o_orderkey")).count()
+    val emitted = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', eq(1)).repeat(out()).emit().times(2).count()")
+      .head().getLong(0)
+    assert(emitted === orders + parts)
+    // trailing emit() (no times/until): loops until the frontier drains —
+    // same total on this 2-level DAG
+    val drained = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', eq(1)).repeat(out()).emit().count()")
+      .head().getLong(0)
+    assert(drained === orders + parts)
+    // emit().until(cond): every pass joins the output, not only satisfiers
+    val uemit = Gremlin.query(g,
+      "g.V().hasLabel('customer').has('key', eq(1)).repeat(out()).emit().until(hasLabel('part')).count()")
+      .head().getLong(0)
+    assert(uemit === orders + parts)
+  }
+
+  test("sample(n) draws exactly n deterministic traversers") {
+    val q = "g.V().hasLabel('customer').values('key').sample(10).order()"
+    val a = Gremlin.query(g, q).collect().map(_.getLong(0)).toSeq
+    val b = Gremlin.query(g, q).collect().map(_.getLong(0)).toSeq
+    assert(a.length === 10 && a === b)
+  }
+
   test("unsupported step raises") {
     intercept[IllegalArgumentException] {
       Gremlin.query(g, "g.V().branch(out()).times(3)")

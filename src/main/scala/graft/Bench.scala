@@ -153,7 +153,46 @@ object Bench {
           } else None
         BenchRow(name, r1, r2, r3, e1.orElse(e2))
     }
-    val ok = results.filter(_.err.isEmpty)
+    // Outlier re-verification (r10 verdict stretch #9): the r9/r10 driver
+    // sweeps both carried contention windows — alphabetical blocks 2-5×
+    // slower than any clean re-run reproduces. The committed artifact
+    // should answer that itself: any query whose min-of-runs regressed
+    // >2× against the PREVIOUS committed full sweep (and is >0.5 s) gets
+    // ONE more run in a fresh session, folded into `queries_min`. A real
+    // regression survives the re-run; a contention spike does not.
+    val prevMin: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("bench_full_latest.json")
+      if (java.nio.file.Files.exists(f)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // only comparable at the same scale factor as the prior record
+        val sameSf = txt.contains(s""""sf":"$sfDir"""")
+        val obj = if (!sameSf) None
+          else """"queries_min":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+        obj.map(_.split(",").flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty)
+      } else Map.empty
+    }
+    val outliers = results.filter(r => r.err.isEmpty &&
+      prevMin.get(r.name).exists(p => r.min > 2 * p && r.min > 0.5))
+    val verified = if (outliers.isEmpty) results else {
+      spark.stop(); spark = freshSession()
+      val redo = outliers.map { r =>
+        val (v, e) = once(r.name, SparkEntry.queries(r.name)); resetState()
+        r.name -> (if (e.isEmpty) Some(v) else None)
+      }.toMap
+      results.map(r => redo.get(r.name).flatten match {
+        case Some(v) => r.copy(tiebreak = Some(r.tiebreak.fold(v)(math.min(_, v))))
+        case None => r
+      })
+    }
+    val ok = verified.filter(_.err.isEmpty)
     def jmap(f: BenchRow => Double): String =
       ok.map(r => s"\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     // Control chars (tabs etc. in exception messages) are illegal unescaped
@@ -177,7 +216,7 @@ object Bench {
     val totalMin = ok.map(_.min).sum
     val reruns = ok.count(_.tiebreak.nonEmpty)
     val wallSec = (System.nanoTime() - wallStart) / 1e9
-    val env = s""""env":{"load_avg_start":${loadAvg_fmt(loadStart)},"load_avg_end":${loadAvg_fmt(loadAvg())},"gc_sec":${(gcMillis() - gcStart) / 1e3},"wall_sec":$wallSec,"tiebreak_reruns":$reruns}"""
+    val env = s""""env":{"load_avg_start":${loadAvg_fmt(loadStart)},"load_avg_end":${loadAvg_fmt(loadAvg())},"gc_sec":${(gcMillis() - gcStart) / 1e3},"wall_sec":$wallSec,"tiebreak_reruns":$reruns,"outlier_reruns":${outliers.length}}"""
     val json = s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","n_ok":${ok.length},"n_err":${results.length - ok.length},$env,"queries":${jmap(_.r1)},"queries_run2":${jmap(_.r2)},"queries_min":${jmap(_.min)},"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures stdout with a tail-truncation (r5: `parsed` came
     // back null and only a 65-entry tail survived); persist the full

@@ -199,6 +199,53 @@ object Parser {
     sel
   }
 
+  /** Substitute positional `?` and named `:name` parameters with literal
+    * tokens ahead of parsing (reference selectFromStringParam /
+    * namedParams — BaseExpression PARAM forms). A `:` opens a named
+    * parameter only after an operator token (never after an identifier or
+    * a closer), which keeps map literals `{k: v}` and nested projections
+    * `e:{...}` untouched. */
+  private[graft] def bindParams(toks: Vector[Tok], pos: Seq[Any],
+      named: Map[String, Any]): Vector[Tok] = {
+    def litTok(v: Any): Tok = v match {
+      case null                => TId("null")
+      case s: String           => TStr(s)
+      case b: java.lang.Boolean => TId(b.toString)
+      case n: java.lang.Number => TNum(n.toString)
+      case other               => TStr(other.toString)
+    }
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    var p = 0
+    def prevOpensParam: Boolean = i == 0 || (toks(i - 1) match {
+      case TOp(")" | "]" | "}") => false
+      case TOp(_)               => true
+      case _                    => false
+    })
+    while (i < toks.length) {
+      toks(i) match {
+        case TOp("?") =>
+          if (p >= pos.length)
+            throw ParseException(s"missing positional parameter #${p + 1}")
+          out += litTok(pos(p)); p += 1; i += 1
+        case TOp(":") if i + 1 < toks.length && prevOpensParam &&
+            (toks(i + 1) match { case TId(n) => named.contains(n); case _ => false }) =>
+          out += litTok(named(toks(i + 1).asInstanceOf[TId].s)); i += 2
+        case t => out += t; i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Parse a SELECT from pre-substituted tokens (the parameter-binding
+    * path). */
+  private[graft] def parseSelectTokens(toks: Vector[Tok]): Select = {
+    val p = new P(toks)
+    val sel = parseSelect(p)
+    if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
+    sel
+  }
+
   /** Parse one statement: SELECT or a DML statement (INSERT/UPDATE/DELETE
     * — reference grammar SQLParser.g4 insertStatement:312,
     * updateStatement:284, deleteStatement:334). */
@@ -343,7 +390,7 @@ object Parser {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SKIP", "OFFSET", "LIMIT",
     "BY", "ASC", "DESC", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE",
     "MATCHES", "IS", "NULL", "TRUE", "FALSE", "DISTINCT", "SELECT", "AS",
-    "UNWIND", "CONTAINS", "CONTAINSALL", "CONTAINSANY", "LET")
+    "UNWIND", "CONTAINS", "CONTAINSALL", "CONTAINSANY", "LET", "TIMEOUT")
 
   private[graft] def parseSelect(p: P): Select = {
     p.expectKw("SELECT")
@@ -467,6 +514,12 @@ object Parser {
     } else Seq.empty
     val skip = if (p.kw("SKIP") || p.kw("OFFSET")) Some(longLit(p)) else None
     val limit = if (p.kw("LIMIT")) Some(longLit(p)) else None
+    // TIMEOUT <ms> [RETURN|EXCEPTION] (reference Timeout.java) is accepted
+    // and recorded nowhere: a Spark plan is lazy — wall-clock enforcement
+    // belongs to the ACTION (job-group cancellation / spark.task.reaper),
+    // not the plan, so the clause parses for compatibility and the caller's
+    // scheduler owns the budget
+    if (p.kw("TIMEOUT")) { longLit(p); if (!p.kw("RETURN")) p.kw("EXCEPTION") }
     Select(projections, from, where, groupBy, having, orderBy, skip, limit, distinct, unwind, lets,
       groupKind, groupSets, fromSub, excludes)
   }

@@ -1431,6 +1431,29 @@ object GraftSql {
     Translator.compile(spark, dir, cat,
       graft.StatementCache.cached("sql", sql)(Parser.parse(sql)), fns.snapshot)
 
+  /** Parameterized query: positional `?` args and/or named `:name` args
+    * substitute as literals before parsing (the reference passes both
+    * through `database.query("sql", text, args…)` —
+    * SelectStatementExecutionTest selectFromStringParam/namedParams).
+    * The statement cache keys on text + rendered arguments: same text
+    * with different parameters must never share a cached plan. */
+  def query(spark: SparkSession, dir: String, sql: String, cat: TypeCatalog,
+      fns: FunctionRegistry, params: Seq[Any], namedParams: Map[String, Any]): DataFrame = {
+    val toks = Parser.bindParams(Parser.lex(sql, dashComments = true), params, namedParams)
+    val key = sql + "\u0000" + params.mkString("\u0001") + "\u0000" +
+      namedParams.toSeq.sortBy(_._1).mkString("\u0001")
+    Translator.compile(spark, dir, cat,
+      graft.StatementCache.cached("sql", key)(Parser.parseSelectTokens(toks)), fns.snapshot)
+  }
+
+  def query(spark: SparkSession, dir: String, sql: String, cat: TypeCatalog,
+      params: Seq[Any]): DataFrame =
+    query(spark, dir, sql, cat, new FunctionRegistry, params, Map.empty)
+
+  def query(spark: SparkSession, dir: String, sql: String, cat: TypeCatalog,
+      namedParams: Map[String, Any]): DataFrame =
+    query(spark, dir, sql, cat, new FunctionRegistry, Seq.empty, namedParams)
+
   /** Execute one SELECT or DML statement (INSERT/UPDATE/DELETE route to
     * the type's writable storage via MutableTable). `EXPLAIN <select>`
     * returns the formatted physical plan as rows; `PROFILE <select>` runs

@@ -890,6 +890,28 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(exc.getStruct(0).schema.fieldNames.toSeq == Seq("name"))
   }
 
+  test("TIMEOUT clause parses; positional ? and named :p parameters bind") {
+    // SQLExecutorAdditionalCoverageTest.selectWithTimeout +
+    // SelectStatementExecutionTest selectFromStringParam/namedParams
+    val cat = writable(Seq(("v1_3", 3L), ("v1_4", 4L)).toDF("name", "idx"), "v1")
+    assert(q(cat, "SELECT FROM v1 TIMEOUT 10000").length == 2)
+    assert(q(cat, "SELECT FROM v1 WHERE idx < 10 LIMIT 5 TIMEOUT 500 EXCEPTION").length == 2)
+    val pos = GraftSql.query(spark, sfDir,
+      "SELECT name FROM v1 WHERE idx = ? AND name = ?", cat, Seq(3, "v1_3")).collect()
+    assert(pos.length == 1 && pos(0).getString(0) == "v1_3")
+    val named = GraftSql.query(spark, sfDir,
+      "SELECT name FROM v1 WHERE idx = :i", cat, Map[String, Any]("i" -> 4)).collect()
+    assert(named.length == 1 && named(0).getString(0) == "v1_4")
+    // a map literal's colon is NOT a parameter opener
+    val m = GraftSql.query(spark, sfDir,
+      "SELECT {'i': 9} AS m FROM v1 WHERE idx = :i", cat, Map[String, Any]("i" -> 3)).collect()
+    assert(m.length == 1 && m(0).getStruct(0).getAs[Number]("i").intValue == 9)
+    // different parameters on the same text never share a cached plan
+    val again = GraftSql.query(spark, sfDir,
+      "SELECT name FROM v1 WHERE idx = :i", cat, Map[String, Any]("i" -> 3)).collect()
+    assert(again(0).getString(0) == "v1_3")
+  }
+
   test("nested distinct() raises the reference's actionable error") {
     // distinctFunctionIssue2966: distinct(*)/distinct(x) = whole-projection
     // DISTINCT; any nested use must say so

@@ -304,6 +304,28 @@ object SqlOps {
           | ORDER BY c_custkey""".stripMargin.replace("\n", ""))
     },
 
+    // ---- MATCH while/maxDepth depth-window traversal + optional chain
+    //      (MatchStatementExecutionTest testWhile/maxDepth/optional):
+    //      maxDepth:1 spans depth 0 (the customer itself) and depth 1
+    //      (its orders); where:($depth=1) pins the window to the orders ----
+    Q("q_sql_match_depth",
+      """SELECT k FROM (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey <= 3
+        |  UNION ALL
+        |  SELECT o_orderkey AS k FROM orders WHERE o_custkey <= 3)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpch(s, d),
+        "MATCH {type: customer, as: c, where: (key <= 3)}" +
+          ".out('placed'){as: x, maxDepth: 1} RETURN x.key AS k ORDER BY k")
+    },
+    Q("q_sql_match_optional",
+      """SELECT c_custkey AS k, CAST(NULL AS BIGINT) AS bk
+        |FROM customer WHERE c_custkey < 10 ORDER BY k""".stripMargin) { (s, d) =>
+      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpch(s, d),
+        "MATCH {type: customer, as: c, where: (key < 10)} -nonexisting-> " +
+          "{as: b, optional: true} RETURN c.key AS k, b.key AS bk ORDER BY k")
+    },
+
     // ---- derived-table FROM (SELECT …) (FetchFromResultsetStep) ----
     Q("q_sql_from_subquery",
       """SELECT o_orderstatus, count(*) AS n FROM (

@@ -4,7 +4,7 @@ import graft.cypher.Cypher
 import graft.cypher.Cypher.{MatchC, NodePat, PatternChain, RelPat, ReturnItem}
 import graft.graph.PropertyGraph
 import graft.sql.Ast._
-import graft.sql.Parser.{ParseException, TEof, TId, TStr}
+import graft.sql.Parser.{ParseException, TEof, TId, TNum, TOp, TStr}
 import org.apache.spark.sql.DataFrame
 
 /** The SQL dialect's own graph-pattern statement (reference grammar
@@ -34,46 +34,76 @@ import org.apache.spark.sql.DataFrame
 object Match {
 
   def parse(text: String): Cypher.CypherQuery = {
-    val p = new Parser.P(Parser.lex(text, dashComments = true))
+    // dashComments OFF: the MATCH pattern surface uses `-->` / `<--`
+    // anonymous arrows (same reason the openCypher front-end keeps it off)
+    val p = new Parser.P(Parser.lex(text))
     p.expectKw("MATCH")
     val chains = Seq.newBuilder[PatternChain]
     val wheres = Seq.newBuilder[Expr]
     def path(): Unit = {
       val nodes = Seq.newBuilder[NodePat]
       val rels = Seq.newBuilder[RelPat]
-      nodes += filter(p, wheres)
+      var chainOptional = false
+      def dest(rel: RelPat): Unit = {
+        val f = filter(p, wheres)
+        nodes += f.node
+        if (f.optional) chainOptional = true
+        // while/maxDepth/$depth-window turn the incoming edge into a
+        // variable-length walk (reference matchPathItem whileCondition /
+        // maxDepth — MatchStatementExecutionTest testWhile/maxDepth:
+        // depth 0 = the origin node itself, so the default window is
+        // 0..bound, narrowed by any `where: ($depth …)` comparisons)
+        rels += (f.depth match {
+          case Some((lo, hi)) => rel.copy(hops = Some((lo, hi)))
+          case None => rel
+        })
+      }
+      nodes += { val f = filter(p, wheres); if (f.optional) chainOptional = true; f.node }
       var go = true
       while (go) {
-        if (p.op("-")) { // -Edge->
-          val e = Parser.ident(p)
+        if (p.op("-")) { // -Edge-> | --> (anonymous)
+          if (p.op("-")) {
+            p.expectOp(">")
+            dest(RelPat(None, None, direction = "out"))
+          } else {
+            val e = Parser.ident(p)
+            p.expectOp("-")
+            p.expectOp(">")
+            dest(RelPat(None, Some(e), direction = "out"))
+          }
+        } else if (p.op("<")) { // <-Edge- | <-- (anonymous)
           p.expectOp("-")
-          p.expectOp(">")
-          rels += RelPat(None, Some(e), direction = "out")
-          nodes += filter(p, wheres)
-        } else if (p.op("<")) { // <-Edge-
-          p.expectOp("-")
-          val e = Parser.ident(p)
-          p.expectOp("-")
-          rels += RelPat(None, Some(e), direction = "in")
-          nodes += filter(p, wheres)
-        } else if (p.op(".")) { // .out('Edge') / .in('Edge')
+          if (p.op("-")) dest(RelPat(None, None, direction = "in"))
+          else {
+            val e = Parser.ident(p)
+            p.expectOp("-")
+            dest(RelPat(None, Some(e), direction = "in"))
+          }
+        } else if (p.op(".")) { // .out('Edge') / .in('Edge') / .both('Edge')
           val m = Parser.ident(p).toLowerCase
-          val ltr = m match {
-            case "out" => true
-            case "in"  => false
+          val dir = m match {
+            case "out"  => "out"
+            case "in"   => "in"
+            case "both" => "both"
             case other => throw ParseException(s"unsupported match method $other")
           }
           p.expectOp("(")
-          val e = p.next() match {
+          val e = if (p.peek == Parser.TOp(")")) None else Some(p.next() match {
             case TStr(s) => s
             case t => throw ParseException(s"expected edge-type string, found $t")
-          }
+          })
           p.expectOp(")")
-          rels += RelPat(None, Some(e), direction = if (ltr) "out" else "in")
-          nodes += filter(p, wheres)
+          dest(RelPat(None, e, direction = dir))
         } else go = false
       }
-      chains += PatternChain(nodes.result(), rels.result(), optional = false)
+      // an optional chain still anchors its first node (reference
+      // `optional:true` keeps every left row): emit a mandatory
+      // single-node chain for the anchor, then the full chain as the
+      // left-join extension — the same two-clause shape openCypher's
+      // `MATCH (a) OPTIONAL MATCH (a)-->(b)` produces
+      if (chainOptional)
+        chains += PatternChain(Seq(nodes.result().head), Seq.empty, optional = false)
+      chains += PatternChain(nodes.result(), rels.result(), optional = chainOptional)
     }
     path()
     while (p.op(",")) path()
@@ -112,13 +142,46 @@ object Match {
   private var anon = 0
   private def freshVar(): String = synchronized { anon += 1; s"_m$anon" }
 
-  /** `{type: t, as: v, where: (expr)}` — all keys optional; `where` props
-    * are qualified to the node's alias. */
-  private def filter(p: Parser.P, wheres: collection.mutable.Builder[Expr, Seq[Expr]]): NodePat = {
+  private final case class Filter(node: NodePat, depth: Option[(Int, Int)],
+      optional: Boolean)
+
+  /** `{type: t, as: v, where: (expr), optional: true, while: ($depth < n),
+    * maxDepth: n}` — all keys optional; `where` props are qualified to the
+    * node's alias. while/maxDepth and `where` comparisons on the `$depth`
+    * context variable compose into one depth WINDOW (lo, hi) on the
+    * preceding edge: depth 0 is the origin node, `while ($depth < n)`
+    * reaches depth n, and `where: ($depth = k)` pins the window — exactly
+    * the reference's whileCondition/maxDepth/depth-filter semantics
+    * re-expressed as a var-length hop range. */
+  private def filter(p: Parser.P, wheres: collection.mutable.Builder[Expr, Seq[Expr]]): Filter = {
     p.expectOp("{")
     var varName: Option[String] = None
     var label: Option[String] = None
     var cond: Option[Expr] = None
+    var optional = false
+    var lo = 0
+    var hi = -1 // -1 = no depth traversal requested
+    def widen(newHi: Int): Unit = hi = math.max(hi, newHi)
+    // intersect the window with a `$depth <op> k` comparison
+    def narrow(op: String, k: Int): Unit = op match {
+      case "="  => lo = math.max(lo, k); hi = if (hi < 0) k else math.min(hi, k)
+      case ">"  => lo = math.max(lo, k + 1)
+      case ">=" => lo = math.max(lo, k)
+      case "<"  => hi = if (hi < 0) k - 1 else math.min(hi, k - 1)
+      case "<=" => hi = if (hi < 0) k else math.min(hi, k)
+      case other => throw ParseException(s"unsupported \\$$depth comparison $other")
+    }
+    def isDepthRef(e: Expr): Boolean = e match {
+      case Ident(n) => n.equalsIgnoreCase("$depth")
+      case _ => false
+    }
+    def depthCond(e: Expr): Boolean = e match {
+      case Bin(op, l, NumLit(k, _)) if isDepthRef(l) => narrow(op, k.toInt); true
+      case Bin(op, NumLit(k, _), r) if isDepthRef(r) =>
+        val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=")
+        narrow(flip.getOrElse(op, op), k.toInt); true
+      case _ => false
+    }
     if (!p.op("}")) {
       var more = true
       while (more) {
@@ -133,8 +196,30 @@ object Match {
           case "as" => varName = Some(Parser.ident(p))
           case "where" =>
             p.expectOp("(")
-            cond = Some(Parser.parseExpr(p))
+            val c = Parser.parseExpr(p)
             p.expectOp(")")
+            // a pure-$depth predicate narrows the hop window instead of
+            // becoming a row filter
+            if (!depthCond(c)) cond = Some(c)
+          case "optional" => optional = p.next() match {
+            case TId(s) => s.equalsIgnoreCase("true")
+            case t => throw ParseException(s"expected true/false, found $t")
+          }
+          case "while" =>
+            p.expectOp("(")
+            val c = Parser.parseExpr(p)
+            p.expectOp(")")
+            c match {
+              case BoolLit(true) | Ident("true") => widen(Int.MaxValue)
+              case Bin("<", l, NumLit(k, _)) if isDepthRef(l)  => widen(k.toInt)
+              case Bin("<=", l, NumLit(k, _)) if isDepthRef(l) => widen(k.toInt + 1)
+              case other => throw ParseException(
+                s"while supports (true) and \\$$depth bounds, got $other")
+            }
+          case "maxdepth" => p.next() match {
+            case TNum(s) => widen(s.toInt)
+            case t => throw ParseException(s"expected maxDepth number, found $t")
+          }
           case other => throw ParseException(s"unsupported match filter key $other")
         }
         more = p.op(",")
@@ -143,7 +228,9 @@ object Match {
     }
     val v = varName.getOrElse(freshVar())
     cond.foreach(c => wheres += qualify(c, v))
-    NodePat(Some(v), label)
+    Filter(NodePat(Some(v), label),
+      if (hi < 0 && lo == 0) None else Some((lo, if (hi < 0) Int.MaxValue else hi)),
+      optional)
   }
 
   /** Scope bare identifiers in a node filter's `where` to the node alias. */

@@ -49,7 +49,11 @@ object Parser {
       else if (c == '/' && i + 1 < n && input(i + 1) == '/') {
         while (i < n && input(i) != '\n') i += 1
       }
-      else if (dashComments && c == '-' && i + 1 < n && input(i + 1) == '-') {
+      else if (dashComments && c == '-' && i + 1 < n && input(i + 1) == '-' &&
+          (i + 2 >= n || input(i + 2) == ' ' || input(i + 2) == '\t' ||
+            input(i + 2) == '\r' || input(i + 2) == '\n')) {
+        // `-- comment` needs trailing whitespace/EOL so the MATCH
+        // statement's anonymous arrows `-->` / `<--` still lex as operators
         while (i < n && input(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && input(i + 1) == '*') {
         val j = input.indexOf("*/", i + 2)

@@ -183,4 +183,37 @@ class SqlFrontendSpec extends AnyFunSuite {
         "RETURN p.key AS k, count(*) AS n ORDER BY k")
     assert(arrow.collect().toSeq == method.collect().toSeq)
   }
+
+  test("MATCH depth windows: maxDepth/while/$depth filters compose; anonymous arrows") {
+    // MatchStatementExecutionTest testWhile/maxDepth: depth 0 = the origin
+    val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
+    def ks(q: String): Seq[Long] =
+      graft.sql.Match.query(g, q).collect().map(_.getLong(0)).toSeq
+    val d0 = ks("MATCH {type: customer, as: c, where: (key = 1)}" +
+      ".out('placed'){as: x, maxDepth: 0} RETURN x.key AS k")
+    assert(d0 == Seq(1L)) // origin only
+    val d1 = ks("MATCH {type: customer, as: c, where: (key = 1)}" +
+      ".out('placed'){as: x, maxDepth: 1} RETURN x.key AS k ORDER BY k")
+    val w1 = ks("MATCH {type: customer, as: c, where: (key = 1)}" +
+      ".out('placed'){as: x, while: ($depth < 1)} RETURN x.key AS k ORDER BY k")
+    assert(d1 == w1 && d1.contains(1L) && d1.length > 1) // origin + direct
+    val pin = ks("MATCH {type: customer, as: c, where: (key = 1)}" +
+      ".out('placed'){as: x, maxDepth: 1, where: ($depth = 1)} RETURN x.key AS k ORDER BY k")
+    assert(pin == d1.filterNot(_ == 1L)) // window pinned to depth 1
+    // anonymous arrows parse in both directions
+    val fwd = ks("MATCH {type: customer, as: c, where: (key = 1)} --> {as: o} " +
+      "RETURN o.key AS k ORDER BY k")
+    assert(fwd == pin)
+    val rev = ks("MATCH {type: order, as: o, where: (key = " + fwd.head +
+      ")} <-- {as: c} RETURN c.key AS k")
+    assert(rev == Seq(1L))
+  }
+
+  test("MATCH optional:true keeps left rows with null right bindings") {
+    val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
+    val rows = graft.sql.Match.query(g,
+      "MATCH {type: customer, as: c, where: (key < 4)} -nonexisting-> " +
+        "{as: b, optional: true} RETURN c.key AS k, b.key AS bk ORDER BY k").collect()
+    assert(rows.length == 4 && rows.forall(_.isNullAt(1)))
+  }
 }

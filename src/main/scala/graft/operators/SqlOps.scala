@@ -326,6 +326,41 @@ object SqlOps {
           "{as: b, optional: true} RETURN c.key AS k, b.key AS bk ORDER BY k")
     },
 
+    // ---- NOT pattern (negativePattern): anti-join over bound aliases ----
+    Q("q_sql_match_not",
+      """SELECT c_custkey AS k, o_orderkey AS ok
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 30
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY k, ok""".stripMargin) { (s, d) =>
+      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpch(s, d),
+        "MATCH {type: customer, as: c, where: (key < 30)} --> {as: o}, " +
+          "NOT {as: o} --> {as: x} RETURN c.key AS k, o.key AS ok ORDER BY k, ok")
+    },
+
+    // ---- RETURN $pathElements: one row per distinct element on any
+    //      matched path (returnPathElements) ----
+    Q("q_sql_match_pathelements",
+      """SELECT label, key FROM (
+        |  SELECT 'customer' AS label, CAST(c_custkey AS BIGINT) AS key
+        |  FROM customer WHERE c_custkey = 1 AND EXISTS (
+        |    SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    WHERE o_custkey = 1 AND l_partkey < 100)
+        |  UNION
+        |  SELECT 'order' AS label, o_orderkey AS key FROM orders
+        |  WHERE o_custkey = 1 AND EXISTS (
+        |    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_partkey < 100)
+        |  UNION
+        |  SELECT 'part' AS label, l_partkey AS key
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_custkey = 1 AND l_partkey < 100)
+        |ORDER BY label, key""".stripMargin) { (s, d) =>
+      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpch(s, d),
+        "MATCH {type: customer, where: (key = 1)}.out('placed'){as: o}" +
+          ".out('contains'){type: part, where: (key < 100)} RETURN $pathElements")
+        .select("label", "key").orderBy("label", "key")
+    },
+
     // ---- derived-table FROM (SELECT …) (FetchFromResultsetStep) ----
     Q("q_sql_from_subquery",
       """SELECT o_orderstatus, count(*) AS n FROM (

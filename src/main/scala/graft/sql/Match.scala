@@ -33,20 +33,45 @@ import org.apache.spark.sql.DataFrame
   */
 object Match {
 
-  def parse(text: String): Cypher.CypherQuery = {
+  def parse(text: String): Cypher.CypherQuery = parseFull(text)._1
+
+  /** Parse plus the context-variable RETURN mode (`$patterns` / `$paths` /
+    * `$elements` / `$pathElements` — reference MatchExecutionPlanner
+    * returnPatterns/returnPaths/returnElements/returnPathElements) and the
+    * named/all variable lists the modes project. */
+  private[graft] def parseFull(text: String): (Cypher.CypherQuery, Option[(String, Seq[String])]) = {
     // dashComments OFF: the MATCH pattern surface uses `-->` / `<--`
     // anonymous arrows (same reason the openCypher front-end keeps it off)
     val p = new Parser.P(Parser.lex(text))
     p.expectKw("MATCH")
     val chains = Seq.newBuilder[PatternChain]
+    val negChains = Seq.newBuilder[PatternChain]
     val wheres = Seq.newBuilder[Expr]
-    def path(): Unit = {
+    val namedVars = Seq.newBuilder[String]
+    val allVars = Seq.newBuilder[String]
+    def path(neg: Boolean): Unit = {
       val nodes = Seq.newBuilder[NodePat]
       val rels = Seq.newBuilder[RelPat]
       var chainOptional = false
+      // a NOT chain may only reference ALREADY-BOUND aliases: its unnamed
+      // nodes stay anonymous inside the predicate and a `where:` there has
+      // no outer row to filter (reference negativePattern shapes)
+      val negWheres = Seq.newBuilder[Expr]
+      def node(f: Filter): NodePat =
+        // inside NOT, only aliases bound by a positive chain keep their
+        // name (they correlate the anti-join); anything else — unnamed or
+        // referenced nowhere outside — is existential, i.e. anonymous
+        if (neg && !(f.named && allVars.result().contains(f.node.varName.get)))
+          f.node.copy(varName = None)
+        else f.node
+      def track(f: Filter): Unit = if (!neg) {
+        f.node.varName.foreach(allVars += _)
+        if (f.named) f.node.varName.foreach(namedVars += _)
+      }
       def dest(rel: RelPat): Unit = {
-        val f = filter(p, wheres)
-        nodes += f.node
+        val f = filter(p, if (neg) negWheres else wheres)
+        nodes += node(f)
+        track(f)
         if (f.optional) chainOptional = true
         // while/maxDepth/$depth-window turn the incoming edge into a
         // variable-length walk (reference matchPathItem whileCondition /
@@ -58,7 +83,12 @@ object Match {
           case None => rel
         })
       }
-      nodes += { val f = filter(p, wheres); if (f.optional) chainOptional = true; f.node }
+      nodes += {
+        val f = filter(p, if (neg) negWheres else wheres)
+        track(f)
+        if (f.optional) chainOptional = true
+        node(f)
+      }
       var go = true
       while (go) {
         if (p.op("-")) { // -Edge-> | --> (anonymous)
@@ -101,22 +131,52 @@ object Match {
       // single-node chain for the anchor, then the full chain as the
       // left-join extension — the same two-clause shape openCypher's
       // `MATCH (a) OPTIONAL MATCH (a)-->(b)` produces
-      if (chainOptional)
-        chains += PatternChain(Seq(nodes.result().head), Seq.empty, optional = false)
-      chains += PatternChain(nodes.result(), rels.result(), optional = chainOptional)
+      if (neg) {
+        // `NOT {…}-->{…}`: an anti-pattern over already-bound aliases
+        // (reference negativePattern tests) — compiled as a negated
+        // pattern predicate on the shared Cypher backend
+        if (negWheres.result().nonEmpty)
+          throw ParseException("where: is not supported inside a NOT pattern")
+        negChains += PatternChain(nodes.result(), rels.result(), optional = false)
+      } else {
+        if (chainOptional)
+          chains += PatternChain(Seq(nodes.result().head), Seq.empty, optional = false)
+        chains += PatternChain(nodes.result(), rels.result(), optional = chainOptional)
+      }
     }
-    path()
-    while (p.op(",")) path()
+    path(neg = false)
+    while (p.op(",")) path(neg = p.kw("NOT"))
     p.expectKw("RETURN")
     val distinct = p.kw("DISTINCT")
+    // context-variable projections: `RETURN $patterns|$paths|$elements|$pathElements`
+    val ctxMode: Option[(String, Seq[String])] = p.peek match {
+      case TId(n) if Set("$patterns", "$paths", "$elements", "$pathElements")
+          .exists(_.equalsIgnoreCase(n)) =>
+        p.next()
+        val named = namedVars.result().distinct
+        val all = allVars.result().distinct
+        n.toLowerCase.stripPrefix("$") match {
+          case "patterns"     => Some("patterns" -> named)
+          case "paths"        => Some("paths" -> all)
+          case "elements"     => Some("elements" -> named)
+          case "pathelements" => Some("pathelements" -> all)
+        }
+      case _ => None
+    }
     val items = Seq.newBuilder[ReturnItem]
     def item(): Unit = {
       val e = Parser.parseExpr(p)
       val alias = if (p.kw("AS")) Some(Parser.ident(p)) else None
       items += ReturnItem(e, alias)
     }
-    item()
-    while (p.op(",")) item()
+    ctxMode match {
+      case Some((_, vars)) =>
+        require(vars.nonEmpty, "context-variable RETURN needs at least one pattern variable")
+        vars.foreach(v => items += ReturnItem(Ident(v), Some(v)))
+      case None =>
+        item()
+        while (p.op(",")) item()
+    }
     val orderBy = if (p.kw("ORDER")) {
       p.expectKw("BY")
       val b = Seq.newBuilder[OrderItem]
@@ -135,15 +195,21 @@ object Match {
       Some(NumLit(BigDecimal(Parser.longLit(p)), isIntegral = true)) else None
     if (p.peek != TEof) throw ParseException(s"trailing input at ${p.peek}")
     val where = wheres.result().reduceOption((a, b) => Bin("AND", a, b))
-    Cypher.CypherQuery(Seq(MatchC(chains.result(), where)),
-      items.result(), distinct, orderBy, skip, limit)
+    // $patterns/$elements project DISTINCT named bindings (the reference
+    // dedups the pattern set); $paths keeps one row per path
+    val dedup = distinct ||
+      ctxMode.exists(m => m._1 == "patterns" || m._1 == "elements")
+    (Cypher.CypherQuery(
+      Seq(MatchC(chains.result(), where,
+        patternPreds = negChains.result().map(c => (c, true)))),
+      items.result(), dedup, orderBy, skip, limit), ctxMode)
   }
 
   private var anon = 0
   private def freshVar(): String = synchronized { anon += 1; s"_m$anon" }
 
   private final case class Filter(node: NodePat, depth: Option[(Int, Int)],
-      optional: Boolean)
+      optional: Boolean, named: Boolean)
 
   /** `{type: t, as: v, where: (expr), optional: true, while: ($depth < n),
     * maxDepth: n}` — all keys optional; `where` props are qualified to the
@@ -230,7 +296,7 @@ object Match {
     cond.foreach(c => wheres += qualify(c, v))
     Filter(NodePat(Some(v), label),
       if (hi < 0 && lo == 0) None else Some((lo, if (hi < 0) Int.MaxValue else hi)),
-      optional)
+      optional, named = varName.isDefined)
   }
 
   /** Scope bare identifiers in a node filter's `where` to the node alias. */
@@ -257,6 +323,17 @@ object Match {
   }
 
   /** Entry point: run a SQL-dialect MATCH statement against a graph. */
-  def query(g: PropertyGraph, text: String): DataFrame =
-    Cypher.compile(g, parse(text))
+  def query(g: PropertyGraph, text: String): DataFrame = {
+    val (cq, ctxMode) = parseFull(text)
+    val base = Cypher.compile(g, cq)
+    ctxMode match {
+      // $elements / $pathElements: one row per DISTINCT element across the
+      // projected variables — unpivot the node structs and dedup on id
+      case Some((m, vars)) if m == "elements" || m == "pathelements" =>
+        vars.map(v => base.select(org.apache.spark.sql.functions.col(s"$v.*")))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .dropDuplicates("id")
+      case _ => base
+    }
+  }
 }

@@ -209,6 +209,41 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(rev == Seq(1L))
   }
 
+  test("MATCH context-variable RETURN: $patterns/$paths/$elements/$pathElements") {
+    val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
+    val base = "MATCH {type: customer, where: (key = 1)}.out('placed'){as: o}" +
+      ".out('contains'){type: part, where: (key < 100)} RETURN "
+    val patterns = graft.sql.Match.query(g, base + "$patterns")
+    assert(patterns.columns.toSeq == Seq("o")) // named vars only, deduped
+    val paths = graft.sql.Match.query(g, base + "$paths")
+    assert(paths.columns.length == 3) // every var incl. anonymous
+    assert(paths.count() >= patterns.count())
+    val elements = graft.sql.Match.query(g, base + "$elements")
+    assert(elements.columns.contains("key")) // node records unpacked
+    assert(elements.select("label").distinct().collect().map(_.getString(0)).toSeq == Seq("order"))
+    val pathElements = graft.sql.Match.query(g, base + "$pathElements")
+    val labels = pathElements.select("label").distinct().collect().map(_.getString(0)).sorted
+    assert(labels.toSeq == Seq("customer", "order", "part"))
+  }
+
+  test("MATCH NOT pattern anti-joins on bound aliases") {
+    val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
+    // every order has lineitems at this SF except the synthetic empties —
+    // the anti-pattern must be a strict subset of the positive match
+    val pos = graft.sql.Match.query(g,
+      "MATCH {type: customer, as: c, where: (key < 30)} --> {as: o} " +
+        "RETURN c.key AS k, o.key AS ok").count()
+    val neg = graft.sql.Match.query(g,
+      "MATCH {type: customer, as: c, where: (key < 30)} --> {as: o}, " +
+        "NOT {as: o} --> {as: x} RETURN c.key AS k, o.key AS ok").count()
+    assert(neg < pos)
+    // NOT over an edge that always exists for the matched rows -> empty
+    val none = graft.sql.Match.query(g,
+      "MATCH {type: customer, as: c, where: (key < 10)} --> {as: o}, " +
+        "NOT {as: c} --> {as: o} RETURN c.key AS k").count()
+    assert(none == 0)
+  }
+
   test("MATCH optional:true keeps left rows with null right bindings") {
     val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
     val rows = graft.sql.Match.query(g,

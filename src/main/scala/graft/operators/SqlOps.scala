@@ -516,6 +516,21 @@ object SqlOps {
         "TRAVERSE out() FROM customer WHERE key <= 3 MAXDEPTH 2")
     },
 
+    // ---- STRATEGY DEPTH_FIRST + WHILE bound + FROM (subquery): same
+    //      visited set as BFS (order is the strategies' only observable
+    //      difference, pinned in SqlFrontendSpec) ----
+    Q("q_sql_traverse_dfs",
+      """SELECT key, label, depth FROM (
+        |  SELECT c_custkey AS key, 'customer' AS label, 0 AS depth
+        |  FROM customer WHERE c_custkey <= 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'order', 1 FROM orders WHERE o_custkey <= 3)
+        |ORDER BY depth, key""".stripMargin) { (s, d) =>
+      graft.sql.Traverse.query(graft.graph.PropertyGraph.fromTpchTraversal(s, d),
+        "TRAVERSE out() FROM (SELECT FROM customer WHERE key <= 3) " +
+          "WHILE $depth < 2 STRATEGY DEPTH_FIRST")
+    },
+
     // ---- INSERT INTO … VALUES through the parser (InsertExecutionPlanner)
     //      — result is the post-insert table state re-read via the dialect ----
     Q("q_sql_insert",

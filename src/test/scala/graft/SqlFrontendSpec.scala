@@ -244,6 +244,32 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("TRAVERSE: WHILE depth bound, FROM (subquery), STRATEGY, LIMIT") {
+    val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
+    // WHILE $depth < 2 emits depths 0 and 1 only (reference withDepth)
+    val whileRows = graft.sql.Traverse.query(g,
+      "TRAVERSE out() FROM (SELECT FROM customer WHERE key = 1) WHILE $depth < 2").collect()
+    assert(whileRows.nonEmpty && whileRows.forall(_.getAs[Number]("depth").intValue <= 1))
+    val maxRows = graft.sql.Traverse.query(g,
+      "TRAVERSE out() FROM customer WHERE key = 1 MAXDEPTH 1").collect()
+    assert(whileRows.length == maxRows.length)
+    // BREADTH_FIRST emits level by level: the depth sequence is monotonic
+    val bfs = graft.sql.Traverse.query(g,
+      "TRAVERSE out() FROM customer WHERE key = 1 STRATEGY BREADTH_FIRST")
+      .collect().map(_.getAs[Number]("depth").intValue).toSeq
+    assert(bfs == bfs.sorted)
+    // DEPTH_FIRST dives: on a branching 2-level graph the depth sequence
+    // returns to 1 after visiting a branch's children (non-monotonic), and
+    // both strategies visit the same node set
+    val dfs = graft.sql.Traverse.query(g,
+      "TRAVERSE out() FROM customer WHERE key = 1 STRATEGY DEPTH_FIRST")
+      .collect().map(_.getAs[Number]("depth").intValue).toSeq
+    assert(dfs.length == bfs.length)
+    assert(dfs != dfs.sorted) // customer 1 has >1 order, each with parts
+    assert(graft.sql.Traverse.query(g,
+      "TRAVERSE out() FROM customer WHERE key = 1 LIMIT 3").count() == 3)
+  }
+
   test("MATCH optional:true keeps left rows with null right bindings") {
     val g = graft.graph.PropertyGraph.fromTpch(spark, sfDir)
     val rows = graft.sql.Match.query(g,

@@ -241,6 +241,63 @@ object Parser {
     out.result()
   }
 
+  /** Substitute parameters directly in SQL TEXT (for the statement/DML
+    * path, which re-lexes per dispatch arm): literal splicing at the
+    * lexer's token offsets, so string bodies and comments are never
+    * touched. Same opener rule as [[bindParams]]. */
+  private[graft] def substituteParams(sql: String, pos: Seq[Any],
+      named: Map[String, Any]): String = {
+    val (toks, offs) = lexWithOffsets(sql, dashComments = true)
+    def render(v: Any): String = v match {
+      case null                 => "null"
+      case s: String            => "'" + s.replace("'", "''") + "'"
+      case b: java.lang.Boolean => b.toString
+      case n: java.lang.Number  => n.toString
+      case m: scala.collection.Map[_, _] =>
+        // map payloads (UPDATE … MERGE :payload) render as embedded-doc
+        // literals; the reference rejects non-string keys
+        // (UpdateMergeTest.updateMergeWithNonStringKeyMapFails)
+        m.map { case (k, mv) =>
+          if (!k.isInstanceOf[String])
+            throw ParseException(s"map parameter keys must be strings, got $k")
+          "'" + k.toString.replace("'", "''") + "': " + render(mv)
+        }.mkString("{", ", ", "}")
+      case s: scala.collection.Seq[_] => s.map(render).mkString("[", ", ", "]")
+      case other                => "'" + other.toString.replace("'", "''") + "'"
+    }
+    val sb = new StringBuilder
+    var cursor = 0
+    var i = 0
+    var p = 0
+    // keywords that directly precede a value position (`MERGE :payload`,
+    // `CONTENT :doc`, `FROM :rid`, `RETURN :x`) also open a parameter
+    val kwOpeners = Set("MERGE", "CONTENT", "VALUES", "RETURN", "FROM",
+      "WHERE", "AND", "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN",
+      "THEN", "ELSE", "WHEN", "SET", "TO")
+    def prevOpensParam: Boolean = i == 0 || (toks(i - 1) match {
+      case TOp(")" | "]" | "}") => false
+      case TOp(_)               => true
+      case TId(s)               => kwOpeners.contains(s.toUpperCase)
+      case _                    => false
+    })
+    while (i < toks.length) {
+      toks(i) match {
+        case TOp("?") =>
+          if (p >= pos.length)
+            throw ParseException(s"missing positional parameter #${p + 1}")
+          sb.append(sql.substring(cursor, offs(i))).append(render(pos(p)))
+          cursor = offs(i) + 1; p += 1; i += 1
+        case TOp(":") if i + 1 < toks.length && prevOpensParam &&
+            (toks(i + 1) match { case TId(n) => named.contains(n); case _ => false }) =>
+          val name = toks(i + 1).asInstanceOf[TId].s
+          sb.append(sql.substring(cursor, offs(i))).append(render(named(name)))
+          cursor = offs(i + 1) + name.length; i += 2
+        case _ => i += 1
+      }
+    }
+    sb.append(sql.substring(cursor)).toString
+  }
+
   /** Parse a SELECT from pre-substituted tokens (the parameter-binding
     * path). */
   private[graft] def parseSelectTokens(toks: Vector[Tok]): Select = {

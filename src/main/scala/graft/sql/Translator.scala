@@ -1460,6 +1460,20 @@ object GraftSql {
     * the query and returns per-operator runtime metrics (reference
     * explainStatement/profileStatement — SQLParser.g4, ExplainStatement
     * .java, ProfileStatement.java with InfoExecutionStep row output). */
+  /** Parameterized statement: positional/named args splice as literal
+    * text at the lexer's token offsets (DML re-lexes per dispatch arm). */
+  def statement(spark: SparkSession, dir: String, sql: String, cat: TypeCatalog,
+      fns: FunctionRegistry, params: Seq[Any], namedParams: Map[String, Any]): DataFrame =
+    statement(spark, dir, Parser.substituteParams(sql, params, namedParams), cat, fns)
+
+  def statement(spark: SparkSession, dir: String, sql: String, cat: TypeCatalog,
+      params: Seq[Any]): DataFrame =
+    statement(spark, dir, sql, cat, new FunctionRegistry, params, Map.empty)
+
+  def statement(spark: SparkSession, dir: String, sql: String, cat: TypeCatalog,
+      namedParams: Map[String, Any]): DataFrame =
+    statement(spark, dir, sql, cat, new FunctionRegistry, Seq.empty, namedParams)
+
   def statement(spark: SparkSession, dir: String, sql: String,
       cat: TypeCatalog = TypeCatalog.default,
       fns: FunctionRegistry = new FunctionRegistry): DataFrame = {

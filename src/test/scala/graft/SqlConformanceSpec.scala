@@ -912,6 +912,36 @@ class SqlConformanceSpec extends AnyFunSuite {
     assert(again(0).getString(0) == "v1_3")
   }
 
+  test("UPDATE MERGE json/:payload map; DML parameters splice safely") {
+    // UpdateMergeTest + InsertStatementExecutionTest issue #3212
+    val cat = writable(Seq(("John", "x")).toDF("name", "status"), "vm")
+    stmt(cat, "UPDATE vm MERGE { \"status\": \"active\", \"email\": \"j@x.com\" } WHERE name = 'John'")
+    val r = q(cat, "SELECT name, status, email FROM vm")(0)
+    assert(r.getString(1) == "active" && r.getString(2) == "j@x.com")
+    GraftSql.statement(spark, sfDir, "UPDATE vm MERGE :payload WHERE name = :n", cat,
+      Map[String, Any]("payload" -> Map("status" -> "archived"), "n" -> "John")).collect()
+    assert(q(cat, "SELECT status FROM vm")(0).getString(0) == "archived")
+    // non-string map keys are rejected (updateMergeWithNonStringKeyMapFails)
+    intercept[Exception] {
+      GraftSql.statement(spark, sfDir, "UPDATE vm MERGE :p WHERE name = 'John'", cat,
+        Map[String, Any]("p" -> Map(1 -> "x"))).collect()
+    }
+    // keyword property names + named params through INSERT (issue #3212)
+    val cat2 = writable(Seq(("seed", "xx")).toDF("hash", "language"), "kw")
+    GraftSql.statement(spark, sfDir,
+      "INSERT INTO kw SET hash = :hash, language = :language", cat2,
+      Map[String, Any]("hash" -> "def", "language" -> "fr")).collect()
+    assert(q(cat2, "SELECT count(*) AS c FROM kw")(0).getLong(0) == 2L)
+    // positional DML params; a quote inside a string parameter stays data
+    val cat3 = writable(Seq(("a", 1L)).toDF("name", "v"), "pp")
+    GraftSql.statement(spark, sfDir, "UPDATE pp SET v = ? WHERE name = ?", cat3,
+      Seq(42, "a")).collect()
+    assert(q(cat3, "SELECT v FROM pp")(0).getLong(0) == 42L)
+    GraftSql.statement(spark, sfDir, "INSERT INTO pp SET name = ?, v = 7", cat3,
+      Seq("o'brien")).collect()
+    assert(q(cat3, "SELECT name FROM pp WHERE v = 7")(0).getString(0) == "o'brien")
+  }
+
   test("nested distinct() raises the reference's actionable error") {
     // distinctFunctionIssue2966: distinct(*)/distinct(x) = whole-projection
     // DISTINCT; any nested use must say so

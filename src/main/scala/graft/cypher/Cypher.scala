@@ -3267,7 +3267,7 @@ object Cypher {
             // nothing matches (openCypher): left-join from the dual row
             acc =
               if (chain.optional)
-                g.vertices.sparkSession.range(1).select(lit(1).as("__dual0"))
+                graft.OneRow(g.vertices.sparkSession).select(lit(1).as("__dual0"))
                   .join(cf, lit(true), "left_outer").drop("__dual0")
               else cf
             nodeVars = cr.nodeVars
@@ -3450,7 +3450,7 @@ object Cypher {
           case ArrayLit(es) if needsVariantList(es) =>
             val elems = array(es.map(variantElem): _*)
             acc = if (acc == null)
-              g.vertices.sparkSession.range(1).select(explode(elems).as(a))
+              graft.OneRow(g.vertices.sparkSession).select(explode(elems).as(a))
             else acc.withColumn(a, explode(elems))
             scalars += a
             return
@@ -3466,7 +3466,7 @@ object Cypher {
                   .otherwise(lit(null).cast(
                     org.apache.spark.sql.types.ArrayType(Variant.elemType))))
               acc = if (acc == null)
-                g.vertices.sparkSession.range(1).select(el.as(s"${a}__ve"))
+                graft.OneRow(g.vertices.sparkSession).select(el.as(s"${a}__ve"))
               else acc.withColumn(s"${a}__ve", el)
               acc = acc.withColumn(a, Variant.ofElemValue(col(s"${a}__ve")))
                 .drop(s"${a}__ve")
@@ -3481,7 +3481,7 @@ object Cypher {
           case _       => toCol(e)
         }
         acc =
-          if (acc == null) g.vertices.sparkSession.range(1).select(explode(listCol).as(a))
+          if (acc == null) graft.OneRow(g.vertices.sparkSession).select(explode(listCol).as(a))
           else acc.withColumn(a, explode(listCol))
         if (refsEntity(e)) {
           import org.apache.spark.sql.types.StructType
@@ -3556,7 +3556,7 @@ object Cypher {
         // a leading WITH (no horizon yet) evaluates its items once — the
         // same relational dual row standalone RETURN projects from
         if (acc == null)
-          acc = session.range(1).select(lit(1).as("__dual"))
+          acc = graft.OneRow(session).select(lit(1).as("__dual"))
         // `WITH *` carries every variable in scope
         val items0 = items0raw.flatMap {
           case ReturnItem(Ident("*"), None, _) =>
@@ -4004,7 +4004,7 @@ object Cypher {
     // the items once — a literal one-row frame, the relational dual table
     var acc =
       if (pl.acc != null) pl.acc
-      else pl.session.range(1).select(lit(1).as("__dual"))
+      else graft.OneRow(pl.session).select(lit(1).as("__dual"))
     // returned path variables need whole-node structs along the path —
     // attach them (one explode + vertex join + positional re-collect per
     // returned path; queries that never return a path pay nothing)
@@ -4438,7 +4438,7 @@ object Cypher {
             import org.apache.spark.sql.types.{StructField, StructType}
             val flat = specs.zipWithIndex.flatMap { case (cs, i) =>
               cs.map { case (n, c) => c.as(s"__b${i}__$n") } }
-            val wide = mg.spark.range(1).select(flat.toIndexedSeq: _*)
+            val wide = graft.OneRow(mg.spark).select(flat.toIndexedSeq: _*)
             val row = wide.head()
             val fieldTypes = wide.schema.fields.map(_.dataType)
             var off = 0
@@ -4537,7 +4537,7 @@ object Cypher {
                 props.map { case (k, e2) =>
                   graft.sql.Translator.toColumn(pl.typed(e2)).as(s"${rv}_$k") }
             }
-            pl.acc = (if (pl.acc == null) mg.spark.range(1).select(relCols: _*)
+            pl.acc = (if (pl.acc == null) graft.OneRow(mg.spark).select(relCols: _*)
                       else pl.acc.select(col("*") +: relCols: _*))
             pl.relVars ++= createdRels.map(_._1)
           }
@@ -4554,7 +4554,7 @@ object Cypher {
                 n.props.filterNot(_._1 == "id").map { case (k, e) =>
                   graft.sql.Translator.toColumn(resolveCreatedRefs(e)).as(s"${v}_$k") }
             }
-            pl.acc = (if (pl.acc == null) mg.spark.range(1).select(cols: _*)
+            pl.acc = (if (pl.acc == null) graft.OneRow(mg.spark).select(cols: _*)
                       else pl.acc.select(col("*") +: cols: _*))
             pl.nodeVars ++= namedPats.map(_._1)
           }
@@ -4919,7 +4919,7 @@ object Cypher {
                 .map(_.toString.toLong + 1).getOrElse(0L)
               lit(nextId).as("id") +: base0
             }
-          val row0 = mg.spark.range(1).select(base: _*)
+          val row0 = graft.OneRow(mg.spark).select(base: _*)
           val row = sets(onCreate.items).foldLeft(row0) { case (d, (p2, c)) => d.withColumn(p2, c) }
           val rowL =
             if (onCreate.labelItems.isEmpty) row
@@ -5145,7 +5145,7 @@ object Cypher {
         // the shape nodes(p) and collect(v) produce)
         val base =
           if (pl.acc != null) pl.acc
-          else mg.spark.range(1).select(lit(1).as("__dual"))
+          else graft.OneRow(mg.spark).select(lit(1).as("__dual"))
         val elems = base.select(explode(pl.toCol(list)).as(x)).localCheckpoint(true)
         body.foreach {
           case SetC(items, _, _) =>
@@ -5307,6 +5307,6 @@ object Cypher {
       case c => pl.step(c)
     }
     if (q.items.nonEmpty) finishReturn(pl, q)
-    else mg.spark.range(1).select(lit(1).as("ok"))
+    else graft.OneRow(mg.spark).select(lit(1).as("ok"))
   }
 }

@@ -81,7 +81,7 @@ object Procedures {
     if (tp.outCols.isEmpty)
       // void procedure: one row, no yield surface — the caller's horizon
       // passes through unchanged (the hidden column drops in CallC)
-      return spark.range(1).select(lit(1).as("__void"))
+      return graft.OneRow(spark).select(lit(1).as("__void"))
     val cols = tp.inCols ++ tp.outCols
     import org.apache.spark.sql.types._
     def typeOf(v: Any): DataType = v match {

@@ -166,7 +166,7 @@ object GraphAlgos {
   def aStarPair(edges: DataFrame, source: Long, target: Long,
       h: Column => Column, iters: Int): DataFrame = {
     val spark = edges.sparkSession
-    var dist = spark.range(1).select(lit(source).as("id"), lit(0.0).as("g"))
+    var dist = graft.OneRow(spark).select(lit(source).as("id"), lit(0.0).as("g"))
     var best = Double.PositiveInfinity
     for (_ <- 1 to iters) {
       val relaxed = dist.join(edges.withColumnRenamed("src", "id"), Seq("id"))

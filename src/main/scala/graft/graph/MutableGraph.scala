@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * GraphEngine.java:66).
   *
   * Same storage model as [[graft.sources.MutableTable]]: each mutation
-  * derives the next vertices/edges state declaratively, materializes it
-  * (localCheckpoint — the lazily-read source dir is about to be
-  * overwritten), and overwrites the backing parquet. At 100 TB the backing
+  * derives the next vertices/edges state declaratively, writes it to a
+  * staging directory (the write reads the still-intact current state) and
+  * swaps staging into place. At 100 TB the backing
   * would be Delta/Iceberg MERGE; the derivation (affected-id set → join →
   * rewrite) is what those formats execute underneath. Affected-id sets are
   * broadcast — a write touches few vertices while the table is huge, so
@@ -23,10 +23,22 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
   def edges: DataFrame = spark.read.parquet(eDir)
   def graph: PropertyGraph = PropertyGraph(vertices, edges)
 
-  private def overwriteV(next: DataFrame): Unit =
-    next.localCheckpoint(eager = true).write.mode("overwrite").parquet(vDir)
-  private def overwriteE(next: DataFrame): Unit =
-    next.localCheckpoint(eager = true).write.mode("overwrite").parquet(eDir)
+  // r11: staging write + swap instead of localCheckpoint + in-place
+  // overwrite — one distributed materialization per mutation instead of
+  // two (see MutableTable.overwrite); input frames evaluate during the
+  // staging write, while both backing dirs are still intact.
+  private def swapIn(next: DataFrame, dir: String): Unit = {
+    val staging = s"$dir-staging"
+    next.write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(dir)))
+      throw new IllegalStateException(s"staging swap failed for $dir")
+  }
+  private def overwriteV(next: DataFrame): Unit = swapIn(next, vDir)
+  private def overwriteE(next: DataFrame): Unit = swapIn(next, eDir)
 
   /** Schema-evolving append: columns missing on either side become null,
     * new property keys extend the schema (the reference's records are
@@ -38,10 +50,8 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     MutableGraph.evolvedUnion(base, rows)
 
   /** CREATE (n:label {...}) — append vertex rows, evolving the schema. */
-  def createVertices(rows: DataFrame): Unit = {
-    val v = vertices
-    overwriteV(evolved(v, rows.localCheckpoint(eager = true)))
-  }
+  def createVertices(rows: DataFrame): Unit =
+    overwriteV(evolved(vertices, rows))
 
   /** CREATE (a)-[:T {...}]->(b) — append edge rows, evolving the schema.
     * Every created edge gets a persistent `_eid` identity (parallel edges
@@ -59,16 +69,17 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
             Option(e.agg(max(col("_eid"))).head.get(0))
               .map(_.toString.toLong + 1).getOrElse(0L)
           else 0L
+        // single evaluation (inside the staging write), so the
+        // non-deterministic id assignment is observed exactly once
         rows.withColumn("_eid", lit(next) + monotonically_increasing_id())
       }
-    overwriteE(evolved(e, withId.localCheckpoint(eager = true)))
+    overwriteE(evolved(e, withId))
   }
 
   /** SET v.prop = expr on vertices whose id ∈ `ids`. Set expressions are
     * Columns over the vertex row's own properties. */
   def setVertexProps(ids: DataFrame, sets: Seq[(String, Column)]): Unit = {
     val keys = ids.select(col("id").as("__set_id")).distinct()
-      .localCheckpoint(eager = true)
     val marked = vertices.join(broadcast(keys), col("id") === col("__set_id"), "left_outer")
     val next = sets.foldLeft(marked) { case (d, (p, c)) =>
       // a property the schema has never seen extends it (schema-flexible
@@ -87,7 +98,6 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     val props = updates.columns.filterNot(_ == "__set_id").toSeq
     val aggs = props.map(p => last(col(p)).as(s"__upd_$p"))
     val one = updates.groupBy(col("__set_id")).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(eager = true)
     val marked = vertices.join(broadcast(one), col("id") === col("__set_id"), "left_outer")
     val next = props.foldLeft(marked) { (d, p) =>
       val prev = if (d.columns.contains(p)) col(p) else lit(null)
@@ -102,7 +112,6 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     val props = updates.columns.filterNot(_ == "__set_eid").toSeq
     val aggs = props.map(p => last(col(p)).as(s"__upd_$p"))
     val one = updates.groupBy(col("__set_eid")).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(eager = true)
     if (!edges.columns.contains("_eid")) {
       if (edges.isEmpty) return // nothing to update (null-rel no-op SET)
       throw new IllegalStateException("edge store has no _eid identity column")
@@ -119,7 +128,6 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     * column holds a ":"-joined sorted label set. */
   def setVertexLabels(ids: DataFrame, add: Seq[String], remove: Seq[String]): Unit = {
     val keys = ids.select(col("id").as("__lbl_id")).distinct()
-      .localCheckpoint(eager = true)
     val marked = vertices.join(broadcast(keys), col("id") === col("__lbl_id"), "left_outer")
     val next = marked.withColumn("label",
       when(col("__lbl_id").isNotNull,
@@ -159,7 +167,6 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
     * delete (an optional-match DELETE over an empty graph is a no-op). */
   def deleteEdges(eids: DataFrame): Unit = {
     val keys = eids.select(col("eid").as("__del_eid")).distinct()
-      .localCheckpoint(eager = true)
     if (!edges.columns.contains("_eid")) {
       if (edges.isEmpty) return
       throw new IllegalStateException("edge store has no _eid identity column")

@@ -225,7 +225,7 @@ object Mongo {
   import graft.sources.MutableTable
 
   private def docRow(spark: SparkSession, d: JsonNode): DataFrame =
-    spark.range(1).select(
+    graft.OneRow(spark).select(
       d.properties.asScala.toSeq.map(e => literal(e.getValue).as(e.getKey)): _*)
 
   /** `insert` command: JSON document or array of documents. Returns n. */
@@ -284,7 +284,7 @@ object Mongo {
           }
         }
       val fields = (seed.toMap ++ applied.toMap).toSeq
-      table.insert(spark.range(1).select(fields.map { case (k, c) => c.as(k) }: _*))
+      table.insert(graft.OneRow(spark).select(fields.map { case (k, c) => c.as(k) }: _*))
       1L
     } else n
   }

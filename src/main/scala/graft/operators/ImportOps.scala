@@ -113,7 +113,7 @@ object ImportOps {
         |  round(CAST(embedding[2] AS DOUBLE), 6) AS v2
         |FROM embeddings WHERE vec_id < 50 ORDER BY token""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 50)
-      val header = e.sparkSession.range(1).select(lit("50 2").as("value"))
+      val header = graft.OneRow(e.sparkSession).select(lit("50 2").as("value"))
       val lines = e.select(concat_ws(" ",
         concat(lit("tok"), col("vec_id")),
         round(element_at(col("embedding"), 1).cast("double"), 6).cast("string"),

@@ -48,7 +48,7 @@ object SkewJoin {
         |GROUP BY hot""".stripMargin) { (s, d) =>
       val probe = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
         .select(lit(1).as("hot"), col("l_quantity"))
-      val build = s.range(1).select(lit(1).as("hot"), lit("dim").as("tag"))
+      val build = graft.OneRow(s).select(lit(1).as("hot"), lit("dim").as("tag"))
       salted(probe, build, "hot", salts = 8)
         .groupBy("hot")
         .agg(sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("qty"),

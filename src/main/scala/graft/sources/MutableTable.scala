@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * the set-oriented form of the reference's per-record upsert loop).
   *
   * Spark mapping: each mutation derives the next table state as a
-  * DataFrame, materializes it (localCheckpoint — the lazily-read source dir
-  * is about to be overwritten), and overwrites the backing directory. At
+  * DataFrame, writes it to a staging directory (the write itself reads the
+  * still-intact current state), and swaps staging into place. At
   * 100 TB the backing store would be Delta/Iceberg where the same
   * operations are transactional MERGE/UPDATE/DELETE with file-level
   * pruning — the derivation logic below (predicate → touched subset →
@@ -28,8 +28,24 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
 
   def df: DataFrame = spark.read.parquet(dir)
 
-  private def overwrite(next: DataFrame): Unit =
-    next.localCheckpoint(eager = true).write.mode("overwrite").parquet(dir)
+  /** Publish `next` as the table's new state. r11: write to a staging
+    * directory and swap it into place, instead of localCheckpoint +
+    * in-place overwrite — one distributed materialization per mutation
+    * instead of two (the checkpoint existed only to decouple `next` from
+    * the directory it was about to clobber; writing the new state
+    * elsewhere achieves that with the write itself), and the visible
+    * window where `dir` holds partial state shrinks from the whole
+    * re-encode to a delete+rename. */
+  private def overwrite(next: DataFrame): Unit = {
+    val staging = s"$dir-staging"
+    next.write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(dir)))
+      throw new IllegalStateException(s"staging swap failed for $dir")
+  }
 
   // ---- pruned write path (StatsStore keyed merge): when the table
   // carries a stats manifest built on `keyCol`, UPDATE/DELETE rewrite
@@ -82,10 +98,13 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
   private def fireBefore(event: String, rows: DataFrame): Unit =
     fire(s"before_$event", rows)
 
+  /** The feed write evaluates `keys` immediately and runs BEFORE the
+    * table swap, so it may read `dir` safely; the extra localCheckpoint
+    * this used to carry was one redundant materialization per mutation
+    * (r11). */
   private def emitChanges(op: String, keys: DataFrame): Unit = keyCol.foreach { k =>
     cdfSeq += 1
     keys.select(lit(cdfSeq).as("seq"), lit(op).as("op"), col(k).cast("long").as("key"))
-      .localCheckpoint(eager = true)
       .write.mode(if (cdfSeq == 1) "overwrite" else "append").parquet(cdfDir)
   }
 
@@ -111,8 +130,9 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     * materialized before the overwrite (RETURN BEFORE | AFTER | COUNT). */
   def update(where: Column, sets: Seq[(String, Column)]): (Long, DataFrame, DataFrame) = {
     val before = df.filter(where).localCheckpoint(eager = true)
+    // `after` derives only from the checkpointed pre-image — safe to keep
+    // lazy across the swap; checkpointing it was one more job per UPDATE (r11)
     val after = sets.foldLeft(before)((d, s) => d.withColumn(s._1, s._2))
-      .localCheckpoint(eager = true)
     fireBefore("update", before)
     emitChanges("update", before)
     val noNewCols = sets.forall(s => df.columns.contains(s._1))
@@ -139,8 +159,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
         key.get(c).orElse(sets.find(_._1 == c).map(_._2))
           .getOrElse(lit(null).cast(df.schema(c).dataType)).as(c)
       }
-      val newRow = spark.range(1).select(cols.toIndexedSeq: _*)
-        .localCheckpoint(eager = true)
+      val newRow = graft.OneRow(spark).select(cols.toIndexedSeq: _*) // literals only
       emitChanges("insert", newRow)
       overwrite(df.unionByName(newRow))
       fire("insert", newRow)
@@ -169,11 +188,13 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
       .select(rid).limit(1).collect().headOption
     hit.fold(0L) { r =>
       val chosen = col(rid) === lit(r.getLong(0))
-      val before = base.filter(chosen).drop(rid).localCheckpoint(eager = true)
-      val next = apply(base, chosen).localCheckpoint(eager = true)
+      // before/next/fired all derive from the checkpointed `base` snapshot
+      // only — safe to keep lazy across the swap (r11: was 3 extra jobs)
+      val before = base.filter(chosen).drop(rid)
+      val next = apply(base, chosen)
       // post-image for update triggers; the removed row for delete
       val fired = if (op == "delete") before
-        else next.filter(chosen).drop(rid).localCheckpoint(eager = true)
+        else next.filter(chosen).drop(rid)
       fireBefore(op, before)
       emitChanges(op, before)
       overwrite(next.drop(rid))
@@ -221,7 +242,7 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
     val inserts = source.join(df, keys, "left_anti")
       .select(df.columns.map(col).toIndexedSeq: _*)
       .localCheckpoint(eager = true)
-    emitChanges("update", source.join(df, keys, "left_semi").localCheckpoint(eager = true))
+    emitChanges("update", source.join(df, keys, "left_semi"))
     emitChanges("insert", inserts)
     overwrite(updated.unionByName(inserts))
   }

@@ -104,7 +104,7 @@ object GraphDml {
       sets.map { case (k, e) => Translator.toColumn(e).as(k) }
     parse(sql) match {
       case CreateVertex(label, sets) =>
-        mg.createVertices(mg.spark.range(1).select(cols(sets) :+ lit(label).as("label"): _*))
+        mg.createVertices(graft.OneRow(mg.spark).select(cols(sets) :+ lit(label).as("label"): _*))
       case CreateEdge(label, from, to, sets) =>
         val rows = idSet(mg, from).select(col("id").as("src"))
           .crossJoin(idSet(mg, to).select(col("id").as("dst")))
@@ -122,6 +122,6 @@ object GraphDml {
         mg.setVertexProps(ids, ("label" -> lit(to)) +:
           sets.map { case (k, e) => k -> Translator.toColumn(e) })
     }
-    mg.spark.range(1).select(lit(1).as("ok"))
+    graft.OneRow(mg.spark).select(lit(1).as("ok"))
   }
 }

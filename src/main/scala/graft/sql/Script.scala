@@ -146,7 +146,7 @@ object Script {
 
     // driver-side scalar evaluation of a resolved (literal-only) expression
     def evalScalar(e: Expr): Any =
-      spark.range(1).select(Translator.toColumn(rs(e)).as("v")).collect()(0).get(0)
+      graft.OneRow(spark).select(Translator.toColumn(rs(e)).as("v")).collect()(0).get(0)
 
     def runBlock(stmts: Seq[SStmt]): Unit = stmts.foreach {
       case _ if returned.isDefined => ()
@@ -220,23 +220,23 @@ object Script {
                 m.get(k).map(Translator.toColumn).getOrElse(lit(null)).as(k)): _*)
             }
             returned = Some(
-              try spark.range(1).select(inline(array(rows: _*)))
+              try graft.OneRow(spark).select(inline(array(rows: _*)))
               catch { case _: org.apache.spark.sql.AnalysisException =>
                 // mixed types for one key across elements: array() can't
                 // coerce — fall back to the lenient union (rare, small)
                 es.map { case StructLit(fs) =>
-                  spark.range(1).select(fs.map { case (k, v) =>
+                  graft.OneRow(spark).select(fs.map { case (k, v) =>
                     Translator.toColumn(v).as(k) }: _*)
                 }.reduce(_.unionByName(_, allowMissingColumns = true))
               })
           case LetDual(_, l) => runBlock(Seq(ReturnS(Right(l))))
           case re =>
-            returned = Some(spark.range(1).select(Translator.toColumn(re).as("value")))
+            returned = Some(graft.OneRow(spark).select(Translator.toColumn(re).as("value")))
         }
       case ReturnBareS =>
         returned = Some(spark.range(0).select(lit(null).as("value")))
       case ExprS(e) =>
-        last = spark.range(1).select(Translator.toColumn(rs(e)).as("result"))
+        last = graft.OneRow(spark).select(Translator.toColumn(rs(e)).as("result"))
       case ExecS(Left(sel)) =>
         last = Translator.compile(spark, dir, cat, sel, fns.snapshot, env)
       // `DELETE FROM $x` — the variable holds a LET-bound record set; delete
@@ -263,7 +263,7 @@ object Script {
             struct(cols.map(c => Translator.toColumn(m(c)).as(c)): _*)
           }
           val n = tab.delete(array_contains(array(keyTuples: _*), struct(cols.map(col): _*)))
-          last = spark.range(1).select(lit(n).as("count"))
+          last = graft.OneRow(spark).select(lit(n).as("count"))
         }
       case ExecS(Right(st)) =>
         last = Translator.executeDml(spark, dir, cat, st, env)

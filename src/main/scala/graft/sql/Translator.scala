@@ -1039,7 +1039,7 @@ object Translator {
       case Some(sub) => compile(spark, dir, cat, sub, fns, env) // derived table
       // target-less SELECT (reference selectNoTarget*): projections
       // evaluate once against a one-row dual
-      case None if sel.from.isEmpty => spark.range(1).select(lit(1).as("__dual"))
+      case None if sel.from.isEmpty => graft.OneRow(spark).select(lit(1).as("__dual"))
       // index-driven scan: a registered index whose key the WHERE bounds
       // reads only manifest-hit files (FetchFromIndexStep analog)
       case None => IndexDdl.scanFor(spark, dir, cat, sel)
@@ -1266,7 +1266,7 @@ object Translator {
       }
       tab
     }
-    def countRow(n: Long): DataFrame = spark.range(1).select(lit(n).as("count"))
+    def countRow(n: Long): DataFrame = graft.OneRow(spark).select(lit(n).as("count"))
     def rs(e: Expr): Expr = resolveExpr(spark, dir, cat, e, env)
     st match {
       case InsertStmt(t, _, _, _, docs) if docs.nonEmpty =>
@@ -1275,7 +1275,7 @@ object Translator {
         val tab = table(t)
         val staged = docs.map(d => rs(d) match {
           case StructLit(fs) if fs.nonEmpty =>
-            spark.range(1).select(fs.map { case (k, e) => toColumn(e).as(k) }: _*)
+            graft.OneRow(spark).select(fs.map { case (k, e) => toColumn(e).as(k) }: _*)
           case other =>
             throw TranslateException(s"INSERT CONTENT needs a non-empty map, got $other")
         }).reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1307,7 +1307,7 @@ object Translator {
               if (vs.length != cols.length)
                 throw TranslateException(s"INSERT row has ${vs.length} values for ${cols.length} columns")
               val m = cols.zip(vs).toMap
-              spark.range(1).select(schema.map(f =>
+              graft.OneRow(spark).select(schema.map(f =>
                 m.get(f.name).map(e => toColumn(e).cast(f.dataType))
                   .getOrElse(lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq
                 ++ extra.map(c => toColumn(m(c)).as(c)): _*)

@@ -216,9 +216,20 @@ object Gremlin {
 
   // ---------- steps ----------
 
-  def query(g: PropertyGraph, text: String): DataFrame = {
+  def query(g0: PropertyGraph, text: String): DataFrame = {
     val steps = parse(text)
     require(steps.nonEmpty, "empty traversal")
+
+    // r11: iterative traversals (repeat/until/emit) reference the edge
+    // relation once per pass AND once per emitted branch of the final
+    // union — with a derived edge table (fromTpch's `contains` carries a
+    // full groupBy over lineitem) that shuffle re-ran 4-6× per query.
+    // Materialize the edges ONCE for the loop forms; single-pass chains
+    // keep the lazy relation (one evaluation either way, and the scan
+    // prunes better inside the full plan).
+    val g = if (steps.exists(s => s.name == "repeat"))
+      g0.copy(edges = g0.edges.localCheckpoint(eager = true))
+    else g0
 
     // path() pre-scan: when present, every vertex landing appends its
     // by-value (default: id) to a `__path` array column — accumulation at
@@ -447,11 +458,13 @@ object Gremlin {
           emitted = Some(emitted.fold(hit)(_.unionByName(hit)))
           frontier = next.copy(df = next.df.filter(!pred))
           it += 1
-          // every few levels: materialize the (shrinking) frontier and
-          // probe emptiness — one cheap action that stops the unroll and
-          // bounds plan depth/lineage, instead of stacking join subtrees
-          // for loops the data exhausted levels ago
-          if (it % 4 == 0 && it < MaxRepeatLoops) {
+          // every 2 levels (r11: was 4 — a frontier that dies at pass 2,
+          // the common until(hasLabel) shape, stops immediately instead of
+          // running two more empty passes): materialize the (shrinking)
+          // frontier and probe emptiness — one cheap action that stops the
+          // unroll and bounds plan depth/lineage, instead of stacking join
+          // subtrees for loops the data exhausted levels ago
+          if (it % 2 == 0 && it < MaxRepeatLoops) {
             val f = frontier.df.localCheckpoint(true)
             if (f.isEmpty) done = true else frontier = frontier.copy(df = f)
           }

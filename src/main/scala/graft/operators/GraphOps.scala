@@ -46,12 +46,16 @@ object GraphOps {
       """SELECT p_partkey, count(DISTINCT l_orderkey) AS degree
         |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
-      val g = PropertyGraph.fromTpch(s, d)
+      // r11: traversal view — degree counting needs connectivity, not the
+      // per-(order, part) qty aggregation barrier fromTpch pays over the
+      // whole lineitem table; countDistinct on the raw pairs returns the
+      // identical degree (the barrier's groupBy WAS the distinct).
+      val g = PropertyGraph.fromTpchTraversal(s, d)
       val parts = g.vertices.filter(col("label") === "part")
       val contains = g.edges.filter(col("label") === "contains")
       parts.join(contains, parts("id") === contains("dst"), "left_outer")
         .groupBy(parts("key").as("p_partkey"))
-        .agg(count(contains("src")).as("degree"))
+        .agg(countDistinct(contains("src")).as("degree"))
         .orderBy("p_partkey")
     },
 
@@ -63,7 +67,9 @@ object GraphOps {
         |WHERE c_custkey <= 50 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
       // Resolve vertex keys through the vertices table, not the vid()
       // bit-encoding — the id policy stays private to PropertyGraph.
-      val g = PropertyGraph.fromTpch(s, d)
+      // r11: traversal view — countDistinct dedups (order, part) pairs
+      // itself, so the qty aggregation barrier buys nothing here either.
+      val g = PropertyGraph.fromTpchTraversal(s, d)
       val custV = g.vertices.filter(col("label") === "customer" && col("key") <= 50)
         .select(col("id").as("cid"), col("key").as("c_custkey"))
       val placed = g.edges.filter(col("label") === "placed").alias("pl")

@@ -333,7 +333,10 @@ object SqlOps {
         |WHERE c_custkey < 30
         |  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |ORDER BY k, ok""".stripMargin) { (s, d) =>
-      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpch(s, d),
+      // r11: traversal view — the pattern tests pure connectivity (an
+      // anti-join on edge existence), so the qty aggregation barrier
+      // fromTpch pays over lineitem buys nothing here
+      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpchTraversal(s, d),
         "MATCH {type: customer, as: c, where: (key < 30)} --> {as: o}, " +
           "NOT {as: o} --> {as: x} RETURN c.key AS k, o.key AS ok ORDER BY k, ok")
     },
@@ -355,7 +358,10 @@ object SqlOps {
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  WHERE o_custkey = 1 AND l_partkey < 100)
         |ORDER BY label, key""".stripMargin) { (s, d) =>
-      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpch(s, d),
+      // r11: traversal view — $pathElements dedups elements, so raw
+      // (order, part) connectivity rows give the identical result without
+      // fromTpch's per-(order, part) aggregation barrier
+      graft.sql.Match.query(graft.graph.PropertyGraph.fromTpchTraversal(s, d),
         "MATCH {type: customer, where: (key = 1)}.out('placed'){as: o}" +
           ".out('contains'){type: part, where: (key < 100)} RETURN $pathElements")
         .select("label", "key").orderBy("label", "key")

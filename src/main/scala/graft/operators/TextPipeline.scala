@@ -73,7 +73,11 @@ object TextPipeline {
     // the oracle's exact-string compare would catch it).
     val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .persist()
+      // r11: localCheckpoint, not persist() — raw-row checkpoint blocks
+      // read faster than the columnar cache for array-heavy rows and the
+      // downstream stages keep AQE re-planning (same swap as the triangle
+      // pipeline; guide §2.4)
+      .localCheckpoint(eager = true)
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Codegen'd posting self-join per shingle (pair fanout bounded by the
     // df cap at ≤ maxDf²/2 per shingle).
@@ -159,7 +163,7 @@ object TextPipeline {
   def minhashDupPairs(docs: DataFrame, minJac: Double): DataFrame = {
     val sigs = withMinhash(withShingles(docs).filter(size(col("shingles")) > 0))
       .select(col("doc_id"), col("shingles"), col("sig"))
-      .persist()
+      .localCheckpoint(eager = true) // r11: see jaccardPairs
     val bands0 = sigs.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 63), j -> hash(sig[2*j], sig[2*j+1], j))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
@@ -226,7 +230,7 @@ object TextPipeline {
     val sigs = withTokens(docs)
       .withColumn("sig", callUDF("simhash_md5_chunks", col("toks")))
       .select("doc_id", "sig")
-      .persist()
+      .localCheckpoint(eager = true) // r11: see jaccardPairs
     // Pack the 8 chunk bytes into ONE long: candidate rows through the
     // band join are then (doc, doc, long, long) instead of two 8-element
     // arrays, and the hamming verify is a single codegen'd bit_count(xor)

@@ -128,13 +128,18 @@ object VectorOps {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     var centroids = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // r11: the centroid update is one hash aggregate with `dim` avg
+    // columns (dim is known from the probe below) instead of a
+    // posexplode to (cluster, dim) rows — the explode pushed n·dim rows
+    // through TWO exchanges per Lloyd round; per-dim partial aggregation
+    // shuffles k rows. Same per-dim mean, same partition-order double
+    // accumulation.
+    lazy val dim = probeDim(emb).getOrElse(0)
     for (_ <- 1 until iters) {
+      val avgs = (0 until dim).map(i => avg(col("v")(i)).as(s"__c$i"))
       centroids = assignClusters(corpus, centroids)
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg(col("x")).as("cx"))
-        .groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
-        .select(col("cid"), expr("transform(s, p -> p.cx)").as("cv"))
+        .groupBy("cid").agg(avgs.head, avgs.tail: _*)
+        .select(col("cid"), array((0 until dim).map(i => col(s"__c$i")): _*).as("cv"))
     }
     // The k-row centroid table is referenced by BOTH return values (probe
     // routing and list assignment) — materialize it once so the Lloyd
@@ -205,7 +210,18 @@ object VectorOps {
     val qs = queries.select(col("vec_id"), asDouble(col("embedding")))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
     val qb = spark.sparkContext.broadcast(qs)
-    val corpus = emb.select(col("vec_id"), asDouble(col("embedding"))).as[(Long, Seq[Double])]
+    // r11: the per-partition graph build is single-threaded inside each
+    // task — a small corpus arriving as one parquet split builds its whole
+    // graph on one core. When the scan has fewer splits than the session's
+    // parallelism, spread it by vec_id hash (deterministic); at scale the
+    // scan already has ≥ cores partitions and this is a no-op, so the
+    // shape stays "one graph per ~split", never a constant tuned to a box.
+    val par = spark.sparkContext.defaultParallelism
+    val corpus0 = emb.select(col("vec_id"), asDouble(col("embedding")))
+    val corpus1 =
+      if (corpus0.rdd.getNumPartitions < par) corpus0.repartition(par, col("vec_id"))
+      else corpus0
+    val corpus = corpus1.as[(Long, Seq[Double])]
     val cand = corpus.mapPartitions { it =>
       val elems = it.map { case (id, v) => (id, v.toArray) }.toArray
       if (elems.isEmpty) Iterator.empty

@@ -997,6 +997,18 @@ object Translator {
     // the env binds the variable to the synthetic join-output column so
     // later LETs ($bar = $foo[0].name) and projections read it uniformly.
     val corrLets = Seq.newBuilder[(String, Select)]
+    // r11: computed per-row LETs materialize as ONE projected column each
+    // (`__letc_<name>`) instead of substituting the full expression tree
+    // into every reference — q_geo_predicates' nine geometry predicates
+    // over a LET-bound rectangle inlined to a 200 KB Project (pure codegen
+    // compile time on 300 rows). Guards: star projections would leak the
+    // synthetic column, UNWIND changes what a post-unwind reference means,
+    // and correlated LETs attach through their own join — those shapes
+    // keep the substitution path. Literal/collection bindings also stay
+    // AST-shaped (bracket/key access folds at translation).
+    val canColumnize = sel0.projections.nonEmpty && sel0.unwind.isEmpty &&
+      !sel0.lets.exists(l => isCorrelated(l._2))
+    val colLets = Seq.newBuilder[(String, Expr)]
     val env = sel0.lets.foldLeft(env0) { case (acc, (name, e)) =>
       val bound = e match {
         case Subquery(sub) if isCorrelated(e) =>
@@ -1004,7 +1016,15 @@ object Translator {
           corrLets += tmp -> sub
           Resolved(col(tmp))
         case Subquery(sub) => bindLetSubquery(sub, acc)
-        case _ => resolve(e, acc, evalSub, fns)
+        case _ => resolve(e, acc, evalSub, fns) match {
+          case r @ (_: NumLit | _: StrLit | _: BoolLit | NullLit | _: ArrayLit |
+              _: StructLit | _: LetDual | _: Resolved) => r
+          case computed if canColumnize =>
+            val cn = "__letc_" + name.stripPrefix("$")
+            colLets += cn -> computed
+            Resolved(col(cn))
+          case other => other
+        }
       }
       acc + (name -> bound)
     }
@@ -1044,6 +1064,9 @@ object Translator {
       // reads only manifest-hit files (FetchFromIndexStep analog)
       case None => IndexDdl.scanFor(spark, dir, cat, sel)
     }
+    // materialized computed LETs (r11, see above): sequential so later
+    // LETs can reference earlier ones; the final projection drops them
+    for ((cn, e) <- colLets.result()) df = df.withColumn(cn, toColumn(e))
     // Attach correlated LET collections (let6/let7): one theta left join
     // + collect_list(struct(inner projections)) per variable — the
     // set-oriented form of the reference's per-outer-row re-execution.

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 
 /** Throwaway stage-by-stage probe for optimization rounds (not part of the
   * driver contract). Edited freely per investigation. */
@@ -16,47 +17,47 @@ object Scratch {
       println(f"STAGE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
+    import graft.functions.VectorFunctions._
 
-    // ---- variant A: current coPurchase (distinct + self-join + distinct)
-    val e0a = graft.graph.PropertyGraph.coPurchase(s, sfDir)
-    t("A-coPurchase-count") { println("  edges=" + e0a.count()) }
+    val emb = graft.Tables.embeddings(s, sfDir)
+    println("n=" + emb.count() + " dim=" + emb.select(size(col("embedding"))).head.getInt(0))
 
-    // ---- variant B: one-shuffle coPurchase (groupBy collect_set + explode²)
-    val l = graft.Tables.lineitem(s, sfDir)
-    val byOrder = l.groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("parts"))
-    val e0b = byOrder
-      .select(explode(col("parts")).as("a"), col("parts"))
-      .select(col("a"), explode(col("parts")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    t("B-coPurchase-count") { println("  edges=" + e0b.count()) }
-    t("B-again") { e0b.count() }
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    def assign(c: DataFrame, cents: DataFrame): DataFrame =
+      c.crossJoin(broadcast(cents))
+        .withColumn("d2", vecL2Sq(col("v"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("v")), struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
 
-    // ---- full triangles, restructured: e0 checkpointed once, lazy orient,
-    //      localCheckpoint nowhere else
-    def triangles(e0src: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-      val e0 = t(s"$tag-e0-chkpt") { e0src.localCheckpoint(true) }
-      val und = e0.select(col("a").as("u")).union(e0.select(col("b").as("u")))
-      val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
-      val aFirst = col("dega") < col("degb") ||
-        (col("dega") === col("degb") && col("a") < col("b"))
-      val e = e0
-        .join(deg.select(col("u").as("a"), col("deg").as("dega")), Seq("a"))
-        .join(deg.select(col("u").as("b"), col("deg").as("degb")), Seq("b"))
-        .select(
-          when(aFirst, col("a")).otherwise(col("b")).as("u"),
-          when(aFirst, col("b")).otherwise(col("a")).as("v"))
-      val adj = e.groupBy("u").agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      val out = e
-        .join(adj.select(col("u").as("x"), col("nbrs").as("nu")), col("u") === col("x"))
-        .join(adj.select(col("u").as("y"), col("nbrs").as("nv")), col("v") === col("y"))
-        .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
-      t(s"$tag-triangles") { out.collect().foreach(println) }
+    val k = 16; val dim = 64
+    def init = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // old shape
+    for (rep <- 1 to 2) t(s"old-ivf-$rep") {
+      var cents = init
+      for (_ <- 1 until 3) {
+        cents = assign(corpus, cents)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim").agg(avg(col("x")).as("cx"))
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
+          .select(col("cid"), expr("transform(s, p -> p.cx)").as("cv"))
+      }
+      cents.localCheckpoint(true).count()
     }
-    triangles(e0a, "A")
-    triangles(e0b, "B")
+    // new shape
+    for (rep <- 1 to 2) t(s"new-ivf-$rep") {
+      var cents = init
+      for (_ <- 1 until 3) {
+        val avgs = (0 until dim).map(i => avg(col("v")(i)).as(s"__c$i"))
+        cents = assign(corpus, cents)
+          .groupBy("cid").agg(avgs.head, avgs.tail: _*)
+          .select(col("cid"), array((0 until dim).map(i => col(s"__c$i")): _*).as("cv"))
+      }
+      cents.localCheckpoint(true).count()
+    }
     s.stop()
   }
 }

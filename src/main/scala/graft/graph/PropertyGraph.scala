@@ -76,6 +76,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         })
         .distinct()
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+        // r11: LAZY localCheckpoint — still zero per-depth actions, but
+        // `visited` and the next frontier now share ONE per-level RDD
+        // instead of duplicating the level's join subtree into both
+        // consumers (the depth-3 co-purchase BFS compiled to a 236-
+        // Exchange plan; each level's work ran once per downstream copy
+        // that ReuseExchange failed to collapse). The blocks materialize
+        // inside the single final job, once per level.
+        .localCheckpoint(eager = false)
       visited = visited.union(next.withColumn("depth", lit(d)))
       frontier = next
     }
@@ -200,15 +208,23 @@ object PropertyGraph {
   /** Undirected co-purchase graph: parts that appear in the same order,
     * canonical orientation a < b (the reference's GAV projection shape,
     * graph/olap/GraphAnalyticalView.java:84). */
-  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
+  /** @param maxPart both-endpoints bound (`a < maxPart AND b < maxPart`),
+    *                 pushed into the lineitem scan — a post-hoc filter on
+    *                 the pair stream cannot reach the scan through the
+    *                 groupBy+explode shape (r11; the old self-join form got
+    *                 this pushdown for free, so filtered consumers must
+    *                 pass the bound here). */
+  def coPurchase(spark: SparkSession, dir: String,
+      maxPart: Option[Long] = None): DataFrame = {
     // One shuffle on l_orderkey (collect_set dedups parts within the order)
     // + a narrow explode² pair generator, instead of the previous
     // distinct + self-join (three exchanges over the pair fan-out).
     // Same (a, b) pair set — r11 A/B: 2.4 s vs 3.8 s at sf0.1, and the
     // per-order fan-out never crosses the wire un-deduplicated. The final
     // distinct is still the only pair-sized exchange, as before.
-    graft.Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
+    val l0 = graft.Tables.lineitem(spark, dir)
+    val l = maxPart.fold(l0)(m => l0.filter(col("l_partkey") < m))
+    l.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
       .select(explode(col("parts")).as("a"), col("parts"))
       .select(col("a"), explode(col("parts")).as("b"))

@@ -50,7 +50,11 @@ object CypherOps {
     * directions, label "co") for variable-length path queries. */
   private def coGraph(s: org.apache.spark.sql.SparkSession, d: String): PropertyGraph = {
     import org.apache.spark.sql.functions._
-    val canon = PropertyGraph.coPurchase(s, d).filter(col("a") < 300 && col("b") < 300)
+    // r11: the endpoint bound pushes into the lineitem scan (see
+    // coPurchase), and iterative path queries reference the edge relation
+    // per hop — materialize the small induced subgraph once
+    val canon = PropertyGraph.coPurchase(s, d, maxPart = Some(300))
+      .localCheckpoint(eager = true)
     val edges = canon.select(col("a").as("src"), col("b").as("dst"))
       .union(canon.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("label", lit("co"))

@@ -62,10 +62,13 @@ object GraphAlgoOps {
       |  GROUP BY a.n_nationkey),
       |e AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce)""".stripMargin
 
-  /** Induced co-purchase subgraph (both endpoints < 300), canonical a<b. */
+  /** Induced co-purchase subgraph (both endpoints < 300), canonical a<b.
+    * r11: materialized — labelPropagation's loop and the clustering
+    * coefficient's 3-way wedge join reference the edge relation 3+ times,
+    * and the co-purchase derivation re-ran once per reference. */
   private def coSub(s: SparkSession, d: String): DataFrame =
-    graft.graph.PropertyGraph.coPurchase(s, d)
-      .filter(col("a") < 300 && col("b") < 300)
+    graft.graph.PropertyGraph.coPurchase(s, d, maxPart = Some(300))
+      .localCheckpoint(eager = true)
 
   private val CoSubSql =
     """ce AS (

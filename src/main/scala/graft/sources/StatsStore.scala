@@ -29,12 +29,26 @@ object StatsStore {
 
   private def manifestDir(dir: String) = s"$dir-manifest"
 
+  /** r11: clustered (re)writes publish via staging + swap, so a caller
+    * re-clustering a directory onto itself needs no full-table
+    * localCheckpoint first — the staging write reads the still-intact
+    * source files (same protocol as MutableTable.overwrite). */
+  private def swapIn(spark: SparkSession, staging: String, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(dir)))
+      throw new IllegalStateException(s"staging swap failed for $dir")
+  }
+
   /** Write `df` clustered by `key` into `numFiles` range-partitioned
     * files and collect the per-file min/max manifest. */
   def write(df: DataFrame, dir: String, key: String, numFiles: Int): Unit = {
-    df.repartitionByRange(numFiles, col(key))
-      .write.mode("overwrite").parquet(dir)
     val spark = df.sparkSession
+    df.repartitionByRange(numFiles, col(key))
+      .write.mode("overwrite").parquet(s"$dir-staging")
+    swapIn(spark, s"$dir-staging", dir)
     spark.read.parquet(dir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
@@ -118,12 +132,13 @@ object StatsStore {
       if (up <= lo) lit(0L)
       else ((c.cast("double") - lo) / (up - lo) * hi).cast("long")
     val z = zValue(scaled(col(keyA), amin, amax), scaled(col(keyB), bmin, bmax))
+    val spark = df.sparkSession
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(dir)
-    val spark = df.sparkSession
+      .write.mode("overwrite").parquet(s"$dir-staging")
+    swapIn(spark, s"$dir-staging", dir)
     spark.read.parquet(dir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min(col(keyA)).as("amin"), max(col(keyA)).as("amax"),

@@ -114,8 +114,9 @@ object IndexDdl {
         throw new IllegalArgumentException(
           s"UNIQUE index ${ix.name}: duplicate key ${dup(0).toSeq.init.mkString(",")}")
     }
-    // materialize before overwriting the directory the plan lazily reads
-    val snap = df.localCheckpoint(eager = true)
+    // r11: no checkpoint needed — StatsStore publishes via staging + swap,
+    // so the clustered rewrite reads the still-intact source files
+    val snap = df
     val numFiles = math.max(8, df.inputFiles.length)
     ix.cols match {
       case Seq(k)    => StatsStore.write(snap, path, k, numFiles)

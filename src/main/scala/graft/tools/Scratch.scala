@@ -17,47 +17,31 @@ object Scratch {
       println(f"STAGE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
-    import graft.functions.VectorFunctions._
 
-    val emb = graft.Tables.embeddings(s, sfDir)
-    println("n=" + emb.count() + " dim=" + emb.select(size(col("embedding"))).head.getInt(0))
-
-    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    def assign(c: DataFrame, cents: DataFrame): DataFrame =
-      c.crossJoin(broadcast(cents))
-        .withColumn("d2", vecL2Sq(col("v"), col("cv")))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cid"), col("v")), struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
-
-    val k = 16; val dim = 64
-    def init = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-
-    // old shape
-    for (rep <- 1 to 2) t(s"old-ivf-$rep") {
-      var cents = init
-      for (_ <- 1 until 3) {
-        cents = assign(corpus, cents)
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cid", "dim").agg(avg(col("x")).as("cx"))
-          .groupBy("cid")
-          .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
-          .select(col("cid"), expr("transform(s, p -> p.cx)").as("cv"))
+    def traverseAB(lazyChk: Boolean): Unit = {
+      val co = graft.graph.PropertyGraph.coPurchase(s, sfDir).localCheckpoint(eager = true)
+      val edges = co.select(col("a").as("src"), col("b").as("dst"))
+        .union(co.select(col("b").as("src"), col("a").as("dst")))
+      var visited = graft.Tables.part(s, sfDir).filter(col("p_partkey") === 1)
+        .select(col("p_partkey").as("id")).distinct().withColumn("depth", lit(0))
+      var frontier = visited.select("id")
+      for (d <- 1 to 3) {
+        var next = frontier.alias("f")
+          .join(edges.alias("e"), col("f.id") === col("e.src"))
+          .select(col("e.dst").as("id"))
+          .distinct()
+          .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+        if (lazyChk) next = next.localCheckpoint(eager = false)
+        visited = visited.union(next.withColumn("depth", lit(d)))
+        frontier = next
       }
-      cents.localCheckpoint(true).count()
+      val out = visited.groupBy("id").agg(min("depth").as("depth"))
+      out.agg(count(lit(1)), sum("depth")).collect().foreach(println)
     }
-    // new shape
-    for (rep <- 1 to 2) t(s"new-ivf-$rep") {
-      var cents = init
-      for (_ <- 1 until 3) {
-        val avgs = (0 until dim).map(i => avg(col("v")(i)).as(s"__c$i"))
-        cents = assign(corpus, cents)
-          .groupBy("cid").agg(avgs.head, avgs.tail: _*)
-          .select(col("cid"), array((0 until dim).map(i => col(s"__c$i")): _*).as("cv"))
-      }
-      cents.localCheckpoint(true).count()
-    }
+
+    for (r <- 1 to 2) t(s"traverse-old-$r") { traverseAB(lazyChk = false) }
+    for (r <- 1 to 2) t(s"traverse-new-$r") { traverseAB(lazyChk = true) }
+    for (r <- 1 to 2) t(s"traverse-old-again-$r") { traverseAB(lazyChk = false) }
     s.stop()
   }
 }

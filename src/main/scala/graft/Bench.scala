@@ -231,6 +231,15 @@ object Bench {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     println(json)
+    // r12 (verdict r11 #1): the driver preserves only a ~2000-char stdout
+    // tail, and the full JSON line above is ~24 KB (three 270-entry
+    // per-query maps) — 11 straight rounds of BENCH_* came back
+    // `parsed: null`. Print a FINAL compact summary line (~400 B, totals +
+    // env only, no per-query maps) so the tail always ends with one
+    // complete parseable JSON object; the per-query detail stays in the
+    // full line above and in bench_full_latest.json. Additive: the full
+    // line is unchanged and still printed first.
+    println(s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","n_ok":${ok.length},"n_err":${results.length - ok.length},$env,"sf":"$sfDir","artifact":"bench_full_latest.json"}""")
     spark.stop()
     // Nonzero rc when any query threw (r5 advice): the run is not a clean
     // benchmark — the JSON above still carries every healthy timing.

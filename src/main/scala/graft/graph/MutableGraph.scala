@@ -23,22 +23,23 @@ final class MutableGraph(val spark: SparkSession, vDir: String, eDir: String) {
   def edges: DataFrame = spark.read.parquet(eDir)
   def graph: PropertyGraph = PropertyGraph(vertices, edges)
 
+  // Roll back swaps torn by a crash in a previous session, if any.
+  graft.sources.Publish.recover(spark, vDir)
+  graft.sources.Publish.recover(spark, eDir)
+
   // r11: staging write + swap instead of localCheckpoint + in-place
   // overwrite — one distributed materialization per mutation instead of
   // two (see MutableTable.overwrite); input frames evaluate during the
-  // staging write, while both backing dirs are still intact.
-  private def swapIn(next: DataFrame, dir: String): Unit = {
-    val staging = s"$dir-staging"
-    next.write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(dir)))
-      throw new IllegalStateException(s"staging swap failed for $dir")
-  }
-  private def overwriteV(next: DataFrame): Unit = swapIn(next, vDir)
-  private def overwriteE(next: DataFrame): Unit = swapIn(next, eDir)
+  // staging write, while both backing dirs are still intact. r12: the
+  // swap is the shared crash-safe rename-aside protocol in Publish.
+  // r12 (verdict #2): the staging swap beat the r10 checkpoint+in-place
+  // protocol in a same-session interleaved A/B (q_cypher_create med
+  // 2.22 s vs 2.53 s over 5 pairs) — the r11 sweep regression was
+  // environmental. Kept.
+  private def overwriteV(next: DataFrame): Unit =
+    graft.sources.Publish.overwrite(next, vDir)
+  private def overwriteE(next: DataFrame): Unit =
+    graft.sources.Publish.overwrite(next, eDir)
 
   /** Schema-evolving append: columns missing on either side become null,
     * new property keys extend the schema (the reference's records are

@@ -226,8 +226,15 @@ object Gremlin {
     // full groupBy over lineitem) that shuffle re-ran 4-6× per query.
     // Materialize the edges ONCE for the loop forms; single-pass chains
     // keep the lazy relation (one evaluation either way, and the scan
-    // prunes better inside the full plan).
-    val g = if (steps.exists(s => s.name == "repeat"))
+    // prunes better inside the full plan). r12 (ADVICE r11): the probe
+    // recurses into sub-traversal arguments — a repeat nested inside
+    // union(repeat(...)) must trigger the materialization too.
+    def argHasRepeat(a: Arg): Boolean = a match {
+      case PArg(n, as) => n == "repeat" || as.exists(argHasRepeat)
+      case CArg(cs)    => cs.exists { case (n, as) => n == "repeat" || as.exists(argHasRepeat) }
+      case _           => false
+    }
+    val g = if (steps.exists(s => s.name == "repeat" || s.args.exists(argHasRepeat)))
       g0.copy(edges = g0.edges.localCheckpoint(eager = true))
     else g0
 

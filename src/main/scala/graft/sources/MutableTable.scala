@@ -28,24 +28,18 @@ final class MutableTable(spark: SparkSession, dir: String, keyCol: Option[String
 
   def df: DataFrame = spark.read.parquet(dir)
 
+  // Roll back a swap torn by a crash in a previous session, if any
+  // (one driver-side existence check per table open — see Publish).
+  Publish.recover(spark, dir)
+
   /** Publish `next` as the table's new state. r11: write to a staging
     * directory and swap it into place, instead of localCheckpoint +
     * in-place overwrite — one distributed materialization per mutation
     * instead of two (the checkpoint existed only to decouple `next` from
     * the directory it was about to clobber; writing the new state
-    * elsewhere achieves that with the write itself), and the visible
-    * window where `dir` holds partial state shrinks from the whole
-    * re-encode to a delete+rename. */
-  private def overwrite(next: DataFrame): Unit = {
-    val staging = s"$dir-staging"
-    next.write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(dir)))
-      throw new IllegalStateException(s"staging swap failed for $dir")
-  }
+    * elsewhere achieves that with the write itself). r12: the swap is the
+    * shared crash-safe rename-aside protocol in [[Publish]]. */
+  private def overwrite(next: DataFrame): Unit = Publish.overwrite(next, dir)
 
   // ---- pruned write path (StatsStore keyed merge): when the table
   // carries a stats manifest built on `keyCol`, UPDATE/DELETE rewrite

@@ -32,15 +32,10 @@ object StatsStore {
   /** r11: clustered (re)writes publish via staging + swap, so a caller
     * re-clustering a directory onto itself needs no full-table
     * localCheckpoint first — the staging write reads the still-intact
-    * source files (same protocol as MutableTable.overwrite). */
-  private def swapIn(spark: SparkSession, staging: String, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(dir)))
-      throw new IllegalStateException(s"staging swap failed for $dir")
-  }
+    * source files. r12: the swap is the shared crash-safe rename-aside
+    * protocol in [[Publish]]. */
+  private def swapIn(spark: SparkSession, staging: String, dir: String): Unit =
+    Publish.swapIn(spark, staging, dir)
 
   /** Write `df` clustered by `key` into `numFiles` range-partitioned
     * files and collect the per-file min/max manifest. */

@@ -1019,7 +1019,11 @@ object Translator {
         case _ => resolve(e, acc, evalSub, fns) match {
           case r @ (_: NumLit | _: StrLit | _: BoolLit | NullLit | _: ArrayLit |
               _: StructLit | _: LetDual | _: Resolved) => r
-          case computed if canColumnize =>
+          // Aggregate-bearing LETs (LET $x = sum(price)) must stay on the
+          // substitution path: withColumn is not a grouping context, so
+          // materializing them as a projected column fails analysis; the
+          // aggregate projection branch compiles the substituted tree.
+          case computed if canColumnize && !containsAgg(e) =>
             val cn = "__letc_" + name.stripPrefix("$")
             colLets += cn -> computed
             Resolved(col(cn))

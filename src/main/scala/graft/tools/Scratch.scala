@@ -4,7 +4,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
 /** Throwaway stage-by-stage probe for optimization rounds (not part of the
-  * driver contract). Edited freely per investigation. */
+  * driver contract). Edited freely per investigation.
+  *
+  * r12 shape: same-session interleaved A/B over the three r11-contested
+  * optimizations (verdict #2), toggled by system properties the probed
+  * code paths read at plan-construction time:
+  *   - graft.ab.graphwrite=checkpoint  (MutableGraph: r10 protocol)
+  *   - graft.ab.textpin=persist        (TextPipeline: r10 pinning)
+  *   - graft.ab.ivf=posexplode         (VectorOps: r10 centroid update)
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,36 +20,52 @@ object Scratch {
     val s = graft.GraftSession.build(s"local[$cpus]", cpus, "graft-scratch")
     s.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
 
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"STAGE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-      r
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(s, sfDir)
+      df.withColumn("__h", xxhash64(struct(df.columns.map(col): _*)))
+        .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    def reset(): Unit = {
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
 
-    def traverseAB(lazyChk: Boolean): Unit = {
-      val co = graft.graph.PropertyGraph.coPurchase(s, sfDir).localCheckpoint(eager = true)
-      val edges = co.select(col("a").as("src"), col("b").as("dst"))
-        .union(co.select(col("b").as("src"), col("a").as("dst")))
-      var visited = graft.Tables.part(s, sfDir).filter(col("p_partkey") === 1)
-        .select(col("p_partkey").as("id")).distinct().withColumn("depth", lit(0))
-      var frontier = visited.select("id")
-      for (d <- 1 to 3) {
-        var next = frontier.alias("f")
-          .join(edges.alias("e"), col("f.id") === col("e.src"))
-          .select(col("e.dst").as("id"))
-          .distinct()
-          .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
-        if (lazyChk) next = next.localCheckpoint(eager = false)
-        visited = visited.union(next.withColumn("depth", lit(d)))
-        frontier = next
+    val trials: Seq[(String, String, String)] = Seq(
+      ("q_cypher_create",  "graft.ab.graphwrite", "checkpoint"),
+      ("q_dedup_minhash",  "graft.ab.textpin",    "persist"),
+      ("q_dedup_clusters", "graft.ab.textpin",    "persist"),
+      ("q_dedup_ngram",    "graft.ab.textpin",    "persist"),
+      ("q_vec_ann_ivf",    "graft.ab.ivf",        "posexplode"),
+      ("q_dedup_semantic", "graft.ab.ivf",        "posexplode"))
+
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"AB load_avg_start=$loadStart%.2f")
+    for ((q, prop, oldVal) <- trials) {
+      sys.props -= prop
+      once(q); reset() // uncounted warm run (JIT, layout, parse cache)
+      val news = scala.collection.mutable.Buffer[Double]()
+      val olds = scala.collection.mutable.Buffer[Double]()
+      for (i <- 1 to 5) {
+        // alternate order inside the pair so slot effects cancel
+        if (i % 2 == 1) {
+          sys.props -= prop;        news += once(q); reset()
+          sys.props(prop) = oldVal; olds += once(q); reset()
+        } else {
+          sys.props(prop) = oldVal; olds += once(q); reset()
+          sys.props -= prop;        news += once(q); reset()
+        }
+        sys.props -= prop
       }
-      val out = visited.groupBy("id").agg(min("depth").as("depth"))
-      out.agg(count(lit(1)), sum("depth")).collect().foreach(println)
+      println(f"AB $q%-20s new(r11) med=${med(news.toSeq)}%6.3f runs=${news.map(x => f"$x%.3f").mkString(",")}")
+      println(f"AB $q%-20s old(r10) med=${med(olds.toSeq)}%6.3f runs=${olds.map(x => f"$x%.3f").mkString(",")}")
     }
-
-    for (r <- 1 to 2) t(s"traverse-old-$r") { traverseAB(lazyChk = false) }
-    for (r <- 1 to 2) t(s"traverse-new-$r") { traverseAB(lazyChk = true) }
-    for (r <- 1 to 2) t(s"traverse-old-again-$r") { traverseAB(lazyChk = false) }
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"AB load_avg_end=$loadEnd%.2f")
     s.stop()
   }
 }

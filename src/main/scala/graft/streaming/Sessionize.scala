@@ -73,9 +73,15 @@ object Sessionize {
           state.update(all)
           split(all, gapMicros).iterator
         })
-    val q = sessions.writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // r12: state partitions sized from the source like the other stream
+    // queries (was: the session's batch default, 32 state stores for a
+    // single-file bounded replay) — see StateScope.
+    val q = StateScope.withStatePartitions(
+        spark, StateScope.statePartitionsFor(spark, srcDir)) {
+      val q0 = sessions.writeStream.format("memory").queryName(sinkName)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q0.awaitTermination(); q0
+    }
     spark.table(sinkName)
   }
 }

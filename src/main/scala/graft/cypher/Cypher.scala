@@ -1118,11 +1118,11 @@ object Cypher {
             else {
               val walks = Seq.newBuilder[DataFrame]
               walks ++= zero
-              var cur = firstHop.localCheckpoint(true)
+              var cur = graft.Materialize.once(firstHop)
               var depth = 1
               if (depth >= lo) walks += cur
               while (depth < hi && !cur.isEmpty) {
-                cur = extend(cur).localCheckpoint(true)
+                cur = graft.Materialize.once(extend(cur))
                 depth += 1
                 if (depth >= lo && !cur.isEmpty) walks += cur
               }

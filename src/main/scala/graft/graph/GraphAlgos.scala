@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
+
 /** Distributed graph algorithms as iterative DataFrame programs, the
   * Spark-native re-expression of the reference's OLAP algorithm suite
   * (graph/olap/GraphAlgorithms.java — PageRank :164, connected components
@@ -42,7 +44,7 @@ object GraphAlgos {
     // broadcast/coalesce — measured 4-25x slower. The checkpoint runs one
     // AQE-planned job and iterations reuse the materialized blocks;
     // ContextCleaner reclaims them once the result drops the reference.
-    val e = edges.join(outDeg, Seq("src")).localCheckpoint()
+    val e = Materialize.once(edges.join(outDeg, Seq("src")))
     var rank = vertices.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iters) {
       val msgs = e.join(rank.withColumnRenamed("id", "src"), Seq("src"))
@@ -52,16 +54,16 @@ object GraphAlgos {
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(reset) + lit(1.0 - reset) * coalesce(col("msum"), lit(0.0))).as("rank"))
-      if (i % CheckpointEvery == 0 && i < iters) rank = rank.localCheckpoint(eager = false)
+      if (i % CheckpointEvery == 0 && i < iters) rank = Materialize.once(rank, eager = false)
     }
-    rank.localCheckpoint()
+    Materialize.once(rank)
   }
 
   /** Connected components by iterative min-id propagation (HashMin), the
     * set-oriented form of GraphAlgorithms.java:309. `edges` must contain
     * both directions for undirected graphs. Converges in O(diameter). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIters: Int): DataFrame = {
-    val e = edges.localCheckpoint() // see pageRank: AQE-planned once, not persist()
+    val e = Materialize.once(edges) // see pageRank: AQE-planned once, not persist()
     var comp = vertices.select(col("id"), col("id").as("comp"))
     var changed = true
     var i = 0
@@ -80,10 +82,10 @@ object GraphAlgos {
         .agg(min(col("comp")).as("nbr"))
       // carry the previous label through the update so the convergence
       // sentinel is a filter over the checkpointed rows, not a self-join
-      val next = comp.join(nbrMin, Seq("id"), "left_outer")
+      val next = Materialize.once(comp.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint() // eager: also settles `changed` below
+        ) // eager: also settles `changed` below
       changed = next.filter(col("comp") =!= col("prev")).limit(1).count() > 0
       comp = next.select("id", "comp")
     }
@@ -95,7 +97,7 @@ object GraphAlgos {
     * GraphAlgorithms.java:1118 with the tie order pinned so every engine
     * replays the same communities. `edges` both directions. */
   def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint() // loop-invariant (often a derived join —
+    val e = Materialize.once(edges) // loop-invariant (often a derived join —
     // e.g. a co-purchase self-join): one AQE-planned materialization instead
     // of `iters` recomputes; see pageRank for why persist() is wrong here
     var lab = vertices.select(col("id"), col("id").as("lab"))
@@ -110,9 +112,9 @@ object GraphAlgos {
         .select(col("id"), col("lab").as("best"))
       lab = lab.join(best, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("best"), col("lab")).as("lab"))
-      if (i % CheckpointEvery == 0 && i < iters) lab = lab.localCheckpoint(eager = false)
+      if (i % CheckpointEvery == 0 && i < iters) lab = Materialize.once(lab, eager = false)
     }
-    lab.localCheckpoint()
+    Materialize.once(lab)
   }
 
   /** Local clustering coefficient cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
@@ -153,10 +155,10 @@ object GraphAlgos {
       .select(col("id"), lit(1L).as("walks"))
     var acc: DataFrame = null
     for (d <- 1 to maxDepth) {
-      front = front.join(edges.withColumnRenamed("src", "id"), Seq("id"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("walks")).as("walks"))
-        .localCheckpoint(eager = false)
+      front = Materialize.once(
+        front.join(edges.withColumnRenamed("src", "id"), Seq("id"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("walks")).as("walks")), eager = false)
       val level = front.withColumn("depth", lit(d))
       acc = if (acc == null) level else acc.unionByName(level)
     }
@@ -191,7 +193,7 @@ object GraphAlgos {
         if (hit.nonEmpty) best = math.min(best, hit(0).getDouble(0))
         if (!best.isInfinite) dist = dist.filter(col("g") + h(col("id")) <= best + 1e-9)
       }
-      dist = dist.localCheckpoint(eager = false)
+      dist = Materialize.once(dist, eager = false)
     }
     dist.filter(col("id") === target)
       .select(col("id"), round(col("g"), 6).as("dist"))
@@ -208,9 +210,8 @@ object GraphAlgos {
     for (_ <- 1 to iters) {
       val relaxed = dist.join(edges.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
+      dist = Materialize.once(dist.union(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist")), eager = false)
     }
     dist
   }

@@ -69,21 +69,22 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     var visited = f0.withColumn("depth", lit(0))
     var frontier = f0
     for (d <- 1 to maxDepth) {
-      val next = (direction match {
+      // r11: LAZY pin — still zero per-depth actions, but `visited` and
+      // the next frontier now share ONE per-level RDD instead of
+      // duplicating the level's join subtree into both consumers (the
+      // depth-3 co-purchase BFS compiled to a 236-Exchange plan; each
+      // level's work ran once per downstream copy that ReuseExchange
+      // failed to collapse). The blocks materialize inside the single
+      // final job, once per level.
+      val next = graft.Materialize.once(
+        (direction match {
           case "in"   => g.expandIn(frontier)
           case "both" => g.expandOut(frontier).union(g.expandIn(frontier))
           case _      => g.expandOut(frontier)
         })
         .distinct()
-        .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
-        // r11: LAZY localCheckpoint — still zero per-depth actions, but
-        // `visited` and the next frontier now share ONE per-level RDD
-        // instead of duplicating the level's join subtree into both
-        // consumers (the depth-3 co-purchase BFS compiled to a 236-
-        // Exchange plan; each level's work ran once per downstream copy
-        // that ReuseExchange failed to collapse). The blocks materialize
-        // inside the single final job, once per level.
-        .localCheckpoint(eager = false)
+        .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti"),
+        eager = false)
       visited = visited.union(next.withColumn("depth", lit(d)))
       frontier = next
     }
@@ -128,7 +129,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         frontier = next
       }
     }
-    val out = visited.localCheckpoint() // eager: materialize before unpersist
+    val out = graft.Materialize.once(visited) // eager: materialize before unpersist
     live.foreach(_.unpersist(false))
     cachedEdges.unpersist(false)
     out
@@ -225,19 +226,34 @@ object PropertyGraph {
     *                 pass the bound here). */
   def coPurchase(spark: SparkSession, dir: String,
       maxPart: Option[Long] = None): DataFrame = {
-    // One shuffle on l_orderkey (collect_set dedups parts within the order)
-    // + a narrow explode² pair generator, instead of the previous
-    // distinct + self-join (three exchanges over the pair fan-out).
-    // Same (a, b) pair set — r11 A/B: 2.4 s vs 3.8 s at sf0.1, and the
-    // per-order fan-out never crosses the wire un-deduplicated. The final
-    // distinct is still the only pair-sized exchange, as before.
     val l0 = graft.Tables.lineitem(spark, dir)
     val l = maxPart.fold(l0)(m => l0.filter(col("l_partkey") < m))
-    l.groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("parts"))
+    coPairs(l.select(col("l_orderkey").as("gid"), col("l_partkey").as("item")))
+  }
+
+  /** Per-group distinct-item width bound for [[coPairs]] (r12, verdict r11
+    * #5/#9): `collect_set` is bounded only by group width, so on a skewed
+    * co-occurrence corpus one hot group would build an O(width) array row
+    * and an O(width²) pair fan-out — the classic hot-key blowup. Groups
+    * wider than this keep their `MaxGroupWidth` smallest items
+    * (deterministic). TPC-H orders have ≤ 7 lineitems at every scale
+    * factor, so the cap is unreachable on the declared queries (pair set
+    * identical, oracle-checked); it exists so the operator has a declared
+    * bound instead of an implicit precondition. */
+  val MaxGroupWidth = 1024
+
+  /** Co-occurrence pair generator over (gid, item): canonical a < b pairs
+    * of items sharing a gid. One shuffle on gid (collect_set dedups items
+    * within the group) + a narrow explode² pair generator, instead of the
+    * previous distinct + self-join (three exchanges over the pair
+    * fan-out). Same (a, b) pair set — r11 A/B: 2.4 s vs 3.8 s at sf0.1,
+    * and the per-group fan-out never crosses the wire un-deduplicated.
+    * The final distinct is still the only pair-sized exchange, as before. */
+  private[graft] def coPairs(items: DataFrame): DataFrame =
+    items.groupBy(col("gid"))
+      .agg(slice(sort_array(collect_set(col("item"))), 1, MaxGroupWidth).as("parts"))
       .select(explode(col("parts")).as("a"), col("parts"))
       .select(col("a"), explode(col("parts")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-  }
 }

@@ -114,9 +114,15 @@ object GraphQL {
     * recurse: expand the edge, resolve the target subtree, collect per
     * parent id as a sorted array of structs. */
   private def resolve(g: PropertyGraph, schema: Schema, t: TypeDef,
-      rows: DataFrame, sels: List[Sel]): DataFrame = {
+      rows: DataFrame, sels: List[Sel], prune: Boolean): DataFrame = {
     val effective = if (sels.isEmpty) t.scalars.map(Sel(_, Nil)) else sels
     var cur = rows
+    // r12 (guide §3.2): this level's id set, pinned once, for pushing into
+    // the relationship expansions below. Materialized (tiny — the entry
+    // filter's survivors and their descendants) so every semi-join build
+    // reads one small RDD instead of re-planning the parent subtree per
+    // reference (the unpinned form duplicated the tree: 14 → 56 Exchanges).
+    lazy val levelIds = graft.Materialize.once(rows.select(col("id")).distinct())
     val outCols = scala.collection.mutable.ListBuffer[String]("id")
     for (sel <- effective) {
       if (t.scalars.contains(sel.field)) outCols += sel.field
@@ -125,10 +131,31 @@ object GraphQL {
           throw new IllegalArgumentException(s"unknown field ${sel.field} on type ${t.name}"))
         val target = schema.types(rel.targetType)
         val (near, far) = if (rel.dirOut) ("src", "dst") else ("dst", "src")
-        val e = g.edges.filter(col("label") === rel.edgeLabel)
+        // r12 (guide §3.2): for a SINGLE-OBJECT entry point, resolve
+        // TOP-DOWN — restrict each level's edge expansion to the parents
+        // that survived the entry filter, and the target vertices to the
+        // reachable ids, via semi-joins against the pinned id set. A point
+        // lookup (customerByKey) otherwise resolves EVERY order's full
+        // parts array before the root join throws all but one away; the
+        // semi-join chain keeps each level's shuffle proportional to the
+        // selected subtree (the pinned one-root set broadcasts, pruning
+        // the child scans). Result-identical: the parent join below is on
+        // __pid ∈ cur.id and `nested` inner-joins __tid, so rows outside
+        // the semi-joined sets never reach the output. LIST entries keep
+        // the bottom-up shape: their selectivity is unknown without stats,
+        // and the measured sf0.1 A/B had the semi-join overhead losing on
+        // the weakly-selective ordersByName (1.5 → 1.9 s) while the point
+        // lookup was flat locally and subtree-proportional at scale.
+        val e0 = g.edges.filter(col("label") === rel.edgeLabel)
           .select(col(near).as("__pid"), col(far).as("__tid"))
-        val targetRows = g.vertices.filter(col("label") === schema.label(rel.targetType))
-        val sub = resolve(g, schema, target, targetRows, sel.sub)
+        val e = if (prune)
+          e0.join(levelIds.withColumnRenamed("id", "__pid"), Seq("__pid"), "left_semi")
+        else e0
+        val targetRows0 = g.vertices.filter(col("label") === schema.label(rel.targetType))
+        val targetRows = if (prune)
+          targetRows0.join(e.select(col("__tid").as("id")), Seq("id"), "left_semi")
+        else targetRows0
+        val sub = resolve(g, schema, target, targetRows, sel.sub, prune)
         val subFields = sub.columns.filter(_ != "id")
         val nested = e.join(sub.withColumnRenamed("id", "__tid2"), col("__tid") === col("__tid2"))
           .groupBy(col("__pid"))
@@ -158,6 +185,6 @@ object GraphQL {
       else lit(rawArg.toLong)
     val roots = g.vertices.filter(col("label") === schema.label(entry.targetType))
       .filter(col(entry.argName) === argVal)
-    resolve(g, schema, t, roots, sels).drop("id")
+    resolve(g, schema, t, roots, sels, prune = !entry.isList).drop("id")
   }
 }

@@ -235,7 +235,7 @@ object Gremlin {
       case _           => false
     }
     val g = if (steps.exists(s => s.name == "repeat" || s.args.exists(argHasRepeat)))
-      g0.copy(edges = g0.edges.localCheckpoint(eager = true))
+      g0.copy(edges = graft.Materialize.once(g0.edges))
     else g0
 
     // path() pre-scan: when present, every vertex landing appends its
@@ -368,7 +368,7 @@ object Gremlin {
         val next = applyCalls(frontier, body)
         it += 1
         val f = if (it % 2 == 0 || it == MaxRepeatLoops)
-          next.df.localCheckpoint(true) else next.df
+          graft.Materialize.once(next.df) else next.df
         emitted = Some(emitted.fold(f: DataFrame)(_.unionByName(f)))
         if (it % 2 == 0 || it == MaxRepeatLoops) {
           if (f.isEmpty) done = true
@@ -472,7 +472,7 @@ object Gremlin {
           // unroll and bounds plan depth/lineage, instead of stacking join
           // subtrees for loops the data exhausted levels ago
           if (it % 2 == 0 && it < MaxRepeatLoops) {
-            val f = frontier.df.localCheckpoint(true)
+            val f = graft.Materialize.once(frontier.df)
             if (f.isEmpty) done = true else frontier = frontier.copy(df = f)
           }
         }

@@ -53,8 +53,8 @@ object CypherOps {
     // r11: the endpoint bound pushes into the lineitem scan (see
     // coPurchase), and iterative path queries reference the edge relation
     // per hop — materialize the small induced subgraph once
-    val canon = PropertyGraph.coPurchase(s, d, maxPart = Some(300))
-      .localCheckpoint(eager = true)
+    val canon = graft.Materialize.once(
+      PropertyGraph.coPurchase(s, d, maxPart = Some(300)))
     val edges = canon.select(col("a").as("src"), col("b").as("dst"))
       .union(canon.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("label", lit("co"))

@@ -67,8 +67,8 @@ object GraphAlgoOps {
     * coefficient's 3-way wedge join reference the edge relation 3+ times,
     * and the co-purchase derivation re-ran once per reference. */
   private def coSub(s: SparkSession, d: String): DataFrame =
-    graft.graph.PropertyGraph.coPurchase(s, d, maxPart = Some(300))
-      .localCheckpoint(eager = true)
+    graft.Materialize.once(
+      graft.graph.PropertyGraph.coPurchase(s, d, maxPart = Some(300)))
 
   private val CoSubSql =
     """ce AS (

@@ -138,7 +138,7 @@ object GraphOps {
       // the groupBy+explode+distinct subtree per hop cost ~2× the whole
       // query (sf0.1 min-of-two 7.0 s lazy vs 3.6 s checkpointed; 3.9 s
       // baseline before the coPurchase reshape).
-      val co = PropertyGraph.coPurchase(s, d).localCheckpoint(eager = true)
+      val co = graft.Materialize.once(PropertyGraph.coPurchase(s, d))
       val undirected = co.select(col("a").as("src"), col("b").as("dst"))
         .union(co.select(col("b").as("src"), col("a").as("dst")))
         .withColumn("label", lit("co"))
@@ -180,7 +180,7 @@ object GraphOps {
       // and recomputing the co-purchase self-join per branch. Min-of-two
       // at sf0.1: 10.1 s → ~5 s; the oriented-edge relation itself stays
       // lazy (two cheap broadcast joins against the 20k-row degree table).
-      val e0 = PropertyGraph.coPurchase(s, d).localCheckpoint(eager = true)
+      val e0 = graft.Materialize.once(PropertyGraph.coPurchase(s, d))
       val und = e0.select(col("a").as("u")).union(e0.select(col("b").as("u")))
       val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
       val aFirst = col("dega") < col("degb") ||

@@ -57,7 +57,7 @@ object TextPipeline {
     * interleaved A/B (verdict r11 #2): minhash 1.99 vs 2.14 s, clusters
     * 3.06 vs 3.42 s, ngram 2.55 vs 2.62 s medians — localCheckpoint wins
     * each; the r11 sweep regression was environmental. */
-  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  private def pin(df: DataFrame): DataFrame = graft.Materialize.once(df)
 
   private def shingleIndex(docs: DataFrame): DataFrame =
     withShingles(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
@@ -99,9 +99,9 @@ object TextPipeline {
       .withColumn("jac", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jac") >= minJac)
       .select("doc_a", "doc_b", "jac")
-      .localCheckpoint() // eager: materialize while `sh` is cached
+    val outP = graft.Materialize.once(out) // eager: materialize while `sh` is cached
     sh.unpersist(false)
-    out
+    outP
   }
 
   /** Hot-shingle document-frequency cap (applied on both engines). */
@@ -192,9 +192,9 @@ object TextPipeline {
       .withColumn("jac", col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jac") >= minJac)
       .select("doc_a", "doc_b", "jac")
-      .localCheckpoint() // eager: materialize while `sigs` is cached
+    val outP = graft.Materialize.once(out) // eager: materialize while `sigs` is cached
     sigs.unpersist(false)
-    out
+    outP
   }
 
   /** Near-dup cluster canonicalization — the keep-one step a training
@@ -256,9 +256,9 @@ object TextPipeline {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .select("doc_a", "doc_b", "hamming")
-      .localCheckpoint()
+    val outP = graft.Materialize.once(out)
     sigs.unpersist(false)
-    out
+    outP
   }
 
   private val langStopwords: Seq[(String, Seq[String])] = Seq(

@@ -114,8 +114,8 @@ object Traverse {
       case _      => e0.select(col("src"), col("dst"))
         .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     }).alias("e")
-    var visited = seeds.select(col("id"), array(col("id")).as("__path"))
-      .localCheckpoint(true)
+    var visited = graft.Materialize.once(
+      seeds.select(col("id"), array(col("id")).as("__path")))
     var frontier = visited
     var d = 0
     val MaxPasses = 64
@@ -130,9 +130,12 @@ object Traverse {
           concat(col("f.__path"), array(col("e.dst"))).as("__path"))
         .join(visited.select(col("id").as("__vid")), col("id") === col("__vid"), "left_anti")
         .groupBy("id").agg(min(col("__path")).as("__path"))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
-      else { visited = visited.unionByName(next).localCheckpoint(true); frontier = next; d += 1 }
+      val nextP = graft.Materialize.once(next)
+      if (nextP.isEmpty) done = true
+      else {
+        visited = graft.Materialize.once(visited.unionByName(nextP))
+        frontier = nextP; d += 1
+      }
     }
     visited
       .join(g.vertices, "id")
